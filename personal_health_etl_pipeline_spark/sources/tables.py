@@ -1,0 +1,47 @@
+"""Load the benchmark/test star schema from a scale-factor directory.
+
+``/root/testdata/sf*/`` holds one parquet file per table (TESTDATA.md).
+Reads are plain ``spark.read.parquet`` so Catalyst keeps full pushdown /
+pruning freedom; nothing is cached or collected here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should be broadcast when joined against a
+# fact table at any scale factor (region/nation are bounded; customer,
+# supplier and part grow with SF but stay orders of magnitude below
+# lineitem — at 100 TB they may exceed the broadcast threshold, which is
+# why joins below use broadcast() only for the bounded dims and let AQE
+# decide for the rest).
+BOUNDED_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` queries work."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

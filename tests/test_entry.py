@@ -1,0 +1,20 @@
+"""Smoke test of the driver contract in __spark_entry__.py."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    # every oracle key must reference a declared query
+    assert set(oracles) <= set(qs)
