@@ -17,6 +17,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from personal_health_etl_pipeline_spark.plans import reference_surface as rs
 from personal_health_etl_pipeline_spark.plans import tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -35,6 +36,29 @@ register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
 register("q5_region_volume", tpch.q5_region_volume, tpch.Q5_ORACLE)
 register("q6_revenue_delta", tpch.q6_revenue_delta, tpch.Q6_ORACLE)
 register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_ORACLE)
+
+# reference-surface operators (SURVEY.md §2)
+register("p1_required_filter", rs.p1_required_filter, rs.P1_ORACLE)
+register("p2_halfopen_range", rs.p2_halfopen_range, rs.P2_ORACLE)
+register("p3_prefix_columns", rs.p3_prefix_columns, rs.P3_ORACLE)
+register("p4_distinct_days", rs.p4_distinct_days, rs.P4_ORACLE)
+register("p5_exists_probe", rs.p5_exists_probe, rs.P5_ORACLE)
+register("p6_new_dates_antijoin", rs.p6_new_dates_antijoin, rs.P6_ORACLE)
+register("j1_multiway_outer_combine", rs.j1_multiway_outer_combine, rs.J1_ORACLE)
+register("j2_range_overlap_join", rs.j2_range_overlap_join, rs.J2_ORACLE)
+register("j3_duplicate_day_conflicts", rs.j3_duplicate_day_conflicts, rs.J3_ORACLE)
+register("a1_watermark", rs.a1_watermark, rs.A1_ORACLE)
+register("a3_count_probes", rs.a3_count_probes, rs.A3_ORACLE)
+register("a4_union_distinct_days", rs.a4_union_distinct_days, rs.A4_ORACLE)
+register("w1_rolling_7day_revenue", rs.w1_rolling_7day_revenue, rs.W1_ORACLE)
+register("w2_topk_per_group", rs.w2_topk_per_group, rs.W2_ORACLE)
+register("w3_sessionize", rs.w3_sessionize, rs.W3_ORACLE)
+register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
+register("f3_timestamp_coerce", rs.f3_timestamp_coerce, rs.F3_ORACLE)
+register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
+register("f6_path_roundtrip", rs.f6_path_roundtrip, rs.F6_ORACLE)
+register("f8_json_extract", rs.f8_json_extract, rs.F8_ORACLE)
+register("c3_schema_align", rs.c3_schema_align, rs.C3_ORACLE)
 
 
 def queries() -> dict[str, QueryFn]:

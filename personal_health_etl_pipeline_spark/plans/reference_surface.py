@@ -1,0 +1,592 @@
+"""Reference-surface operators as oracle-checked queries (SURVEY.md §2).
+
+Every operator class the reference performs — filters/projections (P*),
+joins (J*), aggregations (A*), windows (W*), scalar functions (F*) and
+schema alignment (C*) — expressed over the synthetic star schema so the
+driver's DuckDB differential covers it. Each Spark path routes through
+the *actual engine library function* (flatten, prefix_columns,
+combine_on_key, conflicting_keys, new_keys, align_to_schema, ...), not
+a re-inlined copy, so the gate certifies the library itself.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from personal_health_etl_pipeline_spark.functions.casts import to_timestamp_coerce
+from personal_health_etl_pipeline_spark.functions.flatten import flatten, prefix_columns
+from personal_health_etl_pipeline_spark.operators.combine import combine_on_key
+from personal_health_etl_pipeline_spark.operators.conflict import conflicting_keys
+from personal_health_etl_pipeline_spark.operators.incremental import (
+    half_open_range,
+    new_keys,
+)
+from personal_health_etl_pipeline_spark.plans.exact import d2, exact_sum
+from personal_health_etl_pipeline_spark.schema import align_to_schema
+from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+
+# --- P1: required-field filter (reference transform.py:68-75) --------
+
+def p1_required_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        F.col("text").isNotNull() & (F.length("text") >= 100)
+    ).select("doc_id", "lang", "n_chars")
+
+
+P1_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE text IS NOT NULL AND length(text) >= 100
+"""
+
+
+# --- P2: half-open date-range filter (reference load.py:286-288) -----
+
+def p2_halfopen_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        half_open_range("l_shipdate", "1997-01-01", "1997-02-01")
+    ).select("l_orderkey", "l_linenumber", "l_shipdate")
+
+
+P2_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+"""
+
+
+# --- P3: column namespace prefixing (reference transform.py:80-89) ---
+
+def p3_prefix_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return prefix_columns(nation, "nation", exclude=("n_nationkey",))
+
+
+P3_ORACLE = """
+SELECT n_nationkey,
+       n_name AS nation__n_name,
+       n_regionkey AS nation__n_regionkey
+FROM nation
+"""
+
+
+# --- P4: distinct-day projection (reference load.py:209-224) ---------
+
+def p4_distinct_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(F.to_date("o_orderdate").alias("day")).distinct()
+
+
+P4_ORACLE = "SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders"
+
+
+# --- P5: existence probe (reference load.py:325-348) ------------------
+
+def p5_exists_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    probe = orders.where(F.to_date("o_orderdate") == F.lit("1997-03-15"))
+    return probe.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.count(F.lit(1)) > 0).alias("does_exist"),
+    )
+
+
+P5_ORACLE = """
+SELECT COUNT(*) AS cnt, COUNT(*) > 0 AS does_exist
+FROM orders WHERE CAST(o_orderdate AS DATE) = DATE '1997-03-15'
+"""
+
+
+# --- P6: new-key set difference / anti-join (transform.py:183-190) ---
+
+def p6_new_dates_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("day")
+    )
+    existing = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day")
+    )
+    return new_keys(raw, existing, key="day")
+
+
+P6_ORACLE = """
+SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem
+WHERE CAST(l_shipdate AS DATE) NOT IN (SELECT CAST(o_orderdate AS DATE) FROM orders)
+"""
+
+
+# --- J1: multi-way full-outer combine (transform.py:130-140) ----------
+
+def j1_multiway_outer_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily frames folded into one wide row per day —
+    the reference's signature transform, on the events fixture."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "purchase", "error"]
+    frames = []
+    for t in types:
+        daily = (
+            events.where(F.col("event_type") == t)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                exact_sum(d2("value")).alias("sum_value"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        frames.append(prefix_columns(daily, t, exclude=("day",)))
+    return combine_on_key(frames, key="day")
+
+
+J1_ORACLE = """
+WITH per_type AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT day,
+       c.sum_value AS click__sum_value, c.n AS click__n,
+       p.sum_value AS purchase__sum_value, p.n AS purchase__n,
+       e.sum_value AS error__sum_value, e.n AS error__n
+FROM      (SELECT * FROM per_type WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM per_type WHERE event_type = 'purchase') p USING (day)
+FULL JOIN (SELECT * FROM per_type WHERE event_type = 'error') e USING (day)
+"""
+
+
+# --- J2: range-overlap join (reference load.py:266) --------------------
+
+def j2_range_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap: per-user activity windows joined
+    against per-event-type windows. Non-equi join -> Spark picks a
+    broadcast nested-loop; at scale this would be bucketed by time."""
+    events = load_table(spark, sf_dir, "events")
+    user_win = events.groupBy("user_id").agg(
+        F.min("ts").alias("u_start"), F.max("ts").alias("u_end")
+    )
+    type_win = events.groupBy("event_type").agg(
+        F.min("ts").alias("t_start"), F.max("ts").alias("t_end")
+    )
+    overlap = (F.col("u_end") >= F.col("t_start")) & (
+        F.col("u_start") <= F.col("t_end")
+    )
+    return (
+        user_win.join(F.broadcast(type_win), overlap)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_overlapping_types"))
+    )
+
+
+J2_ORACLE = """
+WITH u AS (SELECT user_id, MIN(ts) AS u_start, MAX(ts) AS u_end FROM events GROUP BY user_id),
+     t AS (SELECT event_type, MIN(ts) AS t_start, MAX(ts) AS t_end FROM events GROUP BY event_type)
+SELECT user_id, COUNT(*) AS n_overlapping_types
+FROM u JOIN t ON u.u_end >= t.t_start AND u.u_start <= t.t_end
+GROUP BY user_id
+"""
+
+
+# --- J3: duplicate-key conflict detection (load.py:277-302) ------------
+
+def j3_duplicate_day_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_day = events.select(F.to_date("ts").alias("day"))
+    return conflicting_keys(per_day, key="day")
+
+
+J3_ORACLE = """
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_records
+FROM events GROUP BY CAST(ts AS DATE) HAVING COUNT(*) > 1
+"""
+
+
+# --- A1/A2: watermark aggregates (extract.py:172-174, transform.py:177-196)
+
+def a1_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.to_date("l_shipdate")
+    empty_side = F.when(F.col("l_quantity") < 0, day)  # always-empty branch
+    return li.agg(
+        F.max(day).alias("watermark"),
+        F.coalesce(F.max(empty_side), F.lit(dt.date(1970, 1, 1))).alias(
+            "watermark_empty_default"
+        ),
+        F.min(day).alias("min_new_date"),
+    )
+
+
+A1_ORACLE = """
+SELECT MAX(CAST(l_shipdate AS DATE)) AS watermark,
+       COALESCE(MAX(CASE WHEN l_quantity < 0 THEN CAST(l_shipdate AS DATE) END),
+                DATE '1970-01-01') AS watermark_empty_default,
+       MIN(CAST(l_shipdate AS DATE)) AS min_new_date
+FROM lineitem
+"""
+
+
+# --- A3: count / count-distinct probes ---------------------------------
+
+def a3_count_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+A3_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+"""
+
+
+# --- A4: set-union accumulation (extract.py:144-145) -------------------
+
+def a4_union_distinct_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day")
+    )
+    ships = load_table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("day")
+    )
+    return orders.union(ships).distinct()
+
+
+A4_ORACLE = """
+SELECT CAST(o_orderdate AS DATE) AS day FROM orders
+UNION
+SELECT CAST(l_shipdate AS DATE) AS day FROM lineitem
+"""
+
+
+# --- W1: rolling 7-day average (SURVEY §2.5 analytic surface) ----------
+
+def w1_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue + 7-day rolling mean. The rolling mean is computed
+    as exact-decimal rolling sum / count so it is oracle-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.where(half_open_range("l_shipdate", "1997-01-01", "1997-07-01"))
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.sum(d2("l_extendedprice") * (1 - d2("l_discount"))).alias("_rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.sum("_rev").over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+        ).alias("rolling_avg_7d"),
+    ).orderBy("day")
+
+
+W1_ORACLE = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS _rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY CAST(l_shipdate AS DATE)
+)
+SELECT day,
+       ROUND(CAST(_rev AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(SUM(_rev) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 6) AS rolling_avg_7d
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+# --- W2: ranked top-k per group ----------------------------------------
+
+def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_nationkey", "rk", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+W2_ORACLE = """
+SELECT c_nationkey, rk, c_custkey, c_name, c_acctbal FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer
+) WHERE rk <= 3
+"""
+
+
+# --- W3: gap-based sessionization (batch form of session windows) ------
+
+SESSION_GAP_MIN = 30
+
+
+def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each user's event stream into sessions at >30-min gaps —
+    the batch (window-function) twin of streaming session_window."""
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    with_start = events.withColumn(
+        "is_start",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    sessioned = with_start.withColumn(
+        "session_seq", F.sum("is_start").over(by_user)
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+W3_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessioned GROUP BY user_id, session_seq
+"""
+
+
+# --- F3: timestamp parse with coerce (transform.py:107-111) -------------
+
+def f3_timestamp_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip orders through the reference's wire format
+    '%Y-%m-%dT%H:%M:%S.%f%z'; ~10% of rows deliberately malformed ->
+    NULL (never failure), matching pandas errors='coerce'."""
+    orders = load_table(spark, sf_dir, "orders")
+    wire = F.when(
+        F.col("o_orderkey") % 10 == 0, F.col("o_orderpriority")
+    ).otherwise(
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS+00:00")
+    )
+    parsed = to_timestamp_coerce(wire)
+    return orders.select(parsed.alias("parsed_ts")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("parsed_ts").alias("n_parsed"),
+        F.min("parsed_ts").alias("min_ts"),
+        F.max("parsed_ts").alias("max_ts"),
+    )
+
+
+F3_ORACLE = """
+WITH wire AS (
+  SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_orderpriority
+              ELSE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f+00:00') END AS s
+  FROM orders
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(CAST(try_strptime(s, '%Y-%m-%dT%H:%M:%S.%f%z') AS TIMESTAMP)) AS n_parsed,
+       MIN(CAST(try_strptime(s, '%Y-%m-%dT%H:%M:%S.%f%z') AS TIMESTAMP)) AS min_ts,
+       MAX(CAST(try_strptime(s, '%Y-%m-%dT%H:%M:%S.%f%z') AS TIMESTAMP)) AS max_ts
+FROM wire
+"""
+
+
+# --- F5: date-range materialization (extract.py:140-147) ----------------
+
+def f5_date_range_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence+explode a calendar month, left-join per-day order counts
+    (zero-filled) — the engine form of the reference's day-step loops."""
+    orders = load_table(spark, sf_dir, "orders")
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(dt.date(1997, 1, 1)),
+                F.lit(dt.date(1997, 1, 31)),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    per_day = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cal.join(per_day, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n_orders"))
+        .orderBy("day")
+    )
+
+
+F5_ORACLE = """
+WITH cal AS (
+  SELECT CAST(unnest(generate_series(DATE '1997-01-01', DATE '1997-01-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+per_day AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT cal.day, COALESCE(per_day.n, 0) AS n_orders
+FROM cal LEFT JOIN per_day USING (day)
+ORDER BY cal.day
+"""
+
+
+# --- F6/F7: path templating + regexp date extraction (load.py:51-55,262)
+
+RANGE_RE = r"(\d{4}-\d{2}-\d{2})_(\d{4}-\d{2}-\d{2})"
+
+
+def f6_path_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render the reference's raw-zone path template from data, then
+    regexp-extract the range back out — format/parse parity check."""
+    events = load_table(spark, sf_dir, "events")
+    ranges = events.groupBy("event_type").agg(
+        F.to_date(F.min("ts")).alias("start_date"),
+        F.to_date(F.max("ts")).alias("end_date"),
+    )
+    path = F.concat(
+        F.lit("raw/oura/"),
+        F.col("event_type"),
+        F.lit("/"),
+        F.col("start_date").cast("string"),
+        F.lit("_"),
+        F.col("end_date").cast("string"),
+        F.lit("/data.json"),
+    )
+    return ranges.select(
+        F.col("event_type").alias("data_type"),
+        path.alias("path"),
+        F.regexp_extract(path, RANGE_RE, 1).alias("extracted_start"),
+        F.regexp_extract(path, RANGE_RE, 2).alias("extracted_end"),
+    )
+
+
+F6_ORACLE = rf"""
+WITH ranges AS (
+  SELECT event_type, CAST(MIN(ts) AS DATE) AS start_date,
+         CAST(MAX(ts) AS DATE) AS end_date
+  FROM events GROUP BY event_type
+),
+paths AS (
+  SELECT event_type,
+         'raw/oura/' || event_type || '/' || CAST(start_date AS VARCHAR)
+           || '_' || CAST(end_date AS VARCHAR) || '/data.json' AS path
+  FROM ranges
+)
+SELECT event_type AS data_type, path,
+       regexp_extract(path, '(\d{{4}}-\d{{2}}-\d{{2}})_(\d{{4}}-\d{{2}}-\d{{2}})', 1) AS extracted_start,
+       regexp_extract(path, '(\d{{4}}-\d{{2}}-\d{{2}})_(\d{{4}}-\d{{2}}-\d{{2}})', 2) AS extracted_end
+FROM paths
+"""
+
+
+# --- F8: JSON field extraction (load.py:280-281) -------------------------
+
+def f8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(k).alias("n_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+F8_ORACLE = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- F1: struct flatten as a query (transform.py:38-52) ------------------
+
+def f1_flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build nested structs from events, flatten with the engine's
+    flatten(), aggregate the flat columns — proves flattening is a pure
+    projection with no value drift."""
+    events = load_table(spark, sf_dir, "events")
+    nested = events.select(
+        F.col("event_id"),
+        F.struct(
+            F.col("user_id").alias("user"),
+            F.struct(
+                F.col("value").alias("v"),
+                F.col("event_type").alias("t"),
+            ).alias("metrics"),
+        ).alias("payload"),
+    )
+    flat = flatten(nested)  # payload__user, payload__metrics__v, payload__metrics__t
+    return (
+        flat.groupBy(F.col("payload__metrics__t").alias("event_type"))
+        .agg(
+            F.countDistinct("payload__user").alias("n_users"),
+            exact_sum(d2(F.col("payload__metrics__v"))).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+F1_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- C3/C5: schema alignment as a query (load.py:178-181) ----------------
+
+DOCS_TARGET = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("quality", DoubleType()),  # absent from source -> NULL
+    ]
+)
+
+
+def c3_schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return align_to_schema(docs, DOCS_TARGET)
+
+
+C3_ORACLE = """
+SELECT doc_id, lang, n_chars, CAST(NULL AS DOUBLE) AS quality FROM documents
+"""
