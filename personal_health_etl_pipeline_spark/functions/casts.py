@@ -33,15 +33,16 @@ def to_date_strict(df: DataFrame, col: str, fmt: str | None = None) -> DataFrame
     Distributed validate-then-act: the invalid-row probe is an aggregate
     (count of newly-null rows), never a driver-side row loop.
     """
-    casted = F.to_date(F.col(col), fmt) if fmt else F.to_date(F.col(col))
-    out = df.withColumn(col, casted)
-    bad = df.where(F.col(col).isNotNull() & casted.isNull()).limit(1).count()
-    if bad:
-        sample = (
-            df.where(F.col(col).isNotNull() & casted.isNull()).select(col).first()
-        )
+    # try_to_date keeps the probe ANSI-mode-independent (Spark 4 runs
+    # ANSI by default, where a plain cast would itself raise mid-scan).
+    casted = (
+        F.try_to_date(F.col(col), F.lit(fmt)) if fmt else F.try_to_date(F.col(col))
+    )
+    bad_pred = F.col(col).isNotNull() & casted.isNull()
+    sample = df.where(bad_pred).select(col).first()
+    if sample is not None:
         raise InvalidDateError(f"unparseable date in column {col!r}: {sample[0]!r}")
-    return out
+    return df.withColumn(col, casted)
 
 
 def to_timestamp_coerce(col: Column | str, fmt: str = OURA_TIMESTAMP_FORMAT) -> Column:

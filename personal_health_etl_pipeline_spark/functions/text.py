@@ -1,0 +1,139 @@
+"""Text-analysis primitives for the training-data pipeline surface.
+
+All pure Column expressions (JVM-side array/lambda functions, zero
+Python UDFs): tokenization, shingling, token statistics, a
+deterministic quality score, stopword-based language ID, and document
+fingerprinting over portable md5 hashes. Every function here has an
+exact DuckDB-expressible twin so the oracle differential covers it.
+
+Scale note: these run as per-row projections — no shuffle, fully
+parallel, and whole-stage-codegen-friendly. At 100 TB the cost is one
+scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.functions.hashing import md5_long
+
+WHITESPACE = r"\s+"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    return F.filter(F.split(_col(col), WHITESPACE), lambda x: x != F.lit(""))
+
+
+def distinct_tokens(col: Column | str) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(tokens_col: Column, n: int = 3, sep: str = " ") -> Column:
+    """Overlapping word n-grams of a token array (order-preserving).
+
+    Expressed as transform-over-sequence so it stays an array expression
+    (no explode): shingle i = tokens[i..i+n-1] joined by ``sep``.
+    """
+    idx = F.sequence(F.lit(0), F.size(tokens_col) - n)  # empty if size < n
+    parts = lambda i: F.concat_ws(  # noqa: E731
+        sep, *[F.element_at(tokens_col, (i + j + 1).cast("int")) for j in range(n)]
+    )
+    return F.when(F.size(tokens_col) >= n, F.transform(idx, parts)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def distinct_shingles(col: Column | str, n: int = 3) -> Column:
+    return F.array_distinct(word_shingles(tokens(col), n))
+
+
+def sum_token_lengths(tokens_col: Column) -> Column:
+    return F.aggregate(
+        tokens_col, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+
+
+def avg_token_length(col: Column | str, round_to: int = 6) -> Column:
+    t = tokens(col)
+    return F.round(sum_token_lengths(t).cast("double") / F.size(t), round_to)
+
+
+def type_token_ratio(col: Column | str, round_to: int = 6) -> Column:
+    t = tokens(col)
+    return F.round(F.size(F.array_distinct(t)).cast("double") / F.size(t), round_to)
+
+
+def quality_score(col: Column | str, round_to: int = 6) -> Column:
+    """Deterministic document-quality heuristic in [0, 1].
+
+    0.3 * min(n_tokens/100, 1)   — length credit
+    0.4 * type_token_ratio       — lexical diversity
+    0.3 * min(avg_token_len/8,1) — word-length credit
+
+    All inputs are exact integers, so the double arithmetic is
+    IEEE-deterministic and oracle-exact.
+    """
+    t = tokens(col)
+    n = F.size(t).cast("double")
+    ttr = F.size(F.array_distinct(t)).cast("double") / n
+    avg_len = sum_token_lengths(t).cast("double") / n
+    score = (
+        0.3 * F.least(n / 100.0, F.lit(1.0))
+        + 0.4 * ttr
+        + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
+    )
+    return F.round(score, round_to)
+
+
+# --- language ID (stopword-overlap heuristic) -------------------------
+
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "it", "for", "on", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "de": ("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "ist"),
+    "fr": ("le", "la", "et", "les", "des", "en", "un", "du", "une", "est"),
+}
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts (over distinct tokens)."""
+    toks = distinct_tokens(col)
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax of stopword scores with deterministic tie-break
+    (alphabetical language order); no hits at all -> 'unknown'."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    result = F.lit("unknown")
+    # reverse alphabetical fold => alphabetical priority on ties
+    for lang in sorted(scores, reverse=True):
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best > 0, result).otherwise(F.lit("unknown"))
+
+
+# --- fingerprinting ----------------------------------------------------
+
+def fingerprint(col: Column | str, n: int = 3) -> Column:
+    """Document fingerprint: minimum portable hash over word n-gram
+    shingles (the k=1 MinHash / winnowing-style sketch). Equal
+    fingerprints => near-identical leading content; used as a cheap
+    first-pass dedup key.
+    """
+    sh = distinct_shingles(col, n)
+    hashes = F.transform(sh, lambda s: md5_long(s))
+    return F.array_min(hashes)

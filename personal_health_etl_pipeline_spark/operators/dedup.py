@@ -1,0 +1,276 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The training-data-pipeline dedup family (BASELINE.json north star),
+designed scale-first:
+
+* **exact** — hash-groupBy on a portable digest; one shuffle on the
+  digest, no skew (md5 keys are uniform).
+* **MinHash + LSH** — signatures are computed as per-row *array
+  expressions* (no explode, no shuffle); only the band keys are
+  exploded (``bands`` rows per doc, a constant factor), then one
+  shuffle groups band buckets; candidate pairs are verified with exact
+  Jaccard. This is the 100 TB path: cost is O(docs x bands) + the
+  bucket self-joins, never O(docs^2).
+* **SimHash** — per-row bit-vote sketch (array aggregate), pairs by
+  sketch equality / Hamming radius.
+* **n-gram Jaccard** — exact inverted-index pair generation; the
+  correctness baseline the sketches are measured against. At scale the
+  standard mitigation (drop shingles with document frequency above a
+  cap) applies before the self-join.
+
+All hashes are the portable md5 family (functions/hashing.py) so the
+DuckDB oracle reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.functions.hashing import md5_hex, md5_long
+from personal_health_etl_pipeline_spark.functions.text import distinct_shingles
+
+
+# --- exact dedup -------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """One row per distinct value: digest, keeper id (min), group size."""
+    return (
+        df.groupBy(md5_hex(col).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per distinct value of ``col``."""
+    w = Window.partitionBy(md5_hex(col)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --- MinHash + LSH ------------------------------------------------------
+
+def minhash_signature(shingles: Column, n_hashes: int) -> list[Column]:
+    """MinHash signature as ``n_hashes`` per-row array-min expressions.
+
+    Uses the lexicographic minimum of seeded md5 hex digests — a valid
+    min-wise hash family that needs no int conversion and is trivially
+    reproducible in SQL.
+    """
+    def seeded_min(seed: int) -> Column:
+        # NB: the lambda must take exactly one arg — PySpark treats a
+        # second parameter (even a default) as transform's index var.
+        suffix = F.lit(f"|{seed}")
+        return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(s, suffix))))
+
+    return [seeded_min(i).alias(f"sig_{i}") for i in range(n_hashes)]
+
+
+def band_keys(n_hashes: int, bands: int) -> Column:
+    """Array of (band_id, band_hash) structs from sig_* columns."""
+    rows = n_hashes // bands
+    entries = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    return F.array(*entries)
+
+
+def jaccard(a: Column, b: Column, round_to: int = 4) -> Column:
+    """Exact Jaccard over two distinct-element arrays (deterministic:
+    integer sizes divided once in double)."""
+    shared = F.size(F.array_intersect(a, b))
+    return F.round(
+        shared.cast("double") / (F.size(a) + F.size(b) - shared), round_to
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard. Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+    """
+    if n_hashes % bands:
+        raise ValueError("n_hashes must be divisible by bands")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        distinct_shingles(text_col, shingle_n).alias("_sh"),
+    ).where(F.size("_sh") > 0)
+    sigs = base.select("_id", "_sh", *minhash_signature(F.col("_sh"), n_hashes))
+    banded = sigs.select(
+        "_id", "_sh", F.explode(band_keys(n_hashes, bands)).alias("bk")
+    ).select("_id", "_sh", F.col("bk.band_id").alias("band_id"),
+             F.col("bk.band_hash").alias("band_hash"))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    candidates = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("sh_a"),
+            F.col("b._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# --- SimHash -------------------------------------------------------------
+
+def simhash(shingles: Column, bits: int = 32) -> Column:
+    """SimHash sketch: per-bit majority vote over shingle hashes.
+
+    Computed as ``bits`` array-aggregate expressions over the per-row
+    hash array — no explode, no shuffle.
+    """
+    hashes = F.transform(shingles, lambda s: md5_long(s))
+
+    def bit_vote(b: int) -> Column:
+        # closure (not a default arg) so the aggregate lambda stays
+        # 2-ary — PySpark derives HOF variables from lambda arity.
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        out = out + F.when(bit_vote(b) > 0, F.lit(2**b).cast("bigint")).otherwise(0)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash Hamming distance <= radius.
+
+    Candidate generation uses 4-way band partitioning of the sketch
+    (any pair within Hamming r<=3 of a 32-bit sketch shares at least
+    one of 4 8-bit bands exactly — pigeonhole), so the join is
+    equi-join-able and shuffle-partitionable at scale.
+    """
+    # docs with no shingles (< n tokens) carry no signal and would all
+    # collide on the zero sketch — exclude them, like minhash does
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            distinct_shingles(text_col, shingle_n).alias("_sh"),
+        )
+        .where(F.size("_sh") > 0)
+        .select("_id", simhash(F.col("_sh"), bits).alias("sketch"))
+    )
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands_col = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("sketch"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = base.select("_id", "sketch", F.explode(bands_col).alias("bk")).select(
+        "_id", "sketch", "bk.band_id", "bk.band_val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sketch").bitwiseXOR(F.col("b.sketch"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- exact n-gram Jaccard (inverted index) --------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact near-dup pairs: inverted index on shingles -> shared counts
+    -> Jaccard filter. O(collisions), the ground truth for the sketches.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        distinct_shingles(text_col, shingle_n).alias("_sh"),
+    ).where(F.size("_sh") > 0)
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    inv = sh.select("_id", F.explode("_sh").alias("tok"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("id_a") == F.col("sa._id"))
+        .join(sb, F.col("id_b") == F.col("sb._id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("sa._n") + F.col("sb._n") - F.col("shared")),
+                4,
+            ).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )

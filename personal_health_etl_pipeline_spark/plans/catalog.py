@@ -17,6 +17,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from personal_health_etl_pipeline_spark.plans import llm_surface as llm
 from personal_health_etl_pipeline_spark.plans import reference_surface as rs
 from personal_health_etl_pipeline_spark.plans import tpch
 
@@ -59,6 +60,19 @@ register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
 register("f6_path_roundtrip", rs.f6_path_roundtrip, rs.F6_ORACLE)
 register("f8_json_extract", rs.f8_json_extract, rs.F8_ORACLE)
 register("c3_schema_align", rs.c3_schema_align, rs.C3_ORACLE)
+
+# training-data-pipeline surface (BASELINE.json north star)
+register("text_token_stats", llm.text_token_stats, llm.TEXT_TOKEN_STATS_ORACLE)
+register("text_quality_score", llm.text_quality_score, llm.TEXT_QUALITY_ORACLE)
+register("text_langid", llm.text_langid, llm.TEXT_LANGID_ORACLE)
+register("text_fingerprint", llm.text_fingerprint, llm.TEXT_FINGERPRINT_ORACLE)
+register("dedup_exact_groups", llm.dedup_exact_groups, llm.DEDUP_EXACT_ORACLE)
+register("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_ORACLE)
+register("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_ORACLE)
+register("dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_ORACLE)
+register("ann_brute_force_topk", llm.ann_brute_force_topk, llm.ANN_BRUTE_FORCE_ORACLE)
+register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
+register("emb_centroids", llm.emb_centroids, llm.EMB_CENTROIDS_ORACLE)
 
 
 def queries() -> dict[str, QueryFn]:

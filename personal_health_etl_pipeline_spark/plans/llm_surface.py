@@ -1,0 +1,413 @@
+"""Training-data-pipeline operators as oracle-checked queries.
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search (brute-force + hyperplane-LSH top-k, per-label centroids) and
+text analysis (token stats, quality, language-ID, fingerprint) over the
+``documents`` and ``embeddings`` fixtures.
+
+The DuckDB oracle SQL for the sketch operators is *generated* from the
+same parameters (seeds, band layout, hyperplane signs) as the Spark
+plans, so both engines compute the identical deterministic algorithm —
+the driver's value-hash check then certifies the whole pipeline, not
+just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.functions import text as T
+from personal_health_etl_pipeline_spark.functions.hashing import md5_hex
+from personal_health_etl_pipeline_spark.operators import dedup as D
+from personal_health_etl_pipeline_spark.operators import similarity as S
+from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+# shared oracle CTEs: tokenization + 3-gram shingles over documents
+_TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM toks
+)
+"""
+
+_MD5LONG = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+# --- text analysis ---------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.size(T.distinct_tokens("text")).alias("n_distinct"),
+        T.avg_token_length("text").alias("avg_token_len"),
+    )
+
+
+TEXT_TOKEN_STATS_ORACLE = rf"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct,
+       ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 6)
+         AS avg_token_len
+FROM toks
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+TEXT_QUALITY_ORACLE = rf"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       ROUND(
+         0.3 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+         + 0.4 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+         + 0.3 * least((CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                        / CAST(len(t) AS DOUBLE)) / 8.0, 1.0),
+         6) AS quality
+FROM toks
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id("text").alias("predicted_lang"),
+    )
+
+
+def _langid_oracle() -> str:
+    scores = []
+    for lang in sorted(T.STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+        scores.append(
+            f"len(list_intersect(list_distinct(t), [{words}])) AS s_{lang}"
+        )
+    whens = "\n         ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(T.STOPWORDS)
+    )
+    return rf"""
+WITH {_TOKS_CTE},
+scored AS (
+  SELECT doc_id, {', '.join(scores)} FROM toks
+),
+best AS (
+  SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best FROM scored
+)
+SELECT d.doc_id, d.lang AS labeled_lang,
+       CASE WHEN best = 0 THEN 'unknown'
+         {whens}
+         ELSE 'unknown' END AS predicted_lang
+FROM best JOIN documents d USING (doc_id)
+"""
+
+
+TEXT_LANGID_ORACLE = _langid_oracle()
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_ORACLE = rf"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       list_min(list_transform(sh, s -> {_MD5LONG.format(x='s')})) AS fingerprint
+FROM sh
+"""
+
+
+# --- dedup -----------------------------------------------------------------
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dup_groups(docs, "text", "doc_id")
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.8)
+
+
+DEDUP_NGRAM_JACCARD_ORACLE = rf"""
+WITH {_TOKS_CTE},
+nonempty AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+inv AS (SELECT doc_id, unnest(sh) AS tok FROM nonempty),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(shared AS DOUBLE) / (len(sa.sh) + len(sb.sh) - shared), 4)
+           AS jaccard_sim
+  FROM shared
+  JOIN nonempty sa ON sa.doc_id = id_a
+  JOIN nonempty sb ON sb.doc_id = id_b
+)
+SELECT * FROM jac WHERE jaccard_sim >= 0.8
+"""
+
+MINHASH_N_HASHES = 32
+MINHASH_BANDS = 8
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n_hashes=MINHASH_N_HASHES,
+        bands=MINHASH_BANDS,
+        shingle_n=3,
+        threshold=0.8,
+    )
+
+
+def _minhash_oracle() -> str:
+    rows = MINHASH_N_HASHES // MINHASH_BANDS
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '|{i}'))) AS sig_{i}"
+        for i in range(MINHASH_N_HASHES)
+    )
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        concat = " || ',' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sigs"
+        )
+    bands_union = "\n  UNION ALL\n  ".join(band_selects)
+    return rf"""
+WITH {_TOKS_CTE},
+nonempty AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+sigs AS (
+  SELECT doc_id,
+         {sig_exprs}
+  FROM nonempty
+),
+bands AS (
+  {bands_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+           AS jaccard_sim
+  FROM cand
+  JOIN nonempty sa ON sa.doc_id = id_a
+  JOIN nonempty sb ON sb.doc_id = id_b
+)
+SELECT * FROM jac WHERE jaccard_sim >= 0.8
+"""
+
+
+DEDUP_MINHASH_ORACLE = _minhash_oracle()
+
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        bits=SIMHASH_BITS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        shingle_n=3,
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        bit_terms.append(
+            f"(CASE WHEN list_sum(list_transform(hs, "
+            f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        )
+    sketch = "\n       + ".join(bit_terms)
+    n_bands = SIMHASH_MAX_HAMMING + 1
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, sketch, {b} AS band_id, (sketch >> {b * band_bits}) & {mask} AS band_val FROM sk"
+        for b in range(n_bands)
+    )
+    return rf"""
+WITH {_TOKS_CTE},
+nonempty AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+hsrc AS (
+  SELECT doc_id, list_transform(sh, s -> {_MD5LONG.format(x='s')}) AS hs
+  FROM nonempty
+),
+sk AS (
+  SELECT doc_id,
+       {sketch} AS sketch
+  FROM hsrc
+),
+banded AS (
+  {band_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sketch, b.sketch)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+DEDUP_SIMHASH_ORACLE = _simhash_oracle()
+
+
+# --- similarity search -------------------------------------------------------
+
+_QUANT = (
+    "list_transform(embedding, x -> "
+    "CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+)
+_DOT = "CAST(list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) AS DOUBLE)"
+
+
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, k=10, query_mod=50)
+
+
+ANN_BRUTE_FORCE_ORACLE = rf"""
+WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+queries AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT query_id, q.vec_id AS neighbor_id,
+         ROUND({_DOT.format(a='qq', b='qv')}
+               / (sqrt({_DOT.format(a='qq', b='qq')})
+                  * sqrt({_DOT.format(a='qv', b='qv')})), 6) AS sim
+  FROM q JOIN queries ON q.vec_id <> queries.query_id
+)
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+LSH_PLANES = 4
+LSH_TABLES = 4
+LSH_DIMS = 64
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(
+        emb, k=10, query_mod=50, n_planes=LSH_PLANES, n_tables=LSH_TABLES,
+        dims=LSH_DIMS,
+    )
+
+
+def _bucket_expr(table: int) -> str:
+    signs = S.hyperplane_signs(LSH_PLANES, LSH_DIMS, table)
+    terms = []
+    for p, row in enumerate(signs):
+        arr = "[" + ", ".join(str(s) for s in row) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1, {LSH_DIMS + 1}), "
+            f"i -> qv[i] * ({arr})[i]))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN CAST({2**p} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _lsh_oracle() -> str:
+    bucket_cols = ",\n       ".join(
+        f"{_bucket_expr(t)} AS bucket_{t}" for t in range(LSH_TABLES)
+    )
+    banded = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS tbl, bucket_{t} AS bucket FROM q"
+        for t in range(LSH_TABLES)
+    )
+    return rf"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv,
+       {bucket_cols}
+  FROM embeddings
+),
+banded AS (
+  {banded}
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM banded b
+  JOIN banded qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+  WHERE qb.vec_id % 50 = 0 AND b.vec_id <> qb.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND({_DOT.format(a='qq.qv', b='nv.qv')}
+               / (sqrt({_DOT.format(a='qq.qv', b='qq.qv')})
+                  * sqrt({_DOT.format(a='nv.qv', b='nv.qv')})), 6) AS sim
+  FROM cand
+  JOIN q qq ON qq.vec_id = cand.query_id
+  JOIN q nv ON nv.vec_id = cand.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+ANN_LSH_ORACLE = _lsh_oracle()
+
+
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.centroids_per_label(emb)
+
+
+EMB_CENTROIDS_ORACLE = rf"""
+WITH q AS (SELECT label, {_QUANT} AS qv FROM embeddings),
+exploded AS (
+  SELECT label, i - 1 AS dim, qv[CAST(i AS INT)] AS qv_i
+  FROM q, range(1, 65) r(i)
+)
+SELECT label, dim,
+       ROUND(CAST(SUM(qv_i) AS DOUBLE) / (COUNT(*) * 1000000), 6) AS centroid
+FROM exploded GROUP BY label, dim
+"""

@@ -1,0 +1,135 @@
+"""Semantic tests for the training-data-pipeline operators: sketch
+recall against exact ground truth, quality-score bounds, constructed
+duplicate detection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.functions.text import (
+    lang_id,
+    quality_score,
+    token_count,
+)
+from personal_health_etl_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from personal_health_etl_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_recovers_exact_pairs(spark, docs):
+    """MinHash-LSH must find every >=0.8-Jaccard pair the exact
+    inverted-index method finds (at this similarity the banding miss
+    probability is ~0)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    assert lsh == exact
+
+
+def test_simhash_finds_most_near_dups(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    sh = {
+        (r["id_a"], r["id_b"]) for r in simhash_pairs(docs, "doc_id", "text").collect()
+    }
+    # sketch: every reported pair must be a true near-dup region
+    # (hamming<=3 at 32 bits is selective), and recall should be high
+    assert len(sh & exact) >= 0.7 * len(exact)
+
+
+def test_constructed_duplicates_detected(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("kappa", "lambda", 1)
+    far = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id int, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in lsh and (1, 3) not in lsh
+
+
+def test_quality_score_bounds(spark, docs):
+    stats = docs.select(quality_score("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).first()
+    assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+
+
+def test_token_count_matches_python(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("single",)], "text string")
+    counts = [r[0] for r in df.select(token_count("text")).collect()]
+    assert counts == [3, 0, 1]
+
+
+def test_lang_id_deterministic_and_sensible(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it is warm",),
+            ("el perro y la casa de los vecinos en madrid",),
+            ("der hund und die katze mit den kindern",),
+            ("qwzx bnmp vcxz",),
+        ],
+        "text string",
+    )
+    langs = [r[0] for r in df.select(lang_id("text")).collect()]
+    assert langs == ["en", "es", "de", "unknown"]
+
+
+def test_lsh_topk_recall_floor(spark, emb):
+    bf = brute_force_topk(emb, k=10, query_mod=50).select("query_id", "neighbor_id")
+    ls = lsh_topk(emb, k=10, query_mod=50).select("query_id", "neighbor_id")
+    total = bf.count()
+    hit = bf.intersect(ls).count()
+    assert total > 0
+    # multi-table LSH on weakly-clustered synthetic data: assert a
+    # floor well above the ~6% random-candidate baseline
+    assert hit / total >= 0.2, f"LSH recall too low: {hit}/{total}"
+
+
+def test_brute_force_topk_shape(spark, emb):
+    out = brute_force_topk(emb, k=5, query_mod=100).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_query.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+            range(1, len(rows) + 1)
+        )
+        sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
