@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion (collect) after a session warm-up;
+timings are per-query wall clock. Headline set = the flagship
+relational plans + the heaviest extended operators, i.e. the queries
+whose scaling behavior matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from personal_health_etl_pipeline_spark import get_spark  # noqa: E402
+from personal_health_etl_pipeline_spark.plans.catalog import CATALOG  # noqa: E402
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "j1_multiway_outer_combine",
+    "w1_rolling_7day_revenue",
+    "w3_sessionize",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "text_quality_score",
+    "emb_centroids",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="personal-health-etl-pipeline-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM / codegen / parquet footer caches outside timings
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CATALOG[name][0]
+        start = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
