@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from personal_health_etl_pipeline_spark.plans import llm_surface as llm
 from personal_health_etl_pipeline_spark.plans import reference_surface as rs
+from personal_health_etl_pipeline_spark.plans import streaming_surface as st
 from personal_health_etl_pipeline_spark.plans import tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -73,6 +74,13 @@ register("dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_ORACLE)
 register("ann_brute_force_topk", llm.ann_brute_force_topk, llm.ANN_BRUTE_FORCE_ORACLE)
 register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
 register("emb_centroids", llm.emb_centroids, llm.EMB_CENTROIDS_ORACLE)
+
+# streaming surface, batch-mode twins (SURVEY.md §2.8) — the same
+# functions run under Structured Streaming in tests/test_streaming.py
+register("st_tumbling_window_agg", st.st_tumbling_window_agg, st.ST_TUMBLING_ORACLE)
+register("st_sliding_window_agg", st.st_sliding_window_agg, st.ST_SLIDING_ORACLE)
+register("st_session_window_agg", st.st_session_window_agg, st.ST_SESSION_ORACLE)
+register("st_dedup_events", st.st_dedup_events, st.ST_DEDUP_ORACLE)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,123 @@
+"""Oracle-checked batch executions of the streaming window operators.
+
+Spark's ``window``/``session_window`` aggregations are mode-agnostic:
+the exact functions the streaming surface runs with watermarks
+(``streaming.windows``) also execute as batch plans. Running them here
+in batch against the DuckDB oracle certifies the *window semantics*
+(epoch-aligned tumbling/sliding assignment, gap-merged sessions,
+keyed dedup); ``tests/test_streaming.py`` separately certifies the
+*streaming execution* of the same code (micro-batches, watermark
+late-data drop, conflict-checked sink).
+
+Oracle-side window math: Spark aligns time windows to the Unix epoch,
+so window_start = floor(epoch_us / window_us) * window_us — rendered in
+DuckDB with ``epoch_us``/``make_timestamp`` (µs-exact; events carry
+microsecond timestamps). Sliding windows: each event belongs to exactly
+window/slide consecutive slide-aligned windows. Session windows merge
+while the next event starts strictly before last_ts + gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.plans.exact import d2, exact_sum, oracle_sum, od2
+from personal_health_etl_pipeline_spark.sources.tables import load_table
+from personal_health_etl_pipeline_spark.streaming.windows import (
+    dedup_events,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+_HOUR_US = 3_600_000_000
+_SLIDE_US = 900_000_000  # 15 minutes
+_GAP_S = 1800  # 30 minutes
+
+
+def st_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").withColumn("value", d2("value"))
+    out = tumbling_agg(events, window="1 hour", watermark=None)
+    return out.withColumn("sum_value", F.round(F.col("sum_value").cast("double"), 2))
+
+
+ST_TUMBLING_ORACLE = f"""
+SELECT make_timestamp((epoch_us(ts) // {_HOUR_US}) * {_HOUR_US}) AS window_start,
+       make_timestamp((epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} + {_HOUR_US}) AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {oracle_sum(od2('value'))} AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def st_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").withColumn("value", d2("value"))
+    out = sliding_agg(events, window="1 hour", slide="15 minutes", watermark=None)
+    return out.withColumn("sum_value", F.round(F.col("sum_value").cast("double"), 2))
+
+
+ST_SLIDING_ORACLE = f"""
+WITH assigned AS (
+  SELECT (epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US} - k * {_SLIDE_US} AS start_us,
+         value
+  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+)
+SELECT make_timestamp(start_us) AS window_start,
+       make_timestamp(start_us + {_HOUR_US}) AS window_end,
+       COUNT(*) AS n_events,
+       {oracle_sum(od2('value'))} AS sum_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+def st_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").withColumn("value", d2("value"))
+    out = session_agg(events, gap="30 minutes", watermark=None)
+    return out.withColumn("sum_value", F.round(F.col("sum_value").cast("double"), 2))
+
+
+ST_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {_GAP_S} SECOND AS session_end,
+       COUNT(*) AS n_events,
+       {oracle_sum(od2('value'))} AS sum_value
+FROM sessioned GROUP BY user_id, session_seq
+"""
+
+
+def st_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-dedup certified by doubling the input: dedup(events ∪ events)
+    must reproduce per-type stats of the original (event_id is unique)."""
+    events = load_table(spark, sf_dir, "events")
+    doubled = events.unionAll(events)
+    deduped = dedup_events(doubled, key="event_id", watermark=None)
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(d2("value")).alias("sum_value"),
+    )
+
+
+ST_DEDUP_ORACLE = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {oracle_sum(od2('value'))} AS sum_value
+FROM events GROUP BY event_type
+"""

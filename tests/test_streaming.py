@@ -1,0 +1,216 @@
+"""Streaming-execution tests: the same window/dedup/sink functions the
+catalog oracle-checks in batch, driven through Structured Streaming
+file-source micro-batches with watermarks.
+
+Covers the reference's incremental semantics mapped to streams
+(SURVEY.md §2.8): late data dropped past the watermark, key-dedup,
+and the J3 conflict-or-raise append sink via foreachBatch.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.operators.conflict import DuplicateKeyError
+from personal_health_etl_pipeline_spark.streaming import (
+    EVENTS_SCHEMA,
+    dedup_events,
+    read_events_stream,
+    run_append_stream,
+    tumbling_agg,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_events(rows):
+    """rows: (event_id, minutes_after_T0, user_id, event_type, value)."""
+    return [
+        (eid, T0 + dt.timedelta(minutes=m), uid, etype, val, "{}")
+        for (eid, m, uid, etype, val) in rows
+    ]
+
+
+def _write_batch(spark, src_dir, rows, name):
+    # one flat parquet file per micro-batch: the streaming file source
+    # lists only top-level (or partition-style) paths, so nested
+    # directory-per-write layouts would be invisible to it
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*_mk_events(rows)))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(table, f"{src_dir}/{name}.parquet")
+
+
+def _one_batch_dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return str(src), str(tmp_path / "ckpt")
+
+
+def _run_to_memory(spark, stream_df, name, ckpt):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+class TestTumblingStream:
+    def test_closed_windows_match_batch(self, spark, tmp_path):
+        """Windows finalized by the advancing watermark must equal the
+        batch execution of the identical function over the same rows."""
+        src, ckpt = _one_batch_dirs(tmp_path)
+        # batch 1: hour 0; batch 2: hour 2 (advances watermark past hour 0+1h)
+        _write_batch(spark, src, [(1, 5, 1, "a", 1.0), (2, 20, 1, "a", 2.0)], "b1")
+        _write_batch(spark, src, [(3, 125, 2, "b", 3.0)], "b2")
+        # a third batch realizes the watermark advance from b2 (state is
+        # evicted/emitted using the watermark computed at the previous
+        # batch's end), closing the hour-0 window deterministically
+        _write_batch(spark, src, [(4, 240, 2, "b", 4.0)], "b3")
+        stream = read_events_stream(spark, src)
+        out = _run_to_memory(
+            spark,
+            tumbling_agg(stream, window="1 hour", watermark="10 minutes"),
+            "tumbling_out",
+            ckpt,
+        )
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in out.collect()
+        }
+        # hour-0 and hour-2 windows closed by the advancing watermark
+        assert got[(T0, "a")] == (2, 3.0)
+        assert got[(T0 + dt.timedelta(hours=2), "b")] == (1, 3.0)
+        # b3's own hour-4 window is still open: not in append output
+        assert (T0 + dt.timedelta(hours=4), "b") not in got
+
+    def test_late_event_dropped(self, spark, tmp_path):
+        """An event arriving behind the watermark never lands in any
+        window — the streaming form of the reference's 'anything ≤ the
+        loaded watermark is never re-read' policy (transform.py:187)."""
+        src, ckpt = _one_batch_dirs(tmp_path)
+        _write_batch(spark, src, [(1, 0, 1, "a", 1.0), (2, 180, 1, "a", 1.0)], "b1")
+        # Spark filters late rows with the *previous* batch's watermark
+        # (the late-events watermark lags eviction by one batch), so an
+        # intermediate batch locks in wm=02:50 before the late row lands
+        _write_batch(spark, src, [(4, 181, 1, "a", 1.0)], "b2")
+        # 3 hours late vs locked-in watermark: must be discarded
+        _write_batch(spark, src, [(3, 1, 1, "a", 100.0)], "b3")
+        # advance watermark again so every non-late window closes
+        _write_batch(spark, src, [(5, 360, 1, "a", 1.0)], "b4")
+        stream = read_events_stream(spark, src)
+        out = _run_to_memory(
+            spark,
+            tumbling_agg(stream, window="1 hour", watermark="10 minutes"),
+            "late_out",
+            ckpt,
+        )
+        hour0 = [r for r in out.collect() if r.window_start == T0]
+        # late event_id=3 (value=100.0) is absent from the hour-0 window,
+        # and no duplicate hour-0 row was re-emitted for it
+        assert [(r.n_events, r.sum_value) for r in hour0] == [(1, 1.0)]
+
+
+class TestStreamingDedup:
+    def test_duplicate_key_within_watermark_dropped(self, spark, tmp_path):
+        src, ckpt = _one_batch_dirs(tmp_path)
+        _write_batch(spark, src, [(1, 0, 1, "a", 1.0), (2, 1, 1, "a", 2.0)], "b1")
+        _write_batch(spark, src, [(1, 2, 1, "a", 1.0), (3, 3, 1, "a", 3.0)], "b2")
+        stream = read_events_stream(spark, src)
+        out = _run_to_memory(
+            spark,
+            dedup_events(stream, key="event_id", watermark="1 hour"),
+            "dedup_out",
+            ckpt,
+        )
+        ids = sorted(r.event_id for r in out.collect())
+        assert ids == [1, 2, 3]
+
+
+class TestConflictSink:
+    def test_append_then_conflict_raises(self, spark, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        target = str(tmp_path / "warehouse")
+        _write_batch(spark, str(src), [(1, 0, 1, "a", 1.0), (2, 1, 1, "a", 2.0)], "b1")
+        stream = read_events_stream(spark, str(src))
+        q = run_append_stream(stream, target, str(tmp_path / "ck1"), key="event_id")
+        q.processAllAvailable()
+        q.stop()
+        assert sorted(
+            r.event_id for r in spark.read.parquet(target).collect()
+        ) == [1, 2]
+
+        # second stream re-delivers event_id=2 -> sink must refuse
+        _write_batch(spark, str(src), [(2, 5, 1, "a", 2.0), (3, 6, 1, "a", 3.0)], "b2")
+        stream2 = read_events_stream(spark, str(src))
+        q2 = run_append_stream(stream2, target, str(tmp_path / "ck2"), key="event_id")
+        with pytest.raises(Exception) as exc_info:
+            q2.processAllAvailable()
+        q2.stop()
+        assert "DuplicateKeyError" in str(exc_info.value) or isinstance(
+            exc_info.value, DuplicateKeyError
+        )
+
+    def test_intra_batch_duplicate_raises(self, spark, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        target = str(tmp_path / "warehouse")
+        _write_batch(
+            spark, str(src), [(1, 0, 1, "a", 1.0), (1, 1, 1, "a", 1.0)], "b1"
+        )
+        stream = read_events_stream(spark, str(src))
+        q = run_append_stream(stream, target, str(tmp_path / "ck"), key="event_id")
+        with pytest.raises(Exception) as exc_info:
+            q.processAllAvailable()
+        q.stop()
+        assert "duplicate" in str(exc_info.value).lower()
+
+
+class TestBatchStreamEquivalence:
+    def test_same_function_both_modes(self, spark, tmp_path):
+        """tumbling_agg over a fully-closed stream == its batch run."""
+        src, ckpt = _one_batch_dirs(tmp_path)
+        rows = [(i, i * 7 % 90, i % 3, "ab"[i % 2], float(i)) for i in range(30)]
+        _write_batch(spark, src, rows, "b1")
+        # two sentinel batches: the first advances the watermark past
+        # every real window, the second realizes the emission
+        _write_batch(spark, src, [(998, 10_000, 9, "z", 0.0)], "b2")
+        _write_batch(spark, src, [(999, 10_001, 9, "z", 0.0)], "b3")
+        stream = read_events_stream(spark, src)
+        streamed = _run_to_memory(
+            spark,
+            tumbling_agg(stream, window="30 minutes", watermark="1 minute"),
+            "equiv_out",
+            ckpt,
+        )
+        batch_df = spark.createDataFrame(_mk_events(rows), EVENTS_SCHEMA)
+        expected = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in tumbling_agg(batch_df, window="30 minutes", watermark=None).collect()
+        }
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in streamed.collect()
+            if r.event_type != "z"
+        }
+        assert got == expected
