@@ -41,14 +41,20 @@ def token_count(col: Column | str) -> Column:
 def word_shingles(tokens_col: Column, n: int = 3, sep: str = " ") -> Column:
     """Overlapping word n-grams of a token array (order-preserving).
 
-    Expressed as transform-over-sequence so it stays an array expression
-    (no explode): shingle i = tokens[i..i+n-1] joined by ``sep``.
+    Shingle i = tokens[i..i+n-1] joined by ``sep``, built as a
+    ``zip_with`` fold over ``n`` shifted slices of the token array.
+    This keeps the cost O(tokens): interpreted higher-order-function
+    lambdas re-evaluate child expressions on *every* element access,
+    so the naive per-index ``element_at(tokens, i+j)`` form re-runs
+    the whole tokenizer per shingle part — O(tokens^2) per document.
+    Slices evaluate the tokenizer a constant ``n`` times instead.
     """
-    idx = F.sequence(F.lit(0), F.size(tokens_col) - n)  # empty if size < n
-    parts = lambda i: F.concat_ws(  # noqa: E731
-        sep, *[F.element_at(tokens_col, (i + j + 1).cast("int")) for j in range(n)]
-    )
-    return F.when(F.size(tokens_col) >= n, F.transform(idx, parts)).otherwise(
+    m = (F.size(tokens_col) - n + 1).cast("int")
+    parts = [F.slice(tokens_col, k + 1, m) for k in range(n)]
+    zipped = parts[0]
+    for p in parts[1:]:
+        zipped = F.zip_with(zipped, p, lambda a, b: F.concat(a, F.lit(sep), b))
+    return F.when(F.size(tokens_col) >= n, zipped).otherwise(
         F.array().cast("array<string>")
     )
 

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.functions.hashing import md5_hex, md5_long
+from personal_health_etl_pipeline_spark.operators.partitioning import spread
 from personal_health_etl_pipeline_spark.functions.text import distinct_shingles
 
 
@@ -56,20 +57,52 @@ def dedup_exact(df: DataFrame, col: str, id_col: str) -> DataFrame:
 
 # --- MinHash + LSH ------------------------------------------------------
 
-def minhash_signature(shingles: Column, n_hashes: int) -> list[Column]:
-    """MinHash signature as ``n_hashes`` per-row array-min expressions.
+# Mersenne prime modulus for the linear min-wise hash family. One md5
+# per shingle (materialized once per row), then every signature slot is
+# a cheap ``(h * a + b) mod P`` re-mix — 32 signatures cost ~1 hash pass
+# instead of 32. All arithmetic stays below 2^62, so it is overflow-free
+# and bit-identical in Spark and DuckDB.
+MINHASH_P = 2_147_483_647
 
-    Uses the lexicographic minimum of seeded md5 hex digests — a valid
-    min-wise hash family that needs no int conversion and is trivially
-    reproducible in SQL.
+
+def minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients of the linear hash family."""
+    return [
+        (
+            ((2654435761 * (i + 1)) % MINHASH_P) or 1,
+            (40503 * (i + 1) + 12345) % MINHASH_P,
+        )
+        for i in range(n_hashes)
+    ]
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """Per-shingle 60-bit portable hashes (the one md5 pass per row).
+
+    Callers materialize this as its own projection column before fanning
+    out into per-signature expressions: higher-order-function lambdas
+    are interpreted (no codegen subexpression elimination), so an
+    inlined copy per signature would re-hash every shingle n_hashes
+    times. CollapseProject keeps a multiply-referenced non-trivial alias
+    as a separate projection, so the hash pass runs once.
     """
-    def seeded_min(seed: int) -> Column:
-        # NB: the lambda must take exactly one arg — PySpark treats a
-        # second parameter (even a default) as transform's index var.
-        suffix = F.lit(f"|{seed}")
-        return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(s, suffix))))
+    return F.transform(shingles, lambda s: md5_long(s))
 
-    return [seeded_min(i).alias(f"sig_{i}") for i in range(n_hashes)]
+
+def minhash_signature(hashes: Column, n_hashes: int) -> list[Column]:
+    """MinHash signature: per-slot minimum of the re-mixed hash array."""
+
+    def slot(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (h % MINHASH_P * F.lit(a) + F.lit(b)) % MINHASH_P,
+            )
+        )
+
+    return [
+        slot(a, b).alias(f"sig_{i}") for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
+    ]
 
 
 def band_keys(n_hashes: int, bands: int) -> Column:
@@ -77,7 +110,7 @@ def band_keys(n_hashes: int, bands: int) -> Column:
     rows = n_hashes // bands
     entries = []
     for b in range(bands):
-        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        cols = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
         entries.append(
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -110,34 +143,51 @@ def minhash_lsh_pairs(
     """
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
-    base = df.select(
-        F.col(id_col).alias("_id"),
+    base = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id",
         distinct_shingles(text_col, shingle_n).alias("_sh"),
     ).where(F.size("_sh") > 0)
-    sigs = base.select("_id", "_sh", *minhash_signature(F.col("_sh"), n_hashes))
+    hashed = base.withColumn("_hs", shingle_hashes(F.col("_sh")))
+    sigs = hashed.select("_id", *minhash_signature(F.col("_hs"), n_hashes))
+    # lean banding: only (id, band key) enters the shuffle — the sketch
+    # pipeline runs ONCE (a self-join would evaluate it per side), and
+    # candidate pairs come from grouped bucket members, not a join.
+    # Bucket sizes are ~N/huge for real text; production adds a bucket
+    # cap against degenerate-content skew.
     banded = sigs.select(
-        "_id", "_sh", F.explode(band_keys(n_hashes, bands)).alias("bk")
-    ).select("_id", "_sh", F.col("bk.band_id").alias("band_id"),
+        "_id", F.explode(band_keys(n_hashes, bands)).alias("bk")
+    ).select("_id", F.col("bk.band_id").alias("band_id"),
              F.col("bk.band_hash").alias("band_hash"))
-    left = banded.alias("a")
-    right = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     candidates = (
-        left.join(
-            right,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a._id") < F.col("b._id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
-        )
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verification joins fetch shingle sets only for surviving pairs
+    sh_tbl = base  # (_id, _sh)
     return (
-        candidates.select(
+        candidates.join(
+            sh_tbl.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh_tbl.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
             "id_a",
             "id_b",
             jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
@@ -148,13 +198,15 @@ def minhash_lsh_pairs(
 
 # --- SimHash -------------------------------------------------------------
 
-def simhash(shingles: Column, bits: int = 32) -> Column:
+def simhash(hashes: Column, bits: int = 32) -> Column:
     """SimHash sketch: per-bit majority vote over shingle hashes.
 
     Computed as ``bits`` array-aggregate expressions over the per-row
-    hash array — no explode, no shuffle.
+    hash array — no explode, no shuffle. ``hashes`` must be a
+    *materialized* hash-array column (see :func:`shingle_hashes`):
+    the ``bits`` vote expressions each traverse it, and an inline hash
+    computation would be re-evaluated per bit.
     """
-    hashes = F.transform(shingles, lambda s: md5_long(s))
 
     def bit_vote(b: int) -> Column:
         # closure (not a default arg) so the aggregate lambda stays
@@ -190,12 +242,11 @@ def simhash_pairs(
     # docs with no shingles (< n tokens) carry no signal and would all
     # collide on the zero sketch — exclude them, like minhash does
     base = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            distinct_shingles(text_col, shingle_n).alias("_sh"),
-        )
+        spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", distinct_shingles(text_col, shingle_n).alias("_sh"))
         .where(F.size("_sh") > 0)
-        .select("_id", simhash(F.col("_sh"), bits).alias("sketch"))
+        .withColumn("_hs", shingle_hashes(F.col("_sh")))
+        .select("_id", simhash(F.col("_hs"), bits).alias("sketch"))
     )
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
@@ -211,26 +262,30 @@ def simhash_pairs(
             for b in range(n_bands)
         ]
     )
+    # grouped-bucket candidates: sketches computed once, one shuffle on
+    # the band key, pairs emitted from each bucket's member list
     banded = base.select("_id", "sketch", F.explode(bands_col).alias("bk")).select(
         "_id", "sketch", "bk.band_id", "bk.band_val"
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(
-        F.col("a.sketch").bitwiseXOR(F.col("b.sketch"))
+    buckets = (
+        banded.groupBy("band_id", "band_val")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_id", "sketch"))).alias("ms")
+        )
+        .where(F.size("ms") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), "
+                "y -> struct(x._id AS id_a, y._id AS id_b, "
+                "bit_count(x.sketch ^ y.sketch) AS hamming))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.hamming")
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            hamming.alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        pairs.dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
 
@@ -247,8 +302,8 @@ def ngram_jaccard_pairs(
     """Exact near-dup pairs: inverted index on shingles -> shared counts
     -> Jaccard filter. O(collisions), the ground truth for the sketches.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
+    sh = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id",
         distinct_shingles(text_col, shingle_n).alias("_sh"),
     ).where(F.size("_sh") > 0)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))

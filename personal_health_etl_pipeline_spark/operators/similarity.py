@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import hashlib
 
+from personal_health_etl_pipeline_spark.operators.partitioning import spread
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,8 +75,8 @@ def brute_force_topk(
     The query side is broadcast; the big side streams — no shuffle of
     the candidate table. Rank ties break on neighbor id (total order).
     """
-    base = embeddings.select(
-        F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("_q")
+    base = spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col))).select(
+        "_id", quantize(F.col(vec_col)).alias("_q")
     )
     queries = base.where(F.col("_id") % query_mod == 0).select(
         F.col("_id").alias("query_id"), F.col("_q").alias("_qq")
@@ -148,8 +150,8 @@ def lsh_topk(
     plain equi-join on (table, bucket) — hash-partitionable; expected
     scored pairs ~= Q x N x (1 - (1-2^-k)^L) instead of Q x N.
     """
-    base = embeddings.select(
-        F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("_q")
+    base = spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col))).select(
+        "_id", quantize(F.col(vec_col)).alias("_q")
     )
     buckets = F.array(
         *[

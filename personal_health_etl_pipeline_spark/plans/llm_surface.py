@@ -191,14 +191,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    # the same linear min-wise family the Spark operator uses:
+    # one md5-derived 60-bit hash per shingle, re-mixed per slot as
+    # (h % P * a + b) % P — bit-identical arithmetic in both engines
+    from personal_health_etl_pipeline_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
     rows = MINHASH_N_HASHES // MINHASH_BANDS
     sig_exprs = ",\n         ".join(
-        f"list_min(list_transform(sh, s -> md5(s || '|{i}'))) AS sig_{i}"
-        for i in range(MINHASH_N_HASHES)
+        f"list_min(list_transform(hs, h -> (h % {MINHASH_P} * {a} + {b}) % {MINHASH_P}))"
+        f" AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(MINHASH_N_HASHES))
     )
     band_selects = []
     for b in range(MINHASH_BANDS):
-        concat = " || ',' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        concat = " || ',' || ".join(
+            f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
         band_selects.append(
             f"SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sigs"
         )
@@ -206,10 +217,14 @@ def _minhash_oracle() -> str:
     return rf"""
 WITH {_TOKS_CTE},
 nonempty AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+hsrc AS (
+  SELECT doc_id, list_transform(sh, s -> {_MD5LONG.format(x='s')}) AS hs
+  FROM nonempty
+),
 sigs AS (
   SELECT doc_id,
          {sig_exprs}
-  FROM nonempty
+  FROM hsrc
 ),
 bands AS (
   {bands_union}
