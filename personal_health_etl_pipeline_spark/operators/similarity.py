@@ -204,6 +204,161 @@ def lsh_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    dims: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine — the fifth member of
+    the dedup family (exact / minhash / simhash / ngram / embedding).
+
+    Candidates share a hyperplane-LSH bucket in >= 1 of ``n_tables``
+    tables (grouped-bucket generation — sketches computed once, no
+    self-join), then exact quantized cosine filters at ``threshold``.
+    Returns (id_a, id_b, sim) with id_a < id_b.
+    """
+    base = spread(
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col))
+    ).select("_id", quantize(F.col(vec_col)).alias("_q"))
+    buckets_col = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col("_q"), hyperplane_signs(n_planes, dims, t)).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    banded = base.select("_id", F.explode(buckets_col).alias("bk")).select(
+        "_id", "bk.tbl", "bk.bucket"
+    )
+    grouped = (
+        banded.groupBy("tbl", "bucket")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.join(
+            base.select(F.col("_id").alias("id_a"), F.col("_q").alias("qa")), "id_a"
+        )
+        .join(base.select(F.col("_id").alias("id_b"), F.col("_q").alias("qb")), "id_b")
+        .select("id_a", "id_b", cosine(F.col("qa"), F.col("qb")).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+# --- IVF (inverted-file) ANN ---------------------------------------------
+
+def quantized_centroids(base: DataFrame, label_col: str = "label") -> DataFrame:
+    """Coarse-quantizer centroids on the integer grid.
+
+    ``round(sum_i / count)`` per dimension, computed from exact integer
+    sums — the rounded centroid is again an exact integer vector, so
+    every later distance comparison is overflow-free integer math,
+    order-independent and bit-identical in any engine.
+    """
+    exploded = base.select(
+        F.col(label_col).alias("cid"), F.posexplode("_q").alias("dim", "qv")
+    )
+    per_dim = exploded.groupBy("cid", "dim").agg(
+        F.round(F.sum("qv").cast("double") / F.count(F.lit(1)), 0)
+        .cast("bigint")
+        .alias("cv")
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+        ).alias("cvec")
+    )
+
+
+def dist2_int(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between integer-grid vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    query_mod: int = 50,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: the scale path for ANN.
+
+    Build: vectors are assigned to their nearest coarse centroid (one
+    small broadcast join — the inverted file). Search: each query scores
+    only the lists of its ``nprobe`` nearest centroids, cutting scored
+    pairs by ~n_lists/nprobe vs brute force. All distances are exact
+    integer math on the quantized grid; ties break on centroid id /
+    neighbor id, so results are total-ordered and oracle-reproducible.
+    """
+    base = spread(
+        embeddings.select(
+            F.col(id_col).alias("_id"), F.col(label_col), F.col(vec_col)
+        )
+    ).select("_id", F.col(label_col), quantize(F.col(vec_col)).alias("_q"))
+    cents = quantized_centroids(base, label_col)
+
+    scored_c = base.crossJoin(F.broadcast(cents)).select(
+        "_id", "_q", "cid", dist2_int(F.col("_q"), F.col("cvec")).alias("d2")
+    )
+    w_assign = Window.partitionBy("_id").orderBy("d2", "cid")
+    assigned = (
+        scored_c.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("_id", F.col("cid").alias("list_id"), "_q")
+    )
+    probes = (
+        scored_c.where(F.col("_id") % query_mod == 0)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("_id").alias("query_id"), F.col("cid").alias("list_id"),
+                F.col("_q").alias("_qq"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col("_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("_id").alias("neighbor_id"),
+            cosine(F.col("_qq"), F.col("_q")).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 def centroids_per_label(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -17,6 +17,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from personal_health_etl_pipeline_spark.plans import analytics_surface as an
 from personal_health_etl_pipeline_spark.plans import llm_surface as llm
 from personal_health_etl_pipeline_spark.plans import reference_surface as rs
 from personal_health_etl_pipeline_spark.plans import streaming_surface as st
@@ -71,9 +72,13 @@ register("dedup_exact_groups", llm.dedup_exact_groups, llm.DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_ORACLE)
 register("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_ORACLE)
 register("dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_ORACLE)
+register("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_ORACLE)
 register("ann_brute_force_topk", llm.ann_brute_force_topk, llm.ANN_BRUTE_FORCE_ORACLE)
 register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
+register("ann_ivf_topk", llm.ann_ivf_topk, llm.ANN_IVF_ORACLE)
 register("emb_centroids", llm.emb_centroids, llm.EMB_CENTROIDS_ORACLE)
+register("mm_byte_stats", llm.mm_byte_stats, llm.MM_BYTE_STATS_ORACLE)
+register("mm_decode_features", llm.mm_decode_features, None)  # fake codec: rows-only
 
 # streaming surface, batch-mode twins (SURVEY.md §2.8) — the same
 # functions run under Structured Streaming in tests/test_streaming.py
@@ -81,6 +86,15 @@ register("st_tumbling_window_agg", st.st_tumbling_window_agg, st.ST_TUMBLING_ORA
 register("st_sliding_window_agg", st.st_sliding_window_agg, st.ST_SLIDING_ORACLE)
 register("st_session_window_agg", st.st_session_window_agg, st.ST_SESSION_ORACLE)
 register("st_dedup_events", st.st_dedup_events, st.ST_DEDUP_ORACLE)
+
+# analytic surface: windows, multi-dim aggregates, set ops, boundary casts
+register("w4_rank_lag_lead", an.w4_rank_lag_lead, an.W4_ORACLE)
+register("a5_rollup", an.a5_rollup, an.A5_ORACLE)
+register("a6_cube", an.a6_cube, an.A6_ORACLE)
+register("a7_grouping_sets", an.a7_grouping_sets, an.A7_ORACLE)
+register("so1_set_ops", an.so1_set_ops, an.SO1_ORACLE)
+register("f2_date_coerce", an.f2_date_coerce, an.F2_ORACLE)
+register("f4_array_to_json", an.f4_array_to_json, an.F4_ORACLE)
 
 
 def queries() -> dict[str, QueryFn]:

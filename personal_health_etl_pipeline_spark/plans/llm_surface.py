@@ -411,6 +411,125 @@ SELECT query_id, rank, neighbor_id, sim FROM (
 ANN_LSH_ORACLE = _lsh_oracle()
 
 
+NEARDUP_PLANES = 6
+NEARDUP_TABLES = 2
+NEARDUP_THRESHOLD = 0.4
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(
+        emb,
+        threshold=NEARDUP_THRESHOLD,
+        n_planes=NEARDUP_PLANES,
+        n_tables=NEARDUP_TABLES,
+        dims=LSH_DIMS,
+    )
+
+
+def _bucket_expr_p(table: int, planes: int) -> str:
+    signs = S.hyperplane_signs(planes, LSH_DIMS, table)
+    terms = []
+    for p, row in enumerate(signs):
+        arr = "[" + ", ".join(str(s) for s in row) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1, {LSH_DIMS + 1}), "
+            f"i -> qv[i] * ({arr})[i]))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN CAST({2**p} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _neardup_oracle() -> str:
+    bucket_cols = ",\n       ".join(
+        f"{_bucket_expr_p(t, NEARDUP_PLANES)} AS bucket_{t}"
+        for t in range(NEARDUP_TABLES)
+    )
+    banded = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS tbl, bucket_{t} AS bucket FROM q"
+        for t in range(NEARDUP_TABLES)
+    )
+    return rf"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv,
+       {bucket_cols}
+  FROM embeddings
+),
+banded AS (
+  {banded}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM (
+  SELECT id_a, id_b,
+         ROUND({_DOT.format(a='qa.qv', b='qb.qv')}
+               / (sqrt({_DOT.format(a='qa.qv', b='qa.qv')})
+                  * sqrt({_DOT.format(a='qb.qv', b='qb.qv')})), 6) AS sim
+  FROM cand JOIN q qa ON qa.vec_id = id_a JOIN q qb ON qb.vec_id = id_b
+) WHERE sim >= {NEARDUP_THRESHOLD}
+"""
+
+
+DEDUP_EMBEDDING_ORACLE = _neardup_oracle()
+
+IVF_NPROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, k=10, query_mod=50, nprobe=IVF_NPROBE)
+
+
+ANN_IVF_ORACLE = rf"""
+WITH q AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings),
+exploded AS (
+  SELECT label, i AS dim, qv[CAST(i AS INT)] AS qv_i
+  FROM q, range(1, 65) r(i)
+),
+per_dim AS (
+  SELECT label, dim,
+         CAST(round(CAST(SUM(qv_i) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS cv
+  FROM exploded GROUP BY label, dim
+),
+cent AS (
+  SELECT label AS cid, list(cv ORDER BY dim) AS cvec FROM per_dim GROUP BY label
+),
+scoredc AS (
+  SELECT q.vec_id, q.qv, c.cid,
+         list_sum(list_transform(range(1, 65),
+             i -> (qv[i] - cvec[i]) * (qv[i] - cvec[i]))) AS d2
+  FROM q CROSS JOIN cent c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM scoredc
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, qv AS nv, cid AS list_id FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, qv AS qq, cid AS list_id
+  FROM ranked WHERE vec_id % 50 = 0 AND rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         ROUND({_DOT.format(a='qq', b='nv')}
+               / (sqrt({_DOT.format(a='qq', b='qq')})
+                  * sqrt({_DOT.format(a='nv', b='nv')})), 6) AS sim
+  FROM probes JOIN assigned USING (list_id)
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.centroids_per_label(emb)
@@ -426,3 +545,43 @@ SELECT label, dim,
        ROUND(CAST(SUM(qv_i) AS DOUBLE) / (COUNT(*) * 1000000), 6) AS centroid
 FROM exploded GROUP BY label, dim
 """
+
+
+# --- multimodal surface ------------------------------------------------
+
+def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched binary stats (operators.multimodal.doc_byte_stats):
+    the oracle-checked certificate for the Pandas-UDF media plumbing."""
+    from personal_health_etl_pipeline_spark.operators.multimodal import doc_byte_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_byte_stats(docs)
+
+
+# documents are ASCII (verified octet_length == length), so per-char
+# codepoints equal payload bytes and SQL can express the byte stats
+MM_BYTE_STATS_ORACLE = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c))) AS BIGINT)
+         AS byte_sum,
+       CAST(len(list_distinct(list_transform(string_split(text, ''), c -> ord(c))))
+         AS BIGINT) AS distinct_bytes
+FROM documents
+"""
+
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic media table -> mapInPandas decode -> feature extraction
+    -> join on media_id. Deterministic fake codec (no codec libs in
+    SQL), so the driver records the rows-only check for this one; the
+    golden-output unit tests in tests/test_multimodal.py pin values."""
+    from personal_health_etl_pipeline_spark.operators import multimodal as MM
+
+    media = MM.synth_media_df(spark, n=300)
+    decoded = MM.decode_media(media)
+    feats = MM.extract_features(media)
+    return decoded.join(feats, "media_id").select(
+        "media_id", "media_type", "width", "height", "n_frames",
+        "payload_bytes", "payload_digest", "features",
+    )

@@ -44,9 +44,18 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
 
+    # Python workers deserialize pandas-UDF closures by module reference,
+    # so the package root must be importable on every worker regardless
+    # of the driver's cwd.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_path = os.pathsep.join(
+        p for p in (pkg_root, os.environ.get("PYTHONPATH")) if p
+    )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.executorEnv.PYTHONPATH", worker_path)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,109 @@
+"""Multimodal-column tests: binary content + metadata struct through
+Arrow-batched mapInPandas stages (decode, features, resize, frame
+sampling). The codec is the deterministic FAKEM container — real
+decoders are import-gated stubs (no codec libs in this environment) —
+but the Spark plumbing (schemas, batching, fan-out, composition) is
+fully real and pinned by golden values here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return MM.synth_media_df(spark, n=30)
+
+
+class TestDecode:
+    def test_decode_matches_encoded_metadata(self, spark, media):
+        got = {r.media_id: r for r in MM.decode_media(media).collect()}
+        assert len(got) == 30
+        for i in range(30):
+            blob, kind, w, h, nf = MM.encode_fake(i)
+            r = got[i]
+            assert (r.media_type, r.width, r.height, r.n_frames) == (kind, w, h, nf)
+            assert r.payload_bytes == nf * 16  # one md5 block per frame
+            assert r.payload_digest == hashlib.md5(blob[14:]).hexdigest()
+
+    def test_non_fakem_blob_is_an_error(self, spark):
+        bad = spark.createDataFrame(
+            [(1, bytearray(b"JUNKDATA"), ("image", 1, 1, 1))], MM.MEDIA_SCHEMA
+        )
+        with pytest.raises(Exception, match="FAKEM|PythonException"):
+            MM.decode_media(bad).collect()
+
+    def test_real_decode_is_gated_stub(self):
+        with pytest.raises(NotImplementedError):
+            MM.decode_real(b"\x89PNG....")
+
+
+class TestFeatures:
+    def test_histogram_is_normalized_and_deterministic(self, spark, media):
+        rows = MM.extract_features(media).collect()
+        assert len(rows) == 30
+        for r in rows:
+            assert len(r.features) == MM.N_FEATURES
+            assert abs(sum(r.features) - 1.0) < 1e-4
+        again = {r.media_id: r.features for r in MM.extract_features(media).collect()}
+        assert all(again[r.media_id] == r.features for r in rows)
+
+
+class TestResize:
+    def test_resize_rewrites_header_keeps_payload(self, spark, media):
+        resized = MM.resize_media(media, 8, 8)
+        assert resized.schema == MM.MEDIA_SCHEMA
+        got = {r.media_id: r for r in MM.decode_media(resized).collect()}
+        for i in range(30):
+            _, kind, _, _, nf = MM.encode_fake(i)
+            assert (got[i].width, got[i].height) == (8, 8)
+            # payload untouched by the fake re-encode
+            orig = MM.encode_fake(i)[0][14:]
+            assert got[i].payload_digest == hashlib.md5(orig).hexdigest()
+
+    def test_resize_composes_with_features(self, spark, media):
+        f1 = {r.media_id: r.features
+              for r in MM.extract_features(media).collect()}
+        f2 = {r.media_id: r.features
+              for r in MM.extract_features(MM.resize_media(media, 4, 4)).collect()}
+        assert f1 == f2  # features depend on payload only
+
+
+class TestFrameSampling:
+    def test_every_other_frame(self, spark, media):
+        frames = MM.sample_frames(media, every=2).collect()
+        by_id: dict[int, list] = {}
+        for r in frames:
+            by_id.setdefault(r.media_id, []).append(r)
+        for i in range(30):
+            _, kind, _, _, nf = MM.encode_fake(i)
+            expect_idx = list(range(0, nf, 2))
+            got = sorted(by_id[i], key=lambda r: r.frame_index)
+            assert [r.frame_index for r in got] == expect_idx
+            seed = f"media|{i}".encode()
+            for r in got:
+                assert bytes(r.frame_bytes) == hashlib.md5(
+                    seed + bytes([r.frame_index])
+                ).digest()
+
+    def test_partitioning_preserved_no_shuffle(self, spark, media):
+        plan = MM.sample_frames(media).rdd.toDebugString().decode()
+        assert "ShuffledRDD" not in plan  # narrow map, no exchange
+
+
+class TestByteStats:
+    def test_matches_python_reference(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        got = {r.doc_id: r for r in MM.doc_byte_stats(docs).collect()}
+        for row in docs.select("doc_id", "text").collect():
+            b = row.text.encode()
+            r = got[row.doc_id]
+            assert (r.n_bytes, r.byte_sum, r.distinct_bytes) == (
+                len(b), sum(b), len(set(b))
+            )
