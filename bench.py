@@ -29,15 +29,22 @@ HEADLINE = (
     "q5_region_volume",
     "q6_revenue_delta",
     "q10_returned_items",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
     "j1_multiway_outer_combine",
     "w1_rolling_7day_revenue",
     "w3_sessionize",
+    "st_sliding_window_agg",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_brute_force_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality_score",
+    "text_tfidf_top_terms",
     "emb_centroids",
+    "mm_byte_stats",
 )
 
 

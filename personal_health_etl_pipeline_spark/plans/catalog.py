@@ -39,6 +39,11 @@ register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
 register("q5_region_volume", tpch.q5_region_volume, tpch.Q5_ORACLE)
 register("q6_revenue_delta", tpch.q6_revenue_delta, tpch.Q6_ORACLE)
 register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_ORACLE)
+register("q2_min_price_line", tpch.q2_min_price_line, tpch.Q2_ORACLE)
+register("q4_late_ship_priority", tpch.q4_late_ship_priority, tpch.Q4_ORACLE)
+register("q13_order_count_distribution", tpch.q13_order_count_distribution, tpch.Q13_ORACLE)
+register("q14_conditional_revenue", tpch.q14_conditional_revenue, tpch.Q14_ORACLE)
+register("q18_large_volume_orders", tpch.q18_large_volume_orders, tpch.Q18_ORACLE)
 
 # reference-surface operators (SURVEY.md §2)
 register("p1_required_filter", rs.p1_required_filter, rs.P1_ORACLE)
@@ -68,6 +73,7 @@ register("text_token_stats", llm.text_token_stats, llm.TEXT_TOKEN_STATS_ORACLE)
 register("text_quality_score", llm.text_quality_score, llm.TEXT_QUALITY_ORACLE)
 register("text_langid", llm.text_langid, llm.TEXT_LANGID_ORACLE)
 register("text_fingerprint", llm.text_fingerprint, llm.TEXT_FINGERPRINT_ORACLE)
+register("text_tfidf_top_terms", llm.text_tfidf_top_terms, llm.TEXT_TFIDF_ORACLE)
 register("dedup_exact_groups", llm.dedup_exact_groups, llm.DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_ORACLE)
 register("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_ORACLE)

@@ -585,3 +585,33 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "media_type", "width", "height", "n_frames",
         "payload_bytes", "payload_digest", "features",
     )
+
+
+# --- tf-idf ------------------------------------------------------------
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from personal_health_etl_pipeline_spark.operators.tfidf import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=5, max_df_ratio=0.5)
+
+
+TEXT_TFIDF_ORACLE = rf"""
+WITH {_TOKS_CTE},
+inv AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM inv GROUP BY doc_id, term),
+df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM inv),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000000, 0) AS BIGINT)
+           AS score_micro
+  FROM tf JOIN df_t USING (term) CROSS JOIN n
+  WHERE df <= n_docs * 0.5
+)
+SELECT doc_id, rank, term, tf, df, score_micro FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""

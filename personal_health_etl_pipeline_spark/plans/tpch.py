@@ -231,3 +231,186 @@ GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
+
+
+def q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority check (TPC-H Q4 shape, adapted): count orders per
+    priority having at least one line shipped after the order date —
+    an EXISTS rendered as a left-semi join on the order key. The semi
+    join shuffles only (orderkey, dates); no lineitem payload moves.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    late = window.join(
+        li.select("l_orderkey", "l_shipdate"),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): left outer
+    join keeps order-less customers (count 0), then a second tiny
+    aggregation histograms the counts. Two shuffles, both on keys with
+    no skew (custkey, then the small count domain)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders.select("o_custkey", "o_orderkey"),
+            customer.c_custkey == orders.o_custkey,
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_conditional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-style conditional revenue share (TPC-H Q14 shape, adapted
+    to the synthetic part schema: 'large' = p_size > 25). Part is a
+    dimension — AQE broadcasts it; the conditional sum is one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = d2("l_extendedprice") * (1 - d2("l_discount"))
+    joined = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    ).join(part.select("p_partkey", "p_size"), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            (
+                F.sum(F.when(F.col("p_size") > 25, disc_price).otherwise(F.lit(0)))
+                .cast("double")
+                * 100.0
+                / F.sum(disc_price).cast("double")
+            ),
+            6,
+        ).alias("large_revenue_pct"),
+        exact_sum(disc_price).alias("total_revenue"),
+    )
+
+
+Q14_ORACLE = """
+SELECT
+  ROUND(CAST(SUM(CASE WHEN p_size > 25
+        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        ELSE 0 END) AS DOUBLE) * 100.0
+      / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+    6) AS large_revenue_pct,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): HAVING-subquery as an
+    aggregate + semi-join. The qty rollup shuffles on l_orderkey once;
+    the order/customer joins ride the same key partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum(d2("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.to_date("o_orderdate").alias("o_day"),
+            F.round(d2("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_day,
+       ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS o_totalprice,
+       total_qty
+FROM (
+  SELECT l_orderkey,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > 150
+) JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+def q2_min_price_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-line-per-part (TPC-H Q2's correlated-min shape): the
+    argmin is a single min_by/struct-min aggregation on the part key —
+    no self-join against the subquery, one shuffle total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cheapest = li.groupBy("l_partkey").agg(
+        F.min(
+            F.struct(
+                F.round(d2("l_extendedprice").cast("double"), 2).alias("price"),
+                F.col("l_suppkey").alias("supp"),
+            )
+        ).alias("m")
+    )
+    return (
+        cheapest.join(part.select("p_partkey", "p_brand"),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_partkey"), F.col("p_brand"),
+            F.col("m.price").alias("min_price"),
+            F.col("m.supp").alias("supp_key"),
+        )
+    )
+
+
+Q2_ORACLE = """
+SELECT p_partkey, p_brand,
+       ROUND(CAST(CAST(min_line.price AS DECIMAL(18,2)) AS DOUBLE), 2) AS min_price,
+       min_line.supp AS supp_key
+FROM (
+  SELECT l_partkey,
+         min(struct_pack(price := ROUND(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 2),
+                         supp := l_suppkey)) AS min_line
+  FROM lineitem GROUP BY l_partkey
+) JOIN part ON l_partkey = p_partkey
+"""
