@@ -58,6 +58,13 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for t in ("lineitem", "documents", "embeddings", "events"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+    # ...and the Python UDF workers (Arrow serializer + daemon fork),
+    # so mapInPandas queries measure steady-state, not cold-start
+    import pandas as _pd  # noqa: F401
+
+    spark.range(64).mapInPandas(
+        lambda it: it, "id long"
+    ).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -56,6 +56,12 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.executorEnv.PYTHONPATH", worker_path)
+        # managed-table home for bucketed tables (sources/bucketed.py);
+        # kept out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
