@@ -212,3 +212,18 @@ def truncate_warehouse(spark: SparkSession, cfg: PipelineConfig) -> None:
     """S8: reset the warehouse to empty (overwrite with zero rows)."""
     empty = spark.createDataFrame([], warehouse_schema(cfg.data_types))
     empty.write.mode("overwrite").parquet(cfg.warehouse_path)
+
+
+# --- orchestration (reference oura_dag.py:13-44) ----------------------
+
+def run_pipeline(
+    spark: SparkSession, cfg: PipelineConfig, today: dt.date, source=fetch_range_df
+) -> dict[str, object]:
+    """The reference's two-task linear DAG as one driver call:
+    extract lands raw ranges, transform combines and loads — strictly
+    in that order (oura_dag.py:44). Scheduling (the daily 04:00 cron)
+    stays outside the engine, exactly as it does in the reference.
+    """
+    extracted = run_extract(spark, cfg, today, source=source)
+    loaded = run_transform(spark, cfg, today)
+    return {"extracted": extracted, **loaded}

@@ -1,0 +1,70 @@
+"""Source-registry tests: category dispatch, error policy, chunking
+(reference S1-S4 semantics), and the one-call pipeline orchestration.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from personal_health_etl_pipeline_spark.pipeline import PipelineConfig
+from personal_health_etl_pipeline_spark.pipeline.etl import run_pipeline
+from personal_health_etl_pipeline_spark.pipeline.fixtures import fetch_range_df
+from personal_health_etl_pipeline_spark.sources.registry import (
+    CATEGORY_DAILY,
+    DEFAULT_REGISTRY,
+    SourceSpec,
+    UnknownDataTypeError,
+    extract_data_type,
+)
+
+D1 = dt.date(2024, 2, 1)
+D10 = dt.date(2024, 2, 10)
+
+
+class TestDispatch:
+    def test_registry_covers_the_reference_15_types(self):
+        assert len(DEFAULT_REGISTRY) == 15
+        assert DEFAULT_REGISTRY["heartrate"].chunk_days == 7
+
+    def test_unknown_type_is_hard_error(self, spark):
+        with pytest.raises(UnknownDataTypeError):
+            extract_data_type(spark, "not_a_type", D1, D10)
+
+    def test_unconfigured_endpoint_yields_empty_envelope(self, spark):
+        reg = {"ghost": SourceSpec(CATEGORY_DAILY, reader=None)}
+        df = extract_data_type(spark, "ghost", D1, D10, registry=reg)
+        assert df.count() == 0
+        assert "day" in df.columns  # typed empty frame, not a bare []
+
+    def test_reader_failure_degrades_to_empty(self, spark):
+        def broken(spark_, t, s, e):
+            raise RuntimeError("API down")
+
+        reg = {"flaky": SourceSpec(CATEGORY_DAILY, reader=broken)}
+        assert extract_data_type(spark, "flaky", D1, D10, registry=reg).count() == 0
+
+    def test_chunked_equals_single_fetch(self, spark):
+        whole = extract_data_type(spark, "daily_sleep", D1, D10)
+        chunked = extract_data_type(spark, "heartrate", D1, D10)
+        assert chunked.count() == whole.count() == 10
+        # chunk windows tile the range exactly — no dup/missing days
+        days = sorted(r["day"] for r in chunked.collect())
+        assert days == sorted(r["day"] for r in whole.collect())
+
+    def test_inverted_range_is_empty(self, spark):
+        assert extract_data_type(spark, "daily_sleep", D10, D1).count() == 0
+
+
+class TestOrchestration:
+    def test_run_pipeline_is_extract_then_transform(self, spark, tmp_path):
+        cfg = PipelineConfig(
+            raw_root=str(tmp_path / "raw"),
+            warehouse_path=str(tmp_path / "wh"),
+            historical_days=4,
+        )
+        out = run_pipeline(spark, cfg, dt.date(2024, 3, 1), source=fetch_range_df)
+        assert out["extracted"] == {t: 5 for t in cfg.data_types}
+        assert out["new_rows"] == 5
+        assert spark.read.parquet(cfg.warehouse_path).count() == 5

@@ -214,3 +214,40 @@ class TestBatchStreamEquivalence:
             if r.event_type != "z"
         }
         assert got == expected
+
+
+class TestCustomStatefulOperator:
+    def test_running_stats_accumulate_across_batches(self, spark, tmp_path):
+        """applyInPandasWithState: per-user counters survive micro-batch
+        boundaries in the state store and refresh on every touch."""
+        from personal_health_etl_pipeline_spark.streaming.stateful import (
+            running_user_stats,
+        )
+
+        src, ckpt = _one_batch_dirs(tmp_path)
+        _write_batch(
+            spark, src,
+            [(1, 0, 1, "a", 10.0), (2, 1, 1, "a", 60.0), (3, 2, 2, "a", 70.0)],
+            "b1",
+        )
+        _write_batch(spark, src, [(4, 3, 1, "a", 80.0)], "b2")
+        stream = read_events_stream(spark, src)
+        q = (
+            running_user_stats(stream, high_threshold=50.0)
+            .writeStream.format("memory")
+            .queryName("stateful_out")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT * FROM stateful_out").collect()
+        # last emission per user carries the accumulated totals
+        last = {}
+        for r in rows:
+            last[r.user_id] = (r.n_events, r.n_high, r.sum_value)
+        assert last[1] == (3, 2, 150.0)  # both batches merged in state
+        assert last[2] == (1, 1, 70.0)
+        # user 1 was emitted twice (touched in both batches)
+        assert sum(1 for r in rows if r.user_id == 1) == 2
