@@ -66,12 +66,18 @@ def main() -> None:
         lambda it: it, "id long"
     ).selectExpr("sum(id)").collect()
 
+    # best-of-2 per query: the first run pays one-time codegen/compile
+    # for that plan shape, the second measures steady-state execution —
+    # the number that scales with data volume
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = CATALOG[name][0]
-        start = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
