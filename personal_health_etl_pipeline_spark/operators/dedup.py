@@ -208,20 +208,43 @@ def simhash(hashes: Column, bits: int = 32) -> Column:
     computation would be re-evaluated per bit.
     """
 
-    def bit_vote(b: int) -> Column:
-        # closure (not a default arg) so the aggregate lambda stays
-        # 2-ary — PySpark derives HOF variables from lambda arity.
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    # single pass: one aggregate carries a per-bit vote array through
+    # the hash list (bits separate ``aggregate`` expressions would
+    # re-traverse the array per bit), then the finish lambda folds the
+    # votes into the sketch integer. shiftright/shiftleft go through
+    # call_function because the shift amount is a lambda variable.
+    def sr(h: Column, b: Column) -> Column:
+        return F.call_function("shiftright", h, b.cast("int"))
+
+    def vote_step(acc: Column, h: Column) -> Column:
+        return F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda a, b: a
+            + F.when(sr(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("bigint"))
+            .otherwise(F.lit(-1).cast("bigint")),
         )
 
-    out = F.lit(0).cast("bigint")
-    for b in range(bits):
-        out = out + F.when(bit_vote(b) > 0, F.lit(2**b).cast("bigint")).otherwise(0)
-    return out
+    def fold_sketch(acc: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                acc,
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda v, b: F.when(
+                    v > 0,
+                    F.call_function("shiftleft", F.lit(1).cast("bigint"), b.cast("int")),
+                ).otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda s, x: s + x,
+        )
+
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        vote_step,
+        fold_sketch,
+    )
 
 
 def simhash_pairs(
