@@ -22,6 +22,7 @@ from personal_health_etl_pipeline_spark.plans import llm_surface as llm
 from personal_health_etl_pipeline_spark.plans import reference_surface as rs
 from personal_health_etl_pipeline_spark.plans import streaming_surface as st
 from personal_health_etl_pipeline_spark.plans import tpch
+from personal_health_etl_pipeline_spark.plans import tpch2
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -44,6 +45,24 @@ register("q4_late_ship_priority", tpch.q4_late_ship_priority, tpch.Q4_ORACLE)
 register("q13_order_count_distribution", tpch.q13_order_count_distribution, tpch.Q13_ORACLE)
 register("q14_conditional_revenue", tpch.q14_conditional_revenue, tpch.Q14_ORACLE)
 register("q18_large_volume_orders", tpch.q18_large_volume_orders, tpch.Q18_ORACLE)
+register("q7_nation_trade_volume", tpch2.q7_nation_trade_volume, tpch2.Q7_ORACLE)
+register("q8_market_share", tpch2.q8_market_share, tpch2.Q8_ORACLE)
+register("q9_product_profit", tpch2.q9_product_profit, tpch2.Q9_ORACLE)
+register("q11_important_parts", tpch2.q11_important_parts, tpch2.Q11_ORACLE)
+register("q12_late_shipment_priority", tpch2.q12_late_shipment_priority, tpch2.Q12_ORACLE)
+register("q15_top_supplier", tpch2.q15_top_supplier, tpch2.Q15_ORACLE)
+register(
+    "q16_supplier_part_distribution",
+    tpch2.q16_supplier_part_distribution,
+    tpch2.Q16_ORACLE,
+)
+register(
+    "q17_small_quantity_revenue", tpch2.q17_small_quantity_revenue, tpch2.Q17_ORACLE
+)
+register("q19_disjunctive_revenue", tpch2.q19_disjunctive_revenue, tpch2.Q19_ORACLE)
+register("q20_heavy_suppliers", tpch2.q20_heavy_suppliers, tpch2.Q20_ORACLE)
+register("q21_blocking_suppliers", tpch2.q21_blocking_suppliers, tpch2.Q21_ORACLE)
+register("q22_idle_rich_customers", tpch2.q22_idle_rich_customers, tpch2.Q22_ORACLE)
 
 # reference-surface operators (SURVEY.md §2)
 register("p1_required_filter", rs.p1_required_filter, rs.P1_ORACLE)
