@@ -22,6 +22,7 @@ from personal_health_etl_pipeline_spark.plans import llm_surface as llm
 from personal_health_etl_pipeline_spark.plans import reference_surface as rs
 from personal_health_etl_pipeline_spark.plans import streaming_surface as st
 from personal_health_etl_pipeline_spark.plans import tpch
+from personal_health_etl_pipeline_spark.plans import temporal_surface as ts
 from personal_health_etl_pipeline_spark.plans import tpch2
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -63,6 +64,8 @@ register("q19_disjunctive_revenue", tpch2.q19_disjunctive_revenue, tpch2.Q19_ORA
 register("q20_heavy_suppliers", tpch2.q20_heavy_suppliers, tpch2.Q20_ORACLE)
 register("q21_blocking_suppliers", tpch2.q21_blocking_suppliers, tpch2.Q21_ORACLE)
 register("q22_idle_rich_customers", tpch2.q22_idle_rich_customers, tpch2.Q22_ORACLE)
+register("j4_asof_last_click", ts.j4_asof_last_click, ts.J4_ORACLE)
+register("j5_views_before_purchase", ts.j5_views_before_purchase, ts.J5_ORACLE)
 
 # reference-surface operators (SURVEY.md §2)
 register("p1_required_filter", rs.p1_required_filter, rs.P1_ORACLE)
