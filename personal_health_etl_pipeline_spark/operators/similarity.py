@@ -62,6 +62,22 @@ def cosine(a_q: Column, b_q: Column, round_to: int = 6) -> Column:
     )
 
 
+def cosine_pre(a_q: Column, b_q: Column, a_n2: Column, b_n2: Column,
+               round_to: int = 6) -> Column:
+    """Cosine with precomputed squared norms.
+
+    ``norm2_int`` is O(dims) per evaluation; inside a pairwise join it
+    would run once per *pair*. Computing it once per vector and joining
+    it along turns the per-pair cost into a single dot product — same
+    exact-integer math, same result, ~3x less array work in the hot
+    join."""
+    return F.round(
+        dot_int(a_q, b_q).cast("double")
+        / (F.sqrt(a_n2.cast("double")) * F.sqrt(b_n2.cast("double"))),
+        round_to,
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -75,13 +91,17 @@ def brute_force_topk(
     The query side is broadcast; the big side streams — no shuffle of
     the candidate table. Rank ties break on neighbor id (total order).
     """
-    base = spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col))).select(
-        "_id", quantize(F.col(vec_col)).alias("_q")
+    base = (
+        spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+        .select("_id", quantize(F.col(vec_col)).alias("_q"))
+        .withColumn("_n2", norm2_int(F.col("_q")))
     )
     queries = base.where(F.col("_id") % query_mod == 0).select(
-        F.col("_id").alias("query_id"), F.col("_q").alias("_qq")
+        F.col("_id").alias("query_id"),
+        F.col("_q").alias("_qq"),
+        F.col("_n2").alias("_qn2"),
     )
-    sim = cosine(F.col("_qq"), F.col("_q"))
+    sim = cosine_pre(F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
@@ -150,8 +170,10 @@ def lsh_topk(
     plain equi-join on (table, bucket) — hash-partitionable; expected
     scored pairs ~= Q x N x (1 - (1-2^-k)^L) instead of Q x N.
     """
-    base = spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col))).select(
-        "_id", quantize(F.col(vec_col)).alias("_q")
+    base = (
+        spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+        .select("_id", quantize(F.col(vec_col)).alias("_q"))
+        .withColumn("_n2", norm2_int(F.col("_q")))
     )
     buckets = F.array(
         *[
@@ -183,7 +205,9 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     queries_v = base.select(
-        F.col("_id").alias("query_id"), F.col("_q").alias("_qq")
+        F.col("_id").alias("query_id"),
+        F.col("_q").alias("_qq"),
+        F.col("_n2").alias("_qn2"),
     )
     scored = (
         candidates.join(base, candidates.neighbor_id == base._id)
@@ -191,7 +215,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qq"), F.col("_q")).alias("sim"),
+            cosine_pre(
+                F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2")
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -221,9 +247,11 @@ def embedding_near_dup_pairs(
     self-join), then exact quantized cosine filters at ``threshold``.
     Returns (id_a, id_b, sim) with id_a < id_b.
     """
-    base = spread(
-        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col))
-    ).select("_id", quantize(F.col(vec_col)).alias("_q"))
+    base = (
+        spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+        .select("_id", quantize(F.col(vec_col)).alias("_q"))
+        .withColumn("_n2", norm2_int(F.col("_q")))
+    )
     buckets_col = F.array(
         *[
             F.struct(
@@ -258,10 +286,28 @@ def embedding_near_dup_pairs(
     )
     return (
         pairs.join(
-            base.select(F.col("_id").alias("id_a"), F.col("_q").alias("qa")), "id_a"
+            base.select(
+                F.col("_id").alias("id_a"),
+                F.col("_q").alias("qa"),
+                F.col("_n2").alias("na"),
+            ),
+            "id_a",
         )
-        .join(base.select(F.col("_id").alias("id_b"), F.col("_q").alias("qb")), "id_b")
-        .select("id_a", "id_b", cosine(F.col("qa"), F.col("qb")).alias("sim"))
+        .join(
+            base.select(
+                F.col("_id").alias("id_b"),
+                F.col("_q").alias("qb"),
+                F.col("_n2").alias("nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            cosine_pre(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")).alias(
+                "sim"
+            ),
+        )
         .where(F.col("sim") >= threshold)
     )
 
@@ -318,28 +364,32 @@ def ivf_topk(
     integer math on the quantized grid; ties break on centroid id /
     neighbor id, so results are total-ordered and oracle-reproducible.
     """
-    base = spread(
-        embeddings.select(
-            F.col(id_col).alias("_id"), F.col(label_col), F.col(vec_col)
+    base = (
+        spread(
+            embeddings.select(
+                F.col(id_col).alias("_id"), F.col(label_col), F.col(vec_col)
+            )
         )
-    ).select("_id", F.col(label_col), quantize(F.col(vec_col)).alias("_q"))
+        .select("_id", F.col(label_col), quantize(F.col(vec_col)).alias("_q"))
+        .withColumn("_n2", norm2_int(F.col("_q")))
+    )
     cents = quantized_centroids(base, label_col)
 
     scored_c = base.crossJoin(F.broadcast(cents)).select(
-        "_id", "_q", "cid", dist2_int(F.col("_q"), F.col("cvec")).alias("d2")
+        "_id", "_q", "_n2", "cid", dist2_int(F.col("_q"), F.col("cvec")).alias("d2")
     )
     w_assign = Window.partitionBy("_id").orderBy("d2", "cid")
     assigned = (
         scored_c.withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
-        .select("_id", F.col("cid").alias("list_id"), "_q")
+        .select("_id", F.col("cid").alias("list_id"), "_q", "_n2")
     )
     probes = (
         scored_c.where(F.col("_id") % query_mod == 0)
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") <= nprobe)
         .select(F.col("_id").alias("query_id"), F.col("cid").alias("list_id"),
-                F.col("_q").alias("_qq"))
+                F.col("_q").alias("_qq"), F.col("_n2").alias("_qn2"))
     )
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
@@ -347,7 +397,9 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("_id").alias("neighbor_id"),
-            cosine(F.col("_qq"), F.col("_q")).alias("sim"),
+            cosine_pre(
+                F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2")
+            ).alias("sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
