@@ -31,6 +31,12 @@ HEADLINE = (
     "q10_returned_items",
     "q13_order_count_distribution",
     "q18_large_volume_orders",
+    "q7_nation_trade_volume",
+    "q9_product_profit",
+    "q16_supplier_part_distribution",
+    "q21_blocking_suppliers",
+    "j4_asof_last_click",
+    "j5_views_before_purchase",
     "j1_multiway_outer_combine",
     "w1_rolling_7day_revenue",
     "w3_sessionize",
@@ -66,14 +72,17 @@ def main() -> None:
         lambda it: it, "id long"
     ).selectExpr("sum(id)").collect()
 
-    # best-of-2 per query: the first run pays one-time codegen/compile
-    # for that plan shape, the second measures steady-state execution —
+    # best-of-3 per query: the first run pays one-time codegen/compile
+    # for that plan shape, later runs measure steady-state execution —
     # the number that scales with data volume
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = CATALOG[name][0]
+        # flush garbage left by the previous query so its GC pauses
+        # don't land inside this query's timing window
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - start)
