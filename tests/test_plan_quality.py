@@ -12,9 +12,17 @@ import pytest
 from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.operators.skew import salted_join
+from personal_health_etl_pipeline_spark.plans.temporal_surface import (
+    j4_asof_last_click,
+    j5_views_before_purchase,
+)
 from personal_health_etl_pipeline_spark.plans.tpch import (
     q5_region_volume,
     q6_revenue_delta,
+)
+from personal_health_etl_pipeline_spark.plans.tpch2 import (
+    q11_important_parts,
+    q19_disjunctive_revenue,
 )
 from personal_health_etl_pipeline_spark.sources.bucketed import (
     read_table,
@@ -43,6 +51,44 @@ class TestPushdownAndPruning:
     def test_broadcast_hint_survives_to_physical_plan(self, spark, sf_dir):
         plan = _executed_plan(q5_region_volume(spark, sf_dir))
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestScalarSubqueryAndDisjunction:
+    def test_q11_threshold_is_broadcast_not_shuffled(self, spark, sf_dir):
+        # the 1-row global total must cross in as a broadcast; the
+        # per-part aggregate must NOT re-shuffle against it
+        plan = _executed_plan(q11_important_parts(spark, sf_dir))
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_q19_shared_conjuncts_pushed_to_scans(self, spark, sf_dir):
+        plan = _formatted(q19_disjunctive_revenue(spark, sf_dir))
+        # quantity window prunes the lineitem scan, size window the part scan
+        assert "GreaterThanOrEqual(l_quantity,1" in plan
+        assert "LessThanOrEqual(l_quantity,30" in plan
+        assert "GreaterThanOrEqual(p_size,1" in plan
+
+
+class TestTemporalJoinPlans:
+    def test_asof_join_is_single_shuffle_no_nlj(self, spark, sf_dir):
+        plan = _executed_plan(j4_asof_last_click(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # union + keyed window: the only wide op is hash partitioning
+        # on the join key (plus the final presentation sort)
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "Window" in plan
+
+    def test_range_join_is_equi_join_no_nlj(self, spark, sf_dir):
+        plan = _executed_plan(j5_views_before_purchase(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # the band predicate must have become an equi-join (hash or
+        # sort-merge) on (user_id, bucket)
+        assert (
+            "BroadcastHashJoin" in plan
+            or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        )
 
 
 class TestBucketedJoin:
