@@ -220,3 +220,122 @@ SELECT vec_id,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)))) AS json_len
 FROM embeddings
 """
+
+
+# --- A8-A10: statistics surface ---------------------------------------
+
+def a8_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90 / p99) of line
+    price per return flag — the ordered-set aggregate.
+
+    ``F.percentile`` is exact (not the t-digest approximation), with
+    the same linear-interpolation definition as DuckDB's
+    ``quantile_cont``. At scale exact percentiles shuffle all values of
+    a group to one reducer — for 100 TB use ``percentile_approx``
+    (tested against this exact form in test_core_operators) unless the
+    contract requires exactness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(p, F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile(p, F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile(p, F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+A8_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50,
+       ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90,
+       ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def a9_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bucket = floor(x / w).
+
+    Pure integer arithmetic -> a tiny-cardinality groupBy that partial-
+    aggregates map-side; the canonical distribution probe for a
+    training-data pipeline (doc lengths, score histograms)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(d2("o_totalprice") / F.lit(50000))
+    return (
+        orders.groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(d2("o_totalprice")).alias("bucket_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+A9_ORACLE = """
+SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) / 50000) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS bucket_total
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def a10_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample stddev per return flag, computed
+    from exact decimal power sums (n, Σx, Σy, Σxy, Σx², Σy²) instead of
+    the built-in double accumulators.
+
+    The builtins (``corr``/``stddev_samp``) stream doubles and are
+    order-dependent across partitions; decimal sums are exact, so the
+    final double arithmetic is bit-identical to any serial oracle.
+    Same single-shuffle plan shape — the sums all ride one partial
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = d2("l_quantity")
+    y = d2("l_extendedprice")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    syy = F.sum(y * y).cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    stddev = F.sqrt((n * syy - sy * sy) / (n * (n - 1)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(corr, 6).alias("qty_price_corr"),
+            F.round(stddev, 4).alias("price_stddev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+A10_ORACLE = """
+SELECT l_returnflag,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS qty_price_corr,
+       ROUND(sqrt((n * syy - sy * sy) / (n * (n - 1))), 4) AS price_stddev,
+       CAST(n AS BIGINT) AS n_lines
+FROM (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+ORDER BY l_returnflag
+"""

@@ -123,6 +123,9 @@ register("a7_grouping_sets", an.a7_grouping_sets, an.A7_ORACLE)
 register("so1_set_ops", an.so1_set_ops, an.SO1_ORACLE)
 register("f2_date_coerce", an.f2_date_coerce, an.F2_ORACLE)
 register("f4_array_to_json", an.f4_array_to_json, an.F4_ORACLE)
+register("a8_exact_percentiles", an.a8_exact_percentiles, an.A8_ORACLE)
+register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
+register("a10_corr_stats", an.a10_corr_stats, an.A10_ORACLE)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -199,3 +199,25 @@ def test_dedup_exact_keeps_min_id(spark):
     )
     kept = dedup_exact(df, "text", "doc_id")
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+
+
+def test_percentile_approx_tracks_exact(spark, sf_dir):
+    """a8 uses exact percentiles for oracle parity; the 100 TB path is
+    percentile_approx (mergeable sketch, no per-group value shuffle).
+    Certify the approximation stays within 1% relative error of exact
+    at a real accuracy setting."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = F.col("l_extendedprice").cast("double")
+    both = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(p, F.lit(0.9)).alias("exact"),
+            F.percentile_approx(p, F.lit(0.9), F.lit(10_000)).alias("approx"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.01
