@@ -143,3 +143,24 @@ def fingerprint(col: Column | str, n: int = 3) -> Column:
     sh = distinct_shingles(col, n)
     hashes = F.transform(sh, lambda s: md5_long(s))
     return F.array_min(hashes)
+
+
+# GPT-2-style pre-tokenizer, minus the trailing-space lookahead (RE2 —
+# hence the DuckDB oracle — has no lookahead; Java regex agrees on this
+# subset, so both engines tokenize identically): contractions, then
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish subword pre-tokenization (regex, JVM-side).
+
+    The unit a byte-pair encoder would merge within; counting these
+    approximates LLM token counts far better than whitespace words
+    (punctuation splits off, contractions split, digits separate).
+    """
+    return F.regexp_extract_all(_col(col), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_tokens(col))

@@ -96,6 +96,7 @@ register("text_quality_score", llm.text_quality_score, llm.TEXT_QUALITY_ORACLE)
 register("text_langid", llm.text_langid, llm.TEXT_LANGID_ORACLE)
 register("text_fingerprint", llm.text_fingerprint, llm.TEXT_FINGERPRINT_ORACLE)
 register("text_tfidf_top_terms", llm.text_tfidf_top_terms, llm.TEXT_TFIDF_ORACLE)
+register("text_bpe_token_count", llm.text_bpe_token_count, llm.TEXT_BPE_ORACLE)
 register("dedup_exact_groups", llm.dedup_exact_groups, llm.DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_ORACLE)
 register("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_ORACLE)

@@ -615,3 +615,36 @@ SELECT doc_id, rank, term, tf, df, score_micro FROM (
   FROM scored
 ) WHERE rank <= 5
 """
+
+
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-token budgeting over documents: BPE-ish subword count next
+    to the whitespace word count, plus their ratio (tokens-per-word is
+    the standard fertility metric for corpus costing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = T.bpe_token_count("text")
+    n_ws = T.token_count("text")
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_bpe.cast("double") / F.greatest(n_ws, F.lit(1)), 4).alias(
+            "fertility"
+        ),
+    )
+
+
+TEXT_BPE_ORACLE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+         AS n_bpe_tokens,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+         AS n_ws_tokens,
+       ROUND(CAST(len(regexp_extract_all(text,
+           '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+             AS DOUBLE)
+         / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1),
+         4) AS fertility
+FROM documents
+"""
