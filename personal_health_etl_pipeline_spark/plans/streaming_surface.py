@@ -121,3 +121,37 @@ SELECT event_type, COUNT(*) AS n_events,
        {oracle_sum(od2('value'))} AS sum_value
 FROM events GROUP BY event_type
 """
+
+
+def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases joined to same-user clicks from the preceding 10
+    minutes — the watermarked stream-stream interval join, executed in
+    batch for the oracle. Inner-join rows only (streaming inner join
+    semantics); one row per (purchase, click) pair."""
+    from personal_health_etl_pipeline_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    return (
+        interval_join(
+            purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts",
+            lookback_seconds=600,
+        )
+        .select("purchase_id", "user_id", "click_id")
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+ST_INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 600 SECOND AND c.ts <= p.ts
+ORDER BY purchase_id, click_id
+"""

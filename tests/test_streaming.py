@@ -38,6 +38,7 @@ def _write_batch(spark, src_dir, rows, name):
     # one flat parquet file per micro-batch: the streaming file source
     # lists only top-level (or partition-style) paths, so nested
     # directory-per-write layouts would be invisible to it
+    import os
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -52,7 +53,13 @@ def _write_batch(spark, src_dir, rows, name):
             "props": pa.array(cols[5], pa.string()),
         }
     )
-    pq.write_table(table, f"{src_dir}/{name}.parquet")
+    path = f"{src_dir}/{name}.parquet"
+    pq.write_table(table, path)
+    # micro-batch order = file source's (mtime, path) order; sub-second
+    # writes can tie on mtime and flip batch order, so pin strictly
+    # increasing mtimes derived from the batch name
+    seq = int("".join(ch for ch in name if ch.isdigit()) or "0")
+    os.utime(path, (1_700_000_000 + seq, 1_700_000_000 + seq))
 
 
 def _one_batch_dirs(tmp_path):
@@ -251,3 +258,50 @@ class TestCustomStatefulOperator:
         assert last[2] == (1, 1, 70.0)
         # user 1 was emitted twice (touched in both batches)
         assert sum(1 for r in rows if r.user_id == 1) == 2
+
+
+class TestStreamStreamIntervalJoin:
+    def test_stream_join_matches_batch(self, spark, tmp_path):
+        """The watermarked stream-stream interval join over micro-batches
+        must produce exactly the rows the identical function yields in
+        batch over the same data."""
+        from personal_health_etl_pipeline_spark.streaming.joins import interval_join
+
+        rows = [
+            # user 1: clicks at t+1,t+4; purchase at t+5 (both in 3-min window? lookback 180s)
+            (1, 1, 1, "click", 1.0),
+            (2, 4, 1, "click", 2.0),
+            (3, 5, 1, "purchase", 10.0),
+            # user 2: click too old (t+0) for purchase at t+10
+            (4, 0, 2, "click", 3.0),
+            (5, 10, 2, "purchase", 20.0),
+            # user 3: click after purchase -> no match
+            (6, 8, 3, "purchase", 30.0),
+            (7, 9, 3, "click", 4.0),
+        ]
+        src, ckpt = _one_batch_dirs(tmp_path)
+        _write_batch(spark, src, rows[:4], "b0")
+        _write_batch(spark, src, rows[4:], "b1")
+
+        def build(df):
+            purchases = df.where(F.col("event_type") == "purchase").select(
+                "user_id", F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            clicks = df.where(F.col("event_type") == "click").select(
+                "user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            return interval_join(
+                purchases, clicks, on="user_id", left_ts="p_ts",
+                right_ts="c_ts", lookback_seconds=180, watermark="1 minute",
+            ).select("purchase_id", "click_id")
+
+        stream = read_events_stream(spark, src)
+        got = sorted(
+            map(tuple, _run_to_memory(spark, build(stream), "ssj", ckpt).collect())
+        )
+        batch_df = spark.createDataFrame(_mk_events(rows), EVENTS_SCHEMA)
+        want = sorted(map(tuple, build(batch_df).collect()))
+        assert got == want
+        assert want == [(3, 2)]  # only user 1's t+4 click is in window
