@@ -57,3 +57,47 @@ def oracle_sum(expr: str, round_to: int = 2) -> str:
 
 def oracle_avg(expr: str, round_to: int = 6) -> str:
     return f"ROUND(CAST(SUM({expr}) AS DOUBLE) / COUNT({expr}), {round_to})"
+
+
+# --- integer-scaled fast path -----------------------------------------
+#
+# Decimal aggregation is exact but ~3-4x slower than long arithmetic in
+# codegen (Decimal128 adds/multiplies per row). Since every input
+# column is generated at 2 decimal places, each row value is an exact
+# integer number of "cents": accumulate Σ as BIGINT (one long add per
+# row), then rebuild the decimal ONCE per group and cast to double —
+# the same rational number reaches the same correctly-rounded double as
+# the all-decimal recipe, so oracle hash-parity is preserved.
+#
+# Overflow envelope (long max ≈ 9.2e18): a 2-factor product term is
+# ~1e9 per row (sum fits to ~1e9 rows), a 3-factor term ~1e11 per row
+# (fits to ~1e7 rows per group). Past that, fall back to the decimal
+# recipe above — at 100 TB you'd also shard the sum (partial aggregates
+# already do) so the envelope applies per-partition total, not per row
+# count globally.
+
+def cents(col: Column | str, dp: int = 2) -> Column:
+    """A 2-dp double column as exact integer cents (bigint)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c.cast("double") * (10 ** dp), 0).cast("bigint")
+
+
+def exact_sum_cents(expr: Column, scale_pow: int, round_to: int = 2) -> Column:
+    """Order-independent sum of a bigint-scaled expression, rendered as
+    the same rounded double the decimal recipe produces.
+
+    ``scale_pow`` = total decimal places carried by ``expr`` (2 per
+    2-dp factor multiplied in). The one decimal division per *group*
+    replaces a decimal multiply+add per *row*."""
+    exact = F.sum(expr).cast("decimal(38,0)") / F.lit(10 ** scale_pow).cast(
+        "decimal(20,0)"
+    )
+    return F.round(exact.cast("double"), round_to)
+
+
+def exact_avg_cents(expr: Column, scale_pow: int, round_to: int = 6) -> Column:
+    """Exact mean from bigint-scaled sums (sum / count, decimal once)."""
+    exact = F.sum(expr).cast("decimal(38,0)") / F.lit(10 ** scale_pow).cast(
+        "decimal(20,0)"
+    )
+    return F.round(exact.cast("double") / F.count(expr), round_to)

