@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from personal_health_etl_pipeline_spark.plans.exact import d2, exact_sum, oracle_sum, od2
+from personal_health_etl_pipeline_spark.plans.exact import (
+    cents,
+    d2,
+    exact_sum,
+    exact_sum_cents,
+    oracle_sum,
+    od2,
+)
 from personal_health_etl_pipeline_spark.sources.tables import load_table
 
 
@@ -59,7 +66,7 @@ def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            exact_sum(d2("l_quantity")).alias("sum_qty"),
+            exact_sum_cents(cents("l_quantity"), 2).alias("sum_qty"),
             F.grouping("l_returnflag").alias("g_flag"),
             F.grouping("l_linestatus").alias("g_status"),
         )
@@ -81,7 +88,7 @@ def a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            exact_sum(d2("o_totalprice")).alias("sum_price"),
+            exact_sum_cents(cents("o_totalprice"), 2).alias("sum_price"),
             F.grouping("o_orderstatus").alias("g_status"),
             F.grouping("o_orderpriority").alias("g_prio"),
         )
@@ -270,7 +277,7 @@ def a9_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(bucket.cast("bigint").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            exact_sum(d2("o_totalprice")).alias("bucket_total"),
+            exact_sum_cents(cents("o_totalprice"), 2).alias("bucket_total"),
         )
         .orderBy("bucket")
     )

@@ -101,3 +101,24 @@ def exact_avg_cents(expr: Column, scale_pow: int, round_to: int = 6) -> Column:
         "decimal(20,0)"
     )
     return F.round(exact.cast("double") / F.count(expr), round_to)
+
+
+def cents_to_double(col: Column, scale_pow: int) -> Column:
+    """Render an already-summed bigint cents value as the correctly-
+    rounded double of the exact rational ``col / 10^scale_pow`` (for
+    window sums and post-agg columns)."""
+    return (
+        col.cast("decimal(38,0)") / F.lit(10 ** scale_pow).cast("decimal(20,0)")
+    ).cast("double")
+
+
+def cents_sum_double(expr: Column, scale_pow: int) -> Column:
+    """Unrounded double of an exact bigint-scaled sum — for ratio
+    queries whose oracle divides two ``CAST(SUM(decimal) AS DOUBLE)``
+    values before the final display rounding. The exact rational
+    ``Σ/10^scale_pow`` reaches the same correctly-rounded double in
+    both engines."""
+    exact = F.sum(expr).cast("decimal(38,0)") / F.lit(10 ** scale_pow).cast(
+        "decimal(20,0)"
+    )
+    return exact.cast("double")

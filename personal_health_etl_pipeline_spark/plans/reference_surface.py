@@ -31,7 +31,13 @@ from personal_health_etl_pipeline_spark.operators.incremental import (
     half_open_range,
     new_keys,
 )
-from personal_health_etl_pipeline_spark.plans.exact import d2, exact_sum
+from personal_health_etl_pipeline_spark.plans.exact import (
+    cents,
+    cents_to_double,
+    d2,
+    exact_sum,
+    exact_sum_cents,
+)
 from personal_health_etl_pipeline_spark.schema import align_to_schema
 from personal_health_etl_pipeline_spark.sources.tables import load_table
 
@@ -140,7 +146,7 @@ def j1_multiway_outer_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
             events.where(F.col("event_type") == t)
             .groupBy(F.to_date("ts").alias("day"))
             .agg(
-                exact_sum(d2("value")).alias("sum_value"),
+                exact_sum_cents(cents("value"), 2).alias("sum_value"),
                 F.count(F.lit(1)).alias("n"),
             )
         )
@@ -284,14 +290,19 @@ def w1_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         li.where(half_open_range("l_shipdate", "1997-01-01", "1997-07-01"))
         .groupBy(F.to_date("l_shipdate").alias("day"))
-        .agg(F.sum(d2("l_extendedprice") * (1 - d2("l_discount"))).alias("_rev"))
+        .agg(
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+                "_rev_c"
+            )
+        )
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
     return daily.select(
         "day",
-        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        F.round(cents_to_double(F.col("_rev_c"), 4), 2).alias("revenue"),
         F.round(
-            F.sum("_rev").over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+            cents_to_double(F.sum("_rev_c").over(w), 4) / F.count(F.lit(1)).over(w),
+            6,
         ).alias("rolling_avg_7d"),
     ).orderBy("day")
 
@@ -556,7 +567,7 @@ def f1_flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat.groupBy(F.col("payload__metrics__t").alias("event_type"))
         .agg(
             F.countDistinct("payload__user").alias("n_users"),
-            exact_sum(d2(F.col("payload__metrics__v"))).alias("sum_value"),
+            exact_sum_cents(cents(F.col("payload__metrics__v")), 2).alias("sum_value"),
         )
         .orderBy("event_type")
     )

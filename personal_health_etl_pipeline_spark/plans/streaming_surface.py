@@ -22,7 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from personal_health_etl_pipeline_spark.plans.exact import d2, exact_sum, oracle_sum, od2
+from personal_health_etl_pipeline_spark.plans.exact import (
+    cents,
+    d2,
+    exact_sum,
+    exact_sum_cents,
+    oracle_sum,
+    od2,
+)
 from personal_health_etl_pipeline_spark.sources.tables import load_table
 from personal_health_etl_pipeline_spark.streaming.windows import (
     dedup_events,
@@ -112,7 +119,7 @@ def st_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_events(doubled, key="event_id", watermark=None)
     return deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        exact_sum(d2("value")).alias("sum_value"),
+        exact_sum_cents(cents("value"), 2).alias("sum_value"),
     )
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.plans.exact import (
     cents,
+    cents_sum_double,
     d2,
     exact_avg,
     exact_avg_cents,
@@ -335,7 +336,7 @@ def q14_conditional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension — AQE broadcasts it; the conditional sum is one pass."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    disc_price = d2("l_extendedprice") * (1 - d2("l_discount"))
+    disc_c = rev_cents()
     joined = li.where(
         (F.col("l_shipdate") >= F.lit("1997-03-01"))
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
@@ -343,14 +344,18 @@ def q14_conditional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         F.round(
             (
-                F.sum(F.when(F.col("p_size") > 25, disc_price).otherwise(F.lit(0)))
-                .cast("double")
+                cents_sum_double(
+                    F.when(F.col("p_size") > 25, disc_c).otherwise(
+                        F.lit(0).cast("bigint")
+                    ),
+                    4,
+                )
                 * 100.0
-                / F.sum(disc_price).cast("double")
+                / cents_sum_double(disc_c, 4)
             ),
             6,
         ).alias("large_revenue_pct"),
-        exact_sum(disc_price).alias("total_revenue"),
+        exact_sum_cents(disc_c, 4).alias("total_revenue"),
     )
 
 

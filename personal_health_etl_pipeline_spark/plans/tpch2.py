@@ -28,17 +28,22 @@ from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.plans.exact import (
     cents,
+    cents_sum_double,
     d2,
     exact_sum,
     exact_sum_cents,
 )
 from personal_health_etl_pipeline_spark.sources.tables import load_table
 
-_REV = None  # computed per-query: d2(extprice) * (1 - d2(discount))
-
 
 def _rev() -> F.Column:
+    """disc_price decimal recipe (kept for scalar-subquery comparisons)."""
     return d2("l_extendedprice") * (1 - d2("l_discount"))
+
+
+def _rev_c() -> F.Column:
+    """disc_price as exact integer at scale 1e4 (plans.exact fast path)."""
+    return cents("l_extendedprice") * (100 - cents("l_discount"))
 
 
 def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +77,7 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, F.col("c_nationkey") == F.col("c_nk"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(exact_sum(_rev()).alias("revenue"))
+        .agg(exact_sum_cents(_rev_c(), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -116,7 +121,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    vol = _rev()
+    vol = _rev_c()
     return (
         li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -128,12 +133,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
-                    F.lit(0).cast("decimal(18,2)"))).cast("double")
-                / F.sum(vol).cast("double"),
+                cents_sum_double(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast("bigint")
+                    ),
+                    4,
+                )
+                / cents_sum_double(vol, 4),
                 6,
             ).alias("mkt_share"),
-            exact_sum(vol).alias("total_volume"),
+            exact_sum_cents(vol, 4).alias("total_volume"),
         )
         .orderBy("o_year")
     )
@@ -312,18 +321,24 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_rev()).alias("rev_dec"))
+        .agg(F.sum(_rev_c()).alias("rev_c"))
     )
-    top = revenue.agg(F.max("rev_dec").alias("max_rev"))
+    top = revenue.agg(F.max("rev_c").alias("max_rev"))
     supp = load_table(spark, sf_dir, "supplier")
     return (
         revenue.crossJoin(F.broadcast(top))
-        .where(F.col("rev_dec") == F.col("max_rev"))
+        .where(F.col("rev_c") == F.col("max_rev"))  # exact integer compare
         .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("rev_dec").cast("double"), 2).alias("total_revenue"),
+            F.round(
+                (
+                    F.col("rev_c").cast("decimal(38,0)")
+                    / F.lit(10**4).cast("decimal(20,0)")
+                ).cast("double"),
+                2,
+            ).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -452,7 +467,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") >= 20)
         )
     )
-    return joined.where(branch).agg(exact_sum(_rev()).alias("revenue"))
+    return joined.where(branch).agg(exact_sum_cents(_rev_c(), 4).alias("revenue"))
 
 
 Q19_ORACLE = """
