@@ -89,35 +89,34 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: md5_long(s))
 
 
-def minhash_signature(hashes: Column, n_hashes: int) -> list[Column]:
-    """MinHash signature: per-slot minimum of the re-mixed hash array."""
+def minhash_signature_sql(hashes_sql: str, n_hashes: int) -> str:
+    """MinHash signature as ONE SQL array expression: per-slot minimum
+    of the re-mixed hash array.
 
-    def slot(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(
-                hashes,
-                lambda h: (h % MINHASH_P * F.lit(a) + F.lit(b)) % MINHASH_P,
-            )
-        )
+    A single ``F.expr`` string instead of ``n_hashes`` composed Column
+    objects — the py4j round trips of building 32 lambda expressions
+    driver-side cost more than executing them (see
+    ``similarity.lsh_bucket_sql`` for the measurement).
+    """
+    slots = ",".join(
+        f"array_min(transform({hashes_sql},"
+        f" h -> (h % {MINHASH_P} * {a}L + {b}L) % {MINHASH_P}))"
+        for a, b in minhash_coeffs(n_hashes)
+    )
+    return f"array({slots})"
 
-    return [
-        slot(a, b).alias(f"sig_{i}") for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
-    ]
 
-
-def band_keys(n_hashes: int, bands: int) -> Column:
-    """Array of (band_id, band_hash) structs from sig_* columns."""
+def band_hashes_sql(sig_sql: str, n_hashes: int, bands: int) -> str:
+    """Per-band md5 keys from a signature array, as ONE SQL expression:
+    ``array(md5('s0,s1,..'), md5('s4,s5,..'), ...)``."""
     rows = n_hashes // bands
     entries = []
     for b in range(bands):
-        cols = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
-        entries.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
-            )
+        parts = ",".join(
+            f"CAST({sig_sql}[{b * rows + r}] AS STRING)" for r in range(rows)
         )
-    return F.array(*entries)
+        entries.append(f"md5(concat_ws(',', {parts}))")
+    return f"array({','.join(entries)})"
 
 
 def jaccard(a: Column, b: Column, round_to: int = 4) -> Column:
@@ -148,45 +147,62 @@ def minhash_lsh_pairs(
         distinct_shingles(text_col, shingle_n).alias("_sh"),
     ).where(F.size("_sh") > 0)
     hashed = base.withColumn("_hs", shingle_hashes(F.col("_sh")))
-    sigs = hashed.select("_id", *minhash_signature(F.col("_hs"), n_hashes))
-    # lean banding: only (id, band key) enters the shuffle — the sketch
-    # pipeline runs ONCE (a self-join would evaluate it per side), and
-    # candidate pairs come from grouped bucket members, not a join.
-    # Bucket sizes are ~N/huge for real text; production adds a bucket
-    # cap against degenerate-content skew.
+    sigs = hashed.select(
+        "_id", F.expr(minhash_signature_sql("_hs", n_hashes)).alias("_sig")
+    ).select("_id", F.expr(band_hashes_sql("_sig", n_hashes, bands)).alias("_bands"))
+    # lean banding: only (id, band-hash list) enters the shuffle — the
+    # sketch pipeline runs ONCE (a self-join would evaluate it per
+    # side), and candidate pairs come from grouped bucket members, not a
+    # join. A pair colliding in several bands is emitted only in its
+    # FIRST matching band (each member carries its band-hash list), so
+    # no dropDuplicates shuffle is needed. Bucket sizes are ~N/huge for
+    # real text; production adds a bucket cap against degenerate-content
+    # skew.
+    # Explode a LITERAL index sequence, not the _bands column: a
+    # generator whose input references a derived column makes the
+    # optimizer inline the full sketch expression into the Generate
+    # node once per reference (measured 25x slowdown); a literal
+    # sequence generator leaves _bands as a plain attribute.
     banded = sigs.select(
-        "_id", F.explode(band_keys(n_hashes, bands)).alias("bk")
-    ).select("_id", F.col("bk.band_id").alias("band_id"),
-             F.col("bk.band_hash").alias("band_hash"))
+        "_id", "_bands", F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band_id")
+    ).select(
+        "band_id",
+        F.expr("_bands[band_id]").alias("band_hash"),
+        F.struct("_id", F.col("_bands").alias("bands")).alias("m"),
+    )
     buckets = (
         banded.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
-        .where(F.size("ids") > 1)
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .where(F.size("ms") > 1)
     )
-    candidates = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("p")
+    candidates = buckets.select(
+        "band_id",
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p"),
+    ).where(
+        ~F.expr(
+            "exists(zip_with(slice(p.a.bands, 1, band_id),"
+            " slice(p.b.bands, 1, band_id), (x, y) -> x = y), v -> v)"
         )
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # verification joins fetch shingle sets only for surviving pairs
+    ).select(F.col("p.a._id").alias("id_a"), F.col("p.b._id").alias("id_b"))
+    # verification joins fetch shingle sets only for surviving pairs;
+    # the candidate set is tiny relative to the corpus — broadcast it
+    # (then the candidate+sh_a intermediate) so the shingle table
+    # streams map-side and nothing big ever shuffles. If candidates
+    # outgrow the broadcast limit at extreme dup rates, drop the hints
+    # and these become ordinary shuffle joins.
     sh_tbl = base  # (_id, _sh)
+    with_a = sh_tbl.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
+    ).join(F.broadcast(candidates), "id_a")
     return (
-        candidates.join(
-            sh_tbl.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
-            "id_a",
-        )
-        .join(
-            sh_tbl.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")),
-            "id_b",
-        )
+        sh_tbl.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+        .join(F.broadcast(with_a), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -274,21 +290,19 @@ def simhash_pairs(
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    bands_col = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.shiftright(F.col("sketch"), b * band_bits)
-                .bitwiseAND(F.lit(mask))
-                .alias("band_val"),
-            )
-            for b in range(n_bands)
-        ]
-    )
     # grouped-bucket candidates: sketches computed once, one shuffle on
-    # the band key, pairs emitted from each bucket's member list
-    banded = base.select("_id", "sketch", F.explode(bands_col).alias("bk")).select(
-        "_id", "sketch", "bk.band_id", "bk.band_val"
+    # the band key, pairs emitted from each bucket's member list. The
+    # band index comes from a literal-sequence explode so the sketch
+    # aggregate is never inlined into the Generate node (see minhash).
+    banded = base.select(
+        "_id", "sketch", F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band_id")
+    ).select(
+        "_id",
+        "sketch",
+        "band_id",
+        F.expr(f"shiftright(sketch, band_id * {band_bits}) & {mask}").alias(
+            "band_val"
+        ),
     )
     buckets = (
         banded.groupBy("band_id", "band_val")
@@ -297,20 +311,33 @@ def simhash_pairs(
         )
         .where(F.size("ms") > 1)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ms, (x, i) -> "
-                "transform(slice(ms, i + 2, size(ms)), "
-                "y -> struct(x._id AS id_a, y._id AS id_b, "
-                "bit_count(x.sketch ^ y.sketch) AS hamming))))"
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b", "p.hamming")
-    return (
-        pairs.dropDuplicates(["id_a", "id_b"])
-        .where(F.col("hamming") <= max_hamming)
+    # A pair equal in several bands is emitted only in its FIRST equal
+    # band — the check recomputes earlier band values from the sketches
+    # both members already carry, so no dropDuplicates shuffle.
+    first_band = (
+        f"!exists(transform(sequence(0, {n_bands - 1}), b -> "
+        f"b < band_id AND (shiftright(p.x.sketch, b * {band_bits}) & {mask}) = "
+        f"(shiftright(p.y.sketch, b * {band_bits}) & {mask})), v -> v)"
     )
+    pairs = (
+        buckets.select(
+            "band_id",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), "
+                    "y -> struct(x AS x, y AS y))))"
+                )
+            ).alias("p"),
+        )
+        .where(F.expr(first_band))
+        .select(
+            F.col("p.x._id").alias("id_a"),
+            F.col("p.y._id").alias("id_b"),
+            F.expr("bit_count(p.x.sketch ^ p.y.sketch)").alias("hamming"),
+        )
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
 
 
 # --- exact n-gram Jaccard (inverted index) --------------------------------

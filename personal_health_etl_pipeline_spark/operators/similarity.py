@@ -134,21 +134,30 @@ def hyperplane_signs(n_planes: int, dims: int, table: int = 0) -> list[list[int]
     return signs
 
 
-def lsh_bucket(q_vec: Column, signs: list[list[int]]) -> Column:
-    """Bucket id: one sign bit per hyperplane (exact int projections)."""
-    bucket = F.lit(0).cast("bigint")
+def lsh_bucket_sql(vec_sql: str, signs: list[list[int]]) -> str:
+    """Bucket id as ONE SQL expression string: one sign bit per
+    hyperplane (exact int projections).
+
+    Built as text rather than composed ``Column`` objects on purpose:
+    the sign matrix is n_planes x dims literals, and composing it
+    through the Python Column API costs thousands of py4j round trips
+    (measured: ~2-3 s of pure driver time per query at 6x64). A single
+    ``F.expr`` string is parsed JVM-side in one call."""
+    terms = []
     for p, row in enumerate(signs):
-        proj = F.aggregate(
-            F.zip_with(
-                q_vec,
-                F.array(*[F.lit(s).cast("bigint") for s in row]),
-                lambda x, s: x * s,
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+        arr = ",".join(f"{s}L" for s in row)
+        proj = (
+            f"aggregate(zip_with({vec_sql}, array({arr}), (x, s) -> x * s),"
+            f" 0L, (a, x) -> a + x)"
         )
-        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("bigint")).otherwise(0)
-    return bucket
+        terms.append(f"IF({proj} > 0, {2 ** p}L, 0L)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_bucket(q_vec_sql: str, signs: list[list[int]]) -> Column:
+    """Bucket id column (see ``lsh_bucket_sql``); takes the *SQL name*
+    of the quantized vector column."""
+    return F.expr(lsh_bucket_sql(q_vec_sql, signs))
 
 
 def lsh_topk(
@@ -174,51 +183,66 @@ def lsh_topk(
         spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
         .select("_id", quantize(F.col(vec_col)).alias("_q"))
         .withColumn("_n2", norm2_int(F.col("_q")))
+        .withColumn(
+            "_bks",
+            F.expr(
+                "array("
+                + ",".join(
+                    lsh_bucket_sql("_q", hyperplane_signs(n_planes, dims, t))
+                    for t in range(n_tables)
+                )
+                + ")"
+            ),
+        )
     )
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket(F.col("_q"), hyperplane_signs(n_planes, dims, t)).alias(
-                    "bucket"
-                ),
+    # Carry (id, vec, norm, bucket-list) into the bucket groupBy so
+    # (query, candidate) pairs are scored inline — no join back to the
+    # vector table, and the first-matching-table rule (emit a pair only
+    # in the lowest table where it collides) replaces the cross-table
+    # dropDuplicates shuffle. One shuffle total before the top-k window;
+    # per-bucket payload is bounded by the expected bucket size
+    # N/2^planes (tune n_planes up at scale; AQE skew-split handles a
+    # pathological hot bucket). The table index comes from a literal-
+    # sequence explode so the bucket expressions are never inlined into
+    # the Generate node (a derived-column generator input gets the full
+    # expression tree substituted per reference — measured 25x cost in
+    # the minhash twin of this pipeline).
+    banded = base.select(
+        "_id", "_q", "_n2", "_bks",
+        F.explode(F.expr(f"sequence(0, {n_tables - 1})")).alias("tbl"),
+    ).select(
+        "tbl",
+        F.expr("_bks[tbl]").alias("bucket"),
+        F.struct("_id", "_q", "_n2", F.col("_bks").alias("bks")).alias("m"),
+    )
+    grouped = (
+        banded.groupBy("tbl", "bucket")
+        .agg(F.collect_list("m").alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    qc = (
+        grouped.select(
+            "tbl",
+            F.explode(F.filter("ms", lambda m: m["_id"] % query_mod == 0)).alias(
+                "q"
+            ),
+            F.col("ms"),
+        )
+        .select("tbl", "q", F.explode("ms").alias("c"))
+        .where(
+            (F.col("q._id") != F.col("c._id"))
+            & ~F.expr(
+                "exists(zip_with(slice(q.bks, 1, tbl), slice(c.bks, 1, tbl),"
+                " (x, y) -> x = y), v -> v)"
             )
-            for t in range(n_tables)
-        ]
-    )
-    banded = base.select("_id", F.explode(buckets).alias("bk")).select(
-        "_id", "bk.tbl", "bk.bucket"
-    )
-    qbanded = banded.where(F.col("_id") % query_mod == 0).select(
-        F.col("_id").alias("query_id"),
-        F.col("tbl").alias("qtbl"),
-        F.col("bucket").alias("qbucket"),
-    )
-    candidates = (
-        banded.join(
-            F.broadcast(qbanded),
-            (F.col("tbl") == F.col("qtbl"))
-            & (F.col("bucket") == F.col("qbucket"))
-            & (F.col("_id") != F.col("query_id")),
         )
-        .select("query_id", F.col("_id").alias("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    queries_v = base.select(
-        F.col("_id").alias("query_id"),
-        F.col("_q").alias("_qq"),
-        F.col("_n2").alias("_qn2"),
-    )
-    scored = (
-        candidates.join(base, candidates.neighbor_id == base._id)
-        .join(F.broadcast(queries_v), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_pre(
-                F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2")
-            ).alias("sim"),
-        )
+    scored = qc.select(
+        F.col("q._id").alias("query_id"),
+        F.col("c._id").alias("neighbor_id"),
+        cosine_pre(
+            F.col("q._q"), F.col("c._q"), F.col("q._n2"), F.col("c._n2")
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -251,65 +275,63 @@ def embedding_near_dup_pairs(
         spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
         .select("_id", quantize(F.col(vec_col)).alias("_q"))
         .withColumn("_n2", norm2_int(F.col("_q")))
+        .withColumn(
+            "_bks",
+            F.expr(
+                "array("
+                + ",".join(
+                    lsh_bucket_sql("_q", hyperplane_signs(n_planes, dims, t))
+                    for t in range(n_tables)
+                )
+                + ")"
+            ),
+        )
     )
-    buckets_col = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket(F.col("_q"), hyperplane_signs(n_planes, dims, t)).alias(
-                    "bucket"
-                ),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    banded = base.select("_id", F.explode(buckets_col).alias("bk")).select(
-        "_id", "bk.tbl", "bk.bucket"
+
+    # Carry-the-payload shape: vectors (plus each vector's full bucket
+    # list) ride into the bucket groupBy, upper-triangle pairs are
+    # scored inline. Cross-table duplicates are eliminated for free by
+    # the first-matching-table rule — a pair is emitted only in the
+    # lowest table where it collides — so the whole operator is ONE
+    # shuffle (the bucket groupBy): scan -> group -> explode/score.
+    # Literal-sequence explode: see lsh_topk for why the table index
+    # must not come from a derived-column generator.
+    banded = base.select(
+        "_id", "_q", "_n2", "_bks",
+        F.explode(F.expr(f"sequence(0, {n_tables - 1})")).alias("tbl"),
+    ).select(
+        "tbl",
+        F.expr("_bks[tbl]").alias("bucket"),
+        F.struct("_id", "_q", "_n2", F.col("_bks").alias("bks")).alias("m"),
     )
     grouped = (
         banded.groupBy("tbl", "bucket")
-        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
-        .where(F.size("ids") > 1)
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))  # struct sort = by _id
+        .where(F.size("ms") > 1)
     )
-    pairs = (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("p")
+    pairs = grouped.select(
+        "tbl",
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p"),
+    ).where(
+        # first-matching-table: no earlier table already bucketed them together
+        ~F.expr(
+            "exists(zip_with(slice(p.a.bks, 1, tbl), slice(p.b.bks, 1, tbl),"
+            " (x, y) -> x = y), v -> v)"
         )
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        pairs.join(
-            base.select(
-                F.col("_id").alias("id_a"),
-                F.col("_q").alias("qa"),
-                F.col("_n2").alias("na"),
-            ),
-            "id_a",
-        )
-        .join(
-            base.select(
-                F.col("_id").alias("id_b"),
-                F.col("_q").alias("qb"),
-                F.col("_n2").alias("nb"),
-            ),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            cosine_pre(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")).alias(
-                "sim"
-            ),
-        )
-        .where(F.col("sim") >= threshold)
-    )
+    return pairs.select(
+        F.col("p.a._id").alias("id_a"),
+        F.col("p.b._id").alias("id_b"),
+        cosine_pre(
+            F.col("p.a._q"), F.col("p.b._q"), F.col("p.a._n2"), F.col("p.b._n2")
+        ).alias("sim"),
+    ).where(F.col("sim") >= threshold)
 
 
 # --- IVF (inverted-file) ANN ---------------------------------------------
