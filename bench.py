@@ -51,6 +51,9 @@ HEADLINE = (
     "text_tfidf_top_terms",
     "emb_centroids",
     "mm_byte_stats",
+    "decontaminate_ngram",
+    "text_repetition_stats",
+    "pii_scrub_emails",
 )
 
 

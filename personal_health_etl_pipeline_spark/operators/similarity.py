@@ -397,21 +397,33 @@ def ivf_topk(
     )
     cents = quantized_centroids(base, label_col)
 
-    scored_c = base.crossJoin(F.broadcast(cents)).select(
-        "_id", "_q", "_n2", "cid", dist2_int(F.col("_q"), F.col("cvec")).alias("d2")
+    # The coarse quantizer is tiny (one centroid per list) — broadcast
+    # it as ONE collected array and rank lists per vector with a sorted
+    # array expression. That replaces two row_number windows (two
+    # shuffles of the full vector table, each recomputing the distance
+    # cross join) with a map-only pass; ties break (d2, cid) exactly as
+    # the window version did. A probe list never repeats a list_id, so
+    # (query, neighbor) pairs are unique by construction and no
+    # dropDuplicates shuffle is needed.
+    cent_arr = cents.agg(F.collect_list(F.struct("cid", "cvec")).alias("cs"))
+    ranked = base.crossJoin(F.broadcast(cent_arr)).withColumn(
+        "_ranked",
+        F.expr(
+            "array_sort(transform(cs, c -> struct("
+            "aggregate(zip_with(_q, c.cvec, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (a, x) -> a + x) AS d2, c.cid AS cid)))"
+        ),
     )
-    w_assign = Window.partitionBy("_id").orderBy("d2", "cid")
-    assigned = (
-        scored_c.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("_id", F.col("cid").alias("list_id"), "_q", "_n2")
+    assigned = ranked.select(
+        "_id", F.expr("_ranked[0].cid").alias("list_id"), "_q", "_n2"
     )
-    probes = (
-        scored_c.where(F.col("_id") % query_mod == 0)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") <= nprobe)
-        .select(F.col("_id").alias("query_id"), F.col("cid").alias("list_id"),
-                F.col("_q").alias("_qq"), F.col("_n2").alias("_qn2"))
+    probes = ranked.where(F.col("_id") % query_mod == 0).select(
+        F.col("_id").alias("query_id"),
+        F.col("_q").alias("_qq"),
+        F.col("_n2").alias("_qn2"),
+        F.explode(
+            F.expr(f"transform(slice(_ranked, 1, {nprobe}), c -> c.cid)")
+        ).alias("list_id"),
     )
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
@@ -423,7 +435,6 @@ def ivf_topk(
                 F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2")
             ).alias("sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from personal_health_etl_pipeline_spark.plans import analytics_surface as an
 from personal_health_etl_pipeline_spark.plans import llm_surface as llm
+from personal_health_etl_pipeline_spark.plans import llm_surface2 as llm2
 from personal_health_etl_pipeline_spark.plans import reference_surface as rs
 from personal_health_etl_pipeline_spark.plans import streaming_surface as st
 from personal_health_etl_pipeline_spark.plans import tpch
@@ -128,6 +129,20 @@ register("f4_array_to_json", an.f4_array_to_json, an.F4_ORACLE)
 register("a8_exact_percentiles", an.a8_exact_percentiles, an.A8_ORACLE)
 register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
 register("a10_corr_stats", an.a10_corr_stats, an.A10_ORACLE)
+
+# corpus curation (llm_surface2): mixing, decontamination, repetition,
+# shard planning, PII scrubbing
+register(
+    "corpus_sample_stratified",
+    llm2.corpus_sample_stratified,
+    llm2.CORPUS_SAMPLE_ORACLE,
+)
+register("decontaminate_ngram", llm2.decontaminate_ngram, llm2.DECONTAMINATE_ORACLE)
+register(
+    "text_repetition_stats", llm2.text_repetition_stats, llm2.TEXT_REPETITION_ORACLE
+)
+register("corpus_shard_plan", llm2.corpus_shard_plan, llm2.CORPUS_SHARD_ORACLE)
+register("pii_scrub_emails", llm2.pii_scrub_emails, llm2.PII_SCRUB_ORACLE)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,373 @@
+"""Training-data-pipeline operators, part 2: corpus curation.
+
+The ops a 100 TB pretraining-data pipeline runs between "raw crawl" and
+"tokenizer": stratified mixing, eval-set decontamination, Gopher-style
+repetition signals, deterministic shard planning, and PII scrubbing.
+Every query is oracle-checked (DuckDB SQL generated from the same
+parameters), extending the dedup/similarity/text family in
+``plans.llm_surface``.
+
+Reference scope: the reference repo has no corpus ops at all (it is a
+personal-health ETL, `composer_dags/dags/oura_dag.py:22-44`); this
+module is part of the engine's extended LLM-data surface
+(BASELINE.json north star).
+
+Determinism contract: anything that would normally use an RNG (sampling,
+shard assignment) uses the portable md5-derived hash family
+(functions/hashing.py) instead, so results are reproducible across
+engines, executors and runs — which is also what you want in a real
+pipeline for auditability and incremental re-runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.functions import text as T
+from personal_health_etl_pipeline_spark.functions.hashing import (
+    duckdb_md5_long,
+    md5_long,
+)
+from personal_health_etl_pipeline_spark.operators.partitioning import spread
+from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+# shared oracle CTE: whitespace tokenization (same as llm_surface)
+_TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id, source, lang,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+)
+"""
+
+
+# --- stratified corpus sampling (data mixing) -------------------------
+
+# per-language keep rates in basis points (upsample EN, downsample the
+# rest — the classic mixing move). Deterministic: a doc is kept iff
+# md5(doc_id) % 10000 < rate, so the sample is stable across runs and
+# engines — no RNG, no seed bookkeeping, trivially incremental.
+MIX_RATES_BP = {"en": 10000, "de": 6000, "fr": 6000, "es": 4000, "zh": 2500}
+_DEFAULT_RATE_BP = 1000
+
+
+def _rate_expr() -> F.Column:
+    expr = F.lit(_DEFAULT_RATE_BP)
+    for lang, bp in sorted(MIX_RATES_BP.items()):
+        expr = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(expr)
+    return expr
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample + per-stratum audit.
+
+    Scale shape: the keep-predicate is a row-local hash compare (no
+    shuffle, pushes nothing, prunes to 3 columns); the audit groupBy has
+    stratum cardinality (#langs), so partial aggregation collapses it
+    map-side. At 100 TB this is one scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kept = F.when(md5_long("doc_id") % 10000 < _rate_expr(), 1).otherwise(0)
+    return (
+        docs.select("lang", kept.alias("kept"), T.token_count("text").alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("n_tok")).alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _mix_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {bp}" for lang, bp in sorted(MIX_RATES_BP.items())
+    )
+    h = duckdb_md5_long("doc_id")
+    return rf"""
+WITH {_TOKS_CTE}
+SELECT lang,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN {h} % 10000 < (CASE lang {cases} ELSE {_DEFAULT_RATE_BP} END)
+                THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN {h} % 10000 < (CASE lang {cases} ELSE {_DEFAULT_RATE_BP} END)
+                THEN len(t) ELSE 0 END) AS tokens_kept
+FROM toks
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+CORPUS_SAMPLE_ORACLE = _mix_oracle()
+
+
+# --- eval-set decontamination -----------------------------------------
+
+# held-out "eval" docs: doc_id % 97 == 0 (stand-in for a benchmark set)
+_EVAL_MOD = 97
+_SHINGLE_N = 3
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs that share >= 1 word 3-gram with any eval doc.
+
+    The canonical test-set-decontamination pass: build the eval n-gram
+    set, semi-join the corpus against it, report per-doc overlap counts.
+
+    Scale shape: shingles are carried as 60-bit hashes (not strings) so
+    the join key is 8 bytes; the eval side is tiny by construction ->
+    broadcast, and the corpus side streams map-only — no shuffle of
+    corpus data at all. The per-doc count is a groupBy on doc_id of the
+    (already filtered) matches.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def hashed(side) -> DataFrame:
+        # split into eval/corpus BEFORE shingling so each doc is
+        # shingled+hashed exactly once (a shared subtree would be
+        # recomputed per consumer — Spark plans are trees, not DAGs)
+        shingled = side.select(
+            "doc_id", T.distinct_shingles("text", _SHINGLE_N).alias("_sh")
+        ).where(F.size("_sh") > 0)
+        return shingled.select("doc_id", F.explode("_sh").alias("s")).select(
+            "doc_id", md5_long("s").alias("h")
+        )
+
+    eval_h = (
+        hashed(docs.where(F.col("doc_id") % _EVAL_MOD == 0)).select("h").distinct()
+    )
+    # the corpus side is compute-bound (shingle + hash per token) — make
+    # sure a single-file scan doesn't serialize it on one task
+    return (
+        hashed(spread(docs.where(F.col("doc_id") % _EVAL_MOD != 0)))
+        .join(F.broadcast(eval_h), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_ORACLE = rf"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) >= {_SHINGLE_N}
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM toks
+),
+inv AS (
+  SELECT doc_id, {duckdb_md5_long("unnest(sh)")} AS h
+  FROM sh WHERE len(sh) > 0
+),
+eval_h AS (SELECT DISTINCT h FROM inv WHERE doc_id % {_EVAL_MOD} = 0)
+SELECT i.doc_id, COUNT(*) AS n_shared_ngrams
+FROM inv i JOIN eval_h e ON i.h = e.h
+WHERE i.doc_id % {_EVAL_MOD} <> 0
+GROUP BY i.doc_id
+ORDER BY i.doc_id
+"""
+
+
+# --- Gopher-style repetition signals ----------------------------------
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition quality signals (Gopher-rule family):
+    duplicate-word fraction, most-frequent-word fraction, and
+    most-frequent-bigram fraction.
+
+    Scale shape: two wordcount-style aggregations (groupBy (doc, term))
+    — the textbook partial-agg-friendly shuffle — joined back on
+    doc_id; both sides are already hash-partitioned on doc_id by their
+    final groupBy, so the join is co-partitioned (no extra exchange).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens("text").alias("t")).where(F.size("t") > 0)
+
+    words = toks.select("doc_id", F.explode("t").alias("w"))
+    word_stats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    bigrams = toks.select(
+        "doc_id", F.explode(T.word_shingles(F.col("t"), 2)).alias("b")
+    )
+    bigram_stats = (
+        bigrams.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bc"))
+    )
+    return (
+        word_stats.join(bigram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_word_frac"),
+            F.round(
+                F.coalesce(F.col("top_bc") / F.col("n_bigrams"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_ORACLE = rf"""
+WITH {_TOKS_CTE},
+nonempty AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+words AS (SELECT doc_id, unnest(t) AS w FROM nonempty),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+ws AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_c
+       FROM wc GROUP BY doc_id),
+bigrams AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+      ELSE CAST([] AS VARCHAR[]) END) AS b
+  FROM nonempty
+),
+bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bigrams GROUP BY doc_id, b),
+bs AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bc FROM bc GROUP BY doc_id)
+SELECT ws.doc_id, ws.n_tokens,
+       ROUND(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_word_frac,
+       ROUND(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_word_frac,
+       ROUND(COALESCE(CAST(top_bc AS DOUBLE) / n_bigrams, 0.0), 6) AS top_bigram_frac
+FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+ORDER BY ws.doc_id
+"""
+
+
+# --- deterministic shard plan -----------------------------------------
+
+N_SHARDS = 32
+
+
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard assignment for the training-data writer: shard =
+    md5(doc_id) % N — a deterministic global shuffle (stable across
+    reruns, so resuming a partial write is safe) with per-shard size
+    audit. The audit is the query; the writer would be
+    ``df.repartition(N, shard).write.partitionBy(shard)``.
+
+    Scale shape: one scan, one tiny groupBy (N rows); md5 spreads
+    uniformly so shards balance regardless of doc_id clustering.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (md5_long("doc_id") % N_SHARDS).alias("shard"),
+            T.token_count("text").alias("n_tok"),
+            F.col("n_chars"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+CORPUS_SHARD_ORACLE = rf"""
+WITH {_TOKS_CTE}
+SELECT {duckdb_md5_long("d.doc_id")} % {N_SHARDS} AS shard,
+       COUNT(*) AS n_docs,
+       SUM(len(t.t)) AS n_tokens,
+       SUM(d.n_chars) AS total_chars
+FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+GROUP BY 1
+ORDER BY shard
+"""
+
+
+# --- PII scrubbing ----------------------------------------------------
+
+# The synthetic corpus carries no real PII, so a deterministic injection
+# step plants emails first (doc_id % 7 == 0 gets one; % 21 == 0 gets a
+# second) and the scrub is verified by count + redacted-text digest.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def pii_scrub_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-redact emails; per-source audit of docs touched,
+    emails removed, and an md5 digest of every redacted text (the
+    digest makes the value-hash check certify the *replacement* output,
+    not just the counts).
+
+    Scale shape: row-local regex work in one scan (JVM regexp, no UDF);
+    the audit groupBy has #sources cardinality -> map-side collapse.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 21 == 0,
+                F.concat(F.lit(" cc admin"), F.col("doc_id"), F.lit("@corp.example.org")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = planted.select(
+        "doc_id",
+        "source",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.md5(F.regexp_replace("text", _EMAIL_RE, "<EMAIL>")).alias("redacted_md5"),
+    )
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("n_emails") > 0, 1).otherwise(0)).alias("n_docs_with_pii"),
+            F.sum("n_emails").alias("n_emails"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("redacted_md5")))
+            ).alias("redacted_digest"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_SCRUB_ORACLE = rf"""
+WITH planted AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 21 = 0
+                 THEN ' cc admin' || doc_id || '@corp.example.org' ELSE '' END
+           AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+         md5(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g')) AS redacted_md5
+  FROM planted
+)
+SELECT source,
+       SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
+       SUM(n_emails) AS n_emails,
+       md5(list_aggregate(list_sort(list(redacted_md5)), 'string_agg', ','))
+         AS redacted_digest
+FROM scrubbed
+GROUP BY source
+ORDER BY source
+"""
