@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from personal_health_etl_pipeline_spark.plans import analytics_surface as an
 from personal_health_etl_pipeline_spark.plans import llm_surface as llm
 from personal_health_etl_pipeline_spark.plans import llm_surface2 as llm2
+from personal_health_etl_pipeline_spark.plans import sketches as sk
 from personal_health_etl_pipeline_spark.plans import reference_surface as rs
 from personal_health_etl_pipeline_spark.plans import streaming_surface as st
 from personal_health_etl_pipeline_spark.plans import tpch
@@ -143,6 +144,14 @@ register(
 )
 register("corpus_shard_plan", llm2.corpus_shard_plan, llm2.CORPUS_SHARD_ORACLE)
 register("pii_scrub_emails", llm2.pii_scrub_emails, llm2.PII_SCRUB_ORACLE)
+
+# deterministic sketches (portable twins of HLL / random-projection)
+register("sketch_kmv_distinct", sk.sketch_kmv_distinct, sk.SKETCH_KMV_ORACLE)
+register(
+    "emb_random_projection",
+    sk.emb_random_projection,
+    sk.EMB_RANDOM_PROJECTION_ORACLE,
+)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,184 @@
+"""Deterministic sketch operators: KMV distinct-count, JL projection.
+
+Sketches are how a 100 TB engine answers "how many distinct / how
+similar" without holding exact state. Spark's built-ins
+(``approx_count_distinct`` HLL++, ``BucketedRandomProjectionLSH``) are
+engine-internal and RNG-seeded, so the oracle cannot reproduce them;
+these twins are built from the portable md5 hash family instead —
+identical math in Spark and DuckDB, so the driver's value-hash gate
+certifies the *sketch algorithm*, not just a row count.
+
+* **KMV (k-minimum-values)** — keep the k smallest 60-bit hashes of the
+  key; NDV ~= (k-1) * H / h_k where h_k is the k-th minimum and H the
+  hash domain. Mergeable (union of min-sets), one shuffle, O(k) state
+  per group: the classic distributed distinct-count sketch
+  (Bar-Yossef et al., "Counting distinct elements in a data stream").
+* **JL random projection** — 64-dim embeddings down to 16 dims with a
+  +-1 sign matrix / sqrt(d): distance-preserving in expectation
+  (Johnson-Lindenstrauss; Achlioptas signs). The sign matrix derives
+  from md5 like the LSH hyperplanes, so both engines multiply the
+  same matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.functions.hashing import (
+    duckdb_md5_long,
+    md5_long,
+)
+from personal_health_etl_pipeline_spark.operators.similarity import hyperplane_signs
+from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+# --- KMV distinct-count sketch ----------------------------------------
+
+KMV_K = 256
+_H_DOMAIN = float(16 ** 15)  # md5_long range [0, 2^60)
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from a 256-minimum-values
+    sketch, next to the exact count so the audit shows the error.
+
+    Scale shape: the distinct pass shuffles (type, hash) pairs once;
+    the rank window then operates on *distinct* hashes only. At real
+    scale the k-min set would be kept by a partial top-k aggregate
+    (O(k) executor state, mergeable across partitions) — the window
+    formulation here is the same algorithm with Spark picking the
+    physical plan. Estimate arithmetic is integer/IEEE-deterministic:
+    bigint hash -> double divide -> floor.
+    """
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(
+        "event_type", md5_long("user_id").alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= KMV_K)
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_mins"),
+            F.max("h").alias("kth_min"),
+        )
+        .join(
+            events.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("exact_ndv")
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            # a group with fewer than k distinct keys is exact by definition
+            F.when(F.col("n_mins") < KMV_K, F.col("n_mins"))
+            .otherwise(
+                F.floor(
+                    (F.lit(KMV_K - 1) * F.lit(_H_DOMAIN))
+                    / F.col("kth_min").cast("double")
+                ).cast("bigint")
+            )
+            .alias("est_ndv"),
+            "exact_ndv",
+        )
+        .orderBy("event_type")
+    )
+
+
+SKETCH_KMV_ORACLE = rf"""
+WITH d AS (
+  SELECT DISTINCT event_type, {duckdb_md5_long("user_id")} AS h FROM events
+),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+),
+mins AS (
+  SELECT event_type, COUNT(*) AS n_mins, MAX(h) AS kth_min
+  FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_ndv
+  FROM events GROUP BY event_type
+)
+SELECT m.event_type,
+       CASE WHEN n_mins < {KMV_K} THEN n_mins
+            ELSE CAST(FLOOR({KMV_K - 1} * {_H_DOMAIN!r} / CAST(kth_min AS DOUBLE))
+                      AS BIGINT) END AS est_ndv,
+       exact_ndv
+FROM mins m JOIN exact e ON m.event_type = e.event_type
+ORDER BY m.event_type
+"""
+
+
+# --- Johnson-Lindenstrauss random projection --------------------------
+
+JL_OUT_DIMS = 16
+JL_IN_DIMS = 64
+_JL_TABLE_SEED = 97  # disjoint from the LSH tables' seeds
+
+
+def _jl_signs() -> list[list[int]]:
+    return hyperplane_signs(JL_OUT_DIMS, JL_IN_DIMS, table=_JL_TABLE_SEED)
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64 -> 16 dim JL projection of every embedding: out_j =
+    dot(quantized_vec, signs_j) / (sqrt(64) * 1e6) = dot * 125 / 1e9.
+
+    Scale shape: pure map — one scan, no shuffle, each output dim one
+    integer dot product (single SQL expression, cf. lsh_bucket_sql for
+    why it is built as text). The exact-integer dot makes the double
+    division the only float step, identical in both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = _jl_signs()
+    # out_j = dot / (8 * 1e6) = dot * 125 / 1e9. dot*125 < 2^53 so the
+    # numerator is exact in a double and the single division is
+    # correctly rounded — bit-identical in Spark and DuckDB. (A final
+    # ROUND(x, 6) would NOT be: decimal rounding of doubles differs
+    # between engines at .5 boundaries.)
+    dims = []
+    for j, row in enumerate(signs):
+        arr = ",".join(f"{s}L" for s in row)
+        dims.append(
+            f"CAST(aggregate(zip_with(_q, array({arr}), (x, s) -> x * s),"
+            f" 0L, (a, x) -> a + x) * 125 AS DOUBLE) / 1.0e9"
+        )
+    return (
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+            ).alias("_q"),
+        )
+        .select("vec_id", F.expr(f"array({','.join(dims)})").alias("projected"))
+        .orderBy("vec_id")
+    )
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    dims = []
+    for row in signs:
+        arr = ",".join(str(s) for s in row)
+        dims.append(
+            f"CAST(list_sum(list_transform(range(1, {JL_IN_DIMS + 1}),"
+            f" i -> qv[i] * ([{arr}])[i])) * 125 AS DOUBLE) / 1.0e9"
+        )
+    return rf"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT vec_id, [{",".join(dims)}] AS projected
+FROM q
+ORDER BY vec_id
+"""
+
+
+EMB_RANDOM_PROJECTION_ORACLE = _jl_oracle()
