@@ -118,6 +118,7 @@ register("st_sliding_window_agg", st.st_sliding_window_agg, st.ST_SLIDING_ORACLE
 register("st_session_window_agg", st.st_session_window_agg, st.ST_SESSION_ORACLE)
 register("st_dedup_events", st.st_dedup_events, st.ST_DEDUP_ORACLE)
 register("st_interval_join", st.st_interval_join, st.ST_INTERVAL_JOIN_ORACLE)
+register("st_enrich_static", st.st_enrich_static, st.ST_ENRICH_STATIC_ORACLE)
 
 # analytic surface: windows, multi-dim aggregates, set ops, boundary casts
 register("w4_rank_lag_lead", an.w4_rank_lag_lead, an.W4_ORACLE)

@@ -162,3 +162,54 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND c.ts >= p.ts - INTERVAL 600 SECOND AND c.ts <= p.ts
 ORDER BY purchase_id, click_id
 """
+
+
+def st_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases enriched with a static per-user click profile — the
+    stream-static broadcast join (streaming/joins.py:enrich_static),
+    executed in batch for the oracle. The profile is a bounded
+    dimension (one row per user); the purchase stream never shuffles.
+    """
+    from personal_health_etl_pipeline_spark.streaming.joins import enrich_static
+
+    ev = load_table(spark, sf_dir, "events")
+    profile = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            exact_sum_cents(cents("value"), 2).alias("click_value"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", cents("value").alias("purchase_cents")
+    )
+    return (
+        enrich_static(purchases, profile, on="user_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("purchase_cents").cast("double") / 100, 2).alias(
+                "purchase_value"
+            ),
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            "click_value",
+        )
+        .orderBy("event_id")
+    )
+
+
+ST_ENRICH_STATIC_ORACLE = """
+WITH profile AS (
+  SELECT user_id, COUNT(*) AS n_clicks,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT p.event_id, p.user_id,
+       ROUND(CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE), 2) AS purchase_value,
+       COALESCE(pr.n_clicks, 0) AS n_clicks,
+       pr.click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN profile pr ON p.user_id = pr.user_id
+ORDER BY p.event_id
+"""

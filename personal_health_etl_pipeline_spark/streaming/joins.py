@@ -71,3 +71,34 @@ def interval_join(
     return left.join(renamed, cond, how).drop(
         *[_RKEY.format(i) for i in range(len(keys))]
     )
+
+
+def enrich_static(
+    stream: DataFrame,
+    static: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of ``stream`` is
+    joined against the (bounded) ``static`` dimension, broadcast so the
+    stream never shuffles and no join state is kept.
+
+    This is the canonical "attach the profile/dimension to the live
+    event" operator. Unlike a stream-stream join it needs no watermark:
+    the static side is re-resolved per micro-batch (so an updated
+    dimension table is picked up on the next batch) and nothing is
+    buffered. Works identically in batch mode — the catalog
+    oracle-checks the semantics there, ``tests/test_streaming.py``
+    certifies micro-batch execution.
+
+    At 100 TB the constraint is only the broadcast limit on the static
+    side; past that, drop the hint and pre-bucket both sides on the key.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    collisions = (set(stream.columns) & set(static.columns)) - set(keys)
+    if collisions:
+        raise ValueError(
+            f"column collision with static side: {sorted(collisions)}; "
+            "rename before joining"
+        )
+    return stream.join(F.broadcast(static), keys, how)

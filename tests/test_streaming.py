@@ -305,3 +305,50 @@ class TestStreamStreamIntervalJoin:
         want = sorted(map(tuple, build(batch_df).collect()))
         assert got == want
         assert want == [(3, 2)]  # only user 1's t+4 click is in window
+
+
+class TestEnrichStatic:
+    def test_stream_static_enrichment_matches_batch(self, spark, tmp_path):
+        """Purchases enriched per micro-batch against a static profile
+        must equal the same function's batch output — including stream
+        rows with no profile match (left join) and a profile update
+        being picked up only when re-resolved per batch."""
+        from personal_health_etl_pipeline_spark.streaming.joins import enrich_static
+
+        profile = spark.createDataFrame(
+            [(1, 5, 10.0), (2, 2, 4.0)], "user_id long, n_clicks long, click_value double"
+        )
+        rows = [
+            (1, 1, 1, "purchase", 10.0),
+            (2, 2, 2, "purchase", 20.0),
+            (3, 3, 9, "purchase", 30.0),  # no profile -> NULLs survive
+            (4, 4, 1, "purchase", 40.0),
+        ]
+        src, ckpt = _one_batch_dirs(tmp_path)
+        _write_batch(spark, src, rows[:2], "b0")
+        _write_batch(spark, src, rows[2:], "b1")
+
+        def build(df):
+            purchases = df.where(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "value"
+            )
+            return enrich_static(purchases, profile, on="user_id").select(
+                "event_id", "user_id", "value", "n_clicks", "click_value"
+            )
+
+        stream = read_events_stream(spark, src)
+        got = sorted(
+            map(tuple, _run_to_memory(spark, build(stream), "ses", ckpt).collect())
+        )
+        batch_df = spark.createDataFrame(_mk_events(rows), EVENTS_SCHEMA)
+        want = sorted(map(tuple, build(batch_df).collect()))
+        assert got == want
+        assert (3, 9, 30.0, None, None) in got  # unmatched row kept, NULL profile
+
+    def test_column_collision_raises(self, spark):
+        from personal_health_etl_pipeline_spark.streaming.joins import enrich_static
+
+        a = spark.createDataFrame([(1, 2)], "user_id long, value long")
+        b = spark.createDataFrame([(1, 3)], "user_id long, value long")
+        with pytest.raises(ValueError, match="collision"):
+            enrich_static(a, b, on="user_id")
