@@ -169,3 +169,62 @@ class TestSaltedJoin:
         out = salted_join(fact, only_small_dim, "k", how="left_outer")
         assert out.count() == fact.count()
         assert out.where(F.col("dim_val").isNull()).count() > 0
+
+
+class TestCurationPlanShape:
+    """Plan gates for the corpus-curation / sketch / streaming-enrich
+    operators: the joins that must broadcast do, and the single-scan
+    ops stay single-scan."""
+
+    def test_decontaminate_broadcasts_eval_side(self, spark, sf_dir):
+        from personal_health_etl_pipeline_spark.plans.llm_surface2 import (
+            decontaminate_ngram,
+        )
+
+        plan = _executed_plan(decontaminate_ngram(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan  # corpus side must never shuffle-join
+
+    def test_enrich_static_is_broadcast_no_state(self, spark, sf_dir):
+        from personal_health_etl_pipeline_spark.plans.streaming_surface import (
+            st_enrich_static,
+        )
+
+        plan = _executed_plan(st_enrich_static(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+
+    def test_sample_and_shard_are_single_scan_partial_agg(self, spark, sf_dir):
+        from personal_health_etl_pipeline_spark.plans.llm_surface2 import (
+            corpus_sample_stratified,
+            corpus_shard_plan,
+        )
+
+        for fn in (corpus_sample_stratified, corpus_shard_plan):
+            plan = _executed_plan(fn(spark, sf_dir))
+            # one scan, no join, and a partial aggregate before the exchange
+            assert plan.count("FileScan parquet") == 1, fn.__name__
+            assert "Join" not in plan, fn.__name__
+            assert "partial" in plan.lower(), fn.__name__
+
+    def test_random_projection_is_pure_map(self, spark, sf_dir):
+        from personal_health_etl_pipeline_spark.plans.sketches import (
+            emb_random_projection,
+        )
+
+        plan = _executed_plan(
+            emb_random_projection(spark, sf_dir).drop("projected").limit(1)
+        )
+        assert "Join" not in plan
+
+    def test_lsh_single_shuffle_before_topk(self, spark, sf_dir):
+        """The carry-payload LSH pipelines: no join back to the vector
+        table — bucket groupBy is the only wide transform before the
+        per-query window."""
+        from personal_health_etl_pipeline_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        plan = _executed_plan(embedding_near_dup_pairs(emb))
+        assert "Join" not in plan  # pairs are scored inline from bucket lists
