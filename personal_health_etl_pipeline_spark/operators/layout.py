@@ -1,0 +1,100 @@
+"""Storage-layout maintenance: small-file compaction, range clustering.
+
+At 100 TB the dominant silent cost is not a bad plan but a bad layout:
+a daily incremental append (the reference's write mode,
+`composer_dags/dags/utils/data_sources/oura/etl/load.py:184-187`)
+produces thousands of small files per partition, and an unclustered
+table gives parquet min/max statistics no pruning power. These two
+operators are the standard maintenance passes:
+
+* **compact** — rewrite a parquet directory into ~``target_bytes``
+  files (count derived from actual on-disk size, not a guess). Fewer,
+  right-sized files = fewer scan tasks, fewer namenode/liststore calls,
+  better column-chunk compression.
+* **cluster_by** — global range-partition + in-file sort on the chosen
+  keys. Each output file then covers a narrow key range, so parquet
+  footer min/max statistics actually prune: a point/range predicate on
+  the cluster key skips whole files (the poor man's Z-order; for one
+  key prefix it is strictly better).
+
+Both are rewrite jobs meant for a maintenance schedule, not the query
+path — idempotent, and safe to re-run.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def parquet_file_count(path: str) -> int:
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite ``path`` into ceil(size / target_bytes) parquet files at
+    ``out_path``; returns the output file count.
+
+    The file count comes from the *measured* input size, so a directory
+    of 10k drizzle files and one of 3 big files both land on the same
+    target layout. Rewrite-to-new-path (then swap) rather than
+    in-place: readers never see a half-compacted directory.
+
+    On object storage the local ``os.walk`` sizing becomes a liststore
+    call (or the table format's manifest); everything else is
+    unchanged.
+    """
+    n_files = max(1, math.ceil(_dir_bytes(path) / target_bytes))
+    df = spark.read.parquet(path)
+    # coalesce, not repartition: pure file-merge needs no shuffle —
+    # each output file is a concatenation of input splits
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def cluster_by(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Rewrite ``path`` range-clustered on ``cols``: one total-order
+    range partitioning (sampled boundaries, one shuffle) and a
+    sort *within* each output file.
+
+    After this, every file holds a disjoint ``cols`` range -> parquet
+    min/max footer stats prune files for predicates on the cluster key,
+    and within-file sorting maximizes row-group skipping and RLE/delta
+    compression on the key columns.
+    """
+    df = spark.read.parquet(path)
+    if n_files is None:
+        n_files = max(1, math.ceil(_dir_bytes(path) / (128 * 1024 * 1024)))
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

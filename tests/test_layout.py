@@ -1,0 +1,74 @@
+"""Storage-layout maintenance tests: compaction and range clustering.
+
+Asserts the *layout* contract (file counts, disjoint per-file key
+ranges), and that both rewrites are content-preserving.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.operators.layout import (
+    cluster_by,
+    compact,
+    parquet_file_count,
+)
+
+
+@pytest.fixture()
+def drizzle(spark, tmp_path):
+    """A small-file mess: 20 appends of ~250 rows each."""
+    path = str(tmp_path / "drizzle")
+    for i in range(20):
+        spark.range(i * 250, (i + 1) * 250).select(
+            F.col("id"), (F.col("id") % 97).alias("k")
+        ).coalesce(1).write.mode("append").parquet(path)
+    return path
+
+
+class TestCompact:
+    def test_merges_to_target_count_and_preserves_rows(self, spark, tmp_path, drizzle):
+        out = str(tmp_path / "compacted")
+        assert parquet_file_count(drizzle) >= 20
+        # tiny target -> still collapses the drizzle into very few files
+        n = compact(spark, drizzle, out, target_bytes=10 * 1024 * 1024)
+        assert parquet_file_count(out) == n == 1
+        before = spark.read.parquet(drizzle)
+        after = spark.read.parquet(out)
+        assert after.count() == before.count() == 5000
+        assert after.agg(F.sum("id")).first()[0] == before.agg(F.sum("id")).first()[0]
+
+    def test_no_shuffle_in_compaction_plan(self, spark, tmp_path, drizzle):
+        # coalesce-based merge: the write job must not contain an exchange
+        df = spark.read.parquet(drizzle).coalesce(1)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestClusterBy:
+    def test_files_cover_disjoint_key_ranges(self, spark, tmp_path, drizzle):
+        out = str(tmp_path / "clustered")
+        cluster_by(spark, drizzle, out, cols=["id"], n_files=4)
+        files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+        assert len(files) == 4
+        ranges = []
+        for f in files:
+            t = pq.read_table(f, columns=["id"])
+            ids = t.column("id").to_pylist()
+            assert ids == sorted(ids)  # sorted within file
+            ranges.append((min(ids), max(ids)))
+        ranges.sort()
+        for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+            assert hi_a < lo_b  # disjoint -> min/max stats prune files
+
+    def test_content_preserved(self, spark, tmp_path, drizzle):
+        out = str(tmp_path / "clustered2")
+        cluster_by(spark, drizzle, out, cols=["k", "id"], n_files=3)
+        before = spark.read.parquet(drizzle).orderBy("id").collect()
+        after = spark.read.parquet(out).orderBy("id").collect()
+        assert after == before
