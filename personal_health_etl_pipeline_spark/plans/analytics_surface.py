@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 from personal_health_etl_pipeline_spark.plans.exact import (
     cents,
     d2,
-    exact_sum,
     exact_sum_cents,
     oracle_sum,
     od2,

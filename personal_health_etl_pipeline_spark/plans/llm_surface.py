@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.functions import text as T
-from personal_health_etl_pipeline_spark.functions.hashing import md5_hex
 from personal_health_etl_pipeline_spark.operators import dedup as D
 from personal_health_etl_pipeline_spark.operators import similarity as S
 from personal_health_etl_pipeline_spark.sources.tables import load_table

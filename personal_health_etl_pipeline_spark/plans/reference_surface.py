@@ -34,8 +34,6 @@ from personal_health_etl_pipeline_spark.operators.incremental import (
 from personal_health_etl_pipeline_spark.plans.exact import (
     cents,
     cents_to_double,
-    d2,
-    exact_sum,
     exact_sum_cents,
 )
 from personal_health_etl_pipeline_spark.schema import align_to_schema

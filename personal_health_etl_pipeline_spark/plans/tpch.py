@@ -20,9 +20,7 @@ from personal_health_etl_pipeline_spark.plans.exact import (
     cents,
     cents_sum_double,
     d2,
-    exact_avg,
     exact_avg_cents,
-    exact_sum,
     exact_sum_cents,
 )
 from personal_health_etl_pipeline_spark.sources.tables import load_table
