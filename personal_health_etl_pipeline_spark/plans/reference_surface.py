@@ -386,8 +386,8 @@ WITH flagged AS (
 ),
 sessioned AS (
   SELECT user_id, ts,
-         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,

@@ -35,6 +35,13 @@ BOUNDED_DIMS = ("region", "nation")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores INT64 TIMESTAMP(NANOS); Spark refuses that
+        # physical type unless nanosAsLong is on. The repo's own session
+        # factory sets it at build time (session.py), but load_table must
+        # also work on a vanilla SparkSession (e.g. an external harness),
+        # and the conf is runtime-settable SQLConf, so set it here too.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read via nanosAsLong: truncate to µs
