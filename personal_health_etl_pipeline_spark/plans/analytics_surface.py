@@ -220,8 +220,8 @@ def f4_array_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 F4_ORACLE = """
 SELECT vec_id,
-       to_json(list_transform(embedding[1:4],
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))) AS head_json,
+       CAST(to_json(list_transform(embedding[1:4],
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))) AS VARCHAR) AS head_json,
        length(to_json(list_transform(embedding[1:4],
                x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)))) AS json_len
 FROM embeddings

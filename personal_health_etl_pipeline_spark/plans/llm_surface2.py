@@ -90,10 +90,10 @@ def _mix_oracle() -> str:
 WITH {_TOKS_CTE}
 SELECT lang,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN {h} % 10000 < (CASE lang {cases} ELSE {_DEFAULT_RATE_BP} END)
-                THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN {h} % 10000 < (CASE lang {cases} ELSE {_DEFAULT_RATE_BP} END)
-                THEN len(t) ELSE 0 END) AS tokens_kept
+       CAST(SUM(CASE WHEN {h} % 10000 < (CASE lang {cases} ELSE {_DEFAULT_RATE_BP} END)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN {h} % 10000 < (CASE lang {cases} ELSE {_DEFAULT_RATE_BP} END)
+                THEN len(t) ELSE 0 END) AS BIGINT) AS tokens_kept
 FROM toks
 GROUP BY lang
 ORDER BY lang
@@ -240,7 +240,7 @@ bigrams AS (
 ),
 bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bigrams GROUP BY doc_id, b),
 bs AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bc FROM bc GROUP BY doc_id)
-SELECT ws.doc_id, ws.n_tokens,
+SELECT ws.doc_id, CAST(ws.n_tokens AS BIGINT) AS n_tokens,
        ROUND(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_word_frac,
        ROUND(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_word_frac,
        ROUND(COALESCE(CAST(top_bc AS DOUBLE) / n_bigrams, 0.0), 6) AS top_bigram_frac
@@ -285,8 +285,8 @@ CORPUS_SHARD_ORACLE = rf"""
 WITH {_TOKS_CTE}
 SELECT {duckdb_md5_long("d.doc_id")} % {N_SHARDS} AS shard,
        COUNT(*) AS n_docs,
-       SUM(len(t.t)) AS n_tokens,
-       SUM(d.n_chars) AS total_chars
+       CAST(SUM(len(t.t)) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
 FROM documents d JOIN toks t ON d.doc_id = t.doc_id
 GROUP BY 1
 ORDER BY shard
@@ -363,8 +363,8 @@ scrubbed AS (
   FROM planted
 )
 SELECT source,
-       SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
-       SUM(n_emails) AS n_emails,
+       CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       CAST(SUM(n_emails) AS BIGINT) AS n_emails,
        md5(list_aggregate(list_sort(list(redacted_md5)), 'string_agg', ','))
          AS redacted_digest
 FROM scrubbed

@@ -537,7 +537,7 @@ def f8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 F8_ORACLE = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
 FROM events GROUP BY event_type ORDER BY event_type
 """

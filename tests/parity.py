@@ -2,9 +2,18 @@
 
 Runs a catalog query on Spark and its oracle SQL on DuckDB over the
 same parquet tables, then compares row count, column-name set and
-(order-insensitively) every value. Floats must match to 1e-9 — the
-engine's aggregation recipe (plans.exact) is designed to make them
-bit-identical, so any drift is a real bug, not noise.
+(order-insensitively) every value. Stricter than a plain value compare,
+to mirror the driver's type-sensitive value hash:
+
+- floats must match EXACTLY (the engine's aggregation recipe in
+  plans.exact is designed bit-identical vs DuckDB; drift is a bug);
+- oracle column types may not include HUGEINT/UHUGEINT (DuckDB's
+  SUM(integer) result type) — pandas-based hashers normalize int128
+  differently than Spark's bigint, so an oracle emitting HUGEINT can
+  pass a Python-int compare yet fail the driver hash (q12, round 1);
+- per-column type *category* (int/float/decimal/str/bool/date/
+  timestamp/list) must agree between the Spark schema and the DuckDB
+  relation type.
 """
 
 from __future__ import annotations
@@ -12,6 +21,7 @@ from __future__ import annotations
 import datetime as dt
 import decimal
 import math
+import re
 
 import duckdb
 
@@ -29,17 +39,47 @@ TABLES = (
 )
 
 
-def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+def run_oracle(
+    sql: str, sf_dir: str
+) -> tuple[list[str], list[tuple], list[str]]:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
+    rows = rel.fetchall()
     con.close()
-    return cols, rows
+    return cols, rows, types
+
+
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def _type_category(type_name: str) -> str:
+    """Collapse a Spark dtype or DuckDB type string to a coarse category."""
+    t = type_name.upper()
+    if t.endswith("[]") or t.startswith("ARRAY"):
+        return "list"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("FLOAT", "DOUBLE", "REAL") or t.startswith("FLOAT"):
+        return "float"
+    if re.match(r"^U?(TINY|SMALL|BIG|HUGE)?INT", t) or t in ("LONG", "SHORT", "BYTE"):
+        return "int"
+    if t.startswith("VARCHAR") or t.startswith("STRING") or t == "TEXT":
+        return "str"
+    if t.startswith("BOOL"):
+        return "bool"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t.startswith("BINARY") or t.startswith("BLOB"):
+        return "binary"
+    return t.lower()
 
 
 def _norm(v):
@@ -60,11 +100,37 @@ def _sort_key(row):
     )
 
 
-def compare(spark_df, oracle_cols: list[str], oracle_rows: list[tuple]) -> None:
+def compare(
+    spark_df,
+    oracle_cols: list[str],
+    oracle_rows: list[tuple],
+    oracle_types: list[str] | None = None,
+) -> None:
     s_cols = list(spark_df.columns)
     assert sorted(s_cols) == sorted(oracle_cols), (
         f"column mismatch: spark={sorted(s_cols)} oracle={sorted(oracle_cols)}"
     )
+    if oracle_types is not None:
+        s_types = dict(spark_df.dtypes)
+        o_types = dict(zip(oracle_cols, oracle_types))
+        for c in oracle_cols:
+            ot = o_types[c]
+            for banned in _BANNED_ORACLE_TYPES:
+                assert banned not in ot.upper(), (
+                    f"oracle column {c!r} is {ot}: DuckDB int128 does not "
+                    f"round-trip through pandas like Spark bigint — CAST the "
+                    f"oracle expression AS BIGINT"
+                )
+            sc, oc = _type_category(s_types[c]), _type_category(ot)
+            # decimal-vs-float is tolerated: pandas renders both as float64,
+            # and several oracles intentionally return DECIMAL where Spark
+            # rounds to double (values still compared exactly below).
+            if {sc, oc} == {"decimal", "float"}:
+                continue
+            assert sc == oc, (
+                f"type-category mismatch on {c!r}: spark {s_types[c]} ({sc}) "
+                f"vs oracle {ot} ({oc})"
+            )
     s_rows = [tuple(row) for row in spark_df.collect()]
     assert len(s_rows) == len(oracle_rows), (
         f"row count mismatch: spark={len(s_rows)} oracle={len(oracle_rows)}"
@@ -81,10 +147,7 @@ def compare(spark_df, oracle_cols: list[str], oracle_rows: list[tuple]) -> None:
     for rn, (sr, orow) in enumerate(zip(s_norm, o_norm)):
         for cn, (sv, ov) in enumerate(zip(sr, orow)):
             if isinstance(sv, float) and isinstance(ov, float):
-                ok = (
-                    math.isclose(sv, ov, rel_tol=1e-9, abs_tol=1e-9)
-                    or (math.isnan(sv) and math.isnan(ov))
-                )
+                ok = sv == ov or (math.isnan(sv) and math.isnan(ov))
             else:
                 ok = sv == ov
             assert ok, (
@@ -101,5 +164,5 @@ def check_query(spark, name: str, sf_dir: str) -> None:
     if sql is None:
         assert df.count() >= 0  # rows-only check, mirrors driver fallback
         return
-    cols, rows = run_oracle(sql, sf_dir)
-    compare(df, cols, rows)
+    cols, rows, types = run_oracle(sql, sf_dir)
+    compare(df, cols, rows, types)

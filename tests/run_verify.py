@@ -51,8 +51,8 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             if name in oracles:
-                cols, rows = run_oracle(oracles[name], sf_dir)
-                compare(df, cols, rows)
+                cols, rows, types = run_oracle(oracles[name], sf_dir)
+                compare(df, cols, rows, types)
                 n_pass += 1
                 tag = "ok"
             else:
