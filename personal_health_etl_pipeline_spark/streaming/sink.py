@@ -29,6 +29,18 @@ from personal_health_etl_pipeline_spark.operators.conflict import (
 )
 
 
+def clash_probe(existing: DataFrame, batch_df: DataFrame, key: str) -> DataFrame:
+    """Existing-sink rows whose ``key`` also appears in the micro-batch.
+
+    Broadcasts the MICRO-BATCH keys (bounded by construction) and streams
+    the sink-side key scan past them: the sink grows without bound as the
+    stream appends, so it must never be the broadcast side. The probe
+    stays a column-pruned scan of the sink.
+    """
+    batch_keys = batch_df.select(key).distinct()
+    return existing.select(key).join(F.broadcast(batch_keys), key, "left_semi")
+
+
 def conflict_checked_append(target_path: str, key: str = "event_id"):
     """Build a ``foreachBatch`` function appending parquet to
     ``target_path`` unless the batch violates key uniqueness."""
@@ -43,13 +55,8 @@ def conflict_checked_append(target_path: str, key: str = "event_id"):
         if os.path.isdir(target_path) and any(
             f.endswith(".parquet") for f in os.listdir(target_path)
         ):
-            existing = spark.read.parquet(target_path).select(key)
-            clash = (
-                batch_df.select(key)
-                .join(F.broadcast(existing.distinct()), key, "left_semi")
-                .limit(5)
-                .collect()
-            )
+            existing = spark.read.parquet(target_path)
+            clash = clash_probe(existing, batch_df, key).limit(5).collect()
             if clash:
                 cited = ", ".join(repr(r[key]) for r in clash)
                 raise DuplicateKeyError(

@@ -228,3 +228,21 @@ class TestCurationPlanShape:
         emb = load_table(spark, sf_dir, "embeddings")
         plan = _executed_plan(embedding_near_dup_pairs(emb))
         assert "Join" not in plan  # pairs are scored inline from bucket lists
+
+
+class TestStreamingSinkProbe:
+    def test_conflict_probe_broadcasts_batch_not_sink(self, spark, sf_dir):
+        """The sink side grows without bound, so the batch keys must be
+        the broadcast (build) side of the existing-vs-batch semi-join."""
+        from personal_health_etl_pipeline_spark.streaming.sink import clash_probe
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        existing = load_table(spark, sf_dir, "events")
+        batch = existing.limit(10)
+        plan = _executed_plan(clash_probe(existing, batch, "event_id"))
+        assert "BroadcastHashJoin" in plan
+        # LeftSemi with BuildRight: the right (batch-keys) side is built
+        assert "BuildRight" in plan
+        # tree prints left subtree first: the sink FileScan must appear
+        # before the BroadcastExchange that wraps the batch keys
+        assert plan.index("FileScan") < plan.index("BroadcastExchange")
