@@ -1,6 +1,7 @@
 from personal_health_etl_pipeline_spark.pipeline.etl import (
     PipelineConfig,
     run_extract,
+    run_pipeline,
     run_transform,
     warehouse_distinct_days,
     warehouse_has_day,
@@ -16,6 +17,7 @@ from personal_health_etl_pipeline_spark.pipeline.raw_zone import (
 __all__ = [
     "PipelineConfig",
     "run_extract",
+    "run_pipeline",
     "run_transform",
     "warehouse_distinct_days",
     "warehouse_has_day",

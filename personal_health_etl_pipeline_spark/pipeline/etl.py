@@ -21,7 +21,7 @@ import datetime as dt
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -131,8 +131,17 @@ def run_extract(
                 df = df.unionByName(p)
         else:
             df = source(spark, dtype, start, yesterday)
-        write_raw(df, cfg.raw_root, dtype, start, yesterday)
-        landed[dtype] = df.count()
+        # observe() computes the row count as a side metric of the write
+        # action itself — the source is read exactly once per type.
+        obs = Observation()
+        write_raw(
+            df.observe(obs, F.count(F.lit(1)).alias("n")),
+            cfg.raw_root,
+            dtype,
+            start,
+            yesterday,
+        )
+        landed[dtype] = obs.get["n"]
     return landed
 
 
@@ -186,8 +195,15 @@ def run_transform(
 
     target = warehouse_schema(cfg.data_types)
     aligned = align_to_schema(combined, target)  # C1-C3/C5 (+F2/F3 casts)
-    aligned.write.mode("append").parquet(cfg.warehouse_path)
-    return {"new_rows": aligned.count()}
+    # The count rides along the write as an observed metric: the
+    # scan->flatten->combine->align lineage executes exactly once (a
+    # .count() after the write would re-run the whole DAG — at scale
+    # that doubles the most expensive job in the pipeline).
+    obs = Observation()
+    aligned.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).parquet(cfg.warehouse_path)
+    return {"new_rows": obs.get["n"]}
 
 
 # --- warehouse probes (reference load.py:209-224, 325-348) ------------

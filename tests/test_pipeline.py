@@ -20,6 +20,7 @@ from personal_health_etl_pipeline_spark.pipeline import (
     landed_ranges,
     max_landed_date,
     run_extract,
+    run_pipeline,
     run_transform,
     scan_raw,
     warehouse_distinct_days,
@@ -190,3 +191,28 @@ class TestProbes:
         assert warehouse_distinct_days(spark, cfg).count() == 10
         assert warehouse_has_day(spark, cfg, TODAY - dt.timedelta(days=1))
         assert not warehouse_has_day(spark, cfg, TODAY)
+
+
+class TestSingleExecution:
+    def test_driver_never_recounts_lineage(self, spark, tmp_path, monkeypatch):
+        """run_extract/run_transform report row counts via observed write
+        metrics — any DataFrame.count() inside them would re-execute the
+        full source/transform lineage (double-scan at warehouse scale)."""
+        from pyspark.sql import DataFrame
+
+        cfg = _cfg(tmp_path)
+
+        def _no_count(self):
+            raise AssertionError(
+                "DataFrame.count() called inside the ETL driver path"
+            )
+
+        monkeypatch.setattr(DataFrame, "count", _no_count)
+        out = run_pipeline(spark, cfg, TODAY)
+        assert out["new_rows"] == 10
+        # 3 data types x 10 days landed, counted via observed metrics
+        assert out["extracted"] == {
+            "daily_sleep": 10,
+            "daily_activity": 10,
+            "daily_readiness": 10,
+        }
