@@ -151,7 +151,11 @@ def decode_media(media: DataFrame) -> DataFrame:
                         h,
                         nf,
                         len(payload),
-                        hashlib.md5(payload).hexdigest(),
+                        # digest over the canonical lowercase-hex encoding,
+                        # not the raw bytes: every SQL engine can hash a
+                        # VARCHAR, few can hash a BLOB, and the content
+                        # certificate is equally strong either way.
+                        hashlib.md5(payload.hex().encode()).hexdigest(),
                     )
                 )
             yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
@@ -185,7 +189,11 @@ def extract_features(media: DataFrame) -> DataFrame:
                 hist = np.bincount(arr >> 4, minlength=N_FEATURES).astype(np.float64)
                 total = hist.sum()
                 ids.append(media_id)
-                feats.append((hist / total if total else hist).round(6).tolist())
+                # plain IEEE int/int division, no rounding: numpy's
+                # round-half-even differs from SQL round-half-away at
+                # exact ties (k/128), while the unrounded quotient is
+                # bit-identical in any IEEE-754 engine.
+                feats.append((hist / total if total else hist).tolist())
             yield pd.DataFrame({"media_id": ids, "features": feats})
 
     return media.select("media_id", "content").mapInPandas(_feat, FEATURES_SCHEMA)

@@ -78,7 +78,7 @@ register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
 register("ann_ivf_topk", llm.ann_ivf_topk, llm.ANN_IVF_ORACLE)
 register("emb_centroids", llm.emb_centroids, llm.EMB_CENTROIDS_ORACLE)
 register("mm_byte_stats", llm.mm_byte_stats, llm.MM_BYTE_STATS_ORACLE)
-register("mm_decode_features", llm.mm_decode_features, None)  # fake codec: rows-only
+register("mm_decode_features", llm.mm_decode_features, llm.MM_DECODE_ORACLE)
 
 # -- block 1d: streaming surface, batch-mode twins (SURVEY.md §2.8) ----
 # the same functions run under Structured Streaming in tests/test_streaming.py

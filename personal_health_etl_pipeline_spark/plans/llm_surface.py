@@ -572,9 +572,12 @@ FROM documents
 
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic media table -> mapInPandas decode -> feature extraction
-    -> join on media_id. Deterministic fake codec (no codec libs in
-    SQL), so the driver records the rows-only check for this one; the
-    golden-output unit tests in tests/test_multimodal.py pin values."""
+    -> join on media_id. The fake codec (operators/multimodal.py) is
+    md5-derived and deterministic, so the oracle below re-derives every
+    column — header fields, payload digest over the canonical hex
+    encoding, and the 16-bucket byte histogram (read off the hex string:
+    byte >> 4 IS the high nibble) — entirely in SQL; the driver gets a
+    full value-hash row for the Arrow plumbing, not a rows-only check."""
     from personal_health_etl_pipeline_spark.operators import multimodal as MM
 
     media = MM.synth_media_df(spark, n=300)
@@ -584,6 +587,45 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "media_type", "width", "height", "n_frames",
         "payload_bytes", "payload_digest", "features",
     )
+
+
+MM_DECODE_ORACLE = """
+WITH ids AS (SELECT unnest(range(300)) AS media_id),
+base AS (
+  SELECT media_id,
+         CAST(media_id % 3 AS INTEGER) AS kind_i,
+         CAST(16 + (media_id * 7) % 48 AS INTEGER) AS width,
+         CAST(16 + (media_id * 13) % 32 AS INTEGER) AS height,
+         CAST(CASE WHEN media_id % 3 = 0 THEN 1
+                   ELSE 4 + media_id % 5 END AS INTEGER) AS n_frames
+  FROM ids
+),
+payloads AS (
+  SELECT base.*,
+         list_reduce(
+           list_transform(range(0, CAST(n_frames AS BIGINT)),
+             f -> unhex(md5('media|' || media_id || chr(CAST(f AS INTEGER))))),
+           (a, b) -> a || b
+         ) AS payload
+  FROM base
+),
+hexed AS (SELECT *, lower(hex(payload)) AS hx,
+                 octet_length(payload) AS nb
+          FROM payloads)
+SELECT media_id,
+       (['image','audio','video'])[kind_i + 1] AS media_type,
+       width, height, n_frames,
+       CAST(nb AS BIGINT) AS payload_bytes,
+       md5(hx) AS payload_digest,
+       list_transform(range(0, 16), k ->
+         CAST(len(list_filter(range(0, CAST(nb AS BIGINT)),
+              i -> substr(hx, CAST(2*i+1 AS INTEGER), 1) =
+                   substr('0123456789abcdef', CAST(k+1 AS INTEGER), 1)))
+              AS DOUBLE) / nb
+       ) AS features
+FROM hexed
+ORDER BY media_id
+"""
 
 
 # --- tf-idf ------------------------------------------------------------

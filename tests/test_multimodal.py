@@ -30,7 +30,7 @@ class TestDecode:
             r = got[i]
             assert (r.media_type, r.width, r.height, r.n_frames) == (kind, w, h, nf)
             assert r.payload_bytes == nf * 16  # one md5 block per frame
-            assert r.payload_digest == hashlib.md5(blob[14:]).hexdigest()
+            assert r.payload_digest == hashlib.md5(blob[14:].hex().encode()).hexdigest()
 
     def test_non_fakem_blob_is_an_error(self, spark):
         bad = spark.createDataFrame(
@@ -65,7 +65,7 @@ class TestResize:
             assert (got[i].width, got[i].height) == (8, 8)
             # payload untouched by the fake re-encode
             orig = MM.encode_fake(i)[0][14:]
-            assert got[i].payload_digest == hashlib.md5(orig).hexdigest()
+            assert got[i].payload_digest == hashlib.md5(orig.hex().encode()).hexdigest()
 
     def test_resize_composes_with_features(self, spark, media):
         f1 = {r.media_id: r.features
