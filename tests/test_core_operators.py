@@ -5,15 +5,18 @@ duplicates (SURVEY.md §5 plan, item 2/3)."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DateType,
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from personal_health_etl_pipeline_spark.functions.casts import (
@@ -221,3 +224,72 @@ def test_percentile_approx_tracks_exact(spark, sf_dir):
     assert both
     for r in both:
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.01
+
+
+REF_SCHEMA_DIR = "/root/reference/schemas/oura"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_SCHEMA_DIR), reason="reference schemas not present"
+)
+class TestReferenceSchemaGolden:
+    """Golden tests against the reference's actual warehouse schema files
+    (reference ``schemas/oura/*.json``, read at runtime by
+    ``load.py:65-89``) — pins every type mapping and the REQUIRED-day
+    nullability on the real artifact, not a synthetic fixture."""
+
+    def test_oura_day_schema_converts_and_pins(self):
+        st = load_json_schema(f"{REF_SCHEMA_DIR}/oura_day.json")
+        assert len(st.fields) == 66
+        by_name = {f.name: f for f in st.fields}
+        # the single REQUIRED field is the day key, everything else nullable
+        assert by_name["day"].dataType == DateType()
+        assert by_name["day"].nullable is False
+        assert sum(not f.nullable for f in st.fields) == 1
+        # type-mapping tally: 52 FLOAT64->double, 10 STRING, 3 TIMESTAMP, 1 DATE
+        from collections import Counter
+
+        tally = Counter(type(f.dataType).__name__ for f in st.fields)
+        assert tally == {
+            "DoubleType": 52,
+            "StringType": 10,
+            "TimestampType": 3,
+            "DateType": 1,
+        }
+        # spot-pin a field of each type
+        assert by_name["daily_activity__score"].dataType == DoubleType()
+        assert by_name["daily_activity__id"].dataType == StringType()
+        assert by_name["daily_activity__timestamp"].dataType == TimestampType()
+
+    def test_t_schema_converts(self):
+        st = load_json_schema(f"{REF_SCHEMA_DIR}/t.json")
+        assert len(st.fields) == 61
+        assert all(f.nullable for f in st.fields)
+        from collections import Counter
+
+        tally = Counter(type(f.dataType).__name__ for f in st.fields)
+        assert tally == {
+            "DoubleType": 36,
+            "StringType": 19,
+            "TimestampType": 5,
+            "BooleanType": 1,
+        }
+
+    def test_align_to_real_schema_null_fills_and_casts(self, spark):
+        target = load_json_schema(f"{REF_SCHEMA_DIR}/oura_day.json")
+        df = spark.createDataFrame(
+            [("2024-02-25", "87")],
+            "day string, daily_activity__score string",
+        )
+        out = align_to_schema(df, target)
+        assert [f.name for f in out.schema.fields] == [
+            f.name for f in target.fields
+        ]
+        assert [type(f.dataType) for f in out.schema.fields] == [
+            type(f.dataType) for f in target.fields
+        ]
+        row = out.first()
+        assert row["day"] == dt.date(2024, 2, 25)
+        assert row["daily_activity__score"] == 87.0
+        # all 64 absent columns null-filled
+        assert sum(v is None for v in row) == 64
