@@ -128,6 +128,36 @@ def jaccard(a: Column, b: Column, round_to: int = 4) -> Column:
     )
 
 
+# Buckets above this size switch from all-pairs to consecutive-chain
+# emission (see pair_gen_sql): a degenerate corpus (every doc identical)
+# otherwise creates ONE bucket whose pair explode is O(N^2) in a single
+# task. The chain keeps the bucket connected for grouping at O(N) pairs.
+LSH_BUCKET_CAP = 256
+
+
+def pair_gen_sql(ms: str, cap: int) -> str:
+    """SQL expr emitting candidate pairs from a sorted bucket-member
+    array ``ms``: all upper-triangle pairs while the bucket is small,
+    a consecutive chain once it exceeds ``cap``.
+
+    The chain bounds any bucket's output at ``size-1`` pairs, so a
+    degenerate corpus (10k identical docs -> one bucket) costs O(N)
+    instead of O(N^2), while verified connectivity is preserved —
+    consecutive members of an all-near-dup bucket pass verification,
+    so the group stays one connected component.
+    """
+    all_pairs = (
+        f"flatten(transform({ms}, (x, i) -> "
+        f"transform(slice({ms}, i + 2, size({ms})), "
+        f"y -> struct(x AS a, y AS b))))"
+    )
+    chain = (
+        f"transform(slice({ms}, 1, size({ms}) - 1), "
+        f"(x, i) -> struct(x AS a, element_at({ms}, i + 2) AS b))"
+    )
+    return f"CASE WHEN size({ms}) <= {cap} THEN {all_pairs} ELSE {chain} END"
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -136,9 +166,17 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard. Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+
+    ``bucket_cap`` bounds the per-bucket pair explode (chain emission
+    above the cap, see :func:`pair_gen_sql`); pair dedup across bands
+    then needs an explicit ``dropDuplicates`` of the (tiny) candidate
+    set. ``bucket_cap=None`` keeps the shuffle-free first-matching-band
+    dedup but is quadratic in the largest bucket — only safe when the
+    corpus is known not to contain degenerate near-identical masses.
     """
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
@@ -153,11 +191,11 @@ def minhash_lsh_pairs(
     # lean banding: only (id, band-hash list) enters the shuffle — the
     # sketch pipeline runs ONCE (a self-join would evaluate it per
     # side), and candidate pairs come from grouped bucket members, not a
-    # join. A pair colliding in several bands is emitted only in its
-    # FIRST matching band (each member carries its band-hash list), so
-    # no dropDuplicates shuffle is needed. Bucket sizes are ~N/huge for
-    # real text; production adds a bucket cap against degenerate-content
-    # skew.
+    # join. With a bucket_cap, oversized buckets emit a bounded chain
+    # and cross-band dedup is an explicit dropDuplicates of the small
+    # candidate set; without one, a pair colliding in several bands is
+    # emitted only in its FIRST matching band (each member carries its
+    # band-hash list), so no dedup shuffle is needed at all.
     # Explode a LITERAL index sequence, not the _bands column: a
     # generator whose input references a derived column makes the
     # optimizer inline the full sketch expression into the Generate
@@ -175,21 +213,32 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list("m")).alias("ms"))
         .where(F.size("ms") > 1)
     )
-    candidates = buckets.select(
-        "band_id",
-        F.explode(
-            F.expr(
-                "flatten(transform(ms, (x, i) -> "
-                "transform(slice(ms, i + 2, size(ms)), "
-                "y -> struct(x AS a, y AS b))))"
+    if bucket_cap is None:
+        candidates = buckets.select(
+            "band_id",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p"),
+        ).where(
+            ~F.expr(
+                "exists(zip_with(slice(p.a.bands, 1, band_id),"
+                " slice(p.b.bands, 1, band_id), (x, y) -> x = y), v -> v)"
             )
-        ).alias("p"),
-    ).where(
-        ~F.expr(
-            "exists(zip_with(slice(p.a.bands, 1, band_id),"
-            " slice(p.b.bands, 1, band_id), (x, y) -> x = y), v -> v)"
+        ).select(F.col("p.a._id").alias("id_a"), F.col("p.b._id").alias("id_b"))
+    else:
+        candidates = (
+            buckets.select(
+                F.explode(F.expr(pair_gen_sql("ms", bucket_cap))).alias("p")
+            )
+            .select(
+                F.col("p.a._id").alias("id_a"), F.col("p.b._id").alias("id_b")
+            )
+            .dropDuplicates()
         )
-    ).select(F.col("p.a._id").alias("id_a"), F.col("p.b._id").alias("id_b"))
     # verification joins fetch shingle sets only for surviving pairs;
     # the candidate set is tiny relative to the corpus — broadcast it
     # (then the candidate+sh_a intermediate) so the shingle table

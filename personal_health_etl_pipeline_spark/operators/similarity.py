@@ -22,6 +22,10 @@ from __future__ import annotations
 
 import hashlib
 
+from personal_health_etl_pipeline_spark.operators.dedup import (
+    LSH_BUCKET_CAP,
+    pair_gen_sql,
+)
 from personal_health_etl_pipeline_spark.operators.partitioning import spread
 
 from pyspark.sql import Column, DataFrame, Window
@@ -262,6 +266,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 6,
     n_tables: int = 2,
     dims: int = 64,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine — the fifth member of
     the dedup family (exact / minhash / simhash / ngram / embedding).
@@ -270,6 +275,12 @@ def embedding_near_dup_pairs(
     tables (grouped-bucket generation — sketches computed once, no
     self-join), then exact quantized cosine filters at ``threshold``.
     Returns (id_a, id_b, sim) with id_a < id_b.
+
+    ``bucket_cap`` (see ``dedup.LSH_BUCKET_CAP``) switches oversized
+    buckets from all-pairs to consecutive-chain emission — bounding the
+    degenerate all-identical-vectors bucket at O(N) pairs — at the cost
+    of one extra shuffle (explicit pair dedup instead of the shuffle-
+    free first-matching-table rule).
     """
     base = (
         spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
@@ -309,29 +320,42 @@ def embedding_near_dup_pairs(
         .agg(F.sort_array(F.collect_list("m")).alias("ms"))  # struct sort = by _id
         .where(F.size("ms") > 1)
     )
-    pairs = grouped.select(
-        "tbl",
-        F.explode(
-            F.expr(
-                "flatten(transform(ms, (x, i) -> "
-                "transform(slice(ms, i + 2, size(ms)), "
-                "y -> struct(x AS a, y AS b))))"
+    if bucket_cap is None:
+        pairs = grouped.select(
+            "tbl",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p"),
+        ).where(
+            # first-matching-table: no earlier table already bucketed them
+            ~F.expr(
+                "exists(zip_with(slice(p.a.bks, 1, tbl), slice(p.b.bks, 1, tbl),"
+                " (x, y) -> x = y), v -> v)"
             )
-        ).alias("p"),
-    ).where(
-        # first-matching-table: no earlier table already bucketed them together
-        ~F.expr(
-            "exists(zip_with(slice(p.a.bks, 1, tbl), slice(p.b.bks, 1, tbl),"
-            " (x, y) -> x = y), v -> v)"
         )
-    )
-    return pairs.select(
+        dedup_pairs = False
+    else:
+        pairs = grouped.select(
+            F.explode(F.expr(pair_gen_sql("ms", bucket_cap))).alias("p")
+        )
+        dedup_pairs = True
+    out = pairs.select(
         F.col("p.a._id").alias("id_a"),
         F.col("p.b._id").alias("id_b"),
         cosine_pre(
             F.col("p.a._q"), F.col("p.b._q"), F.col("p.a._n2"), F.col("p.b._n2")
         ).alias("sim"),
     ).where(F.col("sim") >= threshold)
+    if dedup_pairs:
+        # cross-table duplicates survive capped emission; the surviving
+        # pair set is tiny relative to the corpus, so one dedup shuffle
+        # of it is the cheap side of the trade.
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 # --- IVF (inverted-file) ANN ---------------------------------------------

@@ -194,6 +194,7 @@ def _minhash_oracle() -> str:
     # one md5-derived 60-bit hash per shingle, re-mixed per slot as
     # (h % P * a + b) % P — bit-identical arithmetic in both engines
     from personal_health_etl_pipeline_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
         MINHASH_P,
         minhash_coeffs,
     )
@@ -228,11 +229,27 @@ sigs AS (
 bands AS (
   {bands_union}
 ),
+memb AS (
+  -- capped emission, mirroring dedup.pair_gen_sql: buckets over the
+  -- cap contribute a consecutive chain instead of all pairs
+  SELECT band_id, band_hash, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY band_id, band_hash
+                            ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bsz
+  FROM bands
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM memb a JOIN memb b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+    WHERE a.bsz <= {LSH_BUCKET_CAP} AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM memb a JOIN memb b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+    WHERE a.bsz > {LSH_BUCKET_CAP} AND b.rn = a.rn + 1
+  )
 ),
 jac AS (
   SELECT id_a, id_b,
@@ -440,6 +457,8 @@ def _bucket_expr_p(table: int, planes: int) -> str:
 
 
 def _neardup_oracle() -> str:
+    from personal_health_etl_pipeline_spark.operators.dedup import LSH_BUCKET_CAP
+
     bucket_cols = ",\n       ".join(
         f"{_bucket_expr_p(t, NEARDUP_PLANES)} AS bucket_{t}"
         for t in range(NEARDUP_TABLES)
@@ -457,10 +476,23 @@ WITH q AS (
 banded AS (
   {banded}
 ),
+memb AS (
+  -- capped emission, mirroring dedup.pair_gen_sql (chain above cap)
+  SELECT tbl, bucket, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY tbl, bucket) AS bsz
+  FROM banded
+),
 cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM memb a JOIN memb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+    WHERE a.bsz <= {LSH_BUCKET_CAP} AND a.vec_id < b.vec_id
+    UNION ALL
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM memb a JOIN memb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+    WHERE a.bsz > {LSH_BUCKET_CAP} AND b.rn = a.rn + 1
+  )
 )
 SELECT id_a, id_b, sim FROM (
   SELECT id_a, id_b,

@@ -133,3 +133,69 @@ def test_brute_force_topk_shape(spark, emb):
         sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert sims == sorted(sims, reverse=True)
         assert all(r["neighbor_id"] != q for r in rows)
+
+
+class TestBucketCap:
+    """Degenerate-content skew: identical docs collapse every band into
+    ONE bucket whose all-pairs explode would be O(N^2) in a single task;
+    the cap bounds it at a verified N-1 chain (same connected group)."""
+
+    def test_minhash_degenerate_corpus_bounded(self, spark):
+        n = 2000
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the same exact document body repeated everywhere").alias(
+                "text"
+            ),
+        )
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        pairs = minhash_lsh_pairs(
+            docs, "doc_id", "text", bucket_cap=64
+        ).collect()
+        # chain emission: exactly n-1 pairs, all verified at jaccard 1.0
+        assert len(pairs) == n - 1
+        assert all(r.jaccard_sim == 1.0 for r in pairs)
+        # connectivity: the chain touches every doc -> one dedup group
+        touched = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+        assert len(touched) == n
+
+    def test_embedding_degenerate_corpus_bounded(self, spark):
+        n = 2000
+        vec = [0.5] * 64
+        emb = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(v) for v in vec]).alias("embedding"),
+        )
+        from personal_health_etl_pipeline_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        pairs = embedding_near_dup_pairs(emb, bucket_cap=64).collect()
+        assert len(pairs) == n - 1
+        assert all(r.sim == 1.0 for r in pairs)
+        touched = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+        assert len(touched) == n
+
+    def test_cap_is_a_noop_on_real_data(self, spark, sf_dir):
+        """No sf0.001 bucket exceeds the cap, so capped and uncapped
+        paths must emit the identical pair set."""
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        capped = {
+            (r.id_a, r.id_b, r.jaccard_sim)
+            for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        }
+        uncapped = {
+            (r.id_a, r.id_b, r.jaccard_sim)
+            for r in minhash_lsh_pairs(
+                docs, "doc_id", "text", bucket_cap=None
+            ).collect()
+        }
+        assert capped == uncapped
