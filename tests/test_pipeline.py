@@ -216,3 +216,59 @@ class TestSingleExecution:
             "daily_activity": 10,
             "daily_readiness": 10,
         }
+
+
+class TestSpecialCategorySlice:
+    """SPECIAL-category end-to-end: heartrate (the reference's
+    datetime-range, 7-day-chunked type, extract.py:48-80,133-149 /
+    constants.py:20-49) must land in chunked ranges AND flow through
+    the transform into the wide warehouse row. The reference stubs the
+    SPECIAL transform as a TODO (transform.py:120-128); the engine
+    carries the category the whole way."""
+
+    def test_heartrate_lands_chunked_and_transforms(self, spark, tmp_path):
+        import glob as _glob
+
+        cfg = _cfg(
+            tmp_path,
+            data_types=("daily_sleep", "heartrate"),
+            chunk_days={"heartrate": 7},
+        )
+        out = run_pipeline(spark, cfg, TODAY)
+        # 10 days landed for both types; heartrate fetched in 7+3 chunks
+        assert out["extracted"] == {"daily_sleep": 10, "heartrate": 10}
+        assert out["new_rows"] == 10
+        # chunking is an extract-window concern, landing is one range:
+        # the union of chunk fetches lands as a single (start, end) dir
+        dirs = _glob.glob(
+            f"{cfg.raw_root}/data_type=heartrate/range_start=*/range_end=*"
+        )
+        assert len(dirs) == 1
+        # transformed wide rows carry the SPECIAL type's columns
+        wh = spark.read.parquet(cfg.warehouse_path)
+        assert wh.count() == 10
+        row = wh.orderBy("day").first()
+        assert row["heartrate__score"] is not None
+        assert row["daily_sleep__score"] is not None
+        assert row["heartrate__id"].startswith("heartrate-")
+
+    def test_special_category_routes_through_registry(self, spark):
+        """S2/S3: heartrate dispatches through the SPECIAL category with
+        7-day fetch windows; an inverted window yields empty, matching
+        the reference API contract."""
+        import datetime as _dt
+
+        from personal_health_etl_pipeline_spark.sources.registry import (
+            CATEGORY_SPECIAL,
+            DEFAULT_REGISTRY,
+            extract_data_type,
+        )
+
+        spec = DEFAULT_REGISTRY["heartrate"]
+        assert spec.category == CATEGORY_SPECIAL
+        assert spec.chunk_days == 7
+        start = _dt.date(2024, 3, 1)
+        df = extract_data_type(spark, "heartrate", start, _dt.date(2024, 3, 17))
+        assert df.count() == 17  # 7 + 7 + 3 chunk windows, unioned
+        empty = extract_data_type(spark, "heartrate", start, _dt.date(2024, 2, 1))
+        assert empty.count() == 0
