@@ -70,7 +70,10 @@ def compact(
     # coalesce, not repartition: pure file-merge needs no shuffle —
     # each output file is a concatenation of input splits
     df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
-    return n_files
+    # coalesce can only REDUCE partition count: when the input has fewer
+    # partitions than the computed target, fewer files come out — report
+    # what actually landed, not the target.
+    return parquet_file_count(out_path)
 
 
 def cluster_by(
