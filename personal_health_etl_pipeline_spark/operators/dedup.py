@@ -14,9 +14,10 @@ designed scale-first:
 * **SimHash** — per-row bit-vote sketch (array aggregate), pairs by
   sketch equality / Hamming radius.
 * **n-gram Jaccard** — exact inverted-index pair generation; the
-  correctness baseline the sketches are measured against. At scale the
-  standard mitigation (drop shingles with document frequency above a
-  cap) applies before the self-join.
+  correctness baseline the sketches are measured against. ``max_df``
+  drops corpus-ubiquitous shingles from the index before the self-join
+  (the hot-key mitigation), with exact re-verification over full
+  shingle sets so surviving scores never change.
 
 All hashes are the portable md5 family (functions/hashing.py) so the
 DuckDB oracle reproduces every value bit-for-bit.
@@ -397,9 +398,22 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs: inverted index on shingles -> shared counts
     -> Jaccard filter. O(collisions), the ground truth for the sketches.
+
+    ``max_df`` is the standard scale mitigation: shingles present in
+    more than ``max_df`` docs are dropped from the *index* (a shingle
+    with document frequency d contributes d^2 join rows, so one
+    ubiquitous shingle is a quadratic hot key). Candidates then come
+    from rare-shingle collisions only, and Jaccard is re-verified
+    EXACTLY over the full shingle sets, so surviving pairs score
+    identically to the uncapped path. The only reachable loss is a pair
+    sharing *no* rare shingle at all — at threshold 0.8 that means
+    near-identical docs made entirely of corpus-ubiquitous content,
+    which is the degenerate case the capped MinHash path
+    (:func:`minhash_lsh_pairs`) is built for.
     """
     sh = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
         "_id",
@@ -407,6 +421,44 @@ def ngram_jaccard_pairs(
     ).where(F.size("_sh") > 0)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("tok"))
+    if max_df is not None:
+        # hot shingles are few by construction (each must appear in
+        # > max_df docs), so the drop-list broadcasts
+        hot = (
+            inv.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("tok")
+        )
+        idx = inv.join(F.broadcast(hot), "tok", "left_anti")
+        a, b = idx.alias("a"), idx.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.tok") == F.col("b.tok"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+            )
+            .distinct()
+        )
+        # exact verification over FULL shingle sets (same broadcast-
+        # verify shape as minhash_lsh_pairs): capped index decides only
+        # who gets compared, never the score
+        with_a = sh.select(
+            F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
+        ).join(F.broadcast(candidates), "id_a")
+        return (
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+            .join(F.broadcast(with_a), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+            )
+            .where(F.col("jaccard_sim") >= threshold)
+        )
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a._id") < F.col("b._id")))

@@ -199,3 +199,44 @@ class TestBucketCap:
             ).collect()
         }
         assert capped == uncapped
+
+    def test_ngram_max_df_cap_preserves_pairs(self, spark, sf_dir):
+        """The df-capped index may only change WHO gets compared, not
+        the scores: on the real corpus the capped path must reproduce
+        the exact pair set."""
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        exact = {
+            (r.id_a, r.id_b, r.jaccard_sim)
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+        }
+        capped = {
+            (r.id_a, r.id_b, r.jaccard_sim)
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", max_df=50
+            ).collect()
+        }
+        assert capped == exact
+        assert exact  # non-vacuous: the corpus does contain near-dups
+
+    def test_ngram_max_df_bounds_degenerate_corpus(self, spark):
+        """2000 identical docs: every shingle exceeds the cap, the index
+        empties, and the operator completes without the d^2 hot-key join
+        (this corpus is the capped-MinHash path's job, which does pair
+        it — see test_minhash_degenerate_corpus_bounded)."""
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("identical body of repeated text content").alias("text"),
+        )
+        out = ngram_jaccard_pairs(
+            docs, "doc_id", "text", max_df=64
+        ).collect()
+        assert out == []
