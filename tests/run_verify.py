@@ -69,6 +69,19 @@ def main() -> int:
         f"{len(failures)} FAIL {failures}",
         flush=True,
     )
+
+    # 3. plan probe: pushdown + pruned ReadSchema on the flagship filter
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = (
+        qs["q6_revenue_delta"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(mode.fromString("formatted"))
+    )
+    assert "PushedFilters: [" in plan, "q6 filters not pushed to scan"
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read_schema.count(":") - 1 <= 5, "q6 scan reads unpruned schema"
+    print("plan probe: q6 pushdown + pruned schema ok", flush=True)
+
     spark.stop()
     return 1 if failures else 0
 

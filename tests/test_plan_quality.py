@@ -246,3 +246,33 @@ class TestStreamingSinkProbe:
         # tree prints left subtree first: the sink FileScan must appear
         # before the BroadcastExchange that wraps the batch keys
         assert plan.index("FileScan") < plan.index("BroadcastExchange")
+
+
+class TestCappedDedupPlans:
+    def test_minhash_capped_path_no_blowup_joins(self, spark, sf_dir):
+        """The capped pair path must stay grouped-bucket shaped: no
+        nested-loop/cartesian join anywhere, and the only joins are the
+        two broadcast verification probes."""
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        plan = _executed_plan(minhash_lsh_pairs(docs, "doc_id", "text"))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("SortMergeJoin") == 0  # verify joins broadcast
+    def test_ngram_capped_hot_list_broadcasts(self, spark, sf_dir):
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        plan = _executed_plan(
+            ngram_jaccard_pairs(docs, "doc_id", "text", max_df=50)
+        )
+        # the hot-shingle drop list rides in as a broadcast anti-join
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
