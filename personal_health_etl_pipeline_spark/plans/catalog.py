@@ -71,6 +71,7 @@ register("text_bpe_token_count", llm.text_bpe_token_count, llm.TEXT_BPE_ORACLE)
 register("dedup_exact_groups", llm.dedup_exact_groups, llm.DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_ORACLE)
 register("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_ORACLE)
+register("dedup_connected_groups", llm.dedup_connected_groups, llm.DEDUP_GROUPS_ORACLE)
 register("dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_ORACLE)
 register("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_ORACLE)
 register("ann_brute_force_topk", llm.ann_brute_force_topk, llm.ANN_BRUTE_FORCE_ORACLE)

@@ -266,6 +266,56 @@ SELECT * FROM jac WHERE jaccard_sim >= 0.8
 
 DEDUP_MINHASH_ORACLE = _minhash_oracle()
 
+
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> GROUPS: connected components over the verified minhash
+    pair graph, with the component-minimum doc as the keeper — the
+    keep-one resolution step every dedup pipeline ends with. The Spark
+    side is iterative (hash-min + pointer jumping, operators/graph.py);
+    the oracle is the same closure as a DuckDB recursive CTE."""
+    from personal_health_etl_pipeline_spark.operators.graph import dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n_hashes=MINHASH_N_HASHES,
+        bands=MINHASH_BANDS,
+        shingle_n=3,
+        threshold=0.8,
+    )
+    return dedup_groups(pairs)
+
+
+def _groups_oracle() -> str:
+    base = _minhash_oracle()
+    final = "SELECT * FROM jac WHERE jaccard_sim >= 0.8"
+    head, sep, _ = base.rpartition(final)
+    assert sep, "minhash oracle final select changed"
+    return head.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard_sim >= 0.8),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+gnodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, node) AS (
+  SELECT id, id FROM gnodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT node AS doc_id, MIN(src) AS group_id FROM reach GROUP BY node)
+SELECT doc_id, group_id,
+       doc_id = group_id AS is_keeper,
+       CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+FROM comp
+"""
+
+
+DEDUP_GROUPS_ORACLE = _groups_oracle()
+
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 3
 

@@ -1,0 +1,91 @@
+"""Connected-components / dedup-group resolution tests.
+
+The iterative operator the dedup pipeline ends with: pair graph ->
+component labels -> keeper per group. Pointer jumping must keep round
+counts logarithmic even on path graphs (the shape capped LSH buckets
+emit, dedup.pair_gen_sql).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.operators.graph import (
+    ConvergenceError,
+    connected_components,
+    dedup_groups,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+class TestConnectedComponents:
+    def test_two_components_and_singleton_absence(self, spark):
+        # {1,2,3} via 1-2, 2-3; {10,11}; node 99 appears nowhere
+        comp = {
+            r.node: r.component
+            for r in connected_components(
+                _pairs(spark, [(1, 2), (2, 3), (10, 11)])
+            ).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_path_graph_converges_logarithmically(self, spark):
+        # a 512-node chain: hash-min alone needs ~512 rounds; with
+        # pointer jumping ~log2(512) + slack must suffice
+        n = 512
+        chain = _pairs(spark, [(i, i + 1) for i in range(n - 1)])
+        comp = connected_components(chain, max_rounds=14).collect()
+        assert len(comp) == n
+        assert {r.component for r in comp} == {0}
+
+    def test_round_budget_raises(self, spark):
+        chain = _pairs(spark, [(i, i + 1) for i in range(63)])
+        with pytest.raises(ConvergenceError):
+            connected_components(chain, max_rounds=1)
+
+    def test_empty_pairs(self, spark):
+        assert connected_components(_pairs(spark, [])).collect() == []
+
+    def test_direction_and_order_invariance(self, spark):
+        a = connected_components(_pairs(spark, [(5, 9), (2, 9), (7, 2)]))
+        b = connected_components(_pairs(spark, [(9, 5), (7, 2), (9, 2)]))
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestDedupGroups:
+    def test_keeper_and_sizes(self, spark):
+        out = {
+            r.doc_id: r
+            for r in dedup_groups(
+                _pairs(spark, [(4, 2), (2, 8), (30, 31)])
+            ).collect()
+        }
+        assert len(out) == 5
+        assert out[2].group_id == 2 and out[2].is_keeper
+        assert out[4].group_id == 2 and not out[4].is_keeper
+        assert out[8].group_size == 3
+        assert out[30].is_keeper and out[31].group_size == 2
+
+    def test_degenerate_chain_resolves_to_one_group(self, spark):
+        """The capped-LSH chain output for 2000 identical docs must
+        resolve to a single keep-one group."""
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the same exact document body repeated everywhere").alias(
+                "text"
+            ),
+        )
+        pairs = minhash_lsh_pairs(docs, "doc_id", "text", bucket_cap=64)
+        groups = dedup_groups(pairs).collect()
+        assert len(groups) == 2000
+        assert all(r.group_id == 0 for r in groups)
+        assert sum(r.is_keeper for r in groups) == 1
+        assert groups[0].group_size == 2000
