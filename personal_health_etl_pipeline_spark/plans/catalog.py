@@ -110,7 +110,7 @@ register(
 )
 register("decontaminate_ngram", llm2.decontaminate_ngram, llm2.DECONTAMINATE_ORACLE)
 register(
-    "text_repetition_stats", llm2.text_repetition_stats, llm2.TEXT_REPETITION_ORACLE
+    "corpus_curate_pipeline", llm2.corpus_curate_pipeline, llm2.CORPUS_CURATE_ORACLE
 )
 register("corpus_shard_plan", llm2.corpus_shard_plan, llm2.CORPUS_SHARD_ORACLE)
 register("pii_scrub_emails", llm2.pii_scrub_emails, llm2.PII_SCRUB_ORACLE)
@@ -160,6 +160,9 @@ register("w2_topk_per_group", rs.w2_topk_per_group, rs.W2_ORACLE)
 register("f3_timestamp_coerce", rs.f3_timestamp_coerce, rs.F3_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
 register("text_token_stats", llm.text_token_stats, llm.TEXT_TOKEN_STATS_ORACLE)
+register(
+    "text_repetition_stats", llm2.text_repetition_stats, llm2.TEXT_REPETITION_ORACLE
+)
 register("text_quality_score", llm.text_quality_score, llm.TEXT_QUALITY_ORACLE)
 register("text_langid", llm.text_langid, llm.TEXT_LANGID_ORACLE)
 register("text_fingerprint", llm.text_fingerprint, llm.TEXT_FINGERPRINT_ORACLE)

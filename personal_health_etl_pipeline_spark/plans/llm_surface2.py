@@ -371,3 +371,80 @@ FROM scrubbed
 GROUP BY source
 ORDER BY source
 """
+
+
+# --- composed curation flagship ---------------------------------------
+
+CURATE_MIN_QUALITY = 0.5
+
+
+def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pass a training corpus actually runs,
+    composed from the engine's own operators in one plan: exact-dedup
+    keeper selection -> quality scoring -> quality-threshold filter ->
+    per-language corpus audit.
+
+    Scale shape: one dedup shuffle (md5 window) + one tiny groupBy
+    (#langs); scoring is row-local column expressions. The quality
+    rollup sums integer micro-units (bigint), never doubles, so the
+    per-group total is order-independent and bit-exact vs the oracle.
+    """
+    from personal_health_etl_pipeline_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup_exact(docs, "text", "doc_id")
+    scored = kept.select(
+        "lang",
+        T.token_count("text").alias("n_tok"),
+        T.quality_score("text").alias("q"),
+    ).where(F.col("q") >= CURATE_MIN_QUALITY)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.round(F.col("q") * 1000000, 0).cast("bigint")).alias(
+                "_q_micro"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("_q_micro").cast("double") / F.col("n_docs") / 1000000.0, 6
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_CURATE_ORACLE = rf"""
+WITH {_TOKS_CTE},
+keepers AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM documents GROUP BY md5(text)
+),
+kept AS (
+  SELECT d.doc_id, d.lang
+  FROM documents d JOIN keepers g ON md5(d.text) = g.h AND d.doc_id = g.keeper
+),
+scored AS (
+  SELECT kept.lang, len(t) AS n_tok,
+         ROUND(
+           0.3 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+           + 0.4 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+           + 0.3 * least((CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                          / CAST(len(t) AS DOUBLE)) / 8.0, 1.0),
+           6) AS q
+  FROM kept JOIN toks ON kept.doc_id = toks.doc_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       ROUND(CAST(CAST(SUM(CAST(ROUND(q * 1000000, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / COUNT(*) / 1000000.0, 6) AS avg_quality
+FROM scored
+WHERE q >= {CURATE_MIN_QUALITY}
+GROUP BY lang
+ORDER BY lang
+"""
