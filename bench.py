@@ -54,6 +54,7 @@ HEADLINE = (
     "decontaminate_ngram",
     "text_repetition_stats",
     "pii_scrub_emails",
+    "corpus_curate_pipeline",
 )
 
 
