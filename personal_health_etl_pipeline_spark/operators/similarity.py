@@ -173,6 +173,7 @@ def lsh_topk(
     n_planes: int = 4,
     n_tables: int = 4,
     dims: int = 64,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH.
 
@@ -182,6 +183,16 @@ def lsh_topk(
     keep per-bucket candidate counts ~N/2^k). The bucket match is a
     plain equi-join on (table, bucket) — hash-partitionable; expected
     scored pairs ~= Q x N x (1 - (1-2^-k)^L) instead of Q x N.
+
+    ``bucket_cap`` bounds the candidate list of a pathological hot
+    bucket (e.g. a mass of identical vectors): each bucket contributes
+    at most ``cap`` candidates per query, chosen deterministically by
+    hashed id (unbiased w.r.t. id order), and cross-table dedup becomes
+    an explicit ``dropDuplicates``. This trades recall inside oversized
+    buckets for a hard per-bucket work bound — the default is OFF
+    because capping visibly changes top-k results once buckets exceed
+    the cap; prefer raising ``n_planes`` first so buckets stay small,
+    and reach for the cap when the corpus can be degenerate.
     """
     base = (
         spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
@@ -224,23 +235,47 @@ def lsh_topk(
         .agg(F.collect_list("m").alias("ms"))
         .where(F.size("ms") > 1)
     )
-    qc = (
-        grouped.select(
-            "tbl",
-            F.explode(F.filter("ms", lambda m: m["_id"] % query_mod == 0)).alias(
-                "q"
-            ),
-            F.col("ms"),
+    if bucket_cap is not None:
+        # deterministic, id-order-unbiased candidate cap: order bucket
+        # members by their hashed id and keep the first `cap`
+        hashed = (
+            "array_sort(transform(ms, m -> struct("
+            "cast(conv(substr(md5(cast(m._id as string)), 1, 15), 16, 10)"
+            " as bigint) AS h, m AS m)))"
         )
-        .select("tbl", "q", F.explode("ms").alias("c"))
-        .where(
-            (F.col("q._id") != F.col("c._id"))
-            & ~F.expr(
-                "exists(zip_with(slice(q.bks, 1, tbl), slice(c.bks, 1, tbl),"
-                " (x, y) -> x = y), v -> v)"
+        grouped = grouped.withColumn(
+            "cs",
+            F.expr(f"transform(slice({hashed}, 1, {bucket_cap}), x -> x.m)"),
+        )
+        qc = (
+            grouped.select(
+                "tbl",
+                F.explode(
+                    F.filter("ms", lambda m: m["_id"] % query_mod == 0)
+                ).alias("q"),
+                F.col("cs"),
+            )
+            .select("tbl", "q", F.explode("cs").alias("c"))
+            .where(F.col("q._id") != F.col("c._id"))
+        )
+    else:
+        qc = (
+            grouped.select(
+                "tbl",
+                F.explode(
+                    F.filter("ms", lambda m: m["_id"] % query_mod == 0)
+                ).alias("q"),
+                F.col("ms"),
+            )
+            .select("tbl", "q", F.explode("ms").alias("c"))
+            .where(
+                (F.col("q._id") != F.col("c._id"))
+                & ~F.expr(
+                    "exists(zip_with(slice(q.bks, 1, tbl), slice(c.bks, 1, tbl),"
+                    " (x, y) -> x = y), v -> v)"
+                )
             )
         )
-    )
     scored = qc.select(
         F.col("q._id").alias("query_id"),
         F.col("c._id").alias("neighbor_id"),
@@ -248,6 +283,10 @@ def lsh_topk(
             F.col("q._q"), F.col("c._q"), F.col("q._n2"), F.col("c._n2")
         ).alias("sim"),
     )
+    if bucket_cap is not None:
+        # capped emission loses the first-matching-table invariant;
+        # dedup the (small) surviving pair set explicitly
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )

@@ -240,3 +240,34 @@ class TestBucketCap:
             docs, "doc_id", "text", max_df=64
         ).collect()
         assert out == []
+
+    def test_lsh_topk_bucket_cap_bounds_degenerate_corpus(self, spark):
+        """All-identical vectors put every row in one bucket per table;
+        the cap bounds per-query candidate work while still returning a
+        full (sim=1.0) top-k for each query."""
+        n, k = 3000, 10
+        vec = [0.25] * 64
+        emb = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(v) for v in vec]).alias("embedding"),
+        )
+        from personal_health_etl_pipeline_spark.operators.similarity import (
+            lsh_topk,
+        )
+
+        out = lsh_topk(emb, k=k, query_mod=100, bucket_cap=64).collect()
+        n_queries = len(range(0, n, 100))
+        assert len(out) == n_queries * k
+        assert all(r.sim == 1.0 for r in out)
+
+    def test_lsh_topk_cap_noop_on_real_data(self, spark, sf_dir):
+        """sf0.001 buckets stay under the cap, so capped == uncapped."""
+        from personal_health_etl_pipeline_spark.operators.similarity import (
+            lsh_topk,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        a = {tuple(r) for r in lsh_topk(emb).collect()}
+        b = {tuple(r) for r in lsh_topk(emb, bucket_cap=10_000).collect()}
+        assert a == b
