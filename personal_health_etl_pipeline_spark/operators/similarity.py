@@ -529,3 +529,113 @@ def centroids_per_label(
             ).alias("centroid")
         )
     )
+
+
+# --- product quantization (PQ encode + ADC top-k) ----------------------
+
+PQ_M = 8          # subspaces
+PQ_K = 16         # centroids per subspace (codes fit 4 bits)
+PQ_RANGE = 800_000  # centroid component range, micro-units (~[-0.8, 0.8])
+
+
+def pq_codebooks(
+    m_sub: int = PQ_M, k_cent: int = PQ_K, subdim: int = 8
+) -> list[list[list[int]]]:
+    """Deterministic micro-unit codebooks derived from md5 — identical
+    in any engine/language, so oracles embed them as literals.
+
+    Stands in for k-means-trained codebooks: training is an offline
+    batch job; what must scale (and what these operators certify) is
+    the ENCODE + asymmetric-distance machinery, which is codebook-
+    agnostic."""
+    books = []
+    for m in range(m_sub):
+        cents = []
+        for j in range(k_cent):
+            row = []
+            for d in range(subdim):
+                digest = hashlib.md5(f"pq|{m}|{j}|{d}".encode()).hexdigest()
+                row.append(int(digest[:8], 16) % (2 * PQ_RANGE + 1) - PQ_RANGE)
+            cents.append(row)
+        books.append(cents)
+    return books
+
+
+def _pq_cb_sql(books: list[list[list[int]]]) -> str:
+    return (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{v}L" for v in row) + ")" for row in cents
+            )
+            + ")"
+            for cents in books
+        )
+        + ")"
+    )
+
+
+def _pq_sub_dist(vec: str, subdim: int) -> str:
+    """Squared L2 between subvector m of ``vec`` and centroid ``c``
+    (both micro-unit bigints; exact integer arithmetic)."""
+    return (
+        f"aggregate(zip_with(slice({vec}, m * {subdim} + 1, {subdim}), c,"
+        f" (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_mod: int = 50,
+    subdim: int = 8,
+) -> DataFrame:
+    """Approximate top-k by product quantization + asymmetric distance.
+
+    The 100 TB memory path: each vector compresses to ``PQ_M`` 4-bit
+    codes (8 bytes vs 256 bytes of floats at 64 dims), encode is a
+    map-only pass, and per-candidate distance is ``PQ_M`` table lookups
+    into the query's precomputed distance table instead of a 64-dim
+    dot product. Everything stays on the integer grid, so results are
+    bit-reproducible in any engine.
+
+    Returns (query_id, rank, neighbor_id, adist) — ``adist`` is the
+    exact integer ADC distance; ties rank by neighbor id.
+    """
+    cb = _pq_cb_sql(pq_codebooks(subdim=subdim))
+    dists = (
+        f"transform(cb_m, c -> {_pq_sub_dist('_q', subdim)})"
+    )
+    codes_expr = (
+        f"transform({cb}, (cb_m, m) -> "
+        f"array_position({dists}, array_min({dists})) - 1)"
+    )
+    dtab_expr = f"transform({cb}, (cb_m, m) -> {dists})"
+    base = spread(
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col))
+    ).select("_id", quantize(F.col(vec_col)).alias("_q"))
+    codes = base.select("_id", F.expr(codes_expr).alias("codes"))
+    queries = base.where(F.col("_id") % query_mod == 0).select(
+        F.col("_id").alias("query_id"), F.expr(dtab_expr).alias("dtab")
+    )
+    adist = F.expr(
+        "aggregate(zip_with(codes, dtab, (c, row) ->"
+        " element_at(row, cast(c as int) + 1)), 0L, (a, x) -> a + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return (
+        codes.join(F.broadcast(queries), F.col("_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("_id").alias("neighbor_id"),
+            adist.alias("adist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adist")
+    )

@@ -159,6 +159,7 @@ register("w1_rolling_7day_revenue", rs.w1_rolling_7day_revenue, rs.W1_ORACLE)
 register("w2_topk_per_group", rs.w2_topk_per_group, rs.W2_ORACLE)
 register("f3_timestamp_coerce", rs.f3_timestamp_coerce, rs.F3_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
+register("ann_pq_topk", llm.ann_pq_topk, llm.ANN_PQ_ORACLE)
 register("text_token_stats", llm.text_token_stats, llm.TEXT_TOKEN_STATS_ORACLE)
 register(
     "text_repetition_stats", llm2.text_repetition_stats, llm2.TEXT_REPETITION_ORACLE

@@ -771,3 +771,62 @@ SELECT doc_id,
          4) AS fertility
 FROM documents
 """
+
+
+# --- ANN, PQ/ADC path ---------------------------------------------------
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 4-bit codes per subspace, query-side
+    distance tables, exact-integer ADC scoring (operators/similarity.py
+    pq_topk). The oracle re-derives codes and tables from the same
+    md5-derived codebooks as nested-list literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_topk(emb, k=10, query_mod=50)
+
+
+def _pq_oracle() -> str:
+    books = S.pq_codebooks()
+    cb = (
+        "["
+        + ",".join(
+            "["
+            + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in cents)
+            + "]"
+            for cents in books
+        )
+        + "]"
+    )
+    # DuckDB lambda indexes are 1-based (Spark's are 0-based)
+    sub_dist = (
+        "CAST(list_sum(list_transform(range(1, 9), d ->"
+        " (qv[(m-1)*8+d] - c[d]) * (qv[(m-1)*8+d] - c[d]))) AS BIGINT)"
+    )
+    dists = f"list_transform(cb_m, c -> {sub_dist})"
+    return rf"""
+WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+codes AS (
+  SELECT vec_id,
+         list_transform({cb}, (cb_m, m) ->
+           list_indexof({dists}, list_min({dists})) - 1) AS codes
+  FROM q
+),
+queries AS (
+  SELECT vec_id AS query_id,
+         list_transform({cb}, (cb_m, m) -> {dists}) AS dtab
+  FROM q WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(c.codes, (cd, m) ->
+              dtab[m][CAST(cd AS INTEGER) + 1])) AS BIGINT) AS adist
+  FROM codes c JOIN queries ON c.vec_id <> queries.query_id
+)
+SELECT query_id, rank, neighbor_id, adist FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adist, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+ANN_PQ_ORACLE = _pq_oracle()

@@ -271,3 +271,42 @@ class TestBucketCap:
         a = {tuple(r) for r in lsh_topk(emb).collect()}
         b = {tuple(r) for r in lsh_topk(emb, bucket_cap=10_000).collect()}
         assert a == b
+
+
+class TestProductQuantization:
+    def test_codes_in_range_and_deterministic(self, spark, sf_dir):
+        from personal_health_etl_pipeline_spark.operators.similarity import (
+            PQ_K,
+            PQ_M,
+            pq_topk,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = pq_topk(emb, k=5).collect()
+        assert out
+        assert all(r.adist >= 0 for r in out)
+        again = pq_topk(emb, k=5).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_identical_vector_is_nearest_with_zero_gap(self, spark):
+        """A duplicate of the query vector shares all PQ codes, so its
+        ADC distance equals the query's own self-distance — rank 1."""
+        from personal_health_etl_pipeline_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(200):
+            rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+        # vec 150 duplicates query vec 100 exactly
+        rows[150] = (150, rows[100][1])
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = pq_topk(emb, k=3, query_mod=100)
+        top = {r.query_id: r for r in out.where(F.col("rank") == 1).collect()}
+        assert top[100].neighbor_id == 150
