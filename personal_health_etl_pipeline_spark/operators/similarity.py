@@ -585,6 +585,67 @@ def _pq_sub_dist(vec: str, subdim: int) -> str:
     )
 
 
+def _pq_codes_expr(vec: str, subdim: int = 8) -> str:
+    """SQL expr: PQ codes (argmin centroid per subspace) for ``vec``."""
+    cb = _pq_cb_sql(pq_codebooks(subdim=subdim))
+    dists = f"transform(cb_m, c -> {_pq_sub_dist(vec, subdim)})"
+    return (
+        f"transform({cb}, (cb_m, m) -> "
+        f"array_position({dists}, array_min({dists})) - 1)"
+    )
+
+
+def _pq_dtab_expr(vec: str, subdim: int = 8) -> str:
+    """SQL expr: per-subspace distance table (M x K bigints) for ``vec``."""
+    cb = _pq_cb_sql(pq_codebooks(subdim=subdim))
+    dists = f"transform(cb_m, c -> {_pq_sub_dist(vec, subdim)})"
+    return f"transform({cb}, (cb_m, m) -> {dists})"
+
+
+_PQ_ADC_EXPR = (
+    "aggregate(zip_with(codes, dtab, (c, row) ->"
+    " element_at(row, cast(c as int) + 1)), 0L, (a, x) -> a + x)"
+)
+
+
+def unit_quantize(q: Column, n2: Column) -> Column:
+    """Project an integer-grid vector onto the unit sphere, back onto
+    the grid: ``round(q_i * 1e6 / sqrt(n2))``. Inputs are exact ints,
+    so the double divide + round is IEEE-identical in any engine; on
+    the unit sphere, squared L2 order == cosine order, which lets the
+    PQ distance tables rank by the same metric the exact re-rank uses.
+    """
+    return F.transform(
+        q,
+        lambda x: F.round(
+            x.cast("double") * QUANT_SCALE / F.sqrt(n2.cast("double")), 0
+        ).cast("bigint"),
+    )
+
+
+def _pq_data_dists(vec: str, subdim: int) -> str:
+    """Distances from subvector ``m`` of ``vec`` to every sampled
+    codebook row (``cbs`` column: array of full normalized vectors)."""
+    return (
+        f"transform(cbs, cbj -> aggregate(zip_with("
+        f"slice({vec}, m * {subdim} + 1, {subdim}),"
+        f" slice(cbj, m * {subdim} + 1, {subdim}),"
+        f" (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x))"
+    )
+
+
+def _pq_data_codes_expr(vec: str, m_sub: int, subdim: int) -> str:
+    d = _pq_data_dists(vec, subdim)
+    return (
+        f"transform(sequence(0, {m_sub - 1}), m -> "
+        f"array_position({d}, array_min({d})) - 1)"
+    )
+
+
+def _pq_data_dtab_expr(vec: str, m_sub: int, subdim: int) -> str:
+    return f"transform(sequence(0, {m_sub - 1}), m -> {_pq_data_dists(vec, subdim)})"
+
+
 def pq_topk(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -592,50 +653,201 @@ def pq_topk(
     k: int = 10,
     query_mod: int = 50,
     subdim: int = 8,
+    shortlist: int = 50,
 ) -> DataFrame:
-    """Approximate top-k by product quantization + asymmetric distance.
+    """Approximate top-k by product quantization: ADC shortlist, exact
+    re-rank — the standard production shape.
 
-    The 100 TB memory path: each vector compresses to ``PQ_M`` 4-bit
-    codes (8 bytes vs 256 bytes of floats at 64 dims), encode is a
-    map-only pass, and per-candidate distance is ``PQ_M`` table lookups
-    into the query's precomputed distance table instead of a 64-dim
-    dot product. Everything stays on the integer grid, so results are
-    bit-reproducible in any engine.
+    The 100 TB memory path: vectors are unit-normalized on the integer
+    grid, compressed to ``PQ_M`` 4-bit codes (8 bytes vs 256 bytes of
+    floats at 64 dims) against DATA-SAMPLED codebooks (the ``PQ_K``
+    vectors with smallest portable hash — k-means init without the
+    iterations, deterministic in any engine), then each query ranks
+    candidates by ``PQ_M`` table lookups, keeps a ``shortlist``, and
+    re-scores only those exactly. Everything integer-grid, so the
+    oracle reproduces every value.
 
-    Returns (query_id, rank, neighbor_id, adist) — ``adist`` is the
-    exact integer ADC distance; ties rank by neighbor id.
+    Returns (query_id, rank, neighbor_id, sim) — exact cosine on the
+    shortlist; ties rank by neighbor id.
     """
-    cb = _pq_cb_sql(pq_codebooks(subdim=subdim))
-    dists = (
-        f"transform(cb_m, c -> {_pq_sub_dist('_q', subdim)})"
-    )
-    codes_expr = (
-        f"transform({cb}, (cb_m, m) -> "
-        f"array_position({dists}, array_min({dists})) - 1)"
-    )
-    dtab_expr = f"transform({cb}, (cb_m, m) -> {dists})"
-    base = spread(
+    m_sub = 64 // subdim
+    raw = spread(
         embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col))
     ).select("_id", quantize(F.col(vec_col)).alias("_q"))
-    codes = base.select("_id", F.expr(codes_expr).alias("codes"))
-    queries = base.where(F.col("_id") % query_mod == 0).select(
-        F.col("_id").alias("query_id"), F.expr(dtab_expr).alias("dtab")
+    base = (
+        raw.withColumn("_n2", norm2_int(F.col("_q")))
+        .select("_id", unit_quantize(F.col("_q"), F.col("_n2")).alias("_qn"))
+        .withColumn("_n2n", norm2_int(F.col("_qn")))
     )
-    adist = F.expr(
-        "aggregate(zip_with(codes, dtab, (c, row) ->"
-        " element_at(row, cast(c as int) + 1)), 0L, (a, x) -> a + x)"
+    # data-sampled codebook: PQ_K rows with smallest (hash, id); carried
+    # as ONE collected array (tiny), ordered via struct sort on the
+    # unique (hash, id) prefix
+    from personal_health_etl_pipeline_spark.functions.hashing import md5_long
+
+    sel = (
+        base.select("_id", "_qn", md5_long("_id").alias("_h"))
+        .orderBy("_h", "_id")
+        .limit(PQ_K)
     )
-    w = Window.partitionBy("query_id").orderBy(
+    cb_arr = sel.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(_h, _id, _qn))),"
+            " s -> s._qn)"
+        ).alias("cbs")
+    )
+    with_cb = base.crossJoin(F.broadcast(cb_arr))
+    codes = with_cb.select(
+        "_id",
+        "_qn",
+        "_n2n",
+        F.expr(_pq_data_codes_expr("_qn", m_sub, subdim)).alias("codes"),
+    )
+    queries = with_cb.where(F.col("_id") % query_mod == 0).select(
+        F.col("_id").alias("query_id"),
+        F.col("_qn").alias("_qq"),
+        F.col("_n2n").alias("_qn2"),
+        F.expr(_pq_data_dtab_expr("_qn", m_sub, subdim)).alias("dtab"),
+    )
+    ws = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id")
     )
-    return (
+    shortlisted = (
         codes.join(F.broadcast(queries), F.col("_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("_id").alias("neighbor_id"),
-            adist.alias("adist"),
+            F.expr(_PQ_ADC_EXPR).alias("adist"),
+            # exact re-rank inputs ride along; the shortlist keeps only
+            # Q x shortlist of them
+            F.col("_qn"),
+            F.col("_n2n"),
+            F.col("_qq"),
+            F.col("_qn2"),
         )
+        .withColumn("srank", F.row_number().over(ws))
+        .where(F.col("srank") <= shortlist)
+    )
+    sim = cosine_pre(F.col("_qq"), F.col("_qn"), F.col("_qn2"), F.col("_n2n"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlisted.select("query_id", "neighbor_id", sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "adist")
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    query_mod: int = 50,
+    nprobe: int = 2,
+    subdim: int = 8,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF-PQ: coarse inverted-file pruning + residual product codes +
+    exact re-rank — the configuration real 100 TB vector stores run:
+    candidates shrink by ~n_lists/nprobe AND each candidate costs 8
+    table lookups on an 8-byte code instead of a 64-dim dot product
+    over 256 bytes; only the ``shortlist`` survivors per query are
+    scored exactly.
+
+    Classic residual encoding: each vector's PQ codes quantize
+    ``x - centroid(list(x))``, and a query builds one distance table
+    per PROBED list from ``q - centroid(list)`` — both exact integer
+    arithmetic, so the oracle reproduces every distance. Final ranking
+    is exact cosine over the shortlist; ties break on neighbor id.
+    """
+    base = spread(
+        embeddings.select(
+            F.col(id_col).alias("_id"), F.col(label_col), F.col(vec_col)
+        )
+    ).select(
+        "_id", F.col(label_col), quantize(F.col(vec_col)).alias("_q")
+    ).withColumn("_n2", norm2_int(F.col("_q")))
+    cents = quantized_centroids(base, label_col)
+    cent_arr = cents.agg(F.collect_list(F.struct("cid", "cvec")).alias("cs"))
+    ranked = base.crossJoin(F.broadcast(cent_arr)).withColumn(
+        "_ranked",
+        F.expr(
+            "array_sort(transform(cs, c -> struct("
+            "aggregate(zip_with(_q, c.cvec, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (a, x) -> a + x) AS d2, c.cid AS cid)))"
+        ),
+    )
+    # residual w.r.t. the OWN list's centroid, PQ-encoded (map-only)
+    assigned = ranked.select(
+        "_id",
+        "_q",
+        "_n2",
+        F.expr("_ranked[0].cid").alias("list_id"),
+        F.expr(
+            "zip_with(_q, filter(cs, c -> c.cid = _ranked[0].cid)[0].cvec,"
+            " (x, y) -> x - y)"
+        ).alias("_r"),
+    ).select(
+        "_id", "_q", "_n2", "list_id",
+        F.expr(_pq_codes_expr("_r", subdim)).alias("codes"),
+    )
+    # per probed list: distance table from the query's residual vs that list
+    probes = (
+        ranked.where(F.col("_id") % query_mod == 0)
+        .select(
+            F.col("_id").alias("query_id"),
+            F.col("_q").alias("_qq"),
+            F.col("_n2").alias("_qn2"),
+            "cs",
+            F.explode(
+                F.expr(f"transform(slice(_ranked, 1, {nprobe}), c -> c.cid)")
+            ).alias("list_id"),
+        )
+        .select(
+            "query_id",
+            "_qq",
+            "_qn2",
+            "list_id",
+            F.expr(
+                "zip_with(_qq, filter(cs, c -> c.cid = list_id)[0].cvec,"
+                " (x, y) -> x - y)"
+            ).alias("_r"),
+        )
+        .select(
+            "query_id", "_qq", "_qn2", "list_id",
+            F.expr(_pq_dtab_expr("_r", subdim)).alias("dtab"),
+        )
+    )
+    # a neighbor lives in exactly one list and probe lists are distinct,
+    # so (query, neighbor) pairs are unique — no dedup shuffle needed
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    shortlisted = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col("_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("_id").alias("neighbor_id"),
+            F.expr(_PQ_ADC_EXPR).alias("adist"),
+            "_q",
+            "_n2",
+            "_qq",
+            "_qn2",
+        )
+        .withColumn("srank", F.row_number().over(ws))
+        .where(F.col("srank") <= shortlist)
+    )
+    sim = cosine_pre(F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlisted.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
     )

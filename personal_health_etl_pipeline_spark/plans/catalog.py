@@ -160,6 +160,7 @@ register("w2_topk_per_group", rs.w2_topk_per_group, rs.W2_ORACLE)
 register("f3_timestamp_coerce", rs.f3_timestamp_coerce, rs.F3_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
 register("ann_pq_topk", llm.ann_pq_topk, llm.ANN_PQ_ORACLE)
+register("ann_ivfpq_topk", llm.ann_ivfpq_topk, llm.ANN_IVFPQ_ORACLE)
 register("text_token_stats", llm.text_token_stats, llm.TEXT_TOKEN_STATS_ORACLE)
 register(
     "text_repetition_stats", llm2.text_repetition_stats, llm2.TEXT_REPETITION_ORACLE

@@ -784,7 +784,98 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(emb, k=10, query_mod=50)
 
 
+PQ_SHORTLIST = 50
+
+
 def _pq_oracle() -> str:
+    from personal_health_etl_pipeline_spark.functions.hashing import (
+        duckdb_md5_long,
+    )
+
+    k_cent = S.PQ_K
+    # m is 0-based (iterated as a VALUE from range(0, M)); inner list
+    # indexes are 1-based
+    dists = (
+        "list_transform(cbs, cbj -> CAST(list_sum(list_transform(range(1, 9),"
+        " d -> (qn[m*8+d] - cbj[m*8+d]) * (qn[m*8+d] - cbj[m*8+d])))"
+        " AS BIGINT))"
+    )
+    return rf"""
+WITH raw AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+nn AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+  FROM raw
+),
+qn AS (
+  SELECT vec_id,
+         list_transform(q, x -> CAST(round(CAST(x AS DOUBLE) * 1000000
+             / sqrt(CAST(n2 AS DOUBLE)), 0) AS BIGINT)) AS qn
+  FROM nn
+),
+qnn AS (
+  SELECT vec_id, qn,
+         CAST(list_sum(list_transform(qn, x -> x * x)) AS BIGINT) AS n2n
+  FROM qn
+),
+sel AS (
+  SELECT qn, {duckdb_md5_long('vec_id')} AS h, vec_id
+  FROM qn ORDER BY h, vec_id LIMIT {k_cent}
+),
+cbt AS (SELECT list(qn ORDER BY h, vec_id) AS cbs FROM sel),
+codes AS (
+  SELECT v.vec_id, v.qn, v.n2n,
+         list_transform(range(0, 8), m ->
+           list_indexof({dists}, list_min({dists})) - 1) AS codes
+  FROM qnn v, cbt
+),
+queries AS (
+  SELECT v.vec_id AS query_id, v.qn AS qq, v.n2n AS qn2,
+         list_transform(range(0, 8), m -> {dists}) AS dtab
+  FROM qnn v, cbt WHERE v.vec_id % 50 = 0
+),
+adc AS (
+  SELECT query_id, c.vec_id AS neighbor_id, c.qn AS nv, c.n2n AS nn2,
+         qq, qn2,
+         CAST(list_sum(list_transform(c.codes, (cd, mi) ->
+              dtab[mi][CAST(cd AS INTEGER) + 1])) AS BIGINT) AS adist
+  FROM codes c JOIN queries ON c.vec_id <> queries.query_id
+),
+short AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adist, neighbor_id) AS srank
+    FROM adc
+  ) WHERE srank <= {PQ_SHORTLIST}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CAST(list_sum(list_transform(range(1, 65),
+                 i -> qq[i] * nv[i])) AS DOUBLE)
+               / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE))),
+               6) AS sim
+  FROM short
+)
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+ANN_PQ_ORACLE = _pq_oracle()
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse inverted-file pruning + residual product codes —
+    the configuration production vector stores run at 100 TB scale
+    (operators/similarity.py ivfpq_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk(emb, k=10, query_mod=50, nprobe=IVF_NPROBE)
+
+
+def _ivfpq_oracle() -> str:
     books = S.pq_codebooks()
     cb = (
         "["
@@ -796,37 +887,81 @@ def _pq_oracle() -> str:
         )
         + "]"
     )
-    # DuckDB lambda indexes are 1-based (Spark's are 0-based)
+    # residual sub-distance: (x - centroid - codebook)^2 per dim;
+    # DuckDB lambda indexes are 1-based
+    res = "(qv[(m-1)*8+d] - cvec[(m-1)*8+d] - c[d])"
     sub_dist = (
-        "CAST(list_sum(list_transform(range(1, 9), d ->"
-        " (qv[(m-1)*8+d] - c[d]) * (qv[(m-1)*8+d] - c[d]))) AS BIGINT)"
+        f"CAST(list_sum(list_transform(range(1, 9), d -> {res} * {res}))"
+        " AS BIGINT)"
     )
     dists = f"list_transform(cb_m, c -> {sub_dist})"
     return rf"""
-WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
-codes AS (
-  SELECT vec_id,
+WITH q AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings),
+exploded AS (
+  SELECT label, i AS dim, qv[CAST(i AS INT)] AS qv_i
+  FROM q, range(1, 65) r(i)
+),
+per_dim AS (
+  SELECT label, dim,
+         CAST(round(CAST(SUM(qv_i) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS cv
+  FROM exploded GROUP BY label, dim
+),
+cent AS (
+  SELECT label AS cid, list(cv ORDER BY dim) AS cvec FROM per_dim GROUP BY label
+),
+scoredc AS (
+  SELECT q.vec_id, q.qv, c.cid,
+         list_sum(list_transform(range(1, 65),
+             i -> (qv[i] - cvec[i]) * (qv[i] - cvec[i]))) AS d2
+  FROM q CROSS JOIN cent c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM scoredc
+),
+assigned AS (
+  SELECT r.vec_id AS neighbor_id, r.cid AS list_id, r.qv AS nv,
+         CAST(list_sum(list_transform(r.qv, x -> x * x)) AS BIGINT) AS nn2,
          list_transform({cb}, (cb_m, m) ->
            list_indexof({dists}, list_min({dists})) - 1) AS codes
-  FROM q
+  FROM (SELECT vec_id, qv, cid FROM ranked WHERE rn = 1) r
+  JOIN cent c ON c.cid = r.cid
 ),
-queries AS (
-  SELECT vec_id AS query_id,
+probes AS (
+  SELECT r.vec_id AS query_id, r.cid AS list_id, r.qv AS qq,
+         CAST(list_sum(list_transform(r.qv, x -> x * x)) AS BIGINT) AS qn2,
          list_transform({cb}, (cb_m, m) -> {dists}) AS dtab
-  FROM q WHERE vec_id % 50 = 0
+  FROM ranked r JOIN cent c ON c.cid = r.cid
+  WHERE r.vec_id % 50 = 0 AND r.rn <= {IVF_NPROBE}
+),
+adc AS (
+  SELECT query_id, neighbor_id, nv, nn2, qq, qn2,
+         CAST(list_sum(list_transform(codes, (cd, m) ->
+              dtab[m][CAST(cd AS INTEGER) + 1])) AS BIGINT) AS adist
+  FROM probes JOIN assigned USING (list_id)
+  WHERE neighbor_id <> query_id
+),
+short AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adist, neighbor_id) AS srank
+    FROM adc
+  ) WHERE srank <= {PQ_SHORTLIST}
 ),
 scored AS (
-  SELECT query_id, c.vec_id AS neighbor_id,
-         CAST(list_sum(list_transform(c.codes, (cd, m) ->
-              dtab[m][CAST(cd AS INTEGER) + 1])) AS BIGINT) AS adist
-  FROM codes c JOIN queries ON c.vec_id <> queries.query_id
+  SELECT query_id, neighbor_id,
+         ROUND(CAST(list_sum(list_transform(range(1, 65),
+                 i -> qq[i] * nv[i])) AS DOUBLE)
+               / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE))),
+               6) AS sim
+  FROM short
 )
-SELECT query_id, rank, neighbor_id, adist FROM (
+SELECT query_id, rank, neighbor_id, sim FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY adist, neighbor_id) AS rank
+                               ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= 10
 """
 
 
-ANN_PQ_ORACLE = _pq_oracle()
+ANN_IVFPQ_ORACLE = _ivfpq_oracle()

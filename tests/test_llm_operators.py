@@ -285,7 +285,7 @@ class TestProductQuantization:
         emb = load_table(spark, sf_dir, "embeddings")
         out = pq_topk(emb, k=5).collect()
         assert out
-        assert all(r.adist >= 0 for r in out)
+        assert all(-1.0 <= r.sim <= 1.0 for r in out)
         again = pq_topk(emb, k=5).collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
@@ -310,3 +310,41 @@ class TestProductQuantization:
         out = pq_topk(emb, k=3, query_mod=100)
         top = {r.query_id: r for r in out.where(F.col("rank") == 1).collect()}
         assert top[100].neighbor_id == 150
+
+    def test_ivfpq_structure_and_determinism(self, spark, sf_dir):
+        from personal_health_etl_pipeline_spark.operators.similarity import (
+            ivfpq_topk,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = ivfpq_topk(emb, k=5).collect()
+        assert out and all(-1.0 <= r.sim <= 1.0 for r in out)
+        # per query: ranks are 1..n with no gaps, neighbors distinct
+        from collections import defaultdict
+
+        per_q = defaultdict(list)
+        for r in out:
+            per_q[r.query_id].append(r)
+        for q, rows in per_q.items():
+            assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+            assert len({r.neighbor_id for r in rows}) == len(rows)
+        again = ivfpq_topk(emb, k=5).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_pq_recall_floor_vs_brute_force(self, spark, sf_dir):
+        """Random (untrained) codebooks still preserve coarse geometry:
+        PQ top-10 must beat the random-candidate baseline clearly."""
+        from personal_health_etl_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+            pq_topk,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        bf = brute_force_topk(emb, k=10).select("query_id", "neighbor_id")
+        pq = pq_topk(emb, k=10).select("query_id", "neighbor_id")
+        total = bf.count()
+        hit = bf.intersect(pq).count()
+        assert total > 0
+        assert hit / total >= 0.4, f"PQ recall too low: {hit}/{total}"
