@@ -49,7 +49,6 @@ def register(name: str, fn: QueryFn, oracle: Optional[str]) -> None:
 
 # -- block 1a: representatives of the relational / reference families --
 register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_ORACLE)
-register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
 register("q12_late_shipment_priority", tpch2.q12_late_shipment_priority, tpch2.Q12_ORACLE)
 register("p2_halfopen_range", rs.p2_halfopen_range, rs.P2_ORACLE)
 register("c3_schema_align", rs.c3_schema_align, rs.C3_ORACLE)
@@ -77,6 +76,8 @@ register("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDI
 register("ann_brute_force_topk", llm.ann_brute_force_topk, llm.ANN_BRUTE_FORCE_ORACLE)
 register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
 register("ann_ivf_topk", llm.ann_ivf_topk, llm.ANN_IVF_ORACLE)
+register("ann_pq_topk", llm.ann_pq_topk, llm.ANN_PQ_ORACLE)
+register("ann_ivfpq_topk", llm.ann_ivfpq_topk, llm.ANN_IVFPQ_ORACLE)
 register("emb_centroids", llm.emb_centroids, llm.EMB_CENTROIDS_ORACLE)
 register("mm_byte_stats", llm.mm_byte_stats, llm.MM_BYTE_STATS_ORACLE)
 register("mm_decode_features", llm.mm_decode_features, llm.MM_DECODE_ORACLE)
@@ -99,7 +100,6 @@ register("so1_set_ops", an.so1_set_ops, an.SO1_ORACLE)
 register("f2_date_coerce", an.f2_date_coerce, an.F2_ORACLE)
 register("f4_array_to_json", an.f4_array_to_json, an.F4_ORACLE)
 register("a8_exact_percentiles", an.a8_exact_percentiles, an.A8_ORACLE)
-register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
 register("a10_corr_stats", an.a10_corr_stats, an.A10_ORACLE)
 
 # -- block 1f: corpus curation (llm_surface2) + deterministic sketches -
@@ -159,8 +159,8 @@ register("w1_rolling_7day_revenue", rs.w1_rolling_7day_revenue, rs.W1_ORACLE)
 register("w2_topk_per_group", rs.w2_topk_per_group, rs.W2_ORACLE)
 register("f3_timestamp_coerce", rs.f3_timestamp_coerce, rs.F3_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
-register("ann_pq_topk", llm.ann_pq_topk, llm.ANN_PQ_ORACLE)
-register("ann_ivfpq_topk", llm.ann_ivfpq_topk, llm.ANN_IVFPQ_ORACLE)
+register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
+register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
 register("text_token_stats", llm.text_token_stats, llm.TEXT_TOKEN_STATS_ORACLE)
 register(
     "text_repetition_stats", llm2.text_repetition_stats, llm2.TEXT_REPETITION_ORACLE
