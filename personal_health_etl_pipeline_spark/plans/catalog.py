@@ -161,6 +161,11 @@ register("f3_timestamp_coerce", rs.f3_timestamp_coerce, rs.F3_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
 register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
+register(
+    "st_interval_join_outer",
+    st.st_interval_join_outer,
+    st.ST_INTERVAL_JOIN_OUTER_ORACLE,
+)
 register("text_token_stats", llm.text_token_stats, llm.TEXT_TOKEN_STATS_ORACLE)
 register(
     "text_repetition_stats", llm2.text_repetition_stats, llm2.TEXT_REPETITION_ORACLE

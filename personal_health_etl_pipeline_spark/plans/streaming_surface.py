@@ -163,6 +163,42 @@ ORDER BY purchase_id, click_id
 """
 
 
+def st_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every purchase appears,
+    with NULL click columns when no same-user click preceded it within
+    the lookback. In streaming mode Spark emits the NULL row only after
+    the watermark proves no match can still arrive — the batch
+    execution here (and the oracle) checks the final answer those
+    delayed emissions converge to."""
+    from personal_health_etl_pipeline_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    return (
+        interval_join(
+            purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts",
+            lookback_seconds=600, how="left_outer",
+        )
+        .select("purchase_id", "user_id", "click_id")
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+ST_INTERVAL_JOIN_OUTER_ORACLE = """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 600 SECOND AND c.ts <= p.ts
+ORDER BY purchase_id, click_id
+"""
+
+
 def st_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchases enriched with a static per-user click profile — the
     stream-static broadcast join (streaming/joins.py:enrich_static),

@@ -352,3 +352,62 @@ class TestEnrichStatic:
         b = spark.createDataFrame([(1, 3)], "user_id long, value long")
         with pytest.raises(ValueError, match="collision"):
             enrich_static(a, b, on="user_id")
+
+
+class TestStreamStreamOuterIntervalJoin:
+    def test_null_rows_emitted_after_watermark(self, spark, tmp_path):
+        """LEFT-OUTER interval join: matched pairs stream out like the
+        inner join; unmatched purchases surface with NULL click columns
+        once the watermark proves no match can still arrive. The final
+        flush purchase stays in state (its horizon never passes), so the
+        streamed set is the batch answer minus still-open left rows."""
+        from personal_health_etl_pipeline_spark.streaming.joins import interval_join
+
+        rows = [
+            (1, 1, 1, "click", 1.0),
+            (2, 4, 1, "click", 2.0),
+            (3, 5, 1, "purchase", 10.0),
+            (4, 0, 2, "click", 3.0),
+            (5, 10, 2, "purchase", 20.0),   # click too old -> NULL row
+            (6, 8, 3, "purchase", 30.0),    # click after -> NULL row
+            (7, 9, 3, "click", 4.0),
+        ]
+        # flushes must advance BOTH sides' watermark nodes (the global
+        # watermark is the min over them), so each carries a click AND a
+        # purchase
+        flush1 = [(98, 600, 9, "click", 1.0), (99, 600, 9, "purchase", 1.0)]
+        flush2 = [(100, 1200, 9, "click", 1.0), (101, 1200, 9, "purchase", 1.0)]
+        src, ckpt = _one_batch_dirs(tmp_path)
+        _write_batch(spark, src, rows[:4], "b0")
+        _write_batch(spark, src, rows[4:], "b1")
+        _write_batch(spark, src, flush1, "b2")
+        _write_batch(spark, src, flush2, "b3")
+
+        def build(df):
+            purchases = df.where(F.col("event_type") == "purchase").select(
+                "user_id", F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            clicks = df.where(F.col("event_type") == "click").select(
+                "user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            return interval_join(
+                purchases, clicks, on="user_id", left_ts="p_ts",
+                right_ts="c_ts", lookback_seconds=180, watermark="1 minute",
+                how="left_outer",
+            ).select("purchase_id", "click_id")
+
+        stream = read_events_stream(spark, src)
+        got = set(
+            map(tuple, _run_to_memory(spark, build(stream), "ssjo", ckpt).collect())
+        )
+        batch_df = spark.createDataFrame(
+            _mk_events(rows + flush1 + flush2), EVENTS_SCHEMA
+        )
+        want = set(map(tuple, build(batch_df).collect()))
+        # everything streamed is batch-correct...
+        assert got <= want
+        # ...and every decidable row was emitted: matches + NULLs whose
+        # no-match horizon the watermark passed
+        assert {(3, 2), (5, None), (6, None), (99, 98)} <= got
