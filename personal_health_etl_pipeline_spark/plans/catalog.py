@@ -49,21 +49,16 @@ def register(name: str, fn: QueryFn, oracle: Optional[str]) -> None:
 
 # -- block 1a: representatives of the relational / reference families --
 register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_ORACLE)
-register("q12_late_shipment_priority", tpch2.q12_late_shipment_priority, tpch2.Q12_ORACLE)
 register("p2_halfopen_range", rs.p2_halfopen_range, rs.P2_ORACLE)
 register("c3_schema_align", rs.c3_schema_align, rs.C3_ORACLE)
 
 # -- block 1b: the events-table family (SURVEY.md §2.3-2.6) ------------
 register("j1_multiway_outer_combine", rs.j1_multiway_outer_combine, rs.J1_ORACLE)
-register("j2_range_overlap_join", rs.j2_range_overlap_join, rs.J2_ORACLE)
-register("j3_duplicate_day_conflicts", rs.j3_duplicate_day_conflicts, rs.J3_ORACLE)
 register("a3_count_probes", rs.a3_count_probes, rs.A3_ORACLE)
+register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
 register("w3_sessionize", rs.w3_sessionize, rs.W3_ORACLE)
 register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
-register("f6_path_roundtrip", rs.f6_path_roundtrip, rs.F6_ORACLE)
-register("f8_json_extract", rs.f8_json_extract, rs.F8_ORACLE)
 register("j4_asof_last_click", ts.j4_asof_last_click, ts.J4_ORACLE)
-register("j5_views_before_purchase", ts.j5_views_before_purchase, ts.J5_ORACLE)
 
 # -- block 1c: training-data dedup / similarity / multimodal -----------
 register("text_bpe_token_count", llm.text_bpe_token_count, llm.TEXT_BPE_ORACLE)
@@ -85,22 +80,22 @@ register("mm_decode_features", llm.mm_decode_features, llm.MM_DECODE_ORACLE)
 # -- block 1d: streaming surface, batch-mode twins (SURVEY.md §2.8) ----
 # the same functions run under Structured Streaming in tests/test_streaming.py
 register("st_tumbling_window_agg", st.st_tumbling_window_agg, st.ST_TUMBLING_ORACLE)
-register("st_sliding_window_agg", st.st_sliding_window_agg, st.ST_SLIDING_ORACLE)
-register("st_session_window_agg", st.st_session_window_agg, st.ST_SESSION_ORACLE)
 register("st_dedup_events", st.st_dedup_events, st.ST_DEDUP_ORACLE)
 register("st_interval_join", st.st_interval_join, st.ST_INTERVAL_JOIN_ORACLE)
+register(
+    "st_interval_join_outer",
+    st.st_interval_join_outer,
+    st.ST_INTERVAL_JOIN_OUTER_ORACLE,
+)
 register("st_enrich_static", st.st_enrich_static, st.ST_ENRICH_STATIC_ORACLE)
 
 # -- block 1e: analytic surface: windows, multi-dim aggs, set ops, casts
 register("w4_rank_lag_lead", an.w4_rank_lag_lead, an.W4_ORACLE)
-register("a5_rollup", an.a5_rollup, an.A5_ORACLE)
-register("a6_cube", an.a6_cube, an.A6_ORACLE)
-register("a7_grouping_sets", an.a7_grouping_sets, an.A7_ORACLE)
 register("so1_set_ops", an.so1_set_ops, an.SO1_ORACLE)
 register("f2_date_coerce", an.f2_date_coerce, an.F2_ORACLE)
-register("f4_array_to_json", an.f4_array_to_json, an.F4_ORACLE)
-register("a8_exact_percentiles", an.a8_exact_percentiles, an.A8_ORACLE)
-register("a10_corr_stats", an.a10_corr_stats, an.A10_ORACLE)
+register(
+    "text_repetition_stats", llm2.text_repetition_stats, llm2.TEXT_REPETITION_ORACLE
+)
 
 # -- block 1f: corpus curation (llm_surface2) + deterministic sketches -
 register(
@@ -123,6 +118,20 @@ register(
 
 # -- block 2: remaining TPC-H sweep + reference-surface variants -------
 # (families above are already represented; these complete the catalog)
+register("q12_late_shipment_priority", tpch2.q12_late_shipment_priority, tpch2.Q12_ORACLE)
+register("j2_range_overlap_join", rs.j2_range_overlap_join, rs.J2_ORACLE)
+register("j3_duplicate_day_conflicts", rs.j3_duplicate_day_conflicts, rs.J3_ORACLE)
+register("j5_views_before_purchase", ts.j5_views_before_purchase, ts.J5_ORACLE)
+register("st_sliding_window_agg", st.st_sliding_window_agg, st.ST_SLIDING_ORACLE)
+register("st_session_window_agg", st.st_session_window_agg, st.ST_SESSION_ORACLE)
+register("a5_rollup", an.a5_rollup, an.A5_ORACLE)
+register("a6_cube", an.a6_cube, an.A6_ORACLE)
+register("a7_grouping_sets", an.a7_grouping_sets, an.A7_ORACLE)
+register("a8_exact_percentiles", an.a8_exact_percentiles, an.A8_ORACLE)
+register("a10_corr_stats", an.a10_corr_stats, an.A10_ORACLE)
+register("f4_array_to_json", an.f4_array_to_json, an.F4_ORACLE)
+register("f6_path_roundtrip", rs.f6_path_roundtrip, rs.F6_ORACLE)
+register("f8_json_extract", rs.f8_json_extract, rs.F8_ORACLE)
 register("q5_region_volume", tpch.q5_region_volume, tpch.Q5_ORACLE)
 register("q6_revenue_delta", tpch.q6_revenue_delta, tpch.Q6_ORACLE)
 register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_ORACLE)
@@ -160,16 +169,7 @@ register("w2_topk_per_group", rs.w2_topk_per_group, rs.W2_ORACLE)
 register("f3_timestamp_coerce", rs.f3_timestamp_coerce, rs.F3_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
-register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
-register(
-    "st_interval_join_outer",
-    st.st_interval_join_outer,
-    st.ST_INTERVAL_JOIN_OUTER_ORACLE,
-)
 register("text_token_stats", llm.text_token_stats, llm.TEXT_TOKEN_STATS_ORACLE)
-register(
-    "text_repetition_stats", llm2.text_repetition_stats, llm2.TEXT_REPETITION_ORACLE
-)
 register("text_quality_score", llm.text_quality_score, llm.TEXT_QUALITY_ORACLE)
 register("text_langid", llm.text_langid, llm.TEXT_LANGID_ORACLE)
 register("text_fingerprint", llm.text_fingerprint, llm.TEXT_FINGERPRINT_ORACLE)

@@ -654,20 +654,31 @@ FROM documents
 
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic media table -> mapInPandas decode -> feature extraction
-    -> join on media_id. The fake codec (operators/multimodal.py) is
-    md5-derived and deterministic, so the oracle below re-derives every
-    column — header fields, payload digest over the canonical hex
-    encoding, and the 16-bucket byte histogram (read off the hex string:
-    byte >> 4 IS the high nibble) — entirely in SQL; the driver gets a
-    full value-hash row for the Arrow plumbing, not a rows-only check."""
+    -> join on media_id, histogram posexploded to one row per (media,
+    bucket). The fake codec (operators/multimodal.py) is md5-derived and
+    deterministic, so the oracle below re-derives every column — header
+    fields, payload digest over the canonical hex encoding, and each
+    16-bucket byte-histogram entry (read off the hex string: byte >> 4
+    IS the high nibble) — entirely in SQL; the driver gets a full
+    value-hash row for the Arrow plumbing, not a rows-only check.
+
+    Output is scalar-only on purpose: external hashers canonicalize via
+    pandas ``sort_values`` over every column, which throws on array
+    cells — catalog queries must never emit ARRAY/STRUCT/MAP top-level
+    columns (gate: tests/parity.py::assert_scalar_output)."""
     from personal_health_etl_pipeline_spark.operators import multimodal as MM
 
     media = MM.synth_media_df(spark, n=300)
     decoded = MM.decode_media(media)
     feats = MM.extract_features(media)
-    return decoded.join(feats, "media_id").select(
-        "media_id", "media_type", "width", "height", "n_frames",
-        "payload_bytes", "payload_digest", "features",
+    return (
+        decoded.join(feats, "media_id")
+        .select(
+            "media_id", "media_type", "width", "height", "n_frames",
+            "payload_bytes", "payload_digest",
+            F.posexplode("features").alias("bucket", "bucket_frac"),
+        )
+        .withColumn("bucket", F.col("bucket").cast("long"))
     )
 
 
@@ -699,14 +710,13 @@ SELECT media_id,
        width, height, n_frames,
        CAST(nb AS BIGINT) AS payload_bytes,
        md5(hx) AS payload_digest,
-       list_transform(range(0, 16), k ->
-         CAST(len(list_filter(range(0, CAST(nb AS BIGINT)),
-              i -> substr(hx, CAST(2*i+1 AS INTEGER), 1) =
-                   substr('0123456789abcdef', CAST(k+1 AS INTEGER), 1)))
-              AS DOUBLE) / nb
-       ) AS features
-FROM hexed
-ORDER BY media_id
+       k AS bucket,
+       CAST(len(list_filter(range(0, CAST(nb AS BIGINT)),
+            i -> substr(hx, CAST(2*i+1 AS INTEGER), 1) =
+                 substr('0123456789abcdef', CAST(k+1 AS INTEGER), 1)))
+            AS DOUBLE) / nb AS bucket_frac
+FROM hexed, range(0, 16) r(k)
+ORDER BY media_id, bucket
 """
 
 

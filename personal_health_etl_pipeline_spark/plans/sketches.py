@@ -146,6 +146,10 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(aggregate(zip_with(_q, array({arr}), (x, s) -> x * s),"
             f" 0L, (a, x) -> a + x) * 125 AS DOUBLE) / 1.0e9"
         )
+    # one row per (vec_id, dim): external hashers canonicalize via pandas
+    # sort_values over every column, which throws on array cells, so the
+    # projected vector is posexploded to scalar rows (gate:
+    # tests/parity.py::assert_scalar_output).
     return (
         emb.select(
             "vec_id",
@@ -154,8 +158,14 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
             ).alias("_q"),
         )
-        .select("vec_id", F.expr(f"array({','.join(dims)})").alias("projected"))
-        .orderBy("vec_id")
+        .select(
+            "vec_id",
+            F.posexplode(F.expr(f"array({','.join(dims)})")).alias(
+                "dim", "projected"
+            ),
+        )
+        .withColumn("dim", F.col("dim").cast("long"))
+        .orderBy("vec_id", "dim")
     )
 
 
@@ -174,10 +184,14 @@ WITH q AS (
          list_transform(embedding, x ->
            CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
   FROM embeddings
+),
+proj AS (
+  SELECT vec_id, [{",".join(dims)}] AS pv
+  FROM q
 )
-SELECT vec_id, [{",".join(dims)}] AS projected
-FROM q
-ORDER BY vec_id
+SELECT vec_id, k AS dim, pv[CAST(k + 1 AS INTEGER)] AS projected
+FROM proj, range(0, {JL_OUT_DIMS}) r(k)
+ORDER BY vec_id, dim
 """
 
 

@@ -156,11 +156,31 @@ def compare(
             )
 
 
+def assert_scalar_output(spark_df, name: str = "") -> None:
+    """Catalog outputs must be scalar-only columns.
+
+    External hashers canonicalize results with pandas ``sort_values``
+    over EVERY column; an ARRAY/STRUCT/MAP cell throws ``unhashable
+    type`` there and the query is recorded as an error even when the
+    values match (cost mm_decode_features its round-2 row). Same family
+    of trap as the HUGEINT ban above: the comparison harness, not the
+    engine, dictates the output shape."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for field in spark_df.schema.fields:
+        assert not isinstance(field.dataType, (ArrayType, MapType, StructType)), (
+            f"catalog query {name or '<df>'!r} column {field.name!r} is "
+            f"{field.dataType.simpleString()}: explode/serialize to scalar "
+            f"columns — pandas-based value hashers die on nested cells"
+        )
+
+
 def check_query(spark, name: str, sf_dir: str) -> None:
     from personal_health_etl_pipeline_spark.plans.catalog import CATALOG
 
     fn, sql = CATALOG[name]
     df = fn(spark, sf_dir)
+    assert_scalar_output(df, name)
     if sql is None:
         assert df.count() >= 0  # rows-only check, mirrors driver fallback
         return
