@@ -654,6 +654,7 @@ def pq_topk(
     query_mod: int = 50,
     subdim: int = 8,
     shortlist: int = 50,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by product quantization: ADC shortlist, exact
     re-rank — the standard production shape.
@@ -666,6 +667,15 @@ def pq_topk(
     candidates by ``PQ_M`` table lookups, keeps a ``shortlist``, and
     re-scores only those exactly. Everything integer-grid, so the
     oracle reproduces every value.
+
+    SCALE CONTRACT: the ADC scan is a broadcast non-equi join of all
+    codes x all queries — O(N x Q). That is the correct shape ONLY
+    when the query side is a small bounded table; pass it via
+    ``queries`` (same ``id_col``/``vec_col`` schema as the corpus).
+    The default ``query_mod`` self-query set grows with the corpus
+    (O(N^2 / query_mod) work) and exists for the deterministic oracle
+    at test scale — at 100 TB use ``queries`` or IVF-PQ, whose probe
+    join is an equi-join on ``list_id``.
 
     Returns (query_id, rank, neighbor_id, sim) — exact cosine on the
     shortlist; ties rank by neighbor id.
@@ -702,7 +712,24 @@ def pq_topk(
         "_n2n",
         F.expr(_pq_data_codes_expr("_qn", m_sub, subdim)).alias("codes"),
     )
-    queries = with_cb.where(F.col("_id") % query_mod == 0).select(
+    if queries is None:
+        q_src = with_cb.where(F.col("_id") % query_mod == 0)
+    else:
+        # bounded external query table: normalize on the same integer
+        # grid and rank against the SAME corpus-sampled codebook
+        q_src = (
+            spread(
+                queries.select(F.col(id_col).alias("_id"), F.col(vec_col))
+            )
+            .select("_id", quantize(F.col(vec_col)).alias("_q"))
+            .withColumn("_n2", norm2_int(F.col("_q")))
+            .select(
+                "_id", unit_quantize(F.col("_q"), F.col("_n2")).alias("_qn")
+            )
+            .withColumn("_n2n", norm2_int(F.col("_qn")))
+            .crossJoin(F.broadcast(cb_arr))
+        )
+    query_side = q_src.select(
         F.col("_id").alias("query_id"),
         F.col("_qn").alias("_qq"),
         F.col("_n2n").alias("_qn2"),
@@ -712,7 +739,7 @@ def pq_topk(
         F.col("adist").asc(), F.col("neighbor_id")
     )
     shortlisted = (
-        codes.join(F.broadcast(queries), F.col("_id") != F.col("query_id"))
+        codes.join(F.broadcast(query_side), F.col("_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("_id").alias("neighbor_id"),
@@ -749,13 +776,16 @@ def ivfpq_topk(
     nprobe: int = 2,
     subdim: int = 8,
     shortlist: int = 50,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse inverted-file pruning + residual product codes +
     exact re-rank — the configuration real 100 TB vector stores run:
     candidates shrink by ~n_lists/nprobe AND each candidate costs 8
     table lookups on an 8-byte code instead of a 64-dim dot product
     over 256 bytes; only the ``shortlist`` survivors per query are
-    scored exactly.
+    scored exactly. Pass a bounded external query table via ``queries``
+    ((id, vector) schema, no label needed) — the default ``query_mod``
+    self-query set exists for the deterministic oracle at test scale.
 
     Classic residual encoding: each vector's PQ codes quantize
     ``x - centroid(list(x))``, and a query builds one distance table
@@ -795,8 +825,27 @@ def ivfpq_topk(
         F.expr(_pq_codes_expr("_r", subdim)).alias("codes"),
     )
     # per probed list: distance table from the query's residual vs that list
+    if queries is None:
+        ranked_q = ranked.where(F.col("_id") % query_mod == 0)
+    else:
+        # bounded external queries ranked against the SAME coarse
+        # centroids (no label needed — lists come from the centroids)
+        ranked_q = (
+            spread(queries.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+            .select("_id", quantize(F.col(vec_col)).alias("_q"))
+            .withColumn("_n2", norm2_int(F.col("_q")))
+            .crossJoin(F.broadcast(cent_arr))
+            .withColumn(
+                "_ranked",
+                F.expr(
+                    "array_sort(transform(cs, c -> struct("
+                    "aggregate(zip_with(_q, c.cvec, (x, y) -> (x - y) * (x - y)),"
+                    " 0L, (a, x) -> a + x) AS d2, c.cid AS cid)))"
+                ),
+            )
+        )
     probes = (
-        ranked.where(F.col("_id") % query_mod == 0)
+        ranked_q
         .select(
             F.col("_id").alias("query_id"),
             F.col("_q").alias("_qq"),

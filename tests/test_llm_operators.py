@@ -348,3 +348,45 @@ class TestProductQuantization:
         hit = bf.intersect(pq).count()
         assert total > 0
         assert hit / total >= 0.4, f"PQ recall too low: {hit}/{total}"
+
+    def test_ivfpq_recall_floor_vs_brute_force(self, spark, sf_dir):
+        """An approximate index whose oracle mirrors the approximation
+        is certified deterministic, not certified good — recall vs the
+        exact brute force is the only quality measurement. Probing 6 of
+        the 10 lists with a 200-deep ADC shortlist measures 0.67 at
+        sf0.001 and 0.66 at sf0.01 (the remaining loss is coarse-probe
+        loss: cosine neighbors living in unprobed lists); gate at 0.6."""
+        from personal_health_etl_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+            ivfpq_topk,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        bf = brute_force_topk(emb, k=10).select("query_id", "neighbor_id")
+        iv = ivfpq_topk(emb, k=10, nprobe=6, shortlist=200).select(
+            "query_id", "neighbor_id"
+        )
+        total = bf.count()
+        hit = bf.intersect(iv).count()
+        assert total > 0
+        assert hit / total >= 0.6, f"IVF-PQ recall too low: {hit}/{total}"
+
+    def test_pq_external_query_table_matches_self_query(self, spark, sf_dir):
+        """The bounded-external-queries path (the 100 TB shape: the
+        broadcast side no longer grows with the corpus) must return the
+        same rows as the default query_mod self-query set when given
+        exactly those vectors."""
+        from pyspark.sql import functions as F
+        from personal_health_etl_pipeline_spark.operators.similarity import (
+            ivfpq_topk,
+            pq_topk,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        ext = emb.where(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
+        for op, kwargs in ((pq_topk, {}), (ivfpq_topk, {"nprobe": 2})):
+            default = op(emb, k=5, query_mod=50, **kwargs).collect()
+            external = op(emb, k=5, queries=ext, **kwargs).collect()
+            assert sorted(map(tuple, default)) == sorted(map(tuple, external))

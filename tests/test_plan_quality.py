@@ -276,3 +276,43 @@ class TestCappedDedupPlans:
         # the hot-shingle drop list rides in as a broadcast anti-join
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestPQJoinShapes:
+    """The no-BNLJ gates above deliberately EXEMPT pq_topk: its ADC
+    scan is a broadcast non-equi join (codes x queries) by design —
+    O(N x Q), acceptable only with a bounded external query table
+    (`queries=` parameter) or at correctness-baseline scale. IVF-PQ is
+    the scale path and must stay equi-join shaped."""
+
+    def test_pq_adc_scan_is_the_documented_bnlj(self, spark, sf_dir):
+        from personal_health_etl_pipeline_spark.operators.similarity import (
+            pq_topk,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        plan = _executed_plan(pq_topk(emb, k=5))
+        # the exemption made explicit: if this ever stops being a BNLJ
+        # the docstring + this test should change together
+        assert "BroadcastNestedLoopJoin" in plan
+
+    def test_ivfpq_probe_join_is_equi_no_bnlj(self, spark, sf_dir):
+        """IVF-PQ's only BNLJs are the 1-row scalar crossJoins that
+        attach the collected centroid/codebook arrays (corpus-size-
+        independent build side); the candidate-generating probe join
+        itself must be a hash equi-join on list_id."""
+        from personal_health_etl_pipeline_spark.operators.similarity import (
+            ivfpq_topk,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        plan = _executed_plan(ivfpq_topk(emb, k=5))
+        assert "CartesianProduct" not in plan
+        # the probe equi-join survives to the physical plan
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or (
+            "ShuffledHashJoin" in plan
+        )
+        # exactly the two 1-row centroid-array attachments may be BNLJ
+        assert plan.count("BroadcastNestedLoopJoin") <= 2
