@@ -76,21 +76,25 @@ def main() -> None:
         lambda it: it, "id long"
     ).selectExpr("sum(id)").collect()
 
-    # best-of-3 per query: the first run pays one-time codegen/compile
-    # for that plan shape, later runs measure steady-state execution —
-    # the number that scales with data volume
-    timings: dict[str, float] = {}
+    # One untimed warm pass (pays per-plan codegen/compile), then three
+    # timed passes taken ROUND-ROBIN across the whole set, best-of-3
+    # per query. Round-robin decorrelates transient system load from
+    # individual queries: consecutive trials of one query all land in
+    # the same noisy window, interleaved trials don't — round-over-round
+    # comparisons stay meaningful on sub-2 s queries.
     for name in HEADLINE:
-        fn = CATALOG[name][0]
-        # flush garbage left by the previous query so its GC pauses
-        # don't land inside this query's timing window
-        spark.sparkContext._jvm.System.gc()
-        best = float("inf")
-        for _ in range(3):
+        CATALOG[name][0](spark, sf_dir).collect()
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            fn = CATALOG[name][0]
+            # flush garbage left by the previous query so its GC pauses
+            # don't land inside this query's timing window
+            spark.sparkContext._jvm.System.gc()
             start = time.perf_counter()
             fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            timings[name] = min(timings[name], time.perf_counter() - start)
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(

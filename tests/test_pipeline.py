@@ -272,3 +272,47 @@ class TestSpecialCategorySlice:
         assert df.count() == 17  # 7 + 7 + 3 chunk windows, unioned
         empty = extract_data_type(spark, "heartrate", start, _dt.date(2024, 2, 1))
         assert empty.count() == 0
+
+
+class TestDetailedCategorySlice:
+    """DETAILED-category end-to-end: workout (constants.py:20-49) —
+    the last untested registry category. The reference stubs the
+    DETAILED transform as a TODO (transform.py:120-128); the engine
+    carries the category through extract -> raw zone -> transform ->
+    warehouse exactly like DAILY, proving category routing never
+    forks the data path."""
+
+    def test_workout_lands_and_transforms(self, spark, tmp_path):
+        cfg = _cfg(tmp_path, data_types=("daily_sleep", "workout"))
+        out = run_pipeline(spark, cfg, TODAY)
+        assert out["extracted"] == {"daily_sleep": 10, "workout": 10}
+        assert out["new_rows"] == 10
+        wh = spark.read.parquet(cfg.warehouse_path)
+        assert wh.count() == 10
+        row = wh.orderBy("day").first()
+        assert row["workout__score"] is not None
+        assert row["workout__id"].startswith("workout-")
+        # incremental day-2 run stays incremental for the DETAILED type
+        out2 = run_pipeline(spark, cfg, TODAY + dt.timedelta(days=1))
+        assert out2["extracted"] == {"daily_sleep": 1, "workout": 1}
+        assert out2["new_rows"] == 1
+
+    def test_detailed_category_routes_through_registry(self, spark):
+        from personal_health_etl_pipeline_spark.sources.registry import (
+            CATEGORY_DETAILED,
+            DEFAULT_REGISTRY,
+            extract_data_type,
+        )
+
+        spec = DEFAULT_REGISTRY["workout"]
+        assert spec.category == CATEGORY_DETAILED
+        assert spec.chunk_days is None
+        got = extract_data_type(
+            spark, "workout", dt.date(2024, 3, 1), dt.date(2024, 3, 3)
+        )
+        assert got.count() == 3
+        # inverted window -> empty frame, reference API contract
+        empty = extract_data_type(
+            spark, "workout", dt.date(2024, 3, 3), dt.date(2024, 3, 1)
+        )
+        assert empty.count() == 0
