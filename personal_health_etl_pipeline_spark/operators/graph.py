@@ -21,10 +21,11 @@ driver-side value per round is the single convergence count
 (bounded, not per-row).
 
 Scale notes: state is (node, label) — two long columns; rounds reuse
-the same hash partitioning on ``node``. ``localCheckpoint`` truncates
-the growing lineage so round N doesn't replay rounds 1..N-1 (at
-cluster scale, use reliable checkpointing to HDFS/object storage
-instead).
+the same hash partitioning on ``node``. Checkpointing truncates the
+growing lineage so round N doesn't replay rounds 1..N-1 — local
+checkpoints by default (fast, fine for local mode), reliable
+checkpoints to a caller-supplied ``checkpoint_dir`` for cluster
+deployments where executor loss must not kill the iteration.
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Resolve the undirected pair graph into components.
 
@@ -52,7 +54,21 @@ def connected_components(
     ``max_rounds`` bounds the loop; with pointer jumping the round
     count is O(log n) in the largest component diameter, so 25 covers
     components of ~2^25 nodes even in the worst (path-graph) shape.
+
+    ``checkpoint_dir``: when set, per-round state is truncated with
+    RELIABLE checkpoints written under this path (HDFS/object storage
+    on a cluster) instead of ``localCheckpoint``. Local checkpoints
+    live in executor block storage, so on a real cluster losing one
+    executor mid-iteration kills the job; reliable checkpoints survive
+    executor loss and are the right default for any long-running
+    cluster deployment. Local mode / tests can keep the default.
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -61,12 +77,12 @@ def connected_components(
     # materialize once: the pair graph may hang off an expensive lineage
     # (a full LSH pipeline) and every round joins against it — without
     # the checkpoint each round would recompute that lineage.
-    edges = edges.localCheckpoint(eager=True)
+    edges = _ckpt(edges)
     # initial label = own id, for every node that appears in any pair
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = _ckpt(labels)
 
     for _ in range(max_rounds):
         # propagate: min label over the closed neighborhood
@@ -92,7 +108,7 @@ def connected_components(
             propagated.join(l2, propagated["label"] == l2["p_node"])
             .select("node", F.col("p_label").alias("label"))
         )
-        jumped = jumped.localCheckpoint(eager=True)
+        jumped = _ckpt(jumped)
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "node")

@@ -43,10 +43,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # and the conf is runtime-settable SQLConf, so set it here too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read via nanosAsLong: truncate to µs
-        # (same truncation DuckDB applies reading the file).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) parquet read via nanosAsLong: truncate to µs
+            # (same truncation DuckDB applies reading the file).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Plain timestamp[us] parquet (no UTC adjustment flag) reads as
+            # TIMESTAMP_NTZ, which Spark 4 refuses to cast to numeric types
+            # downstream. Pin the wall clock to UTC explicitly — NOT via a
+            # plain cast, which would shift the epoch under a non-UTC
+            # session timezone (load_table must behave identically on a
+            # vanilla harness session).
+            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return df
 
 

@@ -50,6 +50,26 @@ class TestConnectedComponents:
     def test_empty_pairs(self, spark):
         assert connected_components(_pairs(spark, [])).collect() == []
 
+    def test_reliable_checkpoint_dir(self, spark, tmp_path):
+        """With ``checkpoint_dir`` set, rounds truncate lineage via
+        RELIABLE checkpoints (files under the dir) instead of
+        localCheckpoint — the cluster-safe mode (executor loss cannot
+        drop local-checkpoint blocks it depends on)."""
+        ckpt = str(tmp_path / "ckpt")
+        comp = {
+            r.node: r.component
+            for r in connected_components(
+                _pairs(spark, [(1, 2), (2, 3), (10, 11)]),
+                checkpoint_dir=ckpt,
+            ).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        import glob as _glob
+
+        assert _glob.glob(f"{ckpt}/**/rdd-*", recursive=True), (
+            "no reliable checkpoint files written under checkpoint_dir"
+        )
+
     def test_direction_and_order_invariance(self, spark):
         a = connected_components(_pairs(spark, [(5, 9), (2, 9), (7, 2)]))
         b = connected_components(_pairs(spark, [(9, 5), (7, 2), (9, 2)]))

@@ -72,3 +72,44 @@ class TestClusterBy:
         before = spark.read.parquet(drizzle).orderBy("id").collect()
         after = spark.read.parquet(out).orderBy("id").collect()
         assert after == before
+
+    def test_cluster_key_predicate_prunes_scanned_rows(self, spark, tmp_path, drizzle):
+        """The point of clustering: a cluster-key range predicate must
+        skip whole files via parquet min/max footer stats. Spark's file
+        listing still counts every file (``numFiles``), but row groups
+        whose stats exclude the predicate are never decoded — observed
+        as the scan node's ``numOutputRows``. Each output file here is
+        one row group, so row-group skipping IS file skipping.
+
+        The key must be ``k``: each drizzle append holds a contiguous
+        ``id`` range (already id-clustered by construction) but the
+        full spread of ``k = id % 97``, so only clustering can give a
+        ``k`` predicate pruning power."""
+        out = str(tmp_path / "clustered3")
+        cluster_by(spark, drizzle, out, cols=["k"], n_files=4)
+
+        def scan_output_rows(df):
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan()
+            if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                plan = plan.executedPlan()
+            leaves = plan.collectLeaves()
+            rows = 0
+            for i in range(leaves.size()):
+                mets = leaves.apply(i).metrics()
+                it = mets.iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "numOutputRows":
+                        rows += kv._2().value()
+            return rows
+
+        pred = F.col("k").between(10, 15)
+        clustered_rows = scan_output_rows(spark.read.parquet(out).where(pred))
+        unclustered_rows = scan_output_rows(spark.read.parquet(drizzle).where(pred))
+        # 5000 rows over 4 k-clustered files -> the 6-value k band lives
+        # in one ~1250-row file; every unclustered drizzle file spans
+        # all k, so nothing prunes there and all 5000 rows decode.
+        assert clustered_rows <= 5000 / 4
+        assert unclustered_rows == 5000
+        assert clustered_rows < unclustered_rows
