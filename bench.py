@@ -84,7 +84,7 @@ def main() -> None:
     # comparisons stay meaningful on sub-2 s queries.
     for name in HEADLINE:
         CATALOG[name][0](spark, sf_dir).collect()
-    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
         for name in HEADLINE:
             fn = CATALOG[name][0]
@@ -93,8 +93,12 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
             start = time.perf_counter()
             fn(spark, sf_dir).collect()
-            timings[name] = min(timings[name], time.perf_counter() - start)
-    timings = {name: round(t, 3) for name, t in timings.items()}
+            trials[name].append(time.perf_counter() - start)
+    timings = {name: round(min(ts), 3) for name, ts in trials.items()}
+    # median (middle of 3) alongside best: best is the headline number
+    # (least-noise estimate of the plan's cost), median shows whether a
+    # round-over-round delta is jitter (medians overlap) or real
+    medians = {name: round(sorted(ts)[1], 3) for name, ts in trials.items()}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -104,6 +108,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "median_total": round(sum(medians.values()), 3),
                 "sf": sf,
             }
         )

@@ -25,6 +25,20 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` once and pass it to ``fn`` as a lambda variable.
+
+    Higher-order-function lambdas are interpreted, and a child
+    EXPRESSION referenced k times inside one is re-evaluated k times —
+    ``word_shingles`` over a raw ``tokens(col)`` expression re-runs the
+    regex tokenizer ~7x per row (2 sizes + n slices + the guard). A
+    lambda VARIABLE is a cheap bound-attribute read, so routing the
+    expression through a 1-element ``transform`` evaluates it exactly
+    once. Pure plan-level rewrite: same result, same nullability.
+    """
+    return F.transform(F.array(expr), fn)[0]
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization with empty-token removal."""
     return F.filter(F.split(_col(col), WHITESPACE), lambda x: x != F.lit(""))
@@ -60,7 +74,7 @@ def word_shingles(tokens_col: Column, n: int = 3, sep: str = " ") -> Column:
 
 
 def distinct_shingles(col: Column | str, n: int = 3) -> Column:
-    return F.array_distinct(word_shingles(tokens(col), n))
+    return F.array_distinct(_once(tokens(col), lambda t: word_shingles(t, n)))
 
 
 def sum_token_lengths(tokens_col: Column) -> Column:
@@ -70,13 +84,21 @@ def sum_token_lengths(tokens_col: Column) -> Column:
 
 
 def avg_token_length(col: Column | str, round_to: int = 6) -> Column:
-    t = tokens(col)
-    return F.round(sum_token_lengths(t).cast("double") / F.size(t), round_to)
+    return _once(
+        tokens(col),
+        lambda t: F.round(
+            sum_token_lengths(t).cast("double") / F.size(t), round_to
+        ),
+    )
 
 
 def type_token_ratio(col: Column | str, round_to: int = 6) -> Column:
-    t = tokens(col)
-    return F.round(F.size(F.array_distinct(t)).cast("double") / F.size(t), round_to)
+    return _once(
+        tokens(col),
+        lambda t: F.round(
+            F.size(F.array_distinct(t)).cast("double") / F.size(t), round_to
+        ),
+    )
 
 
 def quality_score(col: Column | str, round_to: int = 6) -> Column:
@@ -89,16 +111,17 @@ def quality_score(col: Column | str, round_to: int = 6) -> Column:
     All inputs are exact integers, so the double arithmetic is
     IEEE-deterministic and oracle-exact.
     """
-    t = tokens(col)
-    n = F.size(t).cast("double")
-    ttr = F.size(F.array_distinct(t)).cast("double") / n
-    avg_len = sum_token_lengths(t).cast("double") / n
-    score = (
-        0.3 * F.least(n / 100.0, F.lit(1.0))
-        + 0.4 * ttr
-        + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
-    )
-    return F.round(score, round_to)
+    def _score(t: Column) -> Column:
+        n = F.size(t).cast("double")
+        ttr = F.size(F.array_distinct(t)).cast("double") / n
+        avg_len = sum_token_lengths(t).cast("double") / n
+        return (
+            0.3 * F.least(n / 100.0, F.lit(1.0))
+            + 0.4 * ttr
+            + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
+        )
+
+    return _once(tokens(col), lambda t: F.round(_score(t), round_to))
 
 
 # --- language ID (stopword-overlap heuristic) -------------------------
@@ -122,14 +145,37 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 def lang_id(col: Column | str) -> Column:
     """argmax of stopword scores with deterministic tie-break
-    (alphabetical language order); no hits at all -> 'unknown'."""
-    scores = lang_scores(col)
-    best = F.greatest(*scores.values())
-    result = F.lit("unknown")
-    # reverse alphabetical fold => alphabetical priority on ties
-    for lang in sorted(scores, reverse=True):
-        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
-    return F.when(best > 0, result).otherwise(F.lit("unknown"))
+    (alphabetical language order); no hits at all -> 'unknown'.
+
+    Token array and score array are both bound via :func:`_once` — the
+    naive expression tree re-tokenizes per language and re-scores per
+    tie-break branch (~8 tokenizer evaluations per row)."""
+    langs = sorted(STOPWORDS)
+
+    def _pick(arr: Column) -> Column:
+        best = F.array_max(arr)
+        result = F.lit("unknown")
+        # reverse alphabetical fold => alphabetical priority on ties
+        for i in range(len(langs) - 1, -1, -1):
+            result = F.when(arr[i] == best, F.lit(langs[i])).otherwise(result)
+        return F.when(best > 0, result).otherwise(F.lit("unknown"))
+
+    return _once(
+        distinct_tokens(col),
+        lambda toks: _once(
+            F.array(
+                *[
+                    F.size(
+                        F.array_intersect(
+                            toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+                        )
+                    )
+                    for lang in langs
+                ]
+            ),
+            _pick,
+        ),
+    )
 
 
 # --- fingerprinting ----------------------------------------------------

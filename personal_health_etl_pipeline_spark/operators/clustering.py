@@ -1,0 +1,182 @@
+"""K-means clustering and semantic (cluster-then-compare) dedup.
+
+The dedup family finds near-duplicates whose *surface forms* collide
+(shingles, simhash bits, LSH buckets). Semantic dedup — SemDeDup-style
+— finds documents that say the same thing in different words: cluster
+the embedding space with k-means, then compare pairs only *within* a
+cluster. The reference repo has no clustering (its richest analytics
+are two BigQuery probes, `composer_dags/dags/utils/data_sources/oura/
+etl/load.py:220-247`); this is part of the engine's extended
+training-data surface, like the LSH/ANN family it composes with.
+
+Determinism contract (same as operators/similarity.py): vectors are
+quantized to the 1e-6 integer grid, every distance is exact integer
+math, centroid updates are round(sum/count) back onto the grid, and
+ties break on cluster id — so Lloyd's iterations are bit-identical
+between Spark's partitioned execution and a serial SQL oracle.
+
+Scale design:
+
+* Each Lloyd iteration is ONE map-side pass for assignment (the k
+  centroids travel as a single broadcast array; argmin is an array
+  expression — no join, no shuffle) plus ONE (cid, dim)-keyed shuffle
+  for the centroid update. No driver-side loops over data; the only
+  driver work is building the (short, k-bounded) plan per iteration.
+* ``k`` should grow with the corpus (k ~ N / target_cluster_size);
+  the within-cluster pair step is O(sum of cluster_size^2), bounded by
+  ``cluster_cap`` chain emission exactly like the LSH bucket cap
+  (``dedup.pair_gen_sql``), so one runaway cluster degrades to O(N)
+  pairs, not O(N^2).
+* For big corpora pass ``persist=True`` so the quantized base is
+  materialized once instead of re-scanned by every iteration's
+  assignment pass (n_updates+1 scans otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.operators.dedup import (
+    LSH_BUCKET_CAP,
+    pair_gen_sql,
+)
+from personal_health_etl_pipeline_spark.operators.partitioning import spread
+from personal_health_etl_pipeline_spark.operators.similarity import (
+    cosine_pre,
+    norm2_int,
+    quantize,
+    quantized_centroids,
+)
+
+# argmin over the broadcast centroid array: exact integer squared L2
+# per centroid, ties broken on cluster id by the (d2, cid) struct sort.
+_BEST_EXPR = (
+    "array_sort(transform(cs, c -> struct("
+    "aggregate(zip_with(_q, c.cvec, (x, y) -> (x - y) * (x - y)),"
+    " 0L, (a, x) -> a + x) AS d2, c.cid AS cid)))[0]"
+)
+
+
+def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map-side assignment: centroids ride as one broadcast row."""
+    cent_arr = cents.agg(F.collect_list(F.struct("cid", "cvec")).alias("cs"))
+    return (
+        base.crossJoin(F.broadcast(cent_arr))
+        .withColumn("_best", F.expr(_BEST_EXPR))
+        .select(
+            "_id",
+            "_q",
+            "_n2",
+            F.col("_best.cid").alias("cid"),
+            F.col("_best.d2").alias("d2"),
+        )
+    )
+
+
+def kmeans_assignments(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_updates: int = 2,
+    persist: bool = False,
+) -> DataFrame:
+    """Lloyd's k-means; returns the final assignment frame
+    ``(_id, _q, _n2, cid, d2)`` (internal shape — see
+    :func:`kmeans_assign` for the public scalar projection).
+
+    * init: centroids = the ``k`` smallest-id vectors, ``cid`` 0..k-1
+      in id order (deterministic, oracle-reproducible). Init quality
+      therefore tracks id order: ids uncorrelated with content (hashes,
+      ingestion counters) spread the seeds like random init; ids that
+      cluster by content can clump the seeds, and Lloyd's does not
+      recover from a clumped init — re-key by a hash first if needed;
+    * ``n_updates`` times: recompute centroids as the per-dimension
+      round(mean) of the current assignment (back on the integer
+      grid), then re-assign;
+    * a cluster that loses all members simply drops out of the
+      centroid set (both engines compute centroids by grouping the
+      assignment, so the oracle agrees).
+    """
+    base = (
+        spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+        .select("_id", quantize(F.col(vec_col)).alias("_q"))
+        .withColumn("_n2", norm2_int(F.col("_q")))
+    )
+    if persist:
+        base = base.persist()
+    w = Window.orderBy("_id")
+    cents = (
+        base.orderBy("_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("cid"), F.col("_q").alias("cvec")
+        )
+    )
+    assigned = _assign(base, cents)
+    for _ in range(n_updates):
+        cents = quantized_centroids(assigned, "cid")
+        assigned = _assign(base, cents)
+    return assigned
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_updates: int = 2,
+) -> DataFrame:
+    """Public k-means assignment: ``(vec_id, cluster_id, d2)`` — the
+    exact squared grid distance to the vector's final centroid."""
+    return kmeans_assignments(
+        embeddings, id_col=id_col, vec_col=vec_col, k=k, n_updates=n_updates
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("cid").alias("cluster_id"),
+        F.col("d2"),
+    )
+
+
+def semantic_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_updates: int = 2,
+    threshold: float = 0.4,
+    cluster_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """SemDeDup-style near-dup pairs: ``(id_a, id_b, sim)``,
+    ``id_a < id_b``, cosine >= ``threshold``, both in the same k-means
+    cluster.
+
+    Clusters partition the corpus (unlike LSH buckets, which overlap
+    across tables), so no cross-bucket pair dedup shuffle is needed:
+    the pipeline is k-means, one groupBy(cid) with carried payloads,
+    and an inline pair explode + cosine — capped per cluster by
+    ``cluster_cap`` chain emission.
+    """
+    assigned = kmeans_assignments(
+        embeddings, id_col=id_col, vec_col=vec_col, k=k, n_updates=n_updates
+    )
+    grouped = (
+        # zero-norm vectors have no defined cosine — they cluster fine
+        # but cannot pair (ANSI division; the oracle filters identically)
+        assigned.where(F.col("_n2") > 0)
+        .select("cid", F.struct("_id", "_q", "_n2").alias("m"))
+        .groupBy("cid")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))  # struct sort = by _id
+        .where(F.size("ms") > 1)
+    )
+    pairs = grouped.select(
+        F.explode(F.expr(pair_gen_sql("ms", cluster_cap))).alias("p")
+    )
+    return pairs.select(
+        F.col("p.a._id").alias("id_a"),
+        F.col("p.b._id").alias("id_b"),
+        cosine_pre(
+            F.col("p.a._q"), F.col("p.b._q"), F.col("p.a._n2"), F.col("p.b._n2")
+        ).alias("sim"),
+    ).where(F.col("sim") >= threshold)

@@ -181,7 +181,8 @@ def minhash_lsh_pairs(
     """
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
-    base = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+    docs = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    base = docs.select(
         "_id",
         distinct_shingles(text_col, shingle_n).alias("_sh"),
     ).where(F.size("_sh") > 0)
@@ -246,13 +247,28 @@ def minhash_lsh_pairs(
     # streams map-side and nothing big ever shuffles. If candidates
     # outgrow the broadcast limit at extreme dup rates, drop the hints
     # and these become ordinary shuffle joins.
-    sh_tbl = base  # (_id, _sh)
-    with_a = sh_tbl.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
-    ).join(F.broadcast(candidates), "id_a")
+    #
+    # Join the RAW doc table and shingle AFTER the join: the shingle +
+    # md5 projection is the pipeline's dominant per-row cost, and
+    # projecting it before the join would re-run it over the whole
+    # corpus on both verification passes (3x total with the sketch
+    # pass); post-join it runs only on the ~|candidates| surviving rows.
+    with_a = docs.join(
+        F.broadcast(candidates), docs["_id"] == F.col("id_a")
+    ).select(
+        "id_a", "id_b", distinct_shingles(text_col, shingle_n).alias("sh_a")
+    )
     return (
-        sh_tbl.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-        .join(F.broadcast(with_a), "id_b")
+        docs.join(F.broadcast(with_a), docs["_id"] == F.col("id_b"))
+        # sh_b gets its own projection: jaccard references each side
+        # twice, and an inlined shingle expression would re-evaluate
+        # per reference (same CollapseProject note as shingle_hashes)
+        .select(
+            "id_a",
+            "id_b",
+            "sh_a",
+            distinct_shingles(text_col, shingle_n).alias("sh_b"),
+        )
         .select(
             "id_a",
             "id_b",

@@ -18,6 +18,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from personal_health_etl_pipeline_spark.plans import analytics_surface as an
+from personal_health_etl_pipeline_spark.plans import clustering_surface as cl
 from personal_health_etl_pipeline_spark.plans import llm_surface as llm
 from personal_health_etl_pipeline_spark.plans import llm_surface2 as llm2
 from personal_health_etl_pipeline_spark.plans import sketches as sk
@@ -115,6 +116,10 @@ register(
     sk.emb_random_projection,
     sk.EMB_RANDOM_PROJECTION_ORACLE,
 )
+
+# -- block 1g: clustering (k-means + SemDeDup-style semantic dedup) ----
+register("emb_kmeans_assign", cl.emb_kmeans_assign, cl.EMB_KMEANS_ORACLE)
+register("dedup_semantic", cl.dedup_semantic, cl.DEDUP_SEMANTIC_ORACLE)
 
 # -- block 2: remaining TPC-H sweep + reference-surface variants -------
 # (families above are already represented; these complete the catalog)

@@ -1,0 +1,117 @@
+"""Catalog entries for the clustering family: k-means assignment and
+semantic (cluster-then-compare) dedup, with fully-unrolled DuckDB
+oracles.
+
+Lloyd's with a fixed update count is deterministic on the integer grid
+(operators/clustering.py), so the oracle is the same computation
+unrolled: init centroids -> [assign -> update]*n -> final assign, each
+step one CTE pair mirroring the ANN_IVF_ORACLE shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from personal_health_etl_pipeline_spark.operators import clustering as C
+from personal_health_etl_pipeline_spark.operators.dedup import LSH_BUCKET_CAP
+from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+KMEANS_K = 8
+KMEANS_UPDATES = 2
+SEMANTIC_THRESHOLD = 0.4
+
+_QUANT = (
+    "list_transform(embedding, x -> "
+    "CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+)
+_DOT = "CAST(list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) AS DOUBLE)"
+_D2 = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> (qv[i] - cvec[i]) * (qv[i] - cvec[i])))"
+)
+
+
+def _kmeans_ctes(k: int, n_updates: int) -> str:
+    """CTE chain ending in ``assigned{n_updates}`` = final assignment."""
+    parts = [f"q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings)"]
+    parts.append(
+        f"cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+        f"qv AS cvec FROM q ORDER BY vec_id LIMIT {k})"
+    )
+    for it in range(n_updates + 1):
+        parts.append(
+            f"scored{it} AS (SELECT q.vec_id, q.qv, c.cid, {_D2} AS d2 "
+            f"FROM q CROSS JOIN cent{it} c)"
+        )
+        parts.append(
+            f"assigned{it} AS (SELECT vec_id, qv, cid, d2 FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY d2, cid) AS rn FROM scored{it}) WHERE rn = 1)"
+        )
+        if it < n_updates:
+            parts.append(
+                f"exploded{it} AS (SELECT cid, i AS dim, "
+                f"qv[CAST(i AS INT)] AS qv_i "
+                f"FROM assigned{it}, range(1, 65) r(i))"
+            )
+            parts.append(
+                f"cent{it + 1} AS (SELECT cid, list(cv ORDER BY dim) AS cvec "
+                f"FROM (SELECT cid, dim, CAST(round(CAST(SUM(qv_i) AS DOUBLE) "
+                f"/ COUNT(*), 0) AS BIGINT) AS cv FROM exploded{it} "
+                f"GROUP BY cid, dim) GROUP BY cid)"
+            )
+    return ",\n".join(parts)
+
+
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.kmeans_assign(emb, k=KMEANS_K, n_updates=KMEANS_UPDATES)
+
+
+EMB_KMEANS_ORACLE = rf"""
+WITH {_kmeans_ctes(KMEANS_K, KMEANS_UPDATES)}
+SELECT vec_id, cid AS cluster_id, CAST(d2 AS BIGINT) AS d2
+FROM assigned{KMEANS_UPDATES}
+"""
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.semantic_near_dup_pairs(
+        emb,
+        k=KMEANS_K,
+        n_updates=KMEANS_UPDATES,
+        threshold=SEMANTIC_THRESHOLD,
+        cluster_cap=LSH_BUCKET_CAP,
+    )
+
+
+DEDUP_SEMANTIC_ORACLE = rf"""
+WITH {_kmeans_ctes(KMEANS_K, KMEANS_UPDATES)},
+memb AS (
+  -- zero-norm vectors cluster but cannot pair (cosine undefined)
+  SELECT cid, vec_id, qv,
+         row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cid) AS bsz
+  FROM assigned{KMEANS_UPDATES}
+  WHERE list_sum(list_transform(qv, x -> x * x)) > 0
+),
+cand AS (
+  -- capped emission, mirroring dedup.pair_gen_sql (chain above cap);
+  -- clusters are disjoint so no cross-bucket DISTINCT is needed
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM memb a JOIN memb b ON a.cid = b.cid
+  WHERE a.bsz <= {LSH_BUCKET_CAP} AND a.vec_id < b.vec_id
+  UNION ALL
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM memb a JOIN memb b ON a.cid = b.cid
+  WHERE a.bsz > {LSH_BUCKET_CAP} AND b.rn = a.rn + 1
+)
+SELECT id_a, id_b, sim FROM (
+  SELECT id_a, id_b,
+         ROUND({_DOT.format(a='qa.qv', b='qb.qv')}
+               / (sqrt({_DOT.format(a='qa.qv', b='qa.qv')})
+                  * sqrt({_DOT.format(a='qb.qv', b='qb.qv')})), 6) AS sim
+  FROM cand JOIN q qa ON qa.vec_id = id_a JOIN q qb ON qb.vec_id = id_b
+) WHERE sim >= {SEMANTIC_THRESHOLD}
+"""

@@ -104,12 +104,15 @@ class TestClusterBy:
                         rows += kv._2().value()
             return rows
 
-        pred = F.col("k").between(10, 15)
+        # equality predicate: equal keys never straddle a range-partition
+        # boundary (a BETWEEN band can, when the sampled boundaries land
+        # inside it), so exactly one clustered file decodes
+        pred = F.col("k") == 50
         clustered_rows = scan_output_rows(spark.read.parquet(out).where(pred))
         unclustered_rows = scan_output_rows(spark.read.parquet(drizzle).where(pred))
-        # 5000 rows over 4 k-clustered files -> the 6-value k band lives
-        # in one ~1250-row file; every unclustered drizzle file spans
-        # all k, so nothing prunes there and all 5000 rows decode.
-        assert clustered_rows <= 5000 / 4
+        # every unclustered drizzle file spans all k, so nothing prunes
+        # there and all 5000 rows decode; clustered decodes one file —
+        # ~1250 rows at even boundaries, < half the corpus even with
+        # sampling imbalance
         assert unclustered_rows == 5000
-        assert clustered_rows < unclustered_rows
+        assert clustered_rows < 2500
