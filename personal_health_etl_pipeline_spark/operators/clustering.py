@@ -74,6 +74,47 @@ def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _quantized_base(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    return (
+        spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+        .select("_id", quantize(F.col(vec_col)).alias("_q"))
+        .withColumn("_n2", norm2_int(F.col("_q")))
+    )
+
+
+def _centroids_from(base: DataFrame, k: int, n_updates: int) -> DataFrame:
+    """Lloyd's loop: init from the ``k`` smallest ids, ``n_updates``
+    assign+update rounds; returns the final ``(cid, cvec)`` frame."""
+    w = Window.orderBy("_id")
+    cents = (
+        base.orderBy("_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("cid"), F.col("_q").alias("cvec")
+        )
+    )
+    for _ in range(n_updates):
+        cents = quantized_centroids(_assign(base, cents), "cid")
+    return cents
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_updates: int = 2,
+) -> DataFrame:
+    """The trained quantizer alone: ``(cid, cvec)`` on the integer
+    grid — e.g. as the coarse quantizer for an IVF index
+    (:func:`similarity.ivf_topk` accepts it via ``centroids=``)."""
+    return _centroids_from(
+        _quantized_base(embeddings, id_col, vec_col), k, n_updates
+    )
+
+
 def kmeans_assignments(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -99,26 +140,10 @@ def kmeans_assignments(
       centroid set (both engines compute centroids by grouping the
       assignment, so the oracle agrees).
     """
-    base = (
-        spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
-        .select("_id", quantize(F.col(vec_col)).alias("_q"))
-        .withColumn("_n2", norm2_int(F.col("_q")))
-    )
+    base = _quantized_base(embeddings, id_col, vec_col)
     if persist:
         base = base.persist()
-    w = Window.orderBy("_id")
-    cents = (
-        base.orderBy("_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(w) - 1).alias("cid"), F.col("_q").alias("cvec")
-        )
-    )
-    assigned = _assign(base, cents)
-    for _ in range(n_updates):
-        cents = quantized_centroids(assigned, "cid")
-        assigned = _assign(base, cents)
-    return assigned
+    return _assign(base, _centroids_from(base, k, n_updates))
 
 
 def kmeans_assign(

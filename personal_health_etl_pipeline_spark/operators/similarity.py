@@ -439,6 +439,7 @@ def ivf_topk(
     k: int = 10,
     query_mod: int = 50,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: the scale path for ANN.
 
@@ -448,17 +449,31 @@ def ivf_topk(
     pairs by ~n_lists/nprobe vs brute force. All distances are exact
     integer math on the quantized grid; ties break on centroid id /
     neighbor id, so results are total-ordered and oracle-reproducible.
+
+    The coarse quantizer defaults to per-``label_col`` centroids (a
+    supplied partitioning); pass ``centroids`` — ``(cid, cvec)`` on the
+    quantized grid, e.g. from ``clustering.kmeans_centroids`` — to use
+    a LEARNED quantizer instead (the shape a real index build uses:
+    labels don't exist at 100 TB, k-means lists do).
     """
-    base = (
-        spread(
-            embeddings.select(
-                F.col(id_col).alias("_id"), F.col(label_col), F.col(vec_col)
+    if centroids is None:
+        base = (
+            spread(
+                embeddings.select(
+                    F.col(id_col).alias("_id"), F.col(label_col), F.col(vec_col)
+                )
             )
+            .select("_id", F.col(label_col), quantize(F.col(vec_col)).alias("_q"))
+            .withColumn("_n2", norm2_int(F.col("_q")))
         )
-        .select("_id", F.col(label_col), quantize(F.col(vec_col)).alias("_q"))
-        .withColumn("_n2", norm2_int(F.col("_q")))
-    )
-    cents = quantized_centroids(base, label_col)
+        cents = quantized_centroids(base, label_col)
+    else:
+        base = (
+            spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+            .select("_id", quantize(F.col(vec_col)).alias("_q"))
+            .withColumn("_n2", norm2_int(F.col("_q")))
+        )
+        cents = centroids
 
     # The coarse quantizer is tiny (one centroid per list) — broadcast
     # it as ONE collected array and rank lists per vector with a sorted

@@ -120,6 +120,9 @@ register(
 # -- block 1g: clustering (k-means + SemDeDup-style semantic dedup) ----
 register("emb_kmeans_assign", cl.emb_kmeans_assign, cl.EMB_KMEANS_ORACLE)
 register("dedup_semantic", cl.dedup_semantic, cl.DEDUP_SEMANTIC_ORACLE)
+register(
+    "ann_ivf_kmeans_topk", cl.ann_ivf_kmeans_topk, cl.ANN_IVF_KMEANS_ORACLE
+)
 
 # -- block 2: remaining TPC-H sweep + reference-surface variants -------
 # (families above are already represented; these complete the catalog)

@@ -44,9 +44,12 @@ def _kmeans_ctes(k: int, n_updates: int) -> str:
             f"FROM q CROSS JOIN cent{it} c)"
         )
         parts.append(
-            f"assigned{it} AS (SELECT vec_id, qv, cid, d2 FROM ("
-            f"SELECT *, row_number() OVER (PARTITION BY vec_id "
-            f"ORDER BY d2, cid) AS rn FROM scored{it}) WHERE rn = 1)"
+            f"ranked{it} AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY d2, cid) AS rn FROM scored{it})"
+        )
+        parts.append(
+            f"assigned{it} AS (SELECT vec_id, qv, cid, d2 "
+            f"FROM ranked{it} WHERE rn = 1)"
         )
         if it < n_updates:
             parts.append(
@@ -72,6 +75,58 @@ EMB_KMEANS_ORACLE = rf"""
 WITH {_kmeans_ctes(KMEANS_K, KMEANS_UPDATES)}
 SELECT vec_id, cid AS cluster_id, CAST(d2 AS BIGINT) AS d2
 FROM assigned{KMEANS_UPDATES}
+"""
+
+
+IVFK_LISTS = 8
+IVFK_UPDATES = 1
+IVFK_NPROBE = 3  # recall@10 vs brute force: 0.68 sf0.001 / 0.60 sf0.01
+IVFK_QUERY_MOD = 50
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose coarse quantizer is LEARNED by k-means (one Lloyd
+    update), not taken from the supplied ``label`` column — the shape a
+    real 100 TB index build uses."""
+    from personal_health_etl_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = C.kmeans_centroids(
+        emb, k=IVFK_LISTS, n_updates=IVFK_UPDATES
+    )
+    return S.ivf_topk(
+        emb,
+        k=10,
+        query_mod=IVFK_QUERY_MOD,
+        nprobe=IVFK_NPROBE,
+        centroids=cents,
+    )
+
+
+ANN_IVF_KMEANS_ORACLE = rf"""
+WITH {_kmeans_ctes(IVFK_LISTS, IVFK_UPDATES)},
+assigned_nv AS (
+  SELECT vec_id AS neighbor_id, qv AS nv, cid AS list_id
+  FROM assigned{IVFK_UPDATES}
+),
+probes AS (
+  SELECT vec_id AS query_id, qv AS qq, cid AS list_id
+  FROM ranked{IVFK_UPDATES}
+  WHERE vec_id % {IVFK_QUERY_MOD} = 0 AND rn <= {IVFK_NPROBE}
+),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         ROUND({_DOT.format(a='qq', b='nv')}
+               / (sqrt({_DOT.format(a='qq', b='qq')})
+                  * sqrt({_DOT.format(a='nv', b='nv')})), 6) AS sim
+  FROM probes JOIN assigned_nv USING (list_id)
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
 """
 
 
