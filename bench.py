@@ -55,6 +55,10 @@ HEADLINE = (
     "text_repetition_stats",
     "pii_scrub_emails",
     "corpus_curate_pipeline",
+    "emb_kmeans_assign",
+    "dedup_semantic",
+    "ann_ivf_kmeans_topk",
+    "corpus_pack_sequences",
 )
 
 

@@ -123,6 +123,9 @@ register("dedup_semantic", cl.dedup_semantic, cl.DEDUP_SEMANTIC_ORACLE)
 register(
     "ann_ivf_kmeans_topk", cl.ann_ivf_kmeans_topk, cl.ANN_IVF_KMEANS_ORACLE
 )
+register(
+    "corpus_pack_sequences", llm2.corpus_pack_sequences, llm2.CORPUS_PACK_ORACLE
+)
 
 # -- block 2: remaining TPC-H sweep + reference-surface variants -------
 # (families above are already represented; these complete the catalog)

@@ -21,7 +21,7 @@ pipeline for auditability and incremental re-runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.functions import text as T
@@ -290,6 +290,64 @@ SELECT {duckdb_md5_long("d.doc_id")} % {N_SHARDS} AS shard,
 FROM documents d JOIN toks t ON d.doc_id = t.doc_id
 GROUP BY 1
 ORDER BY shard
+"""
+
+
+# --- sequence packing -------------------------------------------------
+
+SEQ_LEN = 512
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence-packing plan: each shard's documents form one
+    token stream (doc_id order), chunked every ``SEQ_LEN`` tokens — the
+    zero-waste packing a causal-LM loader uses. Per doc: the sequence
+    it starts in, its offset there, and how many sequences it spans
+    (what the writer needs to emit attention-mask resets / document
+    boundaries).
+
+    Scale shape: one shuffle (window partitioned by shard, ordered by
+    doc_id) — the cumulative sum is per-shard sequential, but shards
+    are the parallel unit, exactly like the writer that would consume
+    this plan. Zero-token docs are dropped (they occupy no stream
+    positions).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        (md5_long("doc_id") % N_SHARDS).alias("shard"),
+        T.token_count("text").cast("bigint").alias("n_tok"),
+    ).where(F.col("n_tok") > 0)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    return sized.withColumn("_end", F.sum("n_tok").over(w)).select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.expr(f"(_end - n_tok) div {SEQ_LEN}").alias("seq_id"),
+        F.expr(f"(_end - n_tok) % {SEQ_LEN}").alias("seq_offset"),
+        F.expr(
+            f"(_end - 1) div {SEQ_LEN} - (_end - n_tok) div {SEQ_LEN} + 1"
+        ).alias("seq_span"),
+    )
+
+
+CORPUS_PACK_ORACLE = rf"""
+WITH {_TOKS_CTE},
+sized AS (
+  SELECT doc_id, {duckdb_md5_long("doc_id")} % {N_SHARDS} AS shard,
+         CAST(len(t) AS BIGINT) AS n_tok
+  FROM toks WHERE len(t) > 0
+),
+cum AS (
+  SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS e
+  FROM sized
+)
+SELECT doc_id, shard, n_tok,
+       CAST((e - n_tok) // {SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST((e - n_tok) % {SEQ_LEN} AS BIGINT) AS seq_offset,
+       CAST((e - 1) // {SEQ_LEN} - (e - n_tok) // {SEQ_LEN} + 1 AS BIGINT)
+         AS seq_span
+FROM cum
 """
 
 

@@ -42,6 +42,25 @@ class TestConnectedComponents:
         assert len(comp) == n
         assert {r.component for r in comp} == {0}
 
+    def test_100k_chain_logarithmic_rounds(self, spark):
+        """The capped-LSH worst case at scale: a 100k-node path graph.
+        Pointer jumping must resolve it within ~log2(n) + slack rounds
+        (hash-min alone would need ~100k); built with spark.range so
+        the driver never materializes the edge list."""
+        from pyspark.sql import functions as F
+
+        n = 100_000
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        # log2(100k) ~ 17; +5 slack for propagate/jump interleave
+        comp = connected_components(chain, max_rounds=22)
+        agg = comp.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("component").alias("k"),
+        ).first()
+        assert agg.n == n and agg.k == 1
+
     def test_round_budget_raises(self, spark):
         chain = _pairs(spark, [(i, i + 1) for i in range(63)])
         with pytest.raises(ConvergenceError):

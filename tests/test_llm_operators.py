@@ -390,3 +390,32 @@ class TestProductQuantization:
             default = op(emb, k=5, query_mod=50, **kwargs).collect()
             external = op(emb, k=5, queries=ext, **kwargs).collect()
             assert sorted(map(tuple, default)) == sorted(map(tuple, external))
+
+
+class TestSequencePacking:
+    def test_stream_is_contiguous_and_zero_waste(self, spark, sf_dir):
+        """Per shard, the packed token stream must be gapless: each
+        doc starts exactly where the previous one ended, spans cover
+        the right sequence count, and the shard's last position equals
+        its total token count (zero padding waste by construction)."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface2 import (
+            SEQ_LEN,
+            corpus_pack_sequences,
+        )
+
+        rows = corpus_pack_sequences(spark, sf_dir).collect()
+        assert rows
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, docs in by_shard.items():
+            docs.sort(key=lambda r: r.doc_id)
+            pos = 0
+            for r in docs:
+                assert r.seq_id == pos // SEQ_LEN
+                assert r.seq_offset == pos % SEQ_LEN
+                end = pos + r.n_tok
+                assert r.seq_span == (end - 1) // SEQ_LEN - pos // SEQ_LEN + 1
+                pos = end
+            # no gaps: every token position 0..pos-1 is claimed exactly once
+            assert pos == sum(r.n_tok for r in docs)
