@@ -126,6 +126,7 @@ register(
 register(
     "corpus_pack_sequences", llm2.corpus_pack_sequences, llm2.CORPUS_PACK_ORACLE
 )
+register("mm_frame_sample", llm.mm_frame_sample, llm.MM_FRAME_SAMPLE_ORACLE)
 
 # -- block 2: remaining TPC-H sweep + reference-surface variants -------
 # (families above are already represented; these complete the catalog)

@@ -720,6 +720,45 @@ ORDER BY media_id, bucket
 """
 
 
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling over the synthetic media table — the
+    certificate for the ONE-TO-MANY mapInPandas shape (a generator
+    inside the Arrow batch, no Spark-side explode of the binary
+    column). Scalar output: frame bytes are reduced to length + digest;
+    the digest is md5 over the LOWERCASE HEX of the frame (DuckDB's md5
+    is VARCHAR-only), and since a fake frame IS an md5 digest its hex
+    equals the inner md5 hex — the oracle needs no unhex round-trip."""
+    from personal_health_etl_pipeline_spark.operators import multimodal as MM
+
+    media = MM.synth_media_df(spark, n=300)
+    frames = MM.sample_frames(media, every=2)
+    return frames.select(
+        "media_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+        F.md5(F.lower(F.hex("frame_bytes"))).alias("frame_digest"),
+    )
+
+
+# n_frames <= 8 (image: 1, audio/video: 4 + id % 5), so a constant
+# range(0, 9) + "f < n_frames" replaces the lateral range DuckDB lacks
+MM_FRAME_SAMPLE_ORACLE = """
+WITH ids AS (SELECT unnest(range(300)) AS media_id),
+base AS (
+  SELECT media_id,
+         CAST(CASE WHEN media_id % 3 = 0 THEN 1
+                   ELSE 4 + media_id % 5 END AS INTEGER) AS n_frames
+  FROM ids
+)
+SELECT media_id,
+       CAST(f AS BIGINT) AS frame_index,
+       CAST(16 AS BIGINT) AS frame_len,
+       md5(md5('media|' || media_id || chr(CAST(f AS INTEGER)))) AS frame_digest
+FROM base, range(0, 9) r(f)
+WHERE f < n_frames AND f % 2 = 0
+"""
+
+
 # --- tf-idf ------------------------------------------------------------
 
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
