@@ -17,11 +17,14 @@ between Spark's partitioned execution and a serial SQL oracle.
 
 Scale design:
 
-* Each Lloyd iteration is ONE map-side pass for assignment (the k
-  centroids travel as a single broadcast array; argmin is an array
-  expression — no join, no shuffle) plus ONE (cid, dim)-keyed shuffle
-  for the centroid update. No driver-side loops over data; the only
-  driver work is building the (short, k-bounded) plan per iteration.
+* Each Lloyd iteration is ONE Spark job: a map-side assignment (the k
+  centroids are inlined as a literal array; argmin is an array
+  expression — no join, no broadcast materialization) feeding one
+  (cid, dim)-keyed centroid aggregation, whose k-row result the driver
+  ferries into the next iteration's literal. Driver state is bounded
+  at k x dims integers (MLlib's KMeans holds the same); the driver
+  never does arithmetic — values come from the same JVM expressions
+  the oracle mirrors, so results are bit-identical either way.
 * ``k`` should grow with the corpus (k ~ N / target_cluster_size);
   the within-cluster pair step is O(sum of cluster_size^2), bounded by
   ``cluster_cap`` chain emission exactly like the LSH bucket cap
@@ -74,6 +77,37 @@ def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _cents_literal(cents: list[tuple[int, list[int]]]):
+    """The centroid set as one literal array-of-structs column: the
+    assignment becomes a pure map — no broadcast-exchange job, no join
+    node, whole plan is scan -> project."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(int(v)) for v in cvec]).alias("cvec"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+
+
+def _assign_lit(
+    base: DataFrame, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    return (
+        base.withColumn("cs", _cents_literal(cents))
+        .withColumn("_best", F.expr(_BEST_EXPR))
+        .select(
+            "_id",
+            "_q",
+            "_n2",
+            F.col("_best.cid").alias("cid"),
+            F.col("_best.d2").alias("d2"),
+        )
+    )
+
+
 def _quantized_base(
     embeddings: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -84,19 +118,28 @@ def _quantized_base(
     )
 
 
-def _centroids_from(base: DataFrame, k: int, n_updates: int) -> DataFrame:
+def _centroids_from(
+    base: DataFrame, k: int, n_updates: int
+) -> list[tuple[int, list[int]]]:
     """Lloyd's loop: init from the ``k`` smallest ids, ``n_updates``
-    assign+update rounds; returns the final ``(cid, cvec)`` frame."""
-    w = Window.orderBy("_id")
-    cents = (
-        base.orderBy("_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(w) - 1).alias("cid"), F.col("_q").alias("cvec")
-        )
-    )
+    assign+update rounds; returns the final centroid set as a Python
+    list (BOUNDED driver state: k x dims integers — the same contract
+    as MLlib's KMeans, whose driver also holds every centroid).
+
+    Each update is ONE Spark job (the existing quantized_centroids
+    aggregation, collected); the k-row result is re-injected as a
+    LITERAL array so the next assignment is a pure map. The centroid
+    VALUES are still computed by the same JVM expressions the oracle
+    mirrors — the driver only ferries them, it never does arithmetic —
+    so results are bit-identical to the all-lazy formulation while the
+    job count drops from ~3 per update (broadcast materialization +
+    shuffle + probe) to 1.
+    """
+    init = base.select("_id", "_q").orderBy("_id").limit(k).collect()
+    cents = [(i, list(r._q)) for i, r in enumerate(init)]
     for _ in range(n_updates):
-        cents = quantized_centroids(_assign(base, cents), "cid")
+        updated = quantized_centroids(_assign_lit(base, cents), "cid").collect()
+        cents = sorted((r.cid, list(r.cvec)) for r in updated)
     return cents
 
 
@@ -110,8 +153,13 @@ def kmeans_centroids(
     """The trained quantizer alone: ``(cid, cvec)`` on the integer
     grid — e.g. as the coarse quantizer for an IVF index
     (:func:`similarity.ivf_topk` accepts it via ``centroids=``)."""
-    return _centroids_from(
+    spark = embeddings.sparkSession
+    cents = _centroids_from(
         _quantized_base(embeddings, id_col, vec_col), k, n_updates
+    )
+    return spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in cents],
+        "cid int, cvec array<bigint>",
     )
 
 
@@ -143,7 +191,7 @@ def kmeans_assignments(
     base = _quantized_base(embeddings, id_col, vec_col)
     if persist:
         base = base.persist()
-    return _assign(base, _centroids_from(base, k, n_updates))
+    return _assign_lit(base, _centroids_from(base, k, n_updates))
 
 
 def kmeans_assign(
