@@ -127,6 +127,14 @@ register(
     "corpus_pack_sequences", llm2.corpus_pack_sequences, llm2.CORPUS_PACK_ORACLE
 )
 register("mm_frame_sample", llm.mm_frame_sample, llm.MM_FRAME_SAMPLE_ORACLE)
+register(
+    "sketch_sample_quantiles",
+    sk.sketch_sample_quantiles,
+    sk.SKETCH_SAMPLE_QUANTILES_ORACLE,
+)
+register(
+    "sketch_countmin_heavy", sk.sketch_countmin_heavy, sk.SKETCH_COUNTMIN_ORACLE
+)
 
 # -- block 2: remaining TPC-H sweep + reference-surface variants -------
 # (families above are already represented; these complete the catalog)

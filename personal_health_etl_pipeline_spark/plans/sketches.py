@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.functions.hashing import (
     duckdb_md5_long,
+    duckdb_md5_long_seeded,
     md5_long,
 )
 from personal_health_etl_pipeline_spark.operators.similarity import hyperplane_signs
@@ -196,3 +197,156 @@ ORDER BY vec_id, dim
 
 
 EMB_RANDOM_PROJECTION_ORACLE = _jl_oracle()
+
+
+# --- hash-sample quantile sketch --------------------------------------
+
+SQ_SAMPLE = 1024
+SQ_QUANTILES = (25, 50, 75, 90, 99)
+
+
+def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates from a deterministic 1024-row hash sample of
+    lineitem prices — the sketch that replaces a full sort at 100 TB.
+
+    The sample is the ``SQ_SAMPLE`` rows with the smallest portable row
+    hash (a KMV-style uniform sample: mergeable top-k aggregate, O(k)
+    executor state, one scan). Quantile q = the value at rank
+    ``floor(q * (m - 1)) + 1`` of the sample sorted by (value, hash) —
+    the hash tie-break makes the rank total-ordered, so both engines
+    pick the identical row. Exact percentiles over the population are
+    the a8 entry; this is the scale path next to it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = SQ_SAMPLE
+    sample = (
+        li.select(
+            F.col("l_extendedprice").alias("value"),
+            md5_long(
+                F.concat_ws("|", "l_orderkey", "l_linenumber")
+            ).alias("h"),
+        )
+        .orderBy("h")
+        .limit(m)
+    )
+    w = Window.orderBy("value", "h")
+    ranked = sample.withColumn("rn", F.row_number().over(w))
+    idx = {q: (q * (m - 1)) // 100 + 1 for q in SQ_QUANTILES}
+    picks = ranked.where(F.col("rn").isin(*idx.values()))
+    q_expr = F.lit(None).cast("bigint")
+    for q, rn in sorted(idx.items(), reverse=True):
+        q_expr = F.when(F.col("rn") == rn, F.lit(q).cast("bigint")).otherwise(
+            q_expr
+        )
+    return picks.select(
+        q_expr.alias("q_pct"),
+        "value",
+        F.lit(m).cast("bigint").alias("sample_size"),
+    ).orderBy("q_pct")
+
+
+def _sample_quantiles_oracle() -> str:
+    m = SQ_SAMPLE
+    pairs = ", ".join(
+        f"(CAST({q} AS BIGINT), CAST({(q * (m - 1)) // 100 + 1} AS BIGINT))"
+        for q in SQ_QUANTILES
+    )
+    return rf"""
+WITH hashed AS (
+  SELECT l_extendedprice AS value,
+         {duckdb_md5_long("l_orderkey || '|' || l_linenumber")} AS h
+  FROM lineitem
+),
+s AS (SELECT value, h FROM hashed ORDER BY h LIMIT {m}),
+r AS (SELECT value, row_number() OVER (ORDER BY value, h) AS rn FROM s)
+SELECT q_pct, value, CAST({m} AS BIGINT) AS sample_size
+FROM r JOIN (VALUES {pairs}) p(q_pct, rn) USING (rn)
+ORDER BY q_pct
+"""
+
+
+SKETCH_SAMPLE_QUANTILES_ORACLE = _sample_quantiles_oracle()
+
+
+# --- count-min frequency sketch ---------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+CM_PROBES = 20
+
+
+def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates for the corpus's 20 most frequent tokens,
+    next to the exact counts so the audit shows the (one-sided) error.
+
+    Build: every token increments ``CM_DEPTH`` counters, one per
+    md5-seeded hash row, each ``CM_WIDTH`` wide — a (row, bucket)
+    groupBy, O(depth * width) total state regardless of vocabulary.
+    Query: estimate = min over rows of the probed counter, always >=
+    the true count (Cormode-Muthukrishnan). Probes are the exact top
+    20 by (count desc, term) — deterministic, so the whole audit is
+    value-hash reproducible.
+    """
+    from personal_health_etl_pipeline_spark.functions import text as T
+    from personal_health_etl_pipeline_spark.functions.hashing import (
+        md5_long_seeded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = counts.orderBy(F.col("true_count").desc(), "term").limit(CM_PROBES)
+
+    rows = F.explode(F.expr(f"sequence(0, {CM_DEPTH - 1})")).alias("r")
+    cms = (
+        toks.select("term", rows)
+        .select("r", (md5_long_seeded("term", 0) + F.col("r") * md5_long_seeded("term", 1)).alias("_mix"))
+        .select("r", F.pmod("_mix", F.lit(CM_WIDTH)).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe_buckets = probes.select("term", "true_count", rows).select(
+        "term",
+        "true_count",
+        "r",
+        F.pmod(
+            md5_long_seeded("term", 0) + F.col("r") * md5_long_seeded("term", 1),
+            F.lit(CM_WIDTH),
+        ).alias("bucket"),
+    )
+    # the sketch table is bounded (depth * width rows) — broadcast it
+    return (
+        probe_buckets.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("term", "true_count")
+        .agg(F.min("c").alias("est_count"))
+        .orderBy(F.col("true_count").desc(), "term")
+    )
+
+
+SKETCH_COUNTMIN_ORACLE = rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS true_count FROM toks GROUP BY term),
+probes AS (SELECT term, true_count FROM counts
+           ORDER BY true_count DESC, term LIMIT {CM_PROBES}),
+hashed AS (
+  SELECT term, r,
+         ({duckdb_md5_long_seeded("term", 0)}
+          + r * {duckdb_md5_long_seeded("term", 1)}) % {CM_WIDTH} AS bucket
+  FROM toks, range(0, {CM_DEPTH}) rr(r)
+),
+cms AS (SELECT r, bucket, COUNT(*) AS c FROM hashed GROUP BY r, bucket),
+probe_buckets AS (
+  SELECT p.term, p.true_count, r,
+         ({duckdb_md5_long_seeded("p.term", 0)}
+          + r * {duckdb_md5_long_seeded("p.term", 1)}) % {CM_WIDTH} AS bucket
+  FROM probes p, range(0, {CM_DEPTH}) rr(r)
+)
+SELECT pb.term, pb.true_count, CAST(MIN(c.c) AS BIGINT) AS est_count
+FROM probe_buckets pb JOIN cms c ON pb.r = c.r AND pb.bucket = c.bucket
+GROUP BY pb.term, pb.true_count
+ORDER BY pb.true_count DESC, pb.term
+"""

@@ -69,10 +69,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata's events.parquet stores TIMESTAMP(NANOS); Spark's
-        # reader rejects it unless nanos are surfaced as long (the
-        # events loader converts to truncated-µs timestamps, matching
-        # DuckDB's ns->µs truncation).
+        # some testdata generations store events.ts as TIMESTAMP(NANOS),
+        # which Spark's reader rejects unless nanos are surfaced as long;
+        # the events loader (sources/tables.py) then converts to
+        # truncated-µs timestamps, matching DuckDB's ns->µs truncation.
+        # Harmless when the data is already µs (current generation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

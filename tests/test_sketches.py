@@ -1,0 +1,57 @@
+"""Sketch QUALITY gates: a deterministic sketch whose oracle mirrors
+the construction is certified reproducible, not certified good — these
+tests measure each sketch against exact ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.plans.sketches import (
+    CM_WIDTH,
+    sketch_countmin_heavy,
+    sketch_sample_quantiles,
+)
+from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+
+class TestSampleQuantiles:
+    def test_within_tolerance_of_exact(self, spark, sf_dir):
+        est = {
+            r.q_pct: r.value
+            for r in sketch_sample_quantiles(spark, sf_dir).collect()
+        }
+        li = load_table(spark, sf_dir, "lineitem")
+        qs = sorted(est)
+        exact = li.agg(
+            F.percentile_approx(
+                "l_extendedprice", [q / 100 for q in qs], 100000
+            ).alias("p")
+        ).first().p
+        for q, ex in zip(qs, exact):
+            rel = abs(est[q] - ex) / ex
+            # 1024-row uniform sample: a few percent of relative error
+            assert rel < 0.1, f"q{q}: sample {est[q]} vs exact {ex} ({rel:.2%})"
+
+    def test_monotone_and_complete(self, spark, sf_dir):
+        rows = sketch_sample_quantiles(spark, sf_dir).collect()
+        assert [r.q_pct for r in rows] == [25, 50, 75, 90, 99]
+        vals = [r.value for r in rows]
+        assert vals == sorted(vals)
+
+
+class TestCountMin:
+    def test_never_undercounts_and_bounded_overcount(self, spark, sf_dir):
+        rows = sketch_countmin_heavy(spark, sf_dir).collect()
+        assert len(rows) == 20
+        docs = load_table(spark, sf_dir, "documents")
+        n_tokens = docs.select(
+            F.sum(F.size(F.split("text", r"\s+"))).alias("n")
+        ).first().n
+        for r in rows:
+            assert r.est_count >= r.true_count  # CM is one-sided
+            # classic bound: overcount <= ~2N/W with prob; depth-4 min
+            # tightens it — allow 3N/W slack deterministically
+            assert r.est_count - r.true_count <= 3 * n_tokens / CM_WIDTH, (
+                f"{r.term}: est {r.est_count} vs true {r.true_count}"
+            )
