@@ -135,6 +135,9 @@ register(
 register(
     "sketch_countmin_heavy", sk.sketch_countmin_heavy, sk.SKETCH_COUNTMIN_ORACLE
 )
+register(
+    "text_bigram_logprob", llm2.text_bigram_logprob, llm2.TEXT_BIGRAM_LP_ORACLE
+)
 
 # -- block 2: remaining TPC-H sweep + reference-surface variants -------
 # (families above are already represented; these complete the catalog)

@@ -173,6 +173,103 @@ ORDER BY i.doc_id
 """
 
 
+# --- bigram language-model quality score ------------------------------
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality score: each document's mean add-1
+    bigram log-probability under the corpus's own bigram counts (a
+    fluency proxy — word salad scores far below natural text).
+
+    Per doc: avg over bigrams (a,b) of ln((C(ab)+1)/(C(a·)+V)), where
+    C(a·) counts bigram starts and V is the distinct-start vocabulary.
+    Each ln is quantized to integer micro-units BEFORE summing (the
+    tf-idf recipe), so the aggregate is exact-integer and the one
+    double division at the end is IEEE-deterministic.
+
+    Scale shape: bigram explode -> two count aggregations -> two
+    shuffle joins back on (ab) and (a) -> per-doc groupBy. The model
+    tables are corpus-bounded (distinct bigrams), the scalar V rides a
+    1-row broadcast. No UDFs anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", T.tokens("text").alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                    " (x, y) -> struct(x AS a, concat(x, '|', y) AS ab))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.a", "s.ab")
+    )
+    # cnt_a (bigram starts per a) and V (distinct starts) both derive
+    # from the bounded bigram-count table, NOT from re-exploding the
+    # corpus: the big explode runs twice total (model build + scoring
+    # join) instead of four times. Values are identical either way.
+    cnt_ab = bg.groupBy("a", "ab").agg(F.count(F.lit(1)).alias("c_ab"))
+    cnt_a = cnt_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vocab = cnt_a.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        bg.join(cnt_ab.drop("a"), "ab")
+        .join(cnt_a, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c_ab") + 1).cast("double")
+                    / (F.col("c_a") + F.col("v")).cast("double")
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").alias("sum_lp_micro"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_lp_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_BIGRAM_LP_ORACLE = rf"""
+WITH {_TOKS_CTE},
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> struct_pack(a := t[i], ab := t[i] || '|' || t[i + 1]))) AS s
+  FROM toks WHERE len(t) >= 2
+),
+flat AS (SELECT doc_id, s.a AS a, s.ab AS ab FROM bg),
+cab AS (SELECT ab, COUNT(*) AS c_ab FROM flat GROUP BY ab),
+ca AS (SELECT a, COUNT(*) AS c_a FROM flat GROUP BY a),
+v AS (SELECT COUNT(DISTINCT a) AS v FROM flat),
+scored AS (
+  SELECT doc_id,
+         CAST(round(ln(CAST(c_ab + 1 AS DOUBLE) / CAST(c_a + v AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS lp
+  FROM flat JOIN cab USING (ab) JOIN ca USING (a) CROSS JOIN v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(lp) AS BIGINT) AS sum_lp_micro,
+       ROUND(SUM(lp) / COUNT(*), 6) AS avg_lp_micro
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --- Gopher-style repetition signals ----------------------------------
 
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

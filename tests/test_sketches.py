@@ -55,3 +55,27 @@ class TestCountMin:
             assert r.est_count - r.true_count <= 3 * n_tokens / CM_WIDTH, (
                 f"{r.term}: est {r.est_count} vs true {r.true_count}"
             )
+
+
+class TestBigramLogprob:
+    def test_fluent_text_outscores_word_salad(self, spark, tmp_path):
+        """The corpus-LM score must separate repeated natural phrasing
+        (bigrams shared across the corpus) from one-off token salad."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface2 import (
+            text_bigram_logprob,
+        )
+
+        rows = [
+            (i, "the cat sat on the mat and the dog sat on the rug", "en", "w", 0)
+            for i in range(20)
+        ]
+        rows.append((99, "zq glarp wibble fnord quux blorch snarf plugh", "en", "w", 0))
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        out = {
+            r.doc_id: r.avg_lp_micro
+            for r in text_bigram_logprob(spark, str(tmp_path)).collect()
+        }
+        fluent = sum(v for k, v in out.items() if k != 99) / 20
+        assert out[99] < fluent, (out[99], fluent)
