@@ -59,6 +59,8 @@ HEADLINE = (
     "dedup_semantic",
     "ann_ivf_kmeans_topk",
     "corpus_pack_sequences",
+    "text_bigram_logprob",
+    "dedup_incremental_lookup",
 )
 
 

@@ -496,3 +496,98 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard_sim") >= threshold)
     )
+
+
+# --- incremental dedup: new batch vs a persisted index -----------------
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The storable LSH index of a corpus: ``(band_id, band_hash, _id)``
+    — what a production dedup pipeline persists so that tomorrow's
+    batch probes yesterday's corpus WITHOUT re-sketching it. One scan,
+    no shuffle (the write's partitioning is the caller's choice;
+    bucketing by (band_id, band_hash) makes later probes co-located).
+    """
+    if n_hashes % bands:
+        raise ValueError("n_hashes must be divisible by bands")
+    base = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id", distinct_shingles(text_col, shingle_n).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    sigs = (
+        base.withColumn("_hs", shingle_hashes(F.col("_sh")))
+        .select("_id", F.expr(minhash_signature_sql("_hs", n_hashes)).alias("_sig"))
+        .select("_id", F.expr(band_hashes_sql("_sig", n_hashes, bands)).alias("_bands"))
+    )
+    return sigs.select(
+        "_id",
+        "_bands",
+        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band_id"),
+    ).select("band_id", F.expr("_bands[band_id]").alias("band_hash"), "_id")
+
+
+def minhash_lookup(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against an EXISTING corpus:
+    ``(index_id, new_id, jaccard_sim)`` with exact-Jaccard verification
+    — the incremental shape (the reference's whole architecture is
+    incremental by date range, `composer_dags/dags/utils/data_sources/
+    oura/etl/extract.py:151-203`; this is the same idea for dedup).
+
+    Probe = equi-join of the two band tables on (band_id, band_hash):
+    only the new batch is sketched fresh; the index side would come
+    from storage via :func:`minhash_index`. Hot index buckets are
+    capped at ``bucket_cap`` members (rank by id — deterministic), so
+    one degenerate bucket cannot quadratically explode a probe.
+    """
+    idx = minhash_index(index_docs, id_col, text_col, n_hashes, bands, shingle_n)
+    probe = minhash_index(new_docs, id_col, text_col, n_hashes, bands, shingle_n)
+    w = Window.partitionBy("band_id", "band_hash").orderBy("_id")
+    idx_capped = (
+        idx.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= bucket_cap)
+        .select("band_id", "band_hash", F.col("_id").alias("index_id"))
+    )
+    cand = (
+        probe.select("band_id", "band_hash", F.col("_id").alias("new_id"))
+        .join(idx_capped, ["band_id", "band_hash"])
+        .select("index_id", "new_id")
+        .dropDuplicates()
+    )
+    # verify on raw docs joined BEFORE shingling (see minhash_lsh_pairs)
+    with_idx = (
+        index_docs.select(F.col(id_col).alias("index_id"), F.col(text_col))
+        .join(F.broadcast(cand), "index_id")
+        .select(
+            "index_id", "new_id",
+            distinct_shingles(text_col, shingle_n).alias("sh_a"),
+        )
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("new_id"), F.col(text_col))
+        .join(F.broadcast(with_idx), "new_id")
+        .select(
+            "index_id", "new_id", "sh_a",
+            distinct_shingles(text_col, shingle_n).alias("sh_b"),
+        )
+        .select(
+            "index_id",
+            "new_id",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )

@@ -138,6 +138,11 @@ register(
 register(
     "text_bigram_logprob", llm2.text_bigram_logprob, llm2.TEXT_BIGRAM_LP_ORACLE
 )
+register(
+    "dedup_incremental_lookup",
+    llm.dedup_incremental_lookup,
+    llm.DEDUP_INCREMENTAL_ORACLE,
+)
 
 # -- block 2: remaining TPC-H sweep + reference-surface variants -------
 # (families above are already represented; these complete the catalog)

@@ -267,6 +267,67 @@ SELECT * FROM jac WHERE jaccard_sim >= 0.8
 DEDUP_MINHASH_ORACLE = _minhash_oracle()
 
 
+INCR_NEW_MOD = 10  # doc_id % 10 == 0 is "today's batch"; the rest is the index
+
+
+def dedup_incremental_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: today's batch (doc_id % 10 == 0) probed
+    against the persisted-index corpus (the rest) — only cross-side
+    near-dups come back, the production shape for a growing corpus
+    (operators/dedup.py:minhash_index / minhash_lookup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % INCR_NEW_MOD == 0)
+    index = docs.where(F.col("doc_id") % INCR_NEW_MOD != 0)
+    return D.minhash_lookup(
+        new,
+        index,
+        "doc_id",
+        "text",
+        n_hashes=MINHASH_N_HASHES,
+        bands=MINHASH_BANDS,
+        shingle_n=3,
+        threshold=0.8,
+    )
+
+
+def _incremental_oracle() -> str:
+    from personal_health_etl_pipeline_spark.operators.dedup import LSH_BUCKET_CAP
+
+    base = _minhash_oracle()
+    # reuse everything up to (and including) the shared `bands` CTE
+    head, sep, _ = base.partition("memb AS (")
+    assert sep, "minhash oracle bands CTE changed"
+    return head + rf"""idx AS (
+  SELECT band_id, band_hash, doc_id AS index_id,
+         ROW_NUMBER() OVER (PARTITION BY band_id, band_hash
+                            ORDER BY doc_id) AS rn
+  FROM bands WHERE doc_id % {INCR_NEW_MOD} <> 0
+),
+probe AS (
+  SELECT band_id, band_hash, doc_id AS new_id
+  FROM bands WHERE doc_id % {INCR_NEW_MOD} = 0
+),
+cand AS (
+  SELECT DISTINCT index_id, new_id
+  FROM probe JOIN idx USING (band_id, band_hash)
+  WHERE idx.rn <= {LSH_BUCKET_CAP}
+),
+jac AS (
+  SELECT index_id, new_id,
+         ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+           AS jaccard_sim
+  FROM cand
+  JOIN nonempty sa ON sa.doc_id = index_id
+  JOIN nonempty sb ON sb.doc_id = new_id
+)
+SELECT * FROM jac WHERE jaccard_sim >= 0.8
+"""
+
+
+DEDUP_INCREMENTAL_ORACLE = _incremental_oracle()
+
+
 def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> GROUPS: connected components over the verified minhash
     pair graph, with the component-minimum doc as the keeper — the

@@ -419,3 +419,33 @@ class TestSequencePacking:
                 pos = end
             # no gaps: every token position 0..pos-1 is claimed exactly once
             assert pos == sum(r.n_tok for r in docs)
+
+
+class TestIncrementalLookup:
+    def test_matches_cross_side_subset_of_full_dedup(self, spark, sf_dir):
+        """Probing the persisted index with a new batch must find
+        exactly the cross-side pairs the full-corpus pipeline finds
+        (identical band hashes on both paths; caps never trigger at
+        this scale)."""
+        from pyspark.sql import functions as F
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            minhash_lookup,
+            minhash_lsh_pairs,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        new = docs.where(F.col("doc_id") % 10 == 0)
+        index = docs.where(F.col("doc_id") % 10 != 0)
+        looked = {
+            (r.index_id, r.new_id, r.jaccard_sim)
+            for r in minhash_lookup(new, index, "doc_id", "text").collect()
+        }
+        full = minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        cross = set()
+        for r in full:
+            a_new, b_new = r.id_a % 10 == 0, r.id_b % 10 == 0
+            if a_new != b_new:  # exactly one side in the new batch
+                idx_id, new_id = (r.id_b, r.id_a) if a_new else (r.id_a, r.id_b)
+                cross.add((idx_id, new_id, r.jaccard_sim))
+        assert looked == cross and looked
