@@ -192,7 +192,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables are corpus-bounded (distinct bigrams), the scalar V rides a
     1-row broadcast. No UDFs anywhere.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Scoring body of :func:`text_bigram_logprob` over any
+    ``(doc_id, text)`` frame (unit-testable on synthetic corpora)."""
     bg = (
         spread(docs.select("doc_id", "text"))
         .select("doc_id", T.tokens("text").alias("t"))
@@ -212,11 +217,16 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the bounded bigram-count table, NOT from re-exploding the
     # corpus: the big explode runs twice total (model build + scoring
     # join) instead of four times. Values are identical either way.
+    # cnt_ab keeps BOTH keys and the scoring join uses both: tokens are
+    # whitespace-split, so a token may itself contain '|' and two
+    # distinct (a, b) splits can render to the same 'ab' string —
+    # joining on 'ab' alone would fan such a bigram out to every
+    # colliding count row.
     cnt_ab = bg.groupBy("a", "ab").agg(F.count(F.lit(1)).alias("c_ab"))
     cnt_a = cnt_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     vocab = cnt_a.agg(F.count(F.lit(1)).alias("v"))
     scored = (
-        bg.join(cnt_ab.drop("a"), "ab")
+        bg.join(cnt_ab, ["a", "ab"])
         .join(cnt_a, "a")
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -253,14 +263,14 @@ bg AS (
   FROM toks WHERE len(t) >= 2
 ),
 flat AS (SELECT doc_id, s.a AS a, s.ab AS ab FROM bg),
-cab AS (SELECT ab, COUNT(*) AS c_ab FROM flat GROUP BY ab),
+cab AS (SELECT a, ab, COUNT(*) AS c_ab FROM flat GROUP BY a, ab),
 ca AS (SELECT a, COUNT(*) AS c_a FROM flat GROUP BY a),
 v AS (SELECT COUNT(DISTINCT a) AS v FROM flat),
 scored AS (
   SELECT doc_id,
          CAST(round(ln(CAST(c_ab + 1 AS DOUBLE) / CAST(c_a + v AS DOUBLE))
                     * 1000000, 0) AS BIGINT) AS lp
-  FROM flat JOIN cab USING (ab) JOIN ca USING (a) CROSS JOIN v
+  FROM flat JOIN cab USING (a, ab) JOIN ca USING (a) CROSS JOIN v
 )
 SELECT doc_id,
        COUNT(*) AS n_bigrams,

@@ -449,3 +449,24 @@ class TestIncrementalLookup:
                 idx_id, new_id = (r.id_b, r.id_a) if a_new else (r.id_a, r.id_b)
                 cross.add((idx_id, new_id, r.jaccard_sim))
         assert looked == cross and looked
+
+
+class TestBigramLogprob:
+    def test_pipe_in_token_does_not_inflate_counts(self, spark):
+        """Two distinct (a, b) splits can render to the same 'x|y' join
+        string when a token itself contains '|' ("x|" + "y" vs "x" +
+        "|y"). The count join keys on (a, ab), so each bigram occurrence
+        must match exactly one count row — n_bigrams equals the doc's
+        true bigram count even under collisions."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface2 import (
+            bigram_logprob,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "x| y q"), (2, "x |y q")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+        # doc 1 bigrams: ("x|","y"), ("y","q"); doc 2: ("x","|y"), ("|y","q")
+        assert out[1].n_bigrams == 2
+        assert out[2].n_bigrams == 2
