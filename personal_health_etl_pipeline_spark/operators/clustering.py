@@ -31,8 +31,13 @@ Scale design:
   (``dedup.pair_gen_sql``), so one runaway cluster degrades to O(N)
   pairs, not O(N^2).
 * For big corpora pass ``persist=True`` so the quantized base is
-  materialized once instead of re-scanned by every iteration's
-  assignment pass (n_updates+1 scans otherwise).
+  cached for the training collects (init + every Lloyd update reads
+  ``InMemoryTableScan``) and released before the final lazy result is
+  returned: the source is scanned exactly TWICE per run — once to fill
+  the cache, once by the returned plan — independent of ``n_updates``
+  (vs ``n_updates + 2`` scans without it), and no executor storage
+  outlives the call. Callers that want the final pass cached too can
+  persist the input frame themselves and manage its lifetime.
 """
 
 from __future__ import annotations
@@ -149,14 +154,26 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     k: int = 8,
     n_updates: int = 2,
+    persist: bool = False,
 ) -> DataFrame:
     """The trained quantizer alone: ``(cid, cvec)`` on the integer
     grid — e.g. as the coarse quantizer for an IVF index
-    (:func:`similarity.ivf_topk` accepts it via ``centroids=``)."""
+    (:func:`similarity.ivf_topk` accepts it via ``centroids=``).
+
+    ``persist=True`` caches the quantized base across the training
+    collects (ONE source scan instead of ``n_updates + 1``); the cache
+    is released before returning — the result is a literal frame with
+    no lineage into the base, so nothing pins it.
+    """
     spark = embeddings.sparkSession
-    cents = _centroids_from(
-        _quantized_base(embeddings, id_col, vec_col), k, n_updates
-    )
+    base = _quantized_base(embeddings, id_col, vec_col)
+    if persist:
+        base = base.persist()
+    try:
+        cents = _centroids_from(base, k, n_updates)
+    finally:
+        if persist:
+            base.unpersist()
     return spark.createDataFrame(
         [(cid, cvec) for cid, cvec in cents],
         "cid int, cvec array<bigint>",
@@ -187,11 +204,25 @@ def kmeans_assignments(
     * a cluster that loses all members simply drops out of the
       centroid set (both engines compute centroids by grouping the
       assignment, so the oracle agrees).
+
+    ``persist=True`` caches the quantized base for the duration of the
+    training collects and RELEASES it before the final (lazy)
+    assignment is returned: init + every Lloyd update read
+    ``InMemoryTableScan``; the returned plan recomputes the base from
+    source once when the caller materializes it. Two source scans per
+    run, independent of ``n_updates``, and no cached storage survives
+    the call (the returned frame does not pin the cache — after
+    ``unpersist`` its execution simply recomputes).
     """
     base = _quantized_base(embeddings, id_col, vec_col)
     if persist:
         base = base.persist()
-    return _assign_lit(base, _centroids_from(base, k, n_updates))
+    try:
+        cents = _centroids_from(base, k, n_updates)
+    finally:
+        if persist:
+            base.unpersist()
+    return _assign_lit(base, cents)
 
 
 def kmeans_assign(
@@ -200,11 +231,13 @@ def kmeans_assign(
     vec_col: str = "embedding",
     k: int = 8,
     n_updates: int = 2,
+    persist: bool = False,
 ) -> DataFrame:
     """Public k-means assignment: ``(vec_id, cluster_id, d2)`` — the
     exact squared grid distance to the vector's final centroid."""
     return kmeans_assignments(
-        embeddings, id_col=id_col, vec_col=vec_col, k=k, n_updates=n_updates
+        embeddings, id_col=id_col, vec_col=vec_col, k=k,
+        n_updates=n_updates, persist=persist,
     ).select(
         F.col("_id").alias(id_col),
         F.col("cid").alias("cluster_id"),
@@ -220,6 +253,7 @@ def semantic_near_dup_pairs(
     n_updates: int = 2,
     threshold: float = 0.4,
     cluster_cap: int = LSH_BUCKET_CAP,
+    persist: bool = False,
 ) -> DataFrame:
     """SemDeDup-style near-dup pairs: ``(id_a, id_b, sim)``,
     ``id_a < id_b``, cosine >= ``threshold``, both in the same k-means
@@ -232,7 +266,8 @@ def semantic_near_dup_pairs(
     ``cluster_cap`` chain emission.
     """
     assigned = kmeans_assignments(
-        embeddings, id_col=id_col, vec_col=vec_col, k=k, n_updates=n_updates
+        embeddings, id_col=id_col, vec_col=vec_col, k=k,
+        n_updates=n_updates, persist=persist,
     )
     grouped = (
         # zero-norm vectors have no defined cosine — they cluster fine

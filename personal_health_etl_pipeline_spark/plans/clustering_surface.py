@@ -68,7 +68,11 @@ def _kmeans_ctes(k: int, n_updates: int) -> str:
 
 def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return C.kmeans_assign(emb, k=KMEANS_K, n_updates=KMEANS_UPDATES)
+    # persist: Lloyd training reads the cache, not the parquet; the
+    # cache is released before the frame is returned (2 scans total)
+    return C.kmeans_assign(
+        emb, k=KMEANS_K, n_updates=KMEANS_UPDATES, persist=True
+    )
 
 
 EMB_KMEANS_ORACLE = rf"""
@@ -92,7 +96,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = C.kmeans_centroids(
-        emb, k=IVFK_LISTS, n_updates=IVFK_UPDATES
+        emb, k=IVFK_LISTS, n_updates=IVFK_UPDATES, persist=True
     )
     return S.ivf_topk(
         emb,
@@ -138,6 +142,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_updates=KMEANS_UPDATES,
         threshold=SEMANTIC_THRESHOLD,
         cluster_cap=LSH_BUCKET_CAP,
+        persist=True,
     )
 
 

@@ -78,6 +78,48 @@ class TestKMeans:
         )
         assert a == b
 
+    def test_persist_training_reads_cache_not_parquet(self, emb):
+        """With the base persisted, every Lloyd-iteration plan (the
+        assign+update aggregation `_centroids_from` runs per round)
+        must read the in-memory relation — the source parquet is
+        scanned once to fill the cache, never per iteration."""
+        from personal_health_etl_pipeline_spark.operators.clustering import (
+            _assign_lit,
+            _quantized_base,
+        )
+        from personal_health_etl_pipeline_spark.operators.similarity import (
+            quantized_centroids,
+        )
+
+        base = _quantized_base(emb, "vec_id", "embedding").persist()
+        try:
+            init = base.select("_id", "_q").orderBy("_id").limit(4).collect()
+            cents = [(i, list(r._q)) for i, r in enumerate(init)]
+            update = quantized_centroids(_assign_lit(base, cents), "cid")
+            # every physical leaf must be the cache scan, not a file scan
+            # (the InMemoryRelation's description embeds its cached child
+            # plan text, so leaf node names are the reliable signal)
+            leaves = update._jdf.queryExecution().sparkPlan().collectLeaves()
+            names = [
+                leaves.apply(i).nodeName() for i in range(leaves.size())
+            ]
+            assert names, "expected at least one leaf scan"
+            assert all("InMemoryTableScan" in n for n in names), names
+        finally:
+            base.unpersist()
+
+    def test_persist_releases_all_cached_storage(self, spark, emb):
+        """The persist=True paths must not leak executor storage: the
+        cache lives only across the training collects and is released
+        before the result frame is returned (its execution recomputes
+        from source — it never pins the cache)."""
+        jsc = spark.sparkContext._jsc
+        before = jsc.getPersistentRDDs().size()
+        kmeans_assign(emb, k=4, persist=True).collect()
+        kmeans_centroids(emb, k=4, n_updates=1, persist=True).collect()
+        semantic_near_dup_pairs(emb, k=4, persist=True).collect()
+        assert jsc.getPersistentRDDs().size() == before
+
 
 class TestKMeansIVF:
     def test_recall_floor_vs_brute_force(self, spark, sf_dir):
