@@ -30,12 +30,43 @@ deployments where executor loss must not kill the iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
 class ConvergenceError(RuntimeError):
     """Raised when label propagation exceeds the round budget."""
+
+
+def _checkpoint_rdd_dirs(spark: SparkSession) -> set[str]:
+    """Names of the ``rdd-*`` checkpoint dirs under the context's
+    current checkpoint location (empty if unset/missing)."""
+    sc = spark.sparkContext
+    opt = sc._jsc.sc().getCheckpointDir()
+    if not opt.isDefined():
+        return set()
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(opt.get())
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return set()
+    return {
+        st.getPath().getName()
+        for st in fs.listStatus(path)
+        if st.getPath().getName().startswith("rdd-")
+    }
+
+
+def _delete_checkpoint_rdd_dirs(spark: SparkSession, names: set[str]) -> None:
+    sc = spark.sparkContext
+    opt = sc._jsc.sc().getCheckpointDir()
+    if not opt.isDefined() or not names:
+        return
+    jvm = sc._jvm
+    base = jvm.org.apache.hadoop.fs.Path(opt.get())
+    fs = base.getFileSystem(sc._jsc.hadoopConfiguration())
+    for name in names:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(base, name), True)
 
 
 def connected_components(
@@ -62,13 +93,45 @@ def connected_components(
     executor mid-iteration kills the job; reliable checkpoints survive
     executor loss and are the right default for any long-running
     cluster deployment. Local mode / tests can keep the default.
+
+    Checkpoint lifecycle: ``setCheckpointDir`` is a PROCESS-GLOBAL
+    SparkContext mutation; this function restores the previous
+    checkpoint location before returning, so other code's
+    ``checkpoint()`` calls are unaffected. Superseded per-round
+    checkpoints are deleted as the loop advances (Spark never cleans
+    them itself — ``cleanCheckpoints`` defaults to false); what remains
+    on return is exactly the edge snapshot + the final labels, which
+    the RETURNED FRAME READS FROM — delete ``checkpoint_dir`` only
+    after consuming the result.
     """
     spark = pairs.sparkSession
+    sc = spark.sparkContext
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        prior = sc._jsc.sc().getCheckpointDir()  # scala Option[String]
+        sc.setCheckpointDir(checkpoint_dir)
         _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
     else:
         _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    try:
+        return _components_loop(spark, pairs, src, dst, max_rounds, _ckpt,
+                                track_files=checkpoint_dir is not None)
+    finally:
+        if checkpoint_dir is not None:
+            # restore the exact prior location (possibly unset). A plain
+            # setCheckpointDir(prior) would nest a fresh UUID dir under
+            # it, so write the field back through the scala var setter.
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(prior)
+
+
+def _components_loop(
+    spark: SparkSession,
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_rounds: int,
+    _ckpt,
+    track_files: bool = False,
+) -> DataFrame:
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -77,12 +140,19 @@ def connected_components(
     # materialize once: the pair graph may hang off an expensive lineage
     # (a full LSH pipeline) and every round joins against it — without
     # the checkpoint each round would recompute that lineage.
+    seen_dirs = _checkpoint_rdd_dirs(spark) if track_files else set()
     edges = _ckpt(edges)
     # initial label = own id, for every node that appears in any pair
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    if track_files:
+        protected = _checkpoint_rdd_dirs(spark) - seen_dirs  # edges
+        seen_dirs |= protected
     labels = _ckpt(labels)
+    if track_files:
+        live_label_dirs = _checkpoint_rdd_dirs(spark) - seen_dirs
+        seen_dirs |= live_label_dirs
 
     for _ in range(max_rounds):
         # propagate: min label over the closed neighborhood
@@ -117,6 +187,14 @@ def connected_components(
             .count()
         )
         labels = jumped
+        if track_files:
+            # the previous round's label checkpoint is superseded the
+            # moment `changed` has been computed against it — delete it
+            # (Spark itself never does; cleanCheckpoints defaults false)
+            new_dirs = _checkpoint_rdd_dirs(spark) - seen_dirs
+            seen_dirs |= new_dirs
+            _delete_checkpoint_rdd_dirs(spark, live_label_dirs)
+            live_label_dirs = new_dirs
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise ConvergenceError(
@@ -128,11 +206,18 @@ def dedup_groups(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate groups with keeper selection: one row per non-singleton
     node — ``(doc_id, group_id, is_keeper, group_size)`` where
-    ``group_id`` is the component minimum (the kept document)."""
-    comp = connected_components(pairs, src=src, dst=dst)
+    ``group_id`` is the component minimum (the kept document).
+
+    ``checkpoint_dir`` is forwarded to :func:`connected_components`
+    so cluster deployments get reliable per-round checkpoints without
+    dropping to the raw operator."""
+    comp = connected_components(
+        pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir
+    )
     return comp.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("group_id"),

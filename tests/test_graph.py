@@ -89,6 +89,32 @@ class TestConnectedComponents:
             "no reliable checkpoint files written under checkpoint_dir"
         )
 
+    def test_checkpoint_dir_restored_and_rounds_cleaned(self, spark, tmp_path):
+        """setCheckpointDir is process-global: the operator must restore
+        the prior location on return, and superseded per-round label
+        checkpoints must be deleted as the loop advances — what survives
+        is exactly the edge snapshot + final labels (which the returned
+        frame reads), not one rdd dir per round."""
+        import glob as _glob
+
+        sc = spark.sparkContext
+        prior = sc._jsc.sc().getCheckpointDir()
+        ckpt = str(tmp_path / "ckpt")
+        # a 64-node chain forces several pointer-jump rounds
+        comp = connected_components(
+            _pairs(spark, [(i, i + 1) for i in range(63)]),
+            checkpoint_dir=ckpt,
+        )
+        after = sc._jsc.sc().getCheckpointDir()
+        assert after.isDefined() == prior.isDefined()
+        if prior.isDefined():
+            assert after.get() == prior.get()
+        # edges + final labels remain; per-round checkpoints are gone
+        rdd_dirs = _glob.glob(f"{ckpt}/**/rdd-*", recursive=True)
+        assert len(rdd_dirs) == 2, rdd_dirs
+        # ...and the returned frame still materializes from them
+        assert {r.component for r in comp.collect()} == {0}
+
     def test_direction_and_order_invariance(self, spark):
         a = connected_components(_pairs(spark, [(5, 9), (2, 9), (7, 2)]))
         b = connected_components(_pairs(spark, [(9, 5), (7, 2), (9, 2)]))
@@ -108,6 +134,22 @@ class TestDedupGroups:
         assert out[4].group_id == 2 and not out[4].is_keeper
         assert out[8].group_size == 3
         assert out[30].is_keeper and out[31].group_size == 2
+
+    def test_checkpoint_dir_forwarded(self, spark, tmp_path):
+        """dedup_groups must run with reliable checkpoints without the
+        caller dropping to the raw connected_components operator."""
+        import glob as _glob
+
+        ckpt = str(tmp_path / "ckpt")
+        out = {
+            r.doc_id: r
+            for r in dedup_groups(
+                _pairs(spark, [(4, 2), (2, 8), (30, 31)]),
+                checkpoint_dir=ckpt,
+            ).collect()
+        }
+        assert out[2].is_keeper and out[8].group_size == 3
+        assert _glob.glob(f"{ckpt}/**/rdd-*", recursive=True)
 
     def test_degenerate_chain_resolves_to_one_group(self, spark):
         """The capped-LSH chain output for 2000 identical docs must
