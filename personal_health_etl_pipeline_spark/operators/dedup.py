@@ -541,6 +541,7 @@ def minhash_lookup(
     shingle_n: int = 3,
     threshold: float = 0.8,
     bucket_cap: int = LSH_BUCKET_CAP,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicates of a NEW batch against an EXISTING corpus:
     ``(index_id, new_id, jaccard_sim)`` with exact-Jaccard verification
@@ -549,12 +550,33 @@ def minhash_lookup(
     oura/etl/extract.py:151-203`; this is the same idea for dedup).
 
     Probe = equi-join of the two band tables on (band_id, band_hash):
-    only the new batch is sketched fresh; the index side would come
-    from storage via :func:`minhash_index`. Hot index buckets are
-    capped at ``bucket_cap`` members (rank by id — deterministic), so
-    one degenerate bucket cannot quadratically explode a probe.
+    only the new batch is sketched fresh. Pass ``index`` — a band table
+    previously written by :func:`minhash_index` and read back from
+    storage (bucket it by ``(band_id, band_hash)`` at write time so the
+    probe join reads co-located buckets with no exchange on the index
+    side) — to probe WITHOUT re-sketching the corpus; ``index_docs``
+    then only supplies the raw text for the exact-Jaccard verify of the
+    (tiny) surviving candidate set. The sketch parameters
+    (``n_hashes``/``bands``/``shingle_n``) must match the ones the
+    index was built with. When ``index`` is None the corpus is sketched
+    in-memory (one extra scan of ``index_docs``).
+
+    CAPPED-REGIME CONTRACT: hot index buckets are TRUNCATED to their
+    ``bucket_cap`` smallest ids (deterministic) — unlike
+    :func:`minhash_lsh_pairs`' chain emission, which preserves
+    connectivity inside one corpus, truncation DROPS new-vs-index pairs
+    whose index member ranks beyond the cap. Bounded probe work is the
+    contract; recall inside degenerate buckets is the cost. The
+    equivalence to the cross-side subset of full dedup therefore holds
+    only while every shared bucket is within the cap — if hot buckets
+    are real data, raise ``bands``/``n_hashes`` (smaller buckets) or
+    dedup the index corpus first.
     """
-    idx = minhash_index(index_docs, id_col, text_col, n_hashes, bands, shingle_n)
+    if index is None:
+        index = minhash_index(
+            index_docs, id_col, text_col, n_hashes, bands, shingle_n
+        )
+    idx = index
     probe = minhash_index(new_docs, id_col, text_col, n_hashes, bands, shingle_n)
     w = Window.partitionBy("band_id", "band_hash").orderBy("_id")
     idx_capped = (

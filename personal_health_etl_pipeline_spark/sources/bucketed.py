@@ -15,6 +15,7 @@ session factory points ``spark.sql.warehouse.dir`` outside the repo.
 from __future__ import annotations
 
 import shutil
+from collections.abc import Sequence
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,11 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    key: str | Sequence[str],
     n_buckets: int = 16,
     mode: str = "overwrite",
 ) -> None:
-    """Persist ``df`` bucketed (and sorted) by ``key``.
+    """Persist ``df`` bucketed (and sorted) by ``key`` (one column name
+    or a sequence for composite keys, e.g. an LSH band table bucketed
+    by ``(band_id, band_hash)``).
 
     Sorting within buckets lets sort-merge joins skip their sort step
     too — the join degenerates to a zip of pre-sorted bucket files.
@@ -37,13 +40,14 @@ def write_bucketed(
     prior session would fail the write, so orphaned locations are
     cleared first.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
     (
-        df.write.bucketBy(n_buckets, key)
-        .sortBy(key)
+        df.write.bucketBy(n_buckets, keys[0], *keys[1:])
+        .sortBy(keys[0], *keys[1:])
         .mode(mode)
         .format("parquet")
         .saveAsTable(table)

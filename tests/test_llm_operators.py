@@ -450,6 +450,77 @@ class TestIncrementalLookup:
                 cross.add((idx_id, new_id, r.jaccard_sim))
         assert looked == cross and looked
 
+    def test_persisted_index_roundtrip_and_colocated_probe(self, spark, sf_dir):
+        """The production incremental shape end-to-end: the band table
+        is WRITTEN to parquet bucketed by (band_id, band_hash) — the
+        layout minhash_index's own docstring prescribes — read back,
+        and probed. Pairs must equal the in-memory path exactly, and
+        the probe join must read co-located buckets: zero exchanges on
+        the index side (only the fresh batch shuffles to the join)."""
+        from pyspark.sql import functions as F
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            minhash_index,
+            minhash_lookup,
+        )
+        from personal_health_etl_pipeline_spark.sources.bucketed import (
+            read_table,
+            write_bucketed,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        new = docs.where(F.col("doc_id") % 10 == 0)
+        corpus = docs.where(F.col("doc_id") % 10 != 0)
+        write_bucketed(
+            minhash_index(corpus, "doc_id", "text"),
+            "mh_band_index",
+            ["band_id", "band_hash"],
+            n_buckets=8,
+        )
+        stored = read_table(spark, "mh_band_index")
+        out = minhash_lookup(new, corpus, "doc_id", "text", index=stored)
+        in_mem = minhash_lookup(new, corpus, "doc_id", "text")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            got = sorted(map(tuple, out.collect()))
+            assert got == sorted(map(tuple, in_mem.collect())) and got
+            # AQE's toString prints Final AND Initial plans; count in the
+            # final section only
+            plan = (
+                out._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0]
+            )
+            assert "SelectedBucketsCount" in plan  # bucketed scan used
+            # the only (band_id, band_hash) shuffle is the fresh batch's;
+            # the index side (window cap + join) rides the bucketing
+            assert plan.count("Exchange hashpartitioning(band_id") == 1, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_capped_bucket_truncates_to_smallest_index_ids(self, spark):
+        """Pin the capped-regime contract the docstring states: a probe
+        bucket over ``bucket_cap`` keeps only the cap smallest index
+        ids as candidates — pairs beyond the cap are DROPPED (bounded
+        probe work; no chain fallback across the index boundary)."""
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            minhash_lookup,
+        )
+
+        text = "an identical document body that lands in identical buckets"
+        corpus = spark.createDataFrame(
+            [(i, text) for i in range(10)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(100, text), (101, text)], "doc_id long, text string"
+        )
+        out = minhash_lookup(
+            new, corpus, "doc_id", "text", bucket_cap=4
+        ).collect()
+        assert {r.index_id for r in out} == {0, 1, 2, 3}
+        assert {r.new_id for r in out} == {100, 101}
+        assert all(r.jaccard_sim == 1.0 for r in out)
+
 
 class TestBigramLogprob:
     def test_pipe_in_token_does_not_inflate_counts(self, spark):
