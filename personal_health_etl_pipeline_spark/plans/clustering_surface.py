@@ -83,8 +83,8 @@ FROM assigned{KMEANS_UPDATES}
 
 
 IVFK_LISTS = 8
-IVFK_UPDATES = 1
-IVFK_NPROBE = 3  # recall@10 vs brute force: 0.68 sf0.001 / 0.60 sf0.01
+IVFK_UPDATES = 2
+IVFK_NPROBE = 4  # recall@10 vs brute force: 0.83 sf0.001 / 0.71 sf0.01
 IVFK_QUERY_MOD = 50
 
 

@@ -888,13 +888,10 @@ FROM documents
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 4-bit codes per subspace, query-side
     distance tables, exact-integer ADC scoring (operators/similarity.py
-    pq_topk). The oracle re-derives codes and tables from the same
-    md5-derived codebooks as nested-list literals."""
+    pq_topk). The oracle re-derives the data-sampled codebooks, codes
+    and tables from the same parameters."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pq_topk(emb, k=10, query_mod=50)
-
-
-PQ_SHORTLIST = 50
 
 
 def _pq_oracle() -> str:
@@ -903,12 +900,14 @@ def _pq_oracle() -> str:
     )
 
     k_cent = S.PQ_K
+    sub = S.PQ_SUBDIM
+    m_sub = 64 // sub
     # m is 0-based (iterated as a VALUE from range(0, M)); inner list
     # indexes are 1-based
+    qd = f"(qn[m*{sub}+d] - cbj[m*{sub}+d])"
     dists = (
-        "list_transform(cbs, cbj -> CAST(list_sum(list_transform(range(1, 9),"
-        " d -> (qn[m*8+d] - cbj[m*8+d]) * (qn[m*8+d] - cbj[m*8+d])))"
-        " AS BIGINT))"
+        f"list_transform(cbs, cbj -> CAST(list_sum(list_transform("
+        f"range(1, {sub + 1}), d -> {qd} * {qd})) AS BIGINT))"
     )
     return rf"""
 WITH raw AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
@@ -935,13 +934,13 @@ sel AS (
 cbt AS (SELECT list(qn ORDER BY h, vec_id) AS cbs FROM sel),
 codes AS (
   SELECT v.vec_id, v.qn, v.n2n,
-         list_transform(range(0, 8), m ->
+         list_transform(range(0, {m_sub}), m ->
            list_indexof({dists}, list_min({dists})) - 1) AS codes
   FROM qnn v, cbt
 ),
 queries AS (
   SELECT v.vec_id AS query_id, v.qn AS qq, v.n2n AS qn2,
-         list_transform(range(0, 8), m -> {dists}) AS dtab
+         list_transform(range(0, {m_sub}), m -> {dists}) AS dtab
   FROM qnn v, cbt WHERE v.vec_id % 50 = 0
 ),
 adc AS (
@@ -956,7 +955,7 @@ short AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY adist, neighbor_id) AS srank
     FROM adc
-  ) WHERE srank <= {PQ_SHORTLIST}
+  ) WHERE srank <= {S.PQ_SHORTLIST}
 ),
 scored AS (
   SELECT query_id, neighbor_id,
@@ -977,34 +976,35 @@ SELECT query_id, rank, neighbor_id, sim FROM (
 ANN_PQ_ORACLE = _pq_oracle()
 
 
+IVFPQ_NPROBE = 4
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: coarse inverted-file pruning + residual product codes —
     the configuration production vector stores run at 100 TB scale
-    (operators/similarity.py ivfpq_topk)."""
+    (operators/similarity.py ivfpq_topk). Residual codebooks are
+    data-sampled; the oracle re-derives the sample, every code and
+    every distance table from the same parameters."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivfpq_topk(emb, k=10, query_mod=50, nprobe=IVF_NPROBE)
+    return S.ivfpq_topk(emb, k=10, query_mod=50, nprobe=IVFPQ_NPROBE)
 
 
 def _ivfpq_oracle() -> str:
-    books = S.pq_codebooks()
-    cb = (
-        "["
-        + ",".join(
-            "["
-            + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in cents)
-            + "]"
-            for cents in books
-        )
-        + "]"
+    from personal_health_etl_pipeline_spark.functions.hashing import (
+        duckdb_md5_long,
     )
-    # residual sub-distance: (x - centroid - codebook)^2 per dim;
-    # DuckDB lambda indexes are 1-based
-    res = "(qv[(m-1)*8+d] - cvec[(m-1)*8+d] - c[d])"
-    sub_dist = (
-        f"CAST(list_sum(list_transform(range(1, 9), d -> {res} * {res}))"
-        " AS BIGINT)"
+
+    k_cent = S.PQ_K
+    sub = S.PQ_SUBDIM
+    m_sub = 64 // sub
+    # data-sampled residual codebook: distances from subvector m of a
+    # row's residual rv to every sampled residual cbj. m is 0-based
+    # (a VALUE from range(0, M)); inner list indexes are 1-based.
+    rd = f"(rv[m*{sub}+d] - cbj[m*{sub}+d])"
+    dists = (
+        f"list_transform(cbs, cbj -> CAST(list_sum(list_transform("
+        f"range(1, {sub + 1}), d -> {rd} * {rd})) AS BIGINT))"
     )
-    dists = f"list_transform(cb_m, c -> {sub_dist})"
     return rf"""
 WITH q AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings),
 exploded AS (
@@ -1029,20 +1029,36 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
   FROM scoredc
 ),
-assigned AS (
-  SELECT r.vec_id AS neighbor_id, r.cid AS list_id, r.qv AS nv,
-         CAST(list_sum(list_transform(r.qv, x -> x * x)) AS BIGINT) AS nn2,
-         list_transform({cb}, (cb_m, m) ->
-           list_indexof({dists}, list_min({dists})) - 1) AS codes
+res AS (
+  SELECT r.vec_id, r.qv, r.cid AS list_id,
+         list_transform(range(1, 65),
+             i -> qv[CAST(i AS INT)] - cvec[CAST(i AS INT)]) AS rv
   FROM (SELECT vec_id, qv, cid FROM ranked WHERE rn = 1) r
   JOIN cent c ON c.cid = r.cid
 ),
+selr AS (
+  SELECT rv, {duckdb_md5_long('vec_id')} AS h, vec_id
+  FROM res ORDER BY h, vec_id LIMIT {k_cent}
+),
+cbt AS (SELECT list(rv ORDER BY h, vec_id) AS cbs FROM selr),
+assigned AS (
+  SELECT res.vec_id AS neighbor_id, res.list_id, res.qv AS nv,
+         CAST(list_sum(list_transform(res.qv, x -> x * x)) AS BIGINT) AS nn2,
+         list_transform(range(0, {m_sub}), m ->
+           list_indexof({dists}, list_min({dists})) - 1) AS codes
+  FROM res, cbt
+),
 probes AS (
-  SELECT r.vec_id AS query_id, r.cid AS list_id, r.qv AS qq,
-         CAST(list_sum(list_transform(r.qv, x -> x * x)) AS BIGINT) AS qn2,
-         list_transform({cb}, (cb_m, m) -> {dists}) AS dtab
-  FROM ranked r JOIN cent c ON c.cid = r.cid
-  WHERE r.vec_id % 50 = 0 AND r.rn <= {IVF_NPROBE}
+  SELECT query_id, list_id, qq, qn2,
+         list_transform(range(0, {m_sub}), m -> {dists}) AS dtab
+  FROM (
+    SELECT r.vec_id AS query_id, r.cid AS list_id, r.qv AS qq,
+           CAST(list_sum(list_transform(r.qv, x -> x * x)) AS BIGINT) AS qn2,
+           list_transform(range(1, 65),
+               i -> r.qv[CAST(i AS INT)] - c.cvec[CAST(i AS INT)]) AS rv
+    FROM ranked r JOIN cent c ON c.cid = r.cid
+    WHERE r.vec_id % 50 = 0 AND r.rn <= {IVFPQ_NPROBE}
+  ), cbt
 ),
 adc AS (
   SELECT query_id, neighbor_id, nv, nn2, qq, qn2,
@@ -1056,7 +1072,7 @@ short AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY adist, neighbor_id) AS srank
     FROM adc
-  ) WHERE srank <= {PQ_SHORTLIST}
+  ) WHERE srank <= {S.PQ_SHORTLIST}
 ),
 scored AS (
   SELECT query_id, neighbor_id,

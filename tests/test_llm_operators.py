@@ -276,8 +276,6 @@ class TestBucketCap:
 class TestProductQuantization:
     def test_codes_in_range_and_deterministic(self, spark, sf_dir):
         from personal_health_etl_pipeline_spark.operators.similarity import (
-            PQ_K,
-            PQ_M,
             pq_topk,
         )
         from personal_health_etl_pipeline_spark.sources.tables import load_table
@@ -333,8 +331,11 @@ class TestProductQuantization:
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
     def test_pq_recall_floor_vs_brute_force(self, spark, sf_dir):
-        """Random (untrained) codebooks still preserve coarse geometry:
-        PQ top-10 must beat the random-candidate baseline clearly."""
+        """The production default must be a GOOD index, not merely a
+        deterministic one: 16 subspaces of 4 dims (4-bit codes, same 8
+        bytes/vector) + a 150-deep exact re-rank measure recall@10 of
+        0.98 (sf0.001) / 0.96 (sf0.01); gate at 0.9 — all inputs are
+        fixed, so no flake margin is needed."""
         from personal_health_etl_pipeline_spark.operators.similarity import (
             brute_force_topk,
             pq_topk,
@@ -347,15 +348,17 @@ class TestProductQuantization:
         total = bf.count()
         hit = bf.intersect(pq).count()
         assert total > 0
-        assert hit / total >= 0.4, f"PQ recall too low: {hit}/{total}"
+        assert hit / total >= 0.9, f"PQ recall too low: {hit}/{total}"
 
     def test_ivfpq_recall_floor_vs_brute_force(self, spark, sf_dir):
         """An approximate index whose oracle mirrors the approximation
         is certified deterministic, not certified good — recall vs the
-        exact brute force is the only quality measurement. Probing 6 of
-        the 10 lists with a 200-deep ADC shortlist measures 0.67 at
-        sf0.001 and 0.66 at sf0.01 (the remaining loss is coarse-probe
-        loss: cosine neighbors living in unprobed lists); gate at 0.6."""
+        exact brute force is the only quality measurement. With
+        DATA-SAMPLED residual codebooks (fixed-range synthetic ones
+        mis-quantized the residual scale), probing 6 of the 10 lists
+        with a 200-deep ADC shortlist measures 0.71 at sf0.001 and
+        0.75 at sf0.01 — the remaining loss is coarse-probe loss
+        (cosine neighbors living in unprobed lists); gate at 0.7."""
         from personal_health_etl_pipeline_spark.operators.similarity import (
             brute_force_topk,
             ivfpq_topk,
@@ -370,7 +373,7 @@ class TestProductQuantization:
         total = bf.count()
         hit = bf.intersect(iv).count()
         assert total > 0
-        assert hit / total >= 0.6, f"IVF-PQ recall too low: {hit}/{total}"
+        assert hit / total >= 0.7, f"IVF-PQ recall too low: {hit}/{total}"
 
     def test_pq_external_query_table_matches_self_query(self, spark, sf_dir):
         """The bounded-external-queries path (the 100 TB shape: the
