@@ -73,6 +73,11 @@ register("ann_brute_force_topk", llm.ann_brute_force_topk, llm.ANN_BRUTE_FORCE_O
 register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
 register("ann_ivf_topk", llm.ann_ivf_topk, llm.ANN_IVF_ORACLE)
 register("ann_pq_topk", llm.ann_pq_topk, llm.ANN_PQ_ORACLE)
+register(
+    "ann_pq_external_topk",
+    llm.ann_pq_external_topk,
+    llm.ANN_PQ_EXTERNAL_ORACLE,
+)
 register("ann_ivfpq_topk", llm.ann_ivfpq_topk, llm.ANN_IVFPQ_ORACLE)
 register("emb_centroids", llm.emb_centroids, llm.EMB_CENTROIDS_ORACLE)
 register("mm_byte_stats", llm.mm_byte_stats, llm.MM_BYTE_STATS_ORACLE)

@@ -894,9 +894,39 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(emb, k=10, query_mod=50)
 
 
-def _pq_oracle() -> str:
+PQ_EXT_QUERIES = 64
+PQ_EXT_SEED = 7  # salt differs from the codebook sample's unsalted hash
+
+
+def ann_pq_external_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN in its PRODUCTION shape: a BOUNDED external query table
+    (here: the 64 corpus vectors with smallest seeded portable hash —
+    deterministic, oracle-reproducible) broadcast against the code
+    scan. Unlike ``ann_pq_topk``'s query_mod self-query set, the
+    broadcast side provably does not grow with the corpus — the shape
+    the docstring's scale contract prescribes for 100 TB."""
+    from personal_health_etl_pipeline_spark.functions.hashing import (
+        md5_long_seeded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ext = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            md5_long_seeded("vec_id", PQ_EXT_SEED).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(PQ_EXT_QUERIES)
+        .select("vec_id", "embedding")
+    )
+    return S.pq_topk(emb, k=10, queries=ext)
+
+
+def _pq_oracle(external: bool = False) -> str:
     from personal_health_etl_pipeline_spark.functions.hashing import (
         duckdb_md5_long,
+        duckdb_md5_long_seeded,
     )
 
     k_cent = S.PQ_K
@@ -909,6 +939,14 @@ def _pq_oracle() -> str:
         f"list_transform(cbs, cbj -> CAST(list_sum(list_transform("
         f"range(1, {sub + 1}), d -> {qd} * {qd})) AS BIGINT))"
     )
+    if external:
+        query_filter = (
+            f"WHERE v.vec_id IN (SELECT vec_id FROM qn ORDER BY "
+            f"{duckdb_md5_long_seeded('vec_id', PQ_EXT_SEED)}, vec_id "
+            f"LIMIT {PQ_EXT_QUERIES})"
+        )
+    else:
+        query_filter = "WHERE v.vec_id % 50 = 0"
     return rf"""
 WITH raw AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
 nn AS (
@@ -941,7 +979,7 @@ codes AS (
 queries AS (
   SELECT v.vec_id AS query_id, v.qn AS qq, v.n2n AS qn2,
          list_transform(range(0, {m_sub}), m -> {dists}) AS dtab
-  FROM qnn v, cbt WHERE v.vec_id % 50 = 0
+  FROM qnn v, cbt {query_filter}
 ),
 adc AS (
   SELECT query_id, c.vec_id AS neighbor_id, c.qn AS nv, c.n2n AS nn2,
@@ -974,6 +1012,7 @@ SELECT query_id, rank, neighbor_id, sim FROM (
 
 
 ANN_PQ_ORACLE = _pq_oracle()
+ANN_PQ_EXTERNAL_ORACLE = _pq_oracle(external=True)
 
 
 IVFPQ_NPROBE = 4

@@ -297,6 +297,27 @@ class TestPQJoinShapes:
         # the docstring + this test should change together
         assert "BroadcastNestedLoopJoin" in plan
 
+    def test_pq_external_broadcast_side_is_the_bounded_frame(
+        self, spark, sf_dir
+    ):
+        """The certified production entry: the ADC scan's broadcast
+        build side must BE the bounded query frame (a 64-row top-k by
+        hash), not anything that grows with the corpus — the limit
+        must sit inside the broadcast subtree."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface import (
+            PQ_EXT_QUERIES,
+            ann_pq_external_topk,
+        )
+
+        df = ann_pq_external_topk(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "BroadcastNestedLoopJoin" in plan  # the documented ADC scan
+        # the bounded-frame proof: the top-k-by-hash limit feeds the
+        # broadcast exchange (TakeOrderedAndProject is how Catalyst
+        # plans orderBy+limit)
+        assert f"TakeOrderedAndProject(limit={PQ_EXT_QUERIES}" in plan, plan
+
     def test_ivfpq_probe_join_is_equi_no_bnlj(self, spark, sf_dir):
         """IVF-PQ's only BNLJs are the 1-row scalar crossJoins that
         attach the collected centroid/codebook arrays (corpus-size-
@@ -314,5 +335,10 @@ class TestPQJoinShapes:
         assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or (
             "ShuffledHashJoin" in plan
         )
-        # exactly the two 1-row centroid-array attachments may be BNLJ
-        assert plan.count("BroadcastNestedLoopJoin") <= 2
+        # only 1-row array attachments may be BNLJ: the coarse-centroid
+        # set and the sampled residual codebook (each on both the data
+        # and the query side) — all corpus-size-independent build
+        # sides. The printed tree duplicates the shared 1-row codebook
+        # lineage under each consumer, so the textual count exceeds
+        # the number of distinct attachments.
+        assert plan.count("BroadcastNestedLoopJoin") <= 8
