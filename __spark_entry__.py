@@ -16,14 +16,18 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from personal_health_etl_pipeline_spark.plans import catalog
-from personal_health_etl_pipeline_spark.plans.tpch import q1_pricing_summary
+from personal_health_etl_pipeline_spark.plans.reference_surface import (
+    j9_oura_end_to_end,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (pricing summary) on sf0.001; rows > 0, stable schema."""
-    return q1_pricing_summary(spark, SMOKE_SF_DIR)
+    """Flagship: the reference's signature end-to-end daily transform
+    (nested records -> flatten -> prefix -> combine -> schema align)
+    on sf0.001; rows > 0, stable schema."""
+    return j9_oura_end_to_end(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

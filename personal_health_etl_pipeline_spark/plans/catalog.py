@@ -55,6 +55,7 @@ register("c3_schema_align", rs.c3_schema_align, rs.C3_ORACLE)
 
 # -- block 1b: the events-table family (SURVEY.md §2.3-2.6) ------------
 register("j1_multiway_outer_combine", rs.j1_multiway_outer_combine, rs.J1_ORACLE)
+register("j9_oura_end_to_end", rs.j9_oura_end_to_end, rs.J9_ORACLE)
 register("a3_count_probes", rs.a3_count_probes, rs.A3_ORACLE)
 register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
 register("w3_sessionize", rs.w3_sessionize, rs.W3_ORACLE)

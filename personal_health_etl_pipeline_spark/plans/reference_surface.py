@@ -169,6 +169,92 @@ FULL JOIN (SELECT * FROM per_type WHERE event_type = 'error') e USING (day)
 """
 
 
+# --- J9: the reference's signature END-TO-END transform ----------------
+
+def j9_oura_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole daily transform as ONE certified pipeline:
+    per-data-type NESTED records -> recursive struct flatten (F1) ->
+    prefix namespace (P3) -> multi-way full-outer combine (J1) ->
+    schema alignment with null-fill + declared-type casts (C3/C5) —
+    `transform.py:38-140` + `load.py:105-181` composed, not one-by-one.
+
+    The Oura-shaped nested input is derived deterministically from the
+    shared events table (one record per (type, day) with a nested
+    contributors struct), so the DuckDB oracle rebuilds the identical
+    records with struct_pack and flattens them by field access.
+    """
+    from personal_health_etl_pipeline_spark.schema import (
+        struct_from_json_schema,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "purchase", "error"]
+    frames = []
+    for t in types:
+        nested = (
+            events.where(F.col("event_type") == t)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.countDistinct("user_id").alias("_u"),
+            )
+            .select(
+                "day",
+                F.col("_n").alias("score"),
+                F.struct(
+                    F.col("_u").alias("deep_sleep"),
+                    (F.col("_n") - F.col("_u")).alias("efficiency"),
+                ).alias("contributors"),
+            )
+        )
+        flat = flatten(nested)  # contributors -> contributors__* (F1)
+        frames.append(prefix_columns(flat, t, exclude=("day",)))  # P3
+    wide = combine_on_key(frames, key="day")  # J1
+    target = struct_from_json_schema(
+        [{"name": "day", "type": "DATE", "mode": "REQUIRED"}]
+        + [
+            {"name": f"{t}{suffix}", "type": "INT64"}
+            for t in types
+            for suffix in (
+                "__score",
+                "__contributors__deep_sleep",
+                "__contributors__efficiency",
+            )
+        ]
+        # declared in the warehouse schema but produced by no source:
+        # align null-fills it (C3), typed
+        + [{"name": "ingest_note", "type": "STRING"}]
+    )
+    return align_to_schema(wide, target)  # C3 + C5
+
+
+J9_ORACLE = """
+WITH per AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         COUNT(*) AS score,
+         struct_pack(
+           deep_sleep := COUNT(DISTINCT user_id),
+           efficiency := COUNT(*) - COUNT(DISTINCT user_id)
+         ) AS contributors
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT day,
+       c.score AS click__score,
+       c.contributors.deep_sleep AS click__contributors__deep_sleep,
+       c.contributors.efficiency AS click__contributors__efficiency,
+       p.score AS purchase__score,
+       p.contributors.deep_sleep AS purchase__contributors__deep_sleep,
+       p.contributors.efficiency AS purchase__contributors__efficiency,
+       e.score AS error__score,
+       e.contributors.deep_sleep AS error__contributors__deep_sleep,
+       e.contributors.efficiency AS error__contributors__efficiency,
+       CAST(NULL AS VARCHAR) AS ingest_note
+FROM      (SELECT * FROM per WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM per WHERE event_type = 'purchase') p USING (day)
+FULL JOIN (SELECT * FROM per WHERE event_type = 'error') e USING (day)
+"""
+
+
 # --- J2: range-overlap join (reference load.py:266) --------------------
 
 def j2_range_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,7 +9,8 @@ def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert df.columns[0] == "l_returnflag"
+    assert df.columns[0] == "day"
+    assert "ingest_note" in df.columns  # the null-filled aligned column
 
 
 def test_queries_and_oracles_consistent():
