@@ -92,11 +92,15 @@ def main() -> None:
         CATALOG[name][0](spark, sf_dir).collect()
     trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
+        # One GC per PASS, with a settle pause, not one per query: a
+        # per-query System.gc() returns before concurrent collector
+        # phases finish, so the induced GC work bled into the next
+        # query's timing window (measured as a uniform ~0.1-0.3 s tax
+        # on sub-second queries in round 3).
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
         for name in HEADLINE:
             fn = CATALOG[name][0]
-            # flush garbage left by the previous query so its GC pauses
-            # don't land inside this query's timing window
-            spark.sparkContext._jvm.System.gc()
             start = time.perf_counter()
             fn(spark, sf_dir).collect()
             trials[name].append(time.perf_counter() - start)

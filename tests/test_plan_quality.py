@@ -314,9 +314,12 @@ class TestPQJoinShapes:
         plan = _executed_plan(df).split("== Initial Plan ==")[0]
         assert "BroadcastNestedLoopJoin" in plan  # the documented ADC scan
         # the bounded-frame proof: the top-k-by-hash limit feeds the
-        # broadcast exchange (TakeOrderedAndProject is how Catalyst
-        # plans orderBy+limit)
-        assert f"TakeOrderedAndProject(limit={PQ_EXT_QUERIES}" in plan, plan
+        # broadcast exchange (Catalyst plans orderBy+limit either as
+        # TakeOrderedAndProject or as sort + Global/LocalLimit)
+        assert (
+            f"TakeOrderedAndProject(limit={PQ_EXT_QUERIES}" in plan
+            or f"GlobalLimit {PQ_EXT_QUERIES}" in plan
+        ), plan
 
     def test_ivfpq_probe_join_is_equi_no_bnlj(self, spark, sf_dir):
         """IVF-PQ's only BNLJs are the 1-row scalar crossJoins that
