@@ -61,6 +61,8 @@ HEADLINE = (
     "corpus_pack_sequences",
     "text_bigram_logprob",
     "dedup_incremental_lookup",
+    "j9_oura_end_to_end",
+    "ann_pq_external_topk",
 )
 
 

@@ -29,7 +29,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.functions.hashing import md5_hex, md5_long
-from personal_health_etl_pipeline_spark.operators.partitioning import spread
+from personal_health_etl_pipeline_spark.operators.partitioning import (
+    SKETCH_MIN_BYTES_PER_PARTITION,
+    spread,
+)
 from personal_health_etl_pipeline_spark.functions.text import distinct_shingles
 
 
@@ -181,7 +184,10 @@ def minhash_lsh_pairs(
     """
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
-    docs = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    docs = spread(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
+    )
     base = docs.select(
         "_id",
         distinct_shingles(text_col, shingle_n).alias("_sh"),
@@ -347,7 +353,10 @@ def simhash_pairs(
     # docs with no shingles (< n tokens) carry no signal and would all
     # collide on the zero sketch — exclude them, like minhash does
     base = (
-        spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        spread(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
+    )
         .select("_id", distinct_shingles(text_col, shingle_n).alias("_sh"))
         .where(F.size("_sh") > 0)
         .withColumn("_hs", shingle_hashes(F.col("_sh")))
@@ -431,7 +440,10 @@ def ngram_jaccard_pairs(
     which is the degenerate case the capped MinHash path
     (:func:`minhash_lsh_pairs`) is built for.
     """
-    sh = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+    sh = spread(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
+    ).select(
         "_id",
         distinct_shingles(text_col, shingle_n).alias("_sh"),
     ).where(F.size("_sh") > 0)
@@ -516,7 +528,10 @@ def minhash_index(
     """
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
-    base = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+    base = spread(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
+    ).select(
         "_id", distinct_shingles(text_col, shingle_n).alias("_sh")
     ).where(F.size("_sh") > 0)
     sigs = (

@@ -23,15 +23,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 # below ~256 KB per would-be partition, task overhead beats parallelism
-# for even the heaviest array-expression operators on this engine
+# for moderate array-expression operators (integer dot products,
+# tokenize-and-count) on this engine
 MIN_BYTES_PER_PARTITION = 256 * 1024
+# ...but shingle->multi-hash sketching (MinHash signatures, simhash
+# bit-votes, n-gram inverted indexes) costs ~32 hash evaluations per
+# shingle — orders of magnitude more compute per input byte — so those
+# call sites fan out from a much smaller input
+SKETCH_MIN_BYTES_PER_PARTITION = 16 * 1024
 
 
-def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
+def spread(
+    df: DataFrame,
+    multiplier: int = 1,
+    min_bytes: int = MIN_BYTES_PER_PARTITION,
+) -> DataFrame:
     """Repartition up to ``defaultParallelism * multiplier`` if the
     frame currently has fewer partitions; never shrinks. The width is
-    capped by the optimizer's size estimate so tiny inputs skip the
-    shuffle (and the driver-side ``df.rdd`` plan conversion) entirely.
+    capped by the optimizer's size estimate at one partition per
+    ``min_bytes`` of input, so tiny inputs skip the shuffle (and the
+    driver-side ``df.rdd`` plan conversion) entirely; operators whose
+    per-byte compute is extreme pass a smaller ``min_bytes``.
     """
     sc = df.sparkSession.sparkContext
     # Catalyst's size estimate: free (no execution), derived from file
@@ -42,7 +54,7 @@ def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
     )
     target = min(
         sc.defaultParallelism * multiplier,
-        max(1, est_bytes // MIN_BYTES_PER_PARTITION),
+        max(1, est_bytes // min_bytes),
     )
     if target <= 1:
         return df
