@@ -45,6 +45,12 @@ def spread(
     driver-side ``df.rdd`` plan conversion) entirely; operators whose
     per-byte compute is extreme pass a smaller ``min_bytes``.
     """
+    if df.isStreaming:
+        # a streaming frame's width is the source's concern (and its
+        # stats default to "unknown" = Long.Max); inside foreachBatch
+        # the micro-batch arrives as a regular DataFrame and spreads
+        # normally
+        return df
     sc = df.sparkSession.sparkContext
     # Catalyst's size estimate: free (no execution), derived from file
     # sizes for scans. Conservative for filtered plans (over-estimates

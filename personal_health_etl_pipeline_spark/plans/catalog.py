@@ -119,6 +119,11 @@ register(
     "corpus_pack_sequences", llm2.corpus_pack_sequences, llm2.CORPUS_PACK_ORACLE
 )
 register(
+    "corpus_chunk_documents",
+    llm2.corpus_chunk_documents,
+    llm2.CORPUS_CHUNK_ORACLE,
+)
+register(
     "text_bigram_logprob", llm2.text_bigram_logprob, llm2.TEXT_BIGRAM_LP_ORACLE
 )
 register(
@@ -142,10 +147,10 @@ register("w2_topk_per_group", rs.w2_topk_per_group, rs.W2_ORACLE)
 register("p4_distinct_days", rs.p4_distinct_days, rs.P4_ORACLE)
 register("a4_union_distinct_days", rs.a4_union_distinct_days, rs.A4_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
-register("a1_watermark", rs.a1_watermark, rs.A1_ORACLE)
 
 # -- block 2: r3-certified entries with unchanged code, rotated out of
 #    the head, plus the remaining TPC-H sweep + reference variants ----
+register("a1_watermark", rs.a1_watermark, rs.A1_ORACLE)
 register("st_dedup_events", st.st_dedup_events, st.ST_DEDUP_ORACLE)
 register("st_interval_join", st.st_interval_join, st.ST_INTERVAL_JOIN_ORACLE)
 register(

@@ -613,3 +613,80 @@ WHERE q >= {CURATE_MIN_QUALITY}
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# --- document chunking (token windows with overlap) -------------------
+
+CHUNK_TOKENS = 64   # tokens per chunk (context-window slice)
+CHUNK_STRIDE = 48   # window step -> 16-token overlap between chunks
+
+
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping token windows — the step
+    between curation and sequence packing in a pretraining pipeline
+    (and the retrieval-index unit for RAG): ``(doc_id, chunk_id,
+    chunk_start, n_tok, chunk_text)``; chunk ``i`` starts at token
+    ``i * CHUNK_STRIDE``, the last window may be short (callers drop
+    sub-minimum tails as policy).
+
+    Scale shape: tokenize once, explode a per-doc window-start
+    sequence, slice + rejoin — a pure map + generate, partitioned by
+    the scan; no shuffle anywhere. Chunk count per doc is
+    ``ceil((n - CHUNK) / STRIDE) + 1``, computed in double (exact for
+    any realistic token count), identically in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = (
+        f"greatest(0L, cast(ceil((size(t) - {CHUNK_TOKENS}) "
+        f"/ cast({CHUNK_STRIDE} as double)) as bigint))"
+    )
+    return (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", T.tokens("text").alias("t"))
+        .where(F.size("t") > 0)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.expr(f"sequence(0L, {n_chunks})")).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * CHUNK_STRIDE).alias("chunk_start"),
+            F.least(
+                F.lit(CHUNK_TOKENS).cast("long"),
+                F.size("t") - F.col("chunk_id") * CHUNK_STRIDE,
+            ).alias("n_tok"),
+            F.expr(
+                f"concat_ws(' ', slice(t, cast(chunk_id * {CHUNK_STRIDE} "
+                f"+ 1 as int), {CHUNK_TOKENS}))"
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+CORPUS_CHUNK_ORACLE = rf"""
+WITH {_TOKS_CTE},
+base AS (
+  SELECT doc_id, t, len(t) AS n,
+         greatest(0, CAST(ceil((len(t) - {CHUNK_TOKENS})
+                               / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT))
+           AS last_chunk
+  FROM toks WHERE len(t) > 0
+),
+chunks AS (
+  SELECT doc_id, t, n, unnest(range(0, last_chunk + 1)) AS chunk_id
+  FROM base
+)
+SELECT doc_id,
+       chunk_id,
+       chunk_id * {CHUNK_STRIDE} AS chunk_start,
+       least({CHUNK_TOKENS}, n - chunk_id * {CHUNK_STRIDE}) AS n_tok,
+       array_to_string(
+         list_slice(t, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS BIGINT),
+                    CAST(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS BIGINT)),
+         ' ') AS chunk_text
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""

@@ -544,3 +544,40 @@ class TestBigramLogprob:
         # doc 1 bigrams: ("x|","y"), ("y","q"); doc 2: ("x","|y"), ("|y","q")
         assert out[1].n_bigrams == 2
         assert out[2].n_bigrams == 2
+
+
+class TestDocumentChunking:
+    def test_windows_cover_every_token_with_exact_overlap(self, spark, sf_dir):
+        """Chunk windows must tile each document: chunk i starts at
+        i*STRIDE, consecutive chunks overlap by CHUNK-STRIDE tokens,
+        the union covers every token, and rebuilding the text from
+        the stride-aligned prefixes reproduces the token stream."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface2 import (
+            CHUNK_STRIDE,
+            CHUNK_TOKENS,
+            corpus_chunk_documents,
+        )
+
+        rows = corpus_chunk_documents(spark, sf_dir).collect()
+        assert rows
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        saw_multi = False
+        for doc_id, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r.chunk_id)
+            n = chunks[-1].chunk_start + chunks[-1].n_tok  # doc token count
+            saw_multi = saw_multi or len(chunks) > 1
+            for i, r in enumerate(chunks):
+                assert r.chunk_id == i
+                assert r.chunk_start == i * CHUNK_STRIDE
+                assert r.n_tok == min(CHUNK_TOKENS, n - r.chunk_start)
+                assert r.n_tok >= 1  # no empty windows ever emitted
+                assert len(r.chunk_text.split()) == r.n_tok
+            # full coverage: last window reaches the end, and every
+            # window start is within the document
+            assert chunks[-1].chunk_start < n
+            if len(chunks) > 1:
+                # the PREVIOUS window must not already cover the doc
+                assert chunks[-2].chunk_start + CHUNK_TOKENS < n
+        assert saw_multi, "fixture should contain at least one long doc"

@@ -411,3 +411,84 @@ class TestStreamStreamOuterIntervalJoin:
         # ...and every decidable row was emitted: matches + NULLs whose
         # no-match horizon the watermark passed
         assert {(3, 2), (5, None), (6, None), (99, 98)} <= got
+
+
+class TestStreamingIndexProbe:
+    def test_microbatch_probes_match_one_shot_batch_lookup(
+        self, spark, tmp_path
+    ):
+        """The production incremental-dedup loop end-to-end: build the
+        persisted band index ONCE (parquet, bucketed by (band_id,
+        band_hash)), then stream new documents in two micro-batches;
+        the union of per-batch verified pairs must equal the one-shot
+        batch lookup over all new docs — same index, zero corpus
+        re-sketching."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            minhash_index,
+            minhash_lookup,
+        )
+        from personal_health_etl_pipeline_spark.sources.bucketed import (
+            read_table,
+            write_bucketed,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+        from personal_health_etl_pipeline_spark.streaming.probe import (
+            run_probe_stream,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        new = docs.where(F.col("doc_id") % 10 == 0)
+        corpus = docs.where(F.col("doc_id") % 10 != 0)
+        write_bucketed(
+            minhash_index(corpus, "doc_id", "text"),
+            "mh_stream_index",
+            ["band_id", "band_hash"],
+            n_buckets=8,
+        )
+        stored = read_table(spark, "mh_stream_index")
+
+        src = tmp_path / "src"
+        src.mkdir()
+        halves = [
+            new.where(F.col("doc_id") % 20 == 0),
+            new.where(F.col("doc_id") % 20 != 0),
+        ]
+        for i, half in enumerate(halves):
+            rows = half.select("doc_id", "text").collect()
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            [r.doc_id for r in rows], pa.int64()
+                        ),
+                        "text": pa.array([r.text for r in rows], pa.string()),
+                    }
+                ),
+                str(src / f"batch{i}.parquet"),
+            )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+            .parquet(str(src))
+        )
+        sink = str(tmp_path / "pairs")
+        q = run_probe_stream(
+            stream, corpus, stored, sink, str(tmp_path / "ckpt")
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        streamed = {
+            (r.index_id, r.new_id, r.jaccard_sim)
+            for r in spark.read.parquet(sink).collect()
+        }
+        one_shot = {
+            (r.index_id, r.new_id, r.jaccard_sim)
+            for r in minhash_lookup(
+                new, corpus, "doc_id", "text", index=stored
+            ).collect()
+        }
+        assert streamed == one_shot and streamed
