@@ -131,6 +131,8 @@ register(
     llm.dedup_incremental_lookup,
     llm.DEDUP_INCREMENTAL_ORACLE,
 )
+register("text_vocab_oov", llm2.text_vocab_oov, llm2.TEXT_VOCAB_OOV_ORACLE)
+register("emb_int8_quantize", sk.emb_int8_quantize, sk.EMB_INT8_ORACLE)
 
 # -- block 1g: the text family, rotated IN for r4 — its tokenizer was
 #    rewritten in r3 AFTER these entries's last driver certification --
@@ -144,12 +146,12 @@ register("text_tfidf_top_terms", llm.text_tfidf_top_terms, llm.TEXT_TFIDF_ORACLE
 #    head slots ------------------------------------------------------
 register("w1_rolling_7day_revenue", rs.w1_rolling_7day_revenue, rs.W1_ORACLE)
 register("w2_topk_per_group", rs.w2_topk_per_group, rs.W2_ORACLE)
-register("p4_distinct_days", rs.p4_distinct_days, rs.P4_ORACLE)
-register("a4_union_distinct_days", rs.a4_union_distinct_days, rs.A4_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
 
 # -- block 2: r3-certified entries with unchanged code, rotated out of
 #    the head, plus the remaining TPC-H sweep + reference variants ----
+register("p4_distinct_days", rs.p4_distinct_days, rs.P4_ORACLE)
+register("a4_union_distinct_days", rs.a4_union_distinct_days, rs.A4_ORACLE)
 register("a1_watermark", rs.a1_watermark, rs.A1_ORACLE)
 register("st_dedup_events", st.st_dedup_events, st.ST_DEDUP_ORACLE)
 register("st_interval_join", st.st_interval_join, st.ST_INTERVAL_JOIN_ORACLE)

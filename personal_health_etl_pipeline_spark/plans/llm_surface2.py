@@ -662,7 +662,8 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"+ 1 as int), {CHUNK_TOKENS}))"
             ).alias("chunk_text"),
         )
-        .orderBy("doc_id", "chunk_id")
+        # no orderBy: the differential compare is order-insensitive and
+        # a global sort would add the plan's only exchange
     )
 
 
@@ -689,4 +690,78 @@ SELECT doc_id,
          ' ') AS chunk_text
 FROM chunks
 ORDER BY doc_id, chunk_id
+"""
+
+
+# --- vocabulary coverage / OOV audit ----------------------------------
+
+VOCAB_SIZE = 256
+
+
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a frequency vocabulary (top ``VOCAB_SIZE`` terms, ties by
+    term) and audit per-language out-of-vocabulary rates — the
+    tokenizer-design loop every pretraining pipeline runs (what
+    coverage does a V-term vocab buy per language?).
+
+    Scale shape: one wordcount shuffle builds the term table; the
+    vocabulary is bounded (V rows) so membership rides back as a
+    broadcast left join — the corpus-side explode is never shuffled.
+    The per-language rollup has language cardinality, collapsing
+    map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    flat = (
+        spread(docs.select("lang", "doc_id", "text"))
+        .select("lang", T.tokens("text").alias("t"))
+        .where(F.size("t") > 0)
+        .select("lang", F.explode("t").alias("term"))
+    )
+    vocab = (
+        flat.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(VOCAB_SIZE)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        flat.join(F.broadcast(vocab), "term", "left_outer")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_VOCAB_OOV_ORACLE = rf"""
+WITH {_TOKS_CTE},
+flat AS (
+  SELECT lang, unnest(t) AS term FROM toks WHERE len(t) > 0
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS cnt FROM flat GROUP BY term
+  ) ORDER BY cnt DESC, term LIMIT {VOCAB_SIZE}
+)
+SELECT lang,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM flat f LEFT JOIN vocab v ON f.term = v.term
+GROUP BY lang
+ORDER BY lang
 """

@@ -350,3 +350,88 @@ FROM probe_buckets pb JOIN cms c ON pb.r = c.r AND pb.bucket = c.bucket
 GROUP BY pb.term, pb.true_count
 ORDER BY pb.true_count DESC, pb.term
 """
+
+
+# --- int8 embedding quantization audit --------------------------------
+
+INT8_MAX = 127
+
+
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the compression
+    every large vector store applies (4x smaller than f32, 32x smaller
+    than the raw grid): ``code_i = round(q_i * 127 / amax)`` with
+    ``amax = max(|q_i|)``, reconstruction ``round(code_i * amax /
+    127)``. Reports per vector the scale, the code-range proof
+    (max |code| <= 127) and the exact squared reconstruction error on
+    the integer grid — the quality number that decides whether int8 is
+    safe for a given corpus.
+
+    Scale shape: a pure map over the vector column (quantize, two
+    array transforms, one aggregate fold) — no shuffle, no state.
+    Zero vectors carry no direction to preserve; they are excluded
+    identically in both engines (amax > 0).
+    """
+    from personal_health_etl_pipeline_spark.operators.similarity import (
+        quantize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id"), quantize(F.col("embedding")).alias("_q")
+    ).withColumn(
+        "amax",
+        F.expr("aggregate(_q, 0L, (a, x) -> greatest(a, abs(x)))"),
+    ).where(F.col("amax") > 0)
+    codes = q.withColumn(
+        "_c",
+        F.expr(
+            f"transform(_q, x -> cast(round(x * {INT8_MAX} "
+            f"/ cast(amax as double), 0) as bigint))"
+        ),
+    )
+    return codes.select(
+        "vec_id",
+        "amax",
+        F.expr("aggregate(_c, 0L, (a, x) -> greatest(a, abs(x)))").alias(
+            "max_abs_code"
+        ),
+        F.expr(
+            f"aggregate(zip_with(_q, transform(_c, c -> cast(round("
+            f"c * amax / cast({INT8_MAX} as double), 0) as bigint)),"
+            f" (x, r) -> (x - r) * (x - r)), 0L, (a, x) -> a + x)"
+        ).alias("l2_err"),
+    )
+
+
+_Q8 = (
+    "list_transform(embedding, x -> "
+    "CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+)
+
+EMB_INT8_ORACLE = rf"""
+WITH q AS (
+  SELECT vec_id, {_Q8} AS qv FROM embeddings
+),
+am AS (
+  SELECT vec_id, qv,
+         list_max(list_transform(qv, x -> abs(x))) AS amax
+  FROM q
+),
+codes AS (
+  SELECT vec_id, qv, amax,
+         list_transform(qv, x -> CAST(round(x * {INT8_MAX}
+             / CAST(amax AS DOUBLE), 0) AS BIGINT)) AS c
+  FROM am WHERE amax > 0
+)
+SELECT vec_id,
+       amax,
+       list_max(list_transform(c, x -> abs(x))) AS max_abs_code,
+       CAST(list_sum(list_transform(range(1, len(qv) + 1),
+            i -> (qv[i] - CAST(round(c[i] * amax
+                  / CAST({INT8_MAX} AS DOUBLE), 0) AS BIGINT))
+               * (qv[i] - CAST(round(c[i] * amax
+                  / CAST({INT8_MAX} AS DOUBLE), 0) AS BIGINT))))
+         AS BIGINT) AS l2_err
+FROM codes
+"""

@@ -581,3 +581,104 @@ class TestDocumentChunking:
                 # the PREVIOUS window must not already cover the doc
                 assert chunks[-2].chunk_start + CHUNK_TOKENS < n
         assert saw_multi, "fixture should contain at least one long doc"
+
+
+class TestVocabOov:
+    def test_full_vocab_coverage_means_zero_oov(self, spark, sf_dir):
+        """Corpus invariants at sf0.001 (well under VOCAB_SIZE distinct
+        terms per the fixture's vocabulary): counts are consistent and
+        rates bounded."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface2 import (
+            text_vocab_oov,
+        )
+
+        rows = text_vocab_oov(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r.n_oov <= r.n_tokens
+            assert 0.0 <= r.oov_rate <= 1.0
+            assert r.oov_rate == round(r.n_oov / r.n_tokens, 6)
+        # OOV mass is exactly the traffic of terms beyond the top-V:
+        # a corpus with <= V distinct terms must see zero OOV, a larger
+        # one must see some — and frequency-ranked coverage must still
+        # dominate either way
+        from personal_health_etl_pipeline_spark.functions import text as T
+        from personal_health_etl_pipeline_spark.plans.llm_surface2 import (
+            VOCAB_SIZE,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        distinct_terms = (
+            docs.select(F.explode(T.tokens("text")).alias("t"))
+            .distinct()
+            .count()
+        )
+        total_tok = sum(r.n_tokens for r in rows)
+        total_oov = sum(r.n_oov for r in rows)
+        if distinct_terms <= VOCAB_SIZE:
+            assert total_oov == 0
+        else:
+            assert 0 < total_oov < 0.5 * total_tok
+
+
+class TestInt8Quantize:
+    def test_code_range_and_error_bound(self, spark, sf_dir):
+        """Every code fits int8 and the reconstruction error respects
+        the scalar-quantization bound: per-dim error <= amax/254 + 0.5
+        grid units (half a quantization step + rounding)."""
+        from personal_health_etl_pipeline_spark.plans.sketches import (
+            emb_int8_quantize,
+        )
+
+        rows = emb_int8_quantize(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 < r.max_abs_code <= 127
+            step = r.amax / 254 + 1  # half-step + round-up slack, grid units
+            assert r.l2_err <= 64 * step * step, (r.vec_id, r.l2_err)
+
+    def test_axis_vectors_reconstruct_exactly(self, spark):
+        """A vector whose components are exact multiples of amax/127
+        round-trips with zero error."""
+        from personal_health_etl_pipeline_spark.plans.sketches import (
+            emb_int8_quantize,
+        )
+        from personal_health_etl_pipeline_spark.sources import tables
+
+        # 127 micro-units -> codes are exact integers
+        vec = [0.000127 if i % 2 == 0 else -0.000127 for i in range(64)]
+        emb = spark.createDataFrame(
+            [(1, vec)], "vec_id long, embedding array<double>"
+        )
+        import personal_health_etl_pipeline_spark.plans.sketches as sk
+        from personal_health_etl_pipeline_spark.operators.similarity import (
+            quantize,
+        )
+        from pyspark.sql import functions as F
+
+        # drive the same expressions through a local frame by swapping
+        # the loader is overkill; inline the operator body instead
+        out = (
+            emb.select(F.col("vec_id"), quantize(F.col("embedding")).alias("_q"))
+            .withColumn(
+                "amax", F.expr("aggregate(_q, 0L, (a, x) -> greatest(a, abs(x)))")
+            )
+            .where(F.col("amax") > 0)
+            .withColumn(
+                "_c",
+                F.expr(
+                    "transform(_q, x -> cast(round(x * 127"
+                    " / cast(amax as double), 0) as bigint))"
+                ),
+            )
+            .select(
+                F.expr(
+                    "aggregate(zip_with(_q, transform(_c, c -> cast(round("
+                    "c * amax / cast(127 as double), 0) as bigint)),"
+                    " (x, r) -> (x - r) * (x - r)), 0L, (a, x) -> a + x)"
+                ).alias("l2_err")
+            )
+            .first()
+        )
+        assert out.l2_err == 0

@@ -345,3 +345,19 @@ class TestPQJoinShapes:
         # lineage under each consumer, so the textual count exceeds
         # the number of distinct attachments.
         assert plan.count("BroadcastNestedLoopJoin") <= 8
+
+
+class TestChunkingPlanShape:
+    def test_chunking_is_map_only_no_exchange(self, spark, sf_dir):
+        """Chunking must stay scan -> project -> generate: per-doc
+        windows need no co-location, so ANY exchange in this plan is a
+        regression (the spread() no-op at this input size included)."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface2 import (
+            corpus_chunk_documents,
+        )
+
+        df = corpus_chunk_documents(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "Exchange" not in plan, plan
+        assert "Generate explode" in plan  # the window-start explode
