@@ -635,7 +635,12 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ceil((n - CHUNK) / STRIDE) + 1``, computed in double (exact for
     any realistic token count), identically in both engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_documents(docs: DataFrame) -> DataFrame:
+    """Windowing body of :func:`corpus_chunk_documents` over any
+    ``(doc_id, text)`` frame (property-tested on arbitrary lengths)."""
     n_chunks = (
         f"greatest(0L, cast(ceil((size(t) - {CHUNK_TOKENS}) "
         f"/ cast({CHUNK_STRIDE} as double)) as bigint))"

@@ -172,3 +172,39 @@ class TestRangePartition:
         assert len(inside) + len(outside) == len(days)
         assert all(lo <= r.day < hi for r in inside)
         assert all(not (lo <= r.day < hi) for r in outside)
+
+
+class TestChunkingCoverage:
+    @PROP
+    @given(
+        lens=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=6)
+    )
+    def test_windows_tile_any_token_count(self, spark, lens):
+        """For arbitrary document lengths, the chunk windows must tile
+        the token stream exactly: starts at i*STRIDE, sizes
+        min(CHUNK, n - start), last window reaches the end, and no
+        window is empty or starts past the end."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface2 import (
+            CHUNK_STRIDE,
+            CHUNK_TOKENS,
+            chunk_documents,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(lens)],
+            "doc_id long, text string",
+        )
+        rows = chunk_documents(docs).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert set(by_doc) == set(range(len(lens)))
+        for doc_id, n in enumerate(lens):
+            chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+            for i, r in enumerate(chunks):
+                assert r.chunk_id == i
+                assert r.chunk_start == i * CHUNK_STRIDE
+                assert r.n_tok == min(CHUNK_TOKENS, n - r.chunk_start) >= 1
+            assert chunks[-1].chunk_start + chunks[-1].n_tok == n
+            if len(chunks) > 1:
+                assert chunks[-2].chunk_start + CHUNK_TOKENS < n
