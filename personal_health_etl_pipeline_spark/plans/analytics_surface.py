@@ -345,3 +345,101 @@ FROM (
 )
 ORDER BY l_returnflag
 """
+
+
+# --- A11: pivot (long -> wide) ----------------------------------------
+
+_PIVOT_TYPES = ["click", "view", "purchase", "error"]
+
+
+def a11_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot the events fact long->wide: one row per user, one column
+    pair (count, exact value sum) per event type.
+
+    Scale note: the pivot values are EXPLICIT (``pivot(col, values)``),
+    so Spark skips the extra distinct-scan it otherwise runs to
+    discover them, and the pivot compiles to one groupBy(user_id)
+    aggregate with conditional branches — a single shuffle, map-side
+    partial aggregation intact. Never pivot on an unbounded column at
+    scale: column count = pivot-value count.
+    """
+    events = load_table(spark, sf_dir, "events")
+    piv = (
+        events.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum_cents(cents("value"), 2).alias("sum_value"),
+        )
+    )
+    cols = [F.col("user_id")]
+    for t in _PIVOT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"))
+        cols.append(F.col(f"{t}_sum_value").alias(f"{t}_sum_value"))
+    return piv.select(cols)
+
+
+def _pivot_oracle() -> str:
+    pieces = []
+    for t in _PIVOT_TYPES:
+        pieces.append(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS {t}_n"
+        )
+        pieces.append(
+            f"ROUND(CAST(SUM(CASE WHEN event_type = '{t}' "
+            f"THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2) "
+            f"AS {t}_sum_value"
+        )
+    cols = ",\n       ".join(pieces)
+    return rf"""
+SELECT user_id,
+       {cols}
+FROM events
+GROUP BY user_id
+"""
+
+
+A11_ORACLE = _pivot_oracle()
+
+
+# --- A12: unpivot / melt (wide -> long) -------------------------------
+
+def a12_unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the lineitem charge columns wide->long: one row per
+    (order line, charge kind) — the inverse of A11, via the native
+    ``unpivot`` (no UNION of self-scans: ONE pass over the table
+    expands each row to len(value_cols) rows map-side).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("extendedprice"),
+            F.col("l_discount").cast("double").alias("discount"),
+            F.col("l_tax").cast("double").alias("tax"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["extendedprice", "discount", "tax"],
+            "charge_kind",
+            "amount",
+        )
+    )
+
+
+A12_ORACLE = """
+SELECT l_orderkey, l_linenumber, kind AS charge_kind, amount
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         'extendedprice' AS kind, CAST(l_extendedprice AS DOUBLE) AS amount
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE)
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DOUBLE)
+  FROM lineitem
+)
+"""
