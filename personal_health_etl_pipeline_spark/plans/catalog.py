@@ -133,6 +133,7 @@ register(
 )
 register("text_vocab_oov", llm2.text_vocab_oov, llm2.TEXT_VOCAB_OOV_ORACLE)
 register("emb_int8_quantize", sk.emb_int8_quantize, sk.EMB_INT8_ORACLE)
+register("j7_salted_user_enrich", rs.j7_salted_user_enrich, rs.J7_ORACLE)
 register("a11_pivot_event_types", an.a11_pivot_event_types, an.A11_ORACLE)
 register(
     "a12_unpivot_lineitem_charges",
@@ -150,10 +151,9 @@ register("text_tfidf_top_terms", llm.text_tfidf_top_terms, llm.TEXT_TFIDF_ORACLE
 
 # -- block 1h: stalest certifications (r1), re-checked with the free
 #    head slots ------------------------------------------------------
-register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
-
 # -- block 2: r3-certified entries with unchanged code, rotated out of
 #    the head, plus the remaining TPC-H sweep + reference variants ----
+register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
 register("w1_rolling_7day_revenue", rs.w1_rolling_7day_revenue, rs.W1_ORACLE)
 register("w2_topk_per_group", rs.w2_topk_per_group, rs.W2_ORACLE)
 register("p4_distinct_days", rs.p4_distinct_days, rs.P4_ORACLE)

@@ -255,6 +255,45 @@ FULL JOIN (SELECT * FROM per WHERE event_type = 'error') e USING (day)
 """
 
 
+# --- J7: salted join (skew mitigation under the hash gate) -------------
+
+def j7_salted_user_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension enrichment through the SALTED join path
+    (operators/skew.py): the events fact scatters each key across salt
+    buckets, the customer dim explodes across all of them, the join
+    runs on (key, salt) and the salt is dropped — so the certified
+    result is bit-identical to the plain join the oracle runs, while
+    the physical plan spreads a pathological hot key over
+    ``salt_buckets`` tasks instead of one straggler."""
+    from personal_health_etl_pipeline_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    return (
+        salted_join(events, dim, on="user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum_cents(cents("value"), 2).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+J7_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 # --- J2: range-overlap join (reference load.py:266) --------------------
 
 def j2_range_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
