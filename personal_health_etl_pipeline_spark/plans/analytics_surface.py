@@ -443,3 +443,97 @@ FROM (
   FROM lineitem
 )
 """
+
+
+# --- W5: funnel analysis ----------------------------------------------
+
+def w5_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel over the events fact: how many users have
+    a first ``view`` strictly before their first ``click``, and that
+    before their first ``purchase`` — the canonical product-analytics
+    query, as one conditional aggregation (per-user min timestamp per
+    stage) + one bounded count. Two shuffles total (user groupBy, then
+    a 1-row global agg); no window, no self-join, no explode.
+    """
+    events = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    per_user = events.groupBy("user_id").agg(
+        first("view").alias("tv"),
+        first("click").alias("tc"),
+        first("purchase").alias("tp"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("tv").isNotNull(), 1).otherwise(0)).alias(
+            "n_view"
+        ),
+        F.sum(
+            F.when(F.col("tv") < F.col("tc"), 1).otherwise(0)
+        ).alias("n_view_click"),
+        F.sum(
+            F.when(
+                (F.col("tv") < F.col("tc")) & (F.col("tc") < F.col("tp")), 1
+            ).otherwise(0)
+        ).alias("n_view_click_purchase"),
+    )
+
+
+W5_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(SUM(CASE WHEN tv < tc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click,
+       CAST(SUM(CASE WHEN tv < tc AND tc < tp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click_purchase
+FROM per_user
+"""
+
+
+# --- A13: cohort retention --------------------------------------------
+
+def a13_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users grouped by first-activity date,
+    distinct active users per (cohort, day-offset) — the other
+    canonical product-analytics query. Shape: one user-level min
+    aggregation, a co-partitioned join back on user_id, and a
+    (cohort, offset) count-distinct; the cohort dimension is bounded
+    by the calendar, so the final rollup is tiny.
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    return (
+        events.select("user_id", F.to_date("ts").alias("day"))
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+A13_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT cohort_day,
+       datediff('day', cohort_day, CAST(ts AS DATE)) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_active_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY cohort_day, datediff('day', cohort_day, CAST(ts AS DATE))
+ORDER BY cohort_day, day_offset
+"""

@@ -60,10 +60,8 @@ register("c3_schema_align", rs.c3_schema_align, rs.C3_ORACLE)
 register("j1_multiway_outer_combine", rs.j1_multiway_outer_combine, rs.J1_ORACLE)
 register("j9_oura_end_to_end", rs.j9_oura_end_to_end, rs.J9_ORACLE)
 register("a3_count_probes", rs.a3_count_probes, rs.A3_ORACLE)
-register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
 register("w3_sessionize", rs.w3_sessionize, rs.W3_ORACLE)
 register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
-register("j4_asof_last_click", ts.j4_asof_last_click, ts.J4_ORACLE)
 
 # -- block 1c: dedup / similarity (r4 changed: minhash_lookup index
 #    param, PQ defaults + data-sampled residual codebooks, NEW external
@@ -140,6 +138,8 @@ register(
     an.a12_unpivot_lineitem_charges,
     an.A12_ORACLE,
 )
+register("w5_event_funnel", an.w5_event_funnel, an.W5_ORACLE)
+register("a13_cohort_retention", an.a13_cohort_retention, an.A13_ORACLE)
 
 # -- block 1g: the text family, rotated IN for r4 — its tokenizer was
 #    rewritten in r3 AFTER these entries's last driver certification --
@@ -153,6 +153,8 @@ register("text_tfidf_top_terms", llm.text_tfidf_top_terms, llm.TEXT_TFIDF_ORACLE
 #    head slots ------------------------------------------------------
 # -- block 2: r3-certified entries with unchanged code, rotated out of
 #    the head, plus the remaining TPC-H sweep + reference variants ----
+register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
+register("j4_asof_last_click", ts.j4_asof_last_click, ts.J4_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)
 register("w1_rolling_7day_revenue", rs.w1_rolling_7day_revenue, rs.W1_ORACLE)
 register("w2_topk_per_group", rs.w2_topk_per_group, rs.W2_ORACLE)
