@@ -18,6 +18,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from personal_health_etl_pipeline_spark.plans import analytics_surface as an
+from personal_health_etl_pipeline_spark.plans import cdc_surface as cdc
 from personal_health_etl_pipeline_spark.plans import clustering_surface as cl
 from personal_health_etl_pipeline_spark.plans import llm_surface as llm
 from personal_health_etl_pipeline_spark.plans import llm_surface2 as llm2
@@ -57,10 +58,12 @@ register("c3_schema_align", rs.c3_schema_align, rs.C3_ORACLE)
 
 # -- block 1b: the events-table family (SURVEY.md §2.3-2.6), incl. the
 #    NEW r4 end-to-end flagship --------------------------------------
-register("j1_multiway_outer_combine", rs.j1_multiway_outer_combine, rs.J1_ORACLE)
 register("j9_oura_end_to_end", rs.j9_oura_end_to_end, rs.J9_ORACLE)
-register("a3_count_probes", rs.a3_count_probes, rs.A3_ORACLE)
 register("w3_sessionize", rs.w3_sessionize, rs.W3_ORACLE)
+# NEW r4: CDC family (SCD-2 merge + snapshot diff) — new code, so it
+# enters the head; j1/a3 (r3-green, unchanged) rotate to block 2.
+register("m1_scd2_merge", cdc.m1_scd2_merge, cdc.M1_ORACLE)
+register("m2_snapshot_diff", cdc.m2_snapshot_diff, cdc.M2_ORACLE)
 register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
 
 # -- block 1c: dedup / similarity (r4 changed: minhash_lookup index
@@ -153,6 +156,8 @@ register("text_tfidf_top_terms", llm.text_tfidf_top_terms, llm.TEXT_TFIDF_ORACLE
 #    head slots ------------------------------------------------------
 # -- block 2: r3-certified entries with unchanged code, rotated out of
 #    the head, plus the remaining TPC-H sweep + reference variants ----
+register("j1_multiway_outer_combine", rs.j1_multiway_outer_combine, rs.J1_ORACLE)
+register("a3_count_probes", rs.a3_count_probes, rs.A3_ORACLE)
 register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
 register("j4_asof_last_click", ts.j4_asof_last_click, ts.J4_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)

@@ -31,6 +31,7 @@ FAMILIES = {
     "multimodal": r"^mm_",
     "curation": r"^(corpus_|decontaminate|pii_)",
     "sketches": r"^sketch_",
+    "cdc/merge": r"^m\d",
 }
 
 
