@@ -59,11 +59,13 @@ register("c3_schema_align", rs.c3_schema_align, rs.C3_ORACLE)
 # -- block 1b: the events-table family (SURVEY.md §2.3-2.6), incl. the
 #    NEW r4 end-to-end flagship --------------------------------------
 register("j9_oura_end_to_end", rs.j9_oura_end_to_end, rs.J9_ORACLE)
-register("w3_sessionize", rs.w3_sessionize, rs.W3_ORACLE)
 # NEW r4: CDC family (SCD-2 merge + snapshot diff) — new code, so it
 # enters the head; j1/a3 (r3-green, unchanged) rotate to block 2.
 register("m1_scd2_merge", cdc.m1_scd2_merge, cdc.M1_ORACLE)
 register("m2_snapshot_diff", cdc.m2_snapshot_diff, cdc.M2_ORACLE)
+# NEW r4: Bloom runtime-filter semi-join; w3 (r3-green, unchanged)
+# rotates to block 2 (w5 keeps the window family in the head).
+register("j10_bloom_semi_join", rs.j10_bloom_semi_join, rs.J10_ORACLE)
 register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
 
 # -- block 1c: dedup / similarity (r4 changed: minhash_lookup index
@@ -158,6 +160,7 @@ register("text_tfidf_top_terms", llm.text_tfidf_top_terms, llm.TEXT_TFIDF_ORACLE
 #    the head, plus the remaining TPC-H sweep + reference variants ----
 register("j1_multiway_outer_combine", rs.j1_multiway_outer_combine, rs.J1_ORACLE)
 register("a3_count_probes", rs.a3_count_probes, rs.A3_ORACLE)
+register("w3_sessionize", rs.w3_sessionize, rs.W3_ORACLE)
 register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
 register("j4_asof_last_click", ts.j4_asof_last_click, ts.J4_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)

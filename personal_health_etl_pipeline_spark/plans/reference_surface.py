@@ -294,6 +294,55 @@ ORDER BY c_mktsegment
 """
 
 
+# --- J10: Bloom-prefiltered semi-join (runtime-filter pattern) ---------
+
+def j10_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective order set -> 1-row Bloom bit array -> map-side probe
+    prefilter -> exact semi-join on the ~2% survivors
+    (operators/runtime_filter.py). The certified result is provably the
+    plain semi-join (Bloom filters have no false negatives and an exact
+    join runs on the survivors), so the oracle is ordinary SQL; what
+    the operator changes is WHERE the probe rows die — before the
+    shuffle, in the scan stage, exactly like Spark's own
+    runtime bloomFilter rewrite."""
+    from personal_health_etl_pipeline_spark.operators.runtime_filter import (
+        bloom_semi_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    build = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 250000.0)
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(li, build, key="l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum_cents(cents("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+J10_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS sum_price
+FROM lineitem
+WHERE l_orderkey IN (
+    SELECT o_orderkey FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # --- J2: range-overlap join (reference load.py:266) --------------------
 
 def j2_range_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
