@@ -66,13 +66,15 @@ register("m2_snapshot_diff", cdc.m2_snapshot_diff, cdc.M2_ORACLE)
 # NEW r4: Bloom runtime-filter semi-join; w3 (r3-green, unchanged)
 # rotates to block 2 (w5 keeps the window family in the head).
 register("j10_bloom_semi_join", rs.j10_bloom_semi_join, rs.J10_ORACLE)
+# NEW r4: time-series repair family; text_bpe / dedup_exact (r3-green,
+# unchanged) rotate to block 2 (both families keep other head reps).
+register("ts1_gap_fill_ffill", ts.ts1_gap_fill_ffill, ts.TS1_ORACLE)
+register("ts2_rolling_zscore", ts.ts2_rolling_zscore, ts.TS2_ORACLE)
 register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
 
 # -- block 1c: dedup / similarity (r4 changed: minhash_lookup index
 #    param, PQ defaults + data-sampled residual codebooks, NEW external
 #    entry) ----------------------------------------------------------
-register("text_bpe_token_count", llm.text_bpe_token_count, llm.TEXT_BPE_ORACLE)
-register("dedup_exact_groups", llm.dedup_exact_groups, llm.DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_ORACLE)
 register("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_ORACLE)
 register("dedup_connected_groups", llm.dedup_connected_groups, llm.DEDUP_GROUPS_ORACLE)
@@ -161,6 +163,8 @@ register("text_tfidf_top_terms", llm.text_tfidf_top_terms, llm.TEXT_TFIDF_ORACLE
 register("j1_multiway_outer_combine", rs.j1_multiway_outer_combine, rs.J1_ORACLE)
 register("a3_count_probes", rs.a3_count_probes, rs.A3_ORACLE)
 register("w3_sessionize", rs.w3_sessionize, rs.W3_ORACLE)
+register("text_bpe_token_count", llm.text_bpe_token_count, llm.TEXT_BPE_ORACLE)
+register("dedup_exact_groups", llm.dedup_exact_groups, llm.DEDUP_EXACT_ORACLE)
 register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
 register("j4_asof_last_click", ts.j4_asof_last_click, ts.J4_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)

@@ -97,3 +97,113 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 GROUP BY p.event_id, p.user_id
 ORDER BY purchase_id
 """
+
+
+# --- TS1: dense daily calendar with forward fill ----------------------
+
+def ts1_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dense daily value series over events: sequence+explode
+    calendar between each user's first and last day, left join of the
+    observed daily sums (exact cents), running last(ignorenulls)
+    forward fill — one hash-partitioning by user serves the join and
+    the fill window (operators/timeseries.py)."""
+    from personal_health_etl_pipeline_spark.operators.timeseries import (
+        resample_daily_ffill,
+    )
+    from personal_health_etl_pipeline_spark.plans.exact import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    dense = resample_daily_ffill(
+        ev, key="user_id", ts_col="ts", value=cents("value"), out_value="v_cents"
+    )
+    return dense.select(
+        "user_id",
+        "day",
+        F.round(F.col("v_cents").cast("double") / 100.0, 2).alias("day_value"),
+        "is_gap",
+    )
+
+
+TS1_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), cal AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1)
+)
+SELECT c.user_id, c.day,
+       ROUND(CAST(last_value(d.v IGNORE NULLS) OVER (
+           PARTITION BY c.user_id ORDER BY c.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / 100.0, 2) AS day_value,
+       d.v IS NULL AS is_gap
+FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+"""
+
+
+# --- TS2: rolling z-score anomaly flags -------------------------------
+
+def ts2_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue -> trailing-7-day rolling mean/std -> z-score
+    anomaly flags. Window moments are exact bigint cents sums; doubles
+    appear only in the final divisions, so the oracle is bit-identical
+    (operators/timeseries.py)."""
+    from personal_health_etl_pipeline_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+    from personal_health_etl_pipeline_spark.plans.exact import cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            cents("o_totalprice").alias("rev_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    out = rolling_zscore(daily, order_col="day", cents_col="rev_c", window=7)
+    return out.select(
+        "day",
+        F.round(F.col("rev_c").cast("double") / 100.0, 2).alias("revenue"),
+        "roll_mean",
+        "roll_std",
+        "z",
+        "is_anomaly",
+    )
+
+
+TS2_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+), rolled AS (
+  SELECT day, rev_c,
+         CAST(SUM(rev_c) OVER w AS BIGINT) AS s1,
+         CAST(SUM(rev_c * rev_c) OVER w AS BIGINT) AS s2,
+         CAST(COUNT(rev_c) OVER w AS BIGINT) AS n
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+), stats AS (
+  SELECT day, rev_c,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+         sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)) AS std_c
+  FROM rolled
+)
+SELECT day,
+       ROUND(CAST(rev_c AS DOUBLE) / 100.0, 2) AS revenue,
+       ROUND(mean_c / 100.0, 6) AS roll_mean,
+       ROUND(std_c / 100.0, 6) AS roll_std,
+       ROUND(CASE WHEN std_c > 0
+             THEN (CAST(rev_c AS DOUBLE) - mean_c) / std_c END, 6) AS z,
+       COALESCE(abs(CASE WHEN std_c > 0
+             THEN (CAST(rev_c AS DOUBLE) - mean_c) / std_c END) > 2.0,
+             FALSE) AS is_anomaly
+FROM stats
+"""

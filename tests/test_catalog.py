@@ -32,6 +32,7 @@ FAMILIES = {
     "curation": r"^(corpus_|decontaminate|pii_)",
     "sketches": r"^sketch_",
     "cdc/merge": r"^m\d",
+    "time-series": r"^ts\d",
 }
 
 
