@@ -70,15 +70,21 @@ register("j10_bloom_semi_join", rs.j10_bloom_semi_join, rs.J10_ORACLE)
 # unchanged) rotate to block 2 (both families keep other head reps).
 register("ts1_gap_fill_ffill", ts.ts1_gap_fill_ffill, ts.TS1_ORACLE)
 register("ts2_rolling_zscore", ts.ts2_rolling_zscore, ts.TS2_ORACLE)
+# NEW r4: leakage-safe split + temperature mixing; dedup_ngram /
+# dedup_simhash (r3-green, unchanged) rotate to block 2.
+register(
+    "corpus_split_groupsafe", llm.corpus_split_groupsafe, llm.CORPUS_SPLIT_ORACLE
+)
+register(
+    "corpus_mix_temperature", llm2.corpus_mix_temperature, llm2.CORPUS_MIX_ORACLE
+)
 register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
 
 # -- block 1c: dedup / similarity (r4 changed: minhash_lookup index
 #    param, PQ defaults + data-sampled residual codebooks, NEW external
 #    entry) ----------------------------------------------------------
-register("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_ORACLE)
 register("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_ORACLE)
 register("dedup_connected_groups", llm.dedup_connected_groups, llm.DEDUP_GROUPS_ORACLE)
-register("dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_ORACLE)
 register("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_ORACLE)
 register("ann_brute_force_topk", llm.ann_brute_force_topk, llm.ANN_BRUTE_FORCE_ORACLE)
 register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
@@ -165,6 +171,8 @@ register("a3_count_probes", rs.a3_count_probes, rs.A3_ORACLE)
 register("w3_sessionize", rs.w3_sessionize, rs.W3_ORACLE)
 register("text_bpe_token_count", llm.text_bpe_token_count, llm.TEXT_BPE_ORACLE)
 register("dedup_exact_groups", llm.dedup_exact_groups, llm.DEDUP_EXACT_ORACLE)
+register("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_ORACLE)
+register("dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_ORACLE)
 register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
 register("j4_asof_last_click", ts.j4_asof_last_click, ts.J4_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)

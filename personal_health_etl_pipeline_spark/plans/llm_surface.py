@@ -1130,3 +1130,73 @@ SELECT query_id, rank, neighbor_id, sim FROM (
 
 
 ANN_IVFPQ_ORACLE = _ivfpq_oracle()
+
+
+# --- corpus_split_groupsafe: leakage-safe train/val/test split --------
+
+def corpus_split_groupsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split whose unit is the NEAR-DUP GROUP,
+    not the document: every doc resolves to its connected-component
+    representative (minhash pairs -> hash-min components,
+    operators/graph.py; singletons represent themselves) and the split
+    bin hashes the representative — so near-duplicates can never
+    straddle train and eval, the leakage mode a per-doc split invites.
+    Same LSH parameters as ``dedup_connected_groups``; one extra
+    left join + a map-side hash, no new shuffle family."""
+    from personal_health_etl_pipeline_spark.functions.hashing import md5_long
+    from personal_health_etl_pipeline_spark.operators.graph import dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n_hashes=MINHASH_N_HASHES,
+        bands=MINHASH_BANDS,
+        shingle_n=3,
+        threshold=0.8,
+    )
+    groups = dedup_groups(pairs).select("doc_id", "group_id")
+    rep = (
+        docs.select("doc_id")
+        .join(groups, on="doc_id", how="left")
+        .select(
+            "doc_id", F.coalesce("group_id", "doc_id").alias("split_unit")
+        )
+    )
+    split_bin = md5_long(F.col("split_unit")) % 100
+    return rep.select(
+        "doc_id",
+        "split_unit",
+        split_bin.alias("split_bin"),
+        F.when(split_bin < 80, "train")
+        .when(split_bin < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _split_oracle() -> str:
+    from personal_health_etl_pipeline_spark.functions.hashing import (
+        duckdb_md5_long,
+    )
+
+    base = _groups_oracle()
+    marker = "SELECT doc_id, group_id,"
+    head, sep, _ = base.rpartition(marker)
+    assert sep, "groups oracle final select changed"
+    h = f"{duckdb_md5_long('split_unit')} % 100"
+    return head + f""", rep AS (
+  SELECT d.doc_id, COALESCE(c.group_id, d.doc_id) AS split_unit
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, split_unit,
+       {h} AS split_bin,
+       CASE WHEN {h} < 80 THEN 'train'
+            WHEN {h} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM rep
+"""
+
+
+CORPUS_SPLIT_ORACLE = _split_oracle()

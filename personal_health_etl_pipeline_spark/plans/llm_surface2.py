@@ -770,3 +770,80 @@ FROM flat f LEFT JOIN vocab v ON f.term = v.term
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# --- corpus_mix_temperature: domain-balanced sampling quotas ----------
+
+MIX_TARGET = 200       # docs in the mixed sample
+MIX_W_SCALE = 1_000_000  # sqrt weights quantized to integer micro-units
+
+
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (alpha = 0.5): per-language
+    quotas proportional to n^alpha — the standard flattening that keeps
+    low-resource languages from vanishing in proportional sampling
+    (multilingual-LM practice since mBERT/XLM).
+
+    Exactness contract: sqrt weights are quantized to integer
+    micro-units BEFORE normalization, so the quota arithmetic
+    ``(target * w) div W`` is pure bigint — no order-dependent double
+    sums anywhere. Selection within a language is the smallest
+    ``md5_long(doc_id)`` prefix (deterministic, engine-portable
+    "random" sample), one window over the language partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    weights = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "w",
+            F.round(F.sqrt(F.col("n_docs").cast("double")) * MIX_W_SCALE, 0).cast(
+                "bigint"
+            ),
+        )
+    )
+    quotas = (
+        weights.crossJoin(
+            F.broadcast(weights.agg(F.sum("w").alias("w_total")))
+        )
+        .withColumn("quota", F.expr(f"({MIX_TARGET} * w) DIV w_total"))
+        .select("lang", "n_docs", "quota")
+    )
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(md5_long(F.col("doc_id")), "doc_id")
+        )
+        .alias("sample_rank"),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), on="lang")
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select("doc_id", "lang", "sample_rank", "quota")
+    )
+
+
+CORPUS_MIX_ORACLE = f"""
+WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, n_docs,
+         CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * {MIX_W_SCALE}) AS BIGINT) AS w
+  FROM n
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM w),
+quota AS (
+  SELECT lang, n_docs, ({MIX_TARGET} * w) // w_total AS quota FROM w, tot
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY {duckdb_md5_long("doc_id")}, doc_id) AS sample_rank
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.sample_rank, q.quota
+FROM ranked r JOIN quota q USING (lang)
+WHERE r.sample_rank <= q.quota
+"""
