@@ -78,6 +78,10 @@ register(
 register(
     "corpus_mix_temperature", llm2.corpus_mix_temperature, llm2.CORPUS_MIX_ORACLE
 )
+# NEW r4: PMI collocations + Zipf audit; ann_brute_force / emb_centroids
+# (r3-green, simple aggregates, locally re-checked) rotate to block 2.
+register("text_pmi_top_pairs", llm2.text_pmi_top_pairs, llm2.TEXT_PMI_ORACLE)
+register("text_zipf_slope", llm2.text_zipf_slope, llm2.TEXT_ZIPF_ORACLE)
 register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
 
 # -- block 1c: dedup / similarity (r4 changed: minhash_lookup index
@@ -86,7 +90,6 @@ register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
 register("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_ORACLE)
 register("dedup_connected_groups", llm.dedup_connected_groups, llm.DEDUP_GROUPS_ORACLE)
 register("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_ORACLE)
-register("ann_brute_force_topk", llm.ann_brute_force_topk, llm.ANN_BRUTE_FORCE_ORACLE)
 register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
 register("ann_ivf_topk", llm.ann_ivf_topk, llm.ANN_IVF_ORACLE)
 register("ann_pq_topk", llm.ann_pq_topk, llm.ANN_PQ_ORACLE)
@@ -96,7 +99,6 @@ register(
     llm.ANN_PQ_EXTERNAL_ORACLE,
 )
 register("ann_ivfpq_topk", llm.ann_ivfpq_topk, llm.ANN_IVFPQ_ORACLE)
-register("emb_centroids", llm.emb_centroids, llm.EMB_CENTROIDS_ORACLE)
 register("mm_byte_stats", llm.mm_byte_stats, llm.MM_BYTE_STATS_ORACLE)
 
 # -- block 1d: family representatives (streaming / analytics / text) --
@@ -173,6 +175,8 @@ register("text_bpe_token_count", llm.text_bpe_token_count, llm.TEXT_BPE_ORACLE)
 register("dedup_exact_groups", llm.dedup_exact_groups, llm.DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_ORACLE)
 register("dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_ORACLE)
+register("ann_brute_force_topk", llm.ann_brute_force_topk, llm.ANN_BRUTE_FORCE_ORACLE)
+register("emb_centroids", llm.emb_centroids, llm.EMB_CENTROIDS_ORACLE)
 register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
 register("j4_asof_last_click", ts.j4_asof_last_click, ts.J4_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)

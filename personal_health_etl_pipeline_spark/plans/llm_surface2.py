@@ -847,3 +847,188 @@ SELECT r.doc_id, r.lang, r.sample_rank, q.quota
 FROM ranked r JOIN quota q USING (lang)
 WHERE r.sample_rank <= q.quota
 """
+
+
+# --- text_pmi_top_pairs: collocation mining by pointwise MI -----------
+
+PMI_MIN_COUNT = 5    # drop noise pairs below this co-occurrence count
+PMI_TOP_K = 50
+PMI_SCALE = 1_000_000
+
+
+def text_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations: adjacent-token pairs ranked by pointwise
+    mutual information ln(c_ab*N / (c_a*c_b)) over the whole corpus —
+    the classic collocation detector (Church & Hanks 1990), and the
+    statistic behind phrase-merging tokenizers (word2vec phrases).
+
+    One bigram explode -> one (a,b) count shuffle; the marginal counts
+    derive from the bounded pair table, never from re-exploding the
+    corpus. The count ratio is evaluated in double (c_ab*N can
+    overflow bigint at corpus scale) with identical cast placement in
+    both engines, then micro-quantized; top-k is a bounded
+    sort-descending limit with a total (pmi, a, b) tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        spread(docs.select("doc_id", "text"))
+        .select(T.tokens("text").alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                    " (x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("s")
+        )
+        .select("s.a", "s.b")
+    )
+    cnt_ab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    cnt_a = cnt_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    cnt_b = cnt_ab.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    total = cnt_ab.agg(F.sum("c_ab").alias("n_total"))
+    pmi = (
+        cnt_ab.where(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(cnt_a, "a")
+        .join(cnt_b, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("n_total").cast("double"))
+                    / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+                )
+                * PMI_SCALE,
+                0,
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
+    return pmi.orderBy(
+        F.col("pmi_micro").desc(), "a", "b"
+    ).limit(PMI_TOP_K)
+
+
+TEXT_PMI_ORACLE = rf"""
+WITH {_TOKS_CTE},
+bg AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> struct_pack(a := t[i], b := t[i + 1]))) AS s
+  FROM toks WHERE len(t) >= 2
+),
+flat AS (SELECT s.a AS a, s.b AS b FROM bg),
+cab AS (SELECT a, b, COUNT(*) AS c_ab FROM flat GROUP BY a, b),
+ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+cb AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY b),
+tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_total FROM cab)
+SELECT a, b, c_ab,
+       CAST(round(ln((CAST(c_ab AS DOUBLE) * CAST(n_total AS DOUBLE))
+                     / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)))
+                  * {PMI_SCALE}, 0) AS BIGINT) AS pmi_micro
+FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
+WHERE c_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi_micro DESC, a, b
+LIMIT {PMI_TOP_K}
+"""
+
+
+# --- text_zipf_slope: rank-frequency power-law audit ------------------
+
+ZIPF_TOP_TERMS = 500
+ZIPF_SCALE = 1_000  # milli-lns: keeps R*Σxy inside bigint (see below)
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf audit: OLS slope of ln(freq) on ln(rank) over the top
+    ``ZIPF_TOP_TERMS`` corpus terms. Natural corpora sit near slope -1;
+    a far-off slope is a red flag for templated/synthetic/boilerplate
+    data — a cheap one-row health check for a training corpus.
+
+    Exactness: both lns are quantized to MILLI-units (not micro — the
+    normal-equation term R*Σxy must stay inside bigint: x,y ≲ 2e4
+    milli, xy ≲ 4e8, Σ over 500 ≲ 2e11, R*Σ ≲ 1e14) so the OLS
+    numerator/denominator are exact integers; doubles appear only in
+    the final two divisions. The top-R table is vocabulary-bounded and
+    the final window runs on R rows — driver-independent but tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        spread(docs.select("text"))
+        .select(F.explode(T.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(ZIPF_TOP_TERMS)
+    )
+    ranked = freq.select(
+        "term",
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "term"))
+        .alias("rank"),
+    ).select(
+        F.round(F.log(F.col("rank").cast("double")) * ZIPF_SCALE, 0)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * ZIPF_SCALE, 0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("r") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("r") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return sums.select(
+        F.col("r").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (
+                F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+            )
+            / F.col("r").cast("double")
+            / ZIPF_SCALE,
+            6,
+        ).alias("intercept_ln"),
+    )
+
+
+TEXT_ZIPF_ORACLE = rf"""
+WITH {_TOKS_CTE},
+freq AS (
+  SELECT term, COUNT(*) AS freq
+  FROM (SELECT unnest(t) AS term FROM toks)
+  GROUP BY term
+  ORDER BY freq DESC, term
+  LIMIT {ZIPF_TOP_TERMS}
+),
+ranked AS (
+  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY freq DESC, term)
+                            AS DOUBLE)) * {ZIPF_SCALE}, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * {ZIPF_SCALE}, 0) AS BIGINT) AS y
+  FROM freq
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS r,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM ranked
+)
+SELECT r AS n_terms,
+       ROUND(CAST(r * sxy - sx * sy AS DOUBLE)
+             / CAST(r * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(r * sxy - sx * sy AS DOUBLE)
+                 / CAST(r * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(r AS DOUBLE) / {ZIPF_SCALE}, 6) AS intercept_ln
+FROM sums
+"""
