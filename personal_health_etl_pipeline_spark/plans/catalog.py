@@ -82,6 +82,9 @@ register(
 # (r3-green, simple aggregates, locally re-checked) rotate to block 2.
 register("text_pmi_top_pairs", llm2.text_pmi_top_pairs, llm2.TEXT_PMI_ORACLE)
 register("text_zipf_slope", llm2.text_zipf_slope, llm2.TEXT_ZIPF_ORACLE)
+# NEW r4: distributed covariance (PCA precursor); text_repetition_stats
+# (r3-green, unchanged) rotates to block 2.
+register("emb_covariance", sk.emb_covariance, sk.EMB_COVARIANCE_ORACLE)
 register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
 
 # -- block 1c: dedup / similarity (r4 changed: minhash_lookup index
@@ -104,9 +107,6 @@ register("mm_byte_stats", llm.mm_byte_stats, llm.MM_BYTE_STATS_ORACLE)
 # -- block 1d: family representatives (streaming / analytics / text) --
 register("st_tumbling_window_agg", st.st_tumbling_window_agg, st.ST_TUMBLING_ORACLE)
 register("so1_set_ops", an.so1_set_ops, an.SO1_ORACLE)
-register(
-    "text_repetition_stats", llm2.text_repetition_stats, llm2.TEXT_REPETITION_ORACLE
-)
 
 # -- block 1e: corpus curation + deterministic sketches ---------------
 register("decontaminate_ngram", llm2.decontaminate_ngram, llm2.DECONTAMINATE_ORACLE)
@@ -177,6 +177,9 @@ register("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD
 register("dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_ORACLE)
 register("ann_brute_force_topk", llm.ann_brute_force_topk, llm.ANN_BRUTE_FORCE_ORACLE)
 register("emb_centroids", llm.emb_centroids, llm.EMB_CENTROIDS_ORACLE)
+register(
+    "text_repetition_stats", llm2.text_repetition_stats, llm2.TEXT_REPETITION_ORACLE
+)
 register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
 register("j4_asof_last_click", ts.j4_asof_last_click, ts.J4_ORACLE)
 register("f5_date_range_explode", rs.f5_date_range_explode, rs.F5_ORACLE)

@@ -435,3 +435,52 @@ SELECT vec_id,
          AS BIGINT) AS l2_err
 FROM codes
 """
+
+
+# --- emb_covariance: distributed d x d covariance ---------------------
+
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 64x64 covariance matrix of the embedding corpus via
+    per-partition Gram partials (operators/linalg.py): Arrow-batched
+    int64 X^T X per partition, one O(partitions * d^2) merge shuffle —
+    the whitening/PCA precursor every embedding pipeline needs. The
+    oracle unnests all (i, j) pairs; the engine never materializes a
+    per-row pair explosion."""
+    from personal_health_etl_pipeline_spark.operators.linalg import (
+        covariance_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding")
+
+
+EMB_COVARIANCE_ORACLE = """
+WITH q AS (
+  SELECT list_transform(embedding, x ->
+         CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+flat AS (
+  SELECT i - 1 AS i, j - 1 AS j,
+         qv[CAST(i AS INT)] AS xi, qv[CAST(j AS INT)] AS xj
+  FROM q, range(1, 65) r1(i), range(1, 65) r2(j)
+),
+gram AS (
+  SELECT i, j,
+         CAST(SUM(xi * xj) AS BIGINT) AS sxx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM flat GROUP BY i, j
+),
+marg AS (
+  SELECT i - 1 AS k, CAST(SUM(qv[CAST(i AS INT)]) AS BIGINT) AS s
+  FROM q, range(1, 65) r(i) GROUP BY i
+)
+SELECT g.i, g.j,
+       ROUND((CAST(g.sxx AS DOUBLE)
+              - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE)
+                / CAST(g.n AS DOUBLE))
+             / CAST(g.n AS DOUBLE) / 1000000000000.0, 8) AS cov
+FROM gram g
+JOIN marg si ON si.k = g.i
+JOIN marg sj ON sj.k = g.j
+"""
