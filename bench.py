@@ -63,6 +63,13 @@ HEADLINE = (
     "dedup_incremental_lookup",
     "j9_oura_end_to_end",
     "ann_pq_external_topk",
+    # round-4 additions: one representative per new family
+    "m1_scd2_merge",
+    "j10_bloom_semi_join",
+    "ts1_gap_fill_ffill",
+    "corpus_split_groupsafe",
+    "text_pmi_top_pairs",
+    "emb_covariance",
 )
 
 

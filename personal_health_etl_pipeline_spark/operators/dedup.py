@@ -628,3 +628,74 @@ def minhash_lookup(
         )
         .where(F.col("jaccard_sim") >= threshold)
     )
+
+
+# --- directed containment (partial-duplicate detection) -------------------
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Directed near-dup containment: C(A ⊂ B) = |A∩B| / |A| over
+    distinct shingle sets — the statistic that catches PARTIAL
+    duplication (a doc quoted or embedded inside a larger one), which
+    symmetric Jaccard structurally under-scores: a 100-shingle doc
+    fully contained in a 10,000-shingle doc has containment 1.0 but
+    Jaccard < 0.01. This is Broder's containment measure, the basis of
+    quote/boilerplate removal in web-corpus pipelines.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (one
+    shingle-collision join, counts grouped once per unordered pair),
+    then BOTH directions are scored from the one ``shared`` count and
+    the two set sizes; rows come back directed (``id_sub`` is the
+    contained side). Output: ``id_sub``, ``id_super``, ``containment``.
+    """
+    sh = spread(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
+    ).select(
+        "_id",
+        distinct_shingles(text_col, shingle_n).alias("_sh"),
+    ).where(F.size("_sh") > 0)
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    inv = sh.select("_id", F.explode("_sh").alias("tok"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    scored = (
+        shared.join(sa, F.col("id_a") == F.col("sa._id"))
+        .join(sb, F.col("id_b") == F.col("sb._id"))
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.col("sa._n").alias("n_a"),
+            F.col("sb._n").alias("n_b"),
+        )
+    )
+    fwd = scored.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        F.round(F.col("shared").cast("double") / F.col("n_a"), 4).alias(
+            "containment"
+        ),
+    )
+    rev = scored.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        F.round(F.col("shared").cast("double") / F.col("n_b"), 4).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= threshold)

@@ -537,3 +537,97 @@ FROM events e JOIN firsts f ON e.user_id = f.user_id
 GROUP BY cohort_day, datediff('day', cohort_day, CAST(ts AS DATE))
 ORDER BY cohort_day, day_offset
 """
+
+
+# --- A14: equal-frequency bucketization via sketch cuts ----------------
+
+BUCKET_N = 10
+BUCKET_SAMPLE = 1024
+
+
+def a14_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) bucketization of order prices WITHOUT a
+    global sort: cut points come from the deterministic 1024-row hash
+    sample (the ``sketch_sample_quantiles`` machinery), assignment is a
+    map-side comparison against the 9 broadcast cuts, and the rollup is
+    one bucket groupBy. A window-``ntile`` would force every row
+    through a single-partition sort — this is the shape that survives
+    100 TB. Cut selection is total-ordered by (value, hash), so both
+    engines pick identical cuts and the bucketization is bit-exact."""
+    from personal_health_etl_pipeline_spark.functions.hashing import md5_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = BUCKET_SAMPLE
+    sample = (
+        orders.select(
+            F.col("o_totalprice").alias("value"),
+            md5_long(F.col("o_orderkey")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(m)
+    )
+    ranks = [(d * (m - 1)) // BUCKET_N + 1 for d in range(1, BUCKET_N)]
+    w = Window.orderBy("value", "h")
+    cuts = (
+        sample.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn").isin(*ranks))
+        .agg(F.sort_array(F.collect_list("value")).alias("cuts"))
+    )
+    bucketed = (
+        orders.select(F.col("o_totalprice").alias("value"))
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "value",
+            (
+                F.size(F.filter("cuts", lambda c: c <= F.col("value"))) + 1
+            ).alias("bucket"),
+        )
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum_cents(cents("value"), 2).alias("sum_price"),
+            F.min("value").alias("min_price"),
+            F.max("value").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _decile_oracle() -> str:
+    from personal_health_etl_pipeline_spark.functions.hashing import (
+        duckdb_md5_long,
+    )
+
+    m = BUCKET_SAMPLE
+    ranks = ", ".join(
+        str((d * (m - 1)) // BUCKET_N + 1) for d in range(1, BUCKET_N)
+    )
+    return rf"""
+WITH hashed AS (
+  SELECT o_totalprice AS value, {duckdb_md5_long("o_orderkey")} AS h
+  FROM orders
+),
+s AS (SELECT value, h FROM hashed ORDER BY h LIMIT {m}),
+r AS (SELECT value, row_number() OVER (ORDER BY value, h) AS rn FROM s),
+cuts AS (
+  SELECT list_sort(list(value)) AS cuts FROM r WHERE rn IN ({ranks})
+),
+bucketed AS (
+  SELECT value,
+         len(list_filter(cuts, c -> c <= value)) + 1 AS bucket
+  FROM (SELECT o_totalprice AS value FROM orders), cuts
+)
+SELECT bucket,
+       COUNT(*) AS n_orders,
+       {oracle_sum(od2('value'))} AS sum_price,
+       MIN(value) AS min_price,
+       MAX(value) AS max_price
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+A14_ORACLE = _decile_oracle()

@@ -85,6 +85,12 @@ register("text_zipf_slope", llm2.text_zipf_slope, llm2.TEXT_ZIPF_ORACLE)
 # NEW r4: distributed covariance (PCA precursor); text_repetition_stats
 # (r3-green, unchanged) rotates to block 2.
 register("emb_covariance", sk.emb_covariance, sk.EMB_COVARIANCE_ORACLE)
+# NEW r4 (second batch): PIT feature join, sketch-cut bucketization,
+# containment dedup; ann_ivf / dedup_embedding_cosine /
+# emb_random_projection (r3-green, unchanged) rotate to block 2.
+register("j11_pit_feature_join", cdc.j11_pit_feature_join, cdc.J11_ORACLE)
+register("a14_decile_buckets", an.a14_decile_buckets, an.A14_ORACLE)
+register("dedup_containment", llm.dedup_containment, llm.DEDUP_CONTAINMENT_ORACLE)
 register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
 
 # -- block 1c: dedup / similarity (r4 changed: minhash_lookup index
@@ -92,9 +98,7 @@ register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
 #    entry) ----------------------------------------------------------
 register("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_ORACLE)
 register("dedup_connected_groups", llm.dedup_connected_groups, llm.DEDUP_GROUPS_ORACLE)
-register("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_ORACLE)
 register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
-register("ann_ivf_topk", llm.ann_ivf_topk, llm.ANN_IVF_ORACLE)
 register("ann_pq_topk", llm.ann_pq_topk, llm.ANN_PQ_ORACLE)
 register(
     "ann_pq_external_topk",
@@ -115,11 +119,6 @@ register(
 )
 register("pii_scrub_emails", llm2.pii_scrub_emails, llm2.PII_SCRUB_ORACLE)
 register("sketch_kmv_distinct", sk.sketch_kmv_distinct, sk.SKETCH_KMV_ORACLE)
-register(
-    "emb_random_projection",
-    sk.emb_random_projection,
-    sk.EMB_RANDOM_PROJECTION_ORACLE,
-)
 
 # -- block 1f: clustering (r4 changed: persist plumbing + learned-IVF
 #    retune) + the remaining r4-changed entries ----------------------
@@ -179,6 +178,13 @@ register("ann_brute_force_topk", llm.ann_brute_force_topk, llm.ANN_BRUTE_FORCE_O
 register("emb_centroids", llm.emb_centroids, llm.EMB_CENTROIDS_ORACLE)
 register(
     "text_repetition_stats", llm2.text_repetition_stats, llm2.TEXT_REPETITION_ORACLE
+)
+register("ann_ivf_topk", llm.ann_ivf_topk, llm.ANN_IVF_ORACLE)
+register("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_ORACLE)
+register(
+    "emb_random_projection",
+    sk.emb_random_projection,
+    sk.EMB_RANDOM_PROJECTION_ORACLE,
 )
 register("a9_price_histogram", an.a9_price_histogram, an.A9_ORACLE)
 register("j4_asof_last_click", ts.j4_asof_last_click, ts.J4_ORACLE)

@@ -157,3 +157,51 @@ WHERE o.order_id IS NULL OR n.order_id IS NULL
    OR o.status IS DISTINCT FROM n.status
    OR o.price IS DISTINCT FROM n.price
 """
+
+
+# --- J11: point-in-time feature join ----------------------------------
+
+def j11_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store PIT join: every order reads the customer balance
+    that was VALID AT its order date from the SCD-2 history that
+    ``m1_scd2_merge`` produces — the no-future-leakage join that
+    training-data generation needs (a feature row may never come from
+    after the label event).
+
+    Because SCD-2 validity intervals are disjoint per key, the interval
+    predicate rides a plain equi-join on ``cust_id`` (at most one match
+    per order) — one shuffle, no range-join machinery needed. Half-open
+    semantics: an order ON the effective date sees the NEW value.
+    """
+    hist = m1_scd2_merge(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+    cond = (F.col("valid_from") <= F.col("order_date")) & (
+        F.col("valid_to").isNull() | (F.col("order_date") < F.col("valid_to"))
+    )
+    return (
+        orders.join(hist, on="cust_id", how="inner")
+        .filter(cond)
+        .select(
+            "order_id",
+            "cust_id",
+            "order_date",
+            F.col("acctbal").alias("bal_at_order"),
+        )
+    )
+
+
+J11_ORACLE = f"""
+SELECT o.o_orderkey AS order_id,
+       o.o_custkey AS cust_id,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       h.acctbal AS bal_at_order
+FROM orders o
+JOIN ({M1_ORACLE}) h
+  ON o.o_custkey = h.cust_id
+ AND h.valid_from <= CAST(o.o_orderdate AS DATE)
+ AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+"""

@@ -1200,3 +1200,37 @@ FROM rep
 
 
 CORPUS_SPLIT_ORACLE = _split_oracle()
+
+
+# --- dedup_containment: partial-duplicate (quote) detection -----------
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed Broder containment over 3-gram shingles
+    (operators/dedup.py:ngram_containment_pairs): catches a short doc
+    embedded inside a longer one, which symmetric Jaccard misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.8
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = rf"""
+WITH {_TOKS_CTE},
+nonempty AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+inv AS (SELECT doc_id, unnest(sh) AS tok FROM nonempty),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+both_dirs AS (
+  SELECT id_a AS id_sub, id_b AS id_super,
+         ROUND(CAST(shared AS DOUBLE) / len(sa.sh), 4) AS containment
+  FROM shared JOIN nonempty sa ON sa.doc_id = id_a
+  UNION ALL
+  SELECT id_b AS id_sub, id_a AS id_super,
+         ROUND(CAST(shared AS DOUBLE) / len(sb.sh), 4) AS containment
+  FROM shared JOIN nonempty sb ON sb.doc_id = id_b
+)
+SELECT * FROM both_dirs WHERE containment >= 0.8
+"""

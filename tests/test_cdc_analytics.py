@@ -1,0 +1,74 @@
+"""PIT feature join and sketch-cut bucketization semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+    BUCKET_N,
+    a14_decile_buckets,
+)
+from personal_health_etl_pipeline_spark.plans.cdc_surface import (
+    j11_pit_feature_join,
+    m1_scd2_merge,
+)
+
+
+class TestPitFeatureJoin:
+    def test_exactly_one_feature_row_per_order(self, spark, sf_dir):
+        """Disjoint SCD intervals => the PIT join never duplicates or
+        drops an order (the leakage-free feature-store contract)."""
+        out = j11_pit_feature_join(spark, sf_dir).cache()
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        assert out.count() == orders.count()
+        assert out.groupBy("order_id").count().filter("count > 1").count() == 0
+        out.unpersist()
+
+    def test_no_future_values(self, spark, sf_dir):
+        """Every joined balance must come from an interval that had
+        STARTED by the order date (valid_from <= order_date)."""
+        hist = m1_scd2_merge(spark, sf_dir).select(
+            "cust_id", "acctbal", "valid_from"
+        )
+        out = j11_pit_feature_join(spark, sf_dir)
+        joined = out.join(
+            hist,
+            (out.cust_id == hist.cust_id)
+            & (out.bal_at_order == hist.acctbal),
+            "inner",
+        ).filter(F.col("valid_from") > F.col("order_date"))
+        # a (cust, bal) row may legitimately match several history rows;
+        # what may NOT exist is an order whose ONLY providing interval
+        # starts in the future — check the join-back finds a past one
+        past = out.join(
+            hist,
+            (out.cust_id == hist.cust_id)
+            & (out.bal_at_order == hist.acctbal)
+            & (hist.valid_from <= out.order_date),
+            "left_semi",
+        )
+        assert past.count() == out.count()
+
+
+class TestDecileBuckets:
+    def test_bucket_count_and_coverage(self, spark, sf_dir):
+        out = a14_decile_buckets(spark, sf_dir).collect()
+        assert 1 <= len(out) <= BUCKET_N
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        assert sum(r.n_orders for r in out) == orders.count()
+
+    def test_buckets_are_ordered_ranges(self, spark, sf_dir):
+        rows = sorted(a14_decile_buckets(spark, sf_dir).collect(),
+                      key=lambda r: r.bucket)
+        for lo, hi in zip(rows, rows[1:]):
+            assert lo.max_price <= hi.min_price
+
+    def test_roughly_equal_frequency(self, spark, sf_dir):
+        rows = a14_decile_buckets(spark, sf_dir).collect()
+        counts = [r.n_orders for r in rows]
+        n = sum(counts)
+        for c in counts:
+            # sketch cuts from 1024 samples: each decile within ~2x of ideal
+            assert c > n / (BUCKET_N * 3)
+            assert c < n * 3 / BUCKET_N
