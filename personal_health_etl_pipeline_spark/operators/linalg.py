@@ -81,11 +81,23 @@ def _gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-def covariance_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", persist: bool = True
+) -> DataFrame:
     """Population covariance of the vector column: rows ``(i, j, cov)``.
 
     cov[i,j] = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n over the micro-quantized grid,
     rescaled to the original units.
+
+    The merged partial table (≤ (d+1)² rows, KBs) feeds three consumers
+    (gram, marginals, count); with ``persist=True`` (default) it is
+    cached and eagerly materialized so the source scan + Arrow partials
+    run ONCE — without it, Spark re-executes the whole lineage per
+    consumer (4 scans; the k-means-class flaw from the round-3 review).
+    The cache is a few KB regardless of corpus size and Spark's
+    ContextCleaner reclaims it when the result's lineage is released;
+    callers wanting deterministic release can ``collect()`` the result
+    and drop the reference.
     """
     partials = (
         df.select(quantize(F.col(vec_col)).alias("qv"))
@@ -93,6 +105,9 @@ def covariance_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("v").alias("v"))
     )
+    if persist:
+        partials = partials.persist()
+        partials.count()  # materialize: every consumer below reads cache
     n = partials.filter((F.col("i") == _COUNT) & (F.col("j") == _COUNT)).select(
         F.col("v").alias("n_rows")
     )

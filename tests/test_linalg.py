@@ -91,3 +91,37 @@ def test_projection_variance_tracks_eigenvalues(spark, aniso):
     assert variances[0] > variances[1] > variances[2]
     for v, lam in zip(variances, vals):
         assert v == pytest.approx(lam, rel=0.05)
+
+
+def test_covariance_scans_source_once(spark, sf_dir):
+    """The merged partials are persisted and eagerly materialized, so
+    the three consumers (gram / marginals / count) must all read the
+    CACHE: every leaf of the executed final plan is an in-memory scan —
+    the parquet source was touched exactly once, by the materializing
+    count() (the k-means-class rescan flaw from the round-3 review,
+    fixed here by construction)."""
+    from personal_health_etl_pipeline_spark.plans.sketches import emb_covariance
+
+    df = emb_covariance(spark, sf_dir)
+    df.collect()
+
+    kinds: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:  # AQE stage wrappers delegate to .plan()
+            walk(node.plan())
+            return
+        ch = node.children()
+        if ch.size() == 0:
+            kinds.append(name)
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    assert kinds, "no leaves?"
+    assert any("InMemory" in k for k in kinds), kinds
+    assert not any("FileSourceScan" in k or "FileScan" in k for k in kinds), kinds

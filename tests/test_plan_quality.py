@@ -361,3 +361,81 @@ class TestChunkingPlanShape:
         plan = _executed_plan(df).split("== Initial Plan ==")[0]
         assert "Exchange" not in plan, plan
         assert "Generate explode" in plan  # the window-start explode
+
+
+class TestRound4BatchPlanShapes:
+    """Physical-plan gates for the round-4 second-half operators."""
+
+    def test_scd2_merge_reuses_one_key_partitioning(self, spark, sf_dir):
+        """All scd2 joins key on cust_id; with AQE the small update batch
+        broadcasts, so the dimension itself is never exchanged more than
+        once per consumed branch and never nested-loop joined."""
+        from personal_health_etl_pipeline_spark.plans.cdc_surface import (
+            m1_scd2_merge,
+        )
+
+        plan = _executed_plan(m1_scd2_merge(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_pit_join_is_single_equi_join(self, spark, sf_dir):
+        """The interval predicate must ride the cust_id equi-join as a
+        post-join filter or join condition — no range-join explosion,
+        no BNLJ."""
+        from personal_health_etl_pipeline_spark.plans.cdc_surface import (
+            j11_pit_feature_join,
+        )
+
+        plan = _executed_plan(j11_pit_feature_join(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_decile_assignment_is_map_side(self, spark, sf_dir):
+        """Bucket assignment = scan -> broadcast-attach cuts -> project;
+        the only exchange above the orders scan is the final bucket
+        groupBy. The cuts subtree (1024-row sample) may exchange."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            a14_decile_buckets,
+        )
+
+        plan = _executed_plan(a14_decile_buckets(spark, sf_dir))
+        # one BNLJ: the 1-row cuts array attachment — same exemption
+        # class as the centroid/codebook attachments
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+        assert "CartesianProduct" not in plan
+
+    def test_gap_fill_join_and_window_share_partitioning(self, spark, sf_dir):
+        """ts1: the calendar left-join on (user_id, day) and the fill
+        window on user_id must not stack redundant exchanges — at most
+        the daily agg, the per-user span agg, the join alignment and
+        AQE reads."""
+        from personal_health_etl_pipeline_spark.plans.temporal_surface import (
+            ts1_gap_fill_ffill,
+        )
+
+        plan = _executed_plan(ts1_gap_fill_ffill(spark, sf_dir))
+        import re
+
+        n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
+        assert n_ex <= 4, f"{n_ex} hash exchanges:\n{plan}"
+
+    def test_covariance_partials_shuffle_is_bounded(self, spark, sf_dir):
+        """emb_covariance: the only wide shuffle merges (i, j, v)
+        partials — corpus-size-independent. The embeddings scan itself
+        must not be exchanged before mapInPandas."""
+        from personal_health_etl_pipeline_spark.plans.sketches import (
+            emb_covariance,
+        )
+
+        df = emb_covariance(spark, sf_dir)
+        plan = _executed_plan(df)
+        # the cached partial lineage: scan -> project -> Arrow partials
+        # -> partial/final HashAggregate; rows reach MapInPandas without
+        # a shuffle (each MapInPandas is fed directly by its scan)
+        assert "MapInPandas" in plan
+        assert "HashAggregate" in plan
+        for seg in plan.split("MapInPandas")[1:]:
+            below = seg.split("InMemoryRelation")[0]
+            assert "Exchange hashpartitioning" not in below.split("+- FileScan")[0], below
+        # the strong scans-once property is asserted in
+        # tests/test_linalg.py::test_covariance_scans_source_once
