@@ -1,0 +1,122 @@
+"""Streaming SCD-2 upsert sink (streaming/upsert.py): stream-vs-batch
+equivalence and version-pointer atomicity."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from personal_health_etl_pipeline_spark.operators.merge import scd2_merge
+from personal_health_etl_pipeline_spark.streaming.upsert import (
+    read_current,
+    run_upsert_stream,
+)
+
+D = dt.date
+
+
+def _write_updates(src_dir, rows, name):
+    table = pa.table(
+        {
+            "cust_id": pa.array([r[0] for r in rows], pa.int64()),
+            "bal": pa.array([r[1] for r in rows], pa.float64()),
+            "eff_date": pa.array([r[2] for r in rows], pa.date32()),
+        }
+    )
+    pq.write_table(table, os.path.join(src_dir, f"{name}.parquet"))
+
+
+def _read_stream(spark, src_dir):
+    return (
+        spark.readStream.schema("cust_id bigint, bal double, eff_date date")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+BATCH1 = [(1, 10.0, D(2024, 1, 1)), (2, 20.0, D(2024, 1, 1))]
+BATCH2 = [(1, 11.0, D(2024, 2, 1)), (3, 30.0, D(2024, 2, 1))]
+BATCH3 = [(2, 20.0, D(2024, 3, 1)), (1, 12.0, D(2024, 3, 1))]  # 2 is a no-op
+
+
+def test_stream_matches_batch_fold(spark, tmp_path):
+    src = tmp_path / "cdc"
+    src.mkdir()
+    table_dir = str(tmp_path / "dim")
+    os.makedirs(table_dir)
+    # file-source ordering follows modification time; name batches so
+    # the lexicographic tiebreak agrees too
+    _write_updates(str(src), BATCH1, "b0")
+    _write_updates(str(src), BATCH2, "b1")
+    _write_updates(str(src), BATCH3, "b2")
+
+    q = run_upsert_stream(
+        _read_stream(spark, str(src)),
+        table_dir,
+        str(tmp_path / "ck"),
+        key="cust_id",
+        attrs=["bal"],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.cust_id, r.bal, r.valid_from, r.valid_to, r.is_current)
+        for r in read_current(spark, table_dir).collect()
+    }
+
+    # batch replay: bootstrap on batch 1, then fold the merges
+    def as_df(rows):
+        return spark.createDataFrame(rows, "cust_id bigint, bal double, eff_date date")
+
+    from pyspark.sql import functions as F
+
+    boot = as_df(BATCH1).select(
+        "cust_id",
+        "bal",
+        F.col("eff_date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    replay = scd2_merge(
+        scd2_merge(boot, as_df(BATCH2), key="cust_id", attrs=["bal"]),
+        as_df(BATCH3),
+        key="cust_id",
+        attrs=["bal"],
+    )
+    want = {
+        (r.cust_id, r.bal, r.valid_from, r.valid_to, r.is_current)
+        for r in replay.collect()
+    }
+    assert got == want
+    # and the semantics are what SCD-2 promises
+    assert (1, 12.0, D(2024, 3, 1), None, True) in got       # latest open
+    assert (1, 11.0, D(2024, 2, 1), D(2024, 3, 1), False) in got  # closed
+    assert (2, 20.0, D(2024, 1, 1), None, True) in got       # no-op survived
+    assert (3, 30.0, D(2024, 2, 1), None, True) in got
+
+
+def test_pointer_repoints_per_batch(spark, tmp_path):
+    src = tmp_path / "cdc"
+    src.mkdir()
+    table_dir = str(tmp_path / "dim")
+    os.makedirs(table_dir)
+    _write_updates(str(src), BATCH1, "b0")
+    _write_updates(str(src), BATCH2, "b1")
+    q = run_upsert_stream(
+        _read_stream(spark, str(src)),
+        table_dir,
+        str(tmp_path / "ck"),
+        key="cust_id",
+        attrs=["bal"],
+    )
+    q.processAllAvailable()
+    q.stop()
+    versions = sorted(v for v in os.listdir(table_dir) if v.startswith("v"))
+    assert len(versions) == 2  # one committed version per micro-batch
+    with open(os.path.join(table_dir, "_CURRENT"), encoding="utf-8") as f:
+        assert f.read().strip() == versions[-1]
