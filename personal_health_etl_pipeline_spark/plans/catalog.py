@@ -22,6 +22,7 @@ from personal_health_etl_pipeline_spark.plans import cdc_surface as cdc
 from personal_health_etl_pipeline_spark.plans import clustering_surface as cl
 from personal_health_etl_pipeline_spark.plans import llm_surface as llm
 from personal_health_etl_pipeline_spark.plans import llm_surface2 as llm2
+from personal_health_etl_pipeline_spark.plans import quality_surface as dq
 from personal_health_etl_pipeline_spark.plans import sketches as sk
 from personal_health_etl_pipeline_spark.plans import reference_surface as rs
 from personal_health_etl_pipeline_spark.plans import streaming_surface as st
@@ -91,6 +92,10 @@ register("emb_covariance", sk.emb_covariance, sk.EMB_COVARIANCE_ORACLE)
 register("j11_pit_feature_join", cdc.j11_pit_feature_join, cdc.J11_ORACLE)
 register("a14_decile_buckets", an.a14_decile_buckets, an.A14_ORACLE)
 register("dedup_containment", llm.dedup_containment, llm.DEDUP_CONTAINMENT_ORACLE)
+# NEW r4 (second batch, cont.): expectations report + fuzzy linkage;
+# decontaminate / pii_scrub (r3-green, unchanged) rotate to block 2.
+register("dq1_expectations_report", dq.dq1_expectations_report, dq.DQ1_ORACLE)
+register("j12_fuzzy_blocked_match", dq.j12_fuzzy_blocked_match, dq.J12_ORACLE)
 register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
 
 # -- block 1c: dedup / similarity (r4 changed: minhash_lookup index
@@ -113,11 +118,9 @@ register("st_tumbling_window_agg", st.st_tumbling_window_agg, st.ST_TUMBLING_ORA
 register("so1_set_ops", an.so1_set_ops, an.SO1_ORACLE)
 
 # -- block 1e: corpus curation + deterministic sketches ---------------
-register("decontaminate_ngram", llm2.decontaminate_ngram, llm2.DECONTAMINATE_ORACLE)
 register(
     "corpus_curate_pipeline", llm2.corpus_curate_pipeline, llm2.CORPUS_CURATE_ORACLE
 )
-register("pii_scrub_emails", llm2.pii_scrub_emails, llm2.PII_SCRUB_ORACLE)
 register("sketch_kmv_distinct", sk.sketch_kmv_distinct, sk.SKETCH_KMV_ORACLE)
 
 # -- block 1f: clustering (r4 changed: persist plumbing + learned-IVF
@@ -181,6 +184,8 @@ register(
 )
 register("ann_ivf_topk", llm.ann_ivf_topk, llm.ANN_IVF_ORACLE)
 register("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_ORACLE)
+register("decontaminate_ngram", llm2.decontaminate_ngram, llm2.DECONTAMINATE_ORACLE)
+register("pii_scrub_emails", llm2.pii_scrub_emails, llm2.PII_SCRUB_ORACLE)
 register(
     "emb_random_projection",
     sk.emb_random_projection,

@@ -1,0 +1,143 @@
+"""Data-quality surface: expectation reports and fuzzy record linkage.
+
+``dq1_expectations_report`` runs a declarative rule set over orders in
+one aggregation pass (operators/quality.py); the freshness rule is
+deliberately violated by part of the fixture so the violation
+arithmetic is exercised, not just zeros.
+
+``j12_fuzzy_blocked_match`` simulates the classic record-linkage task:
+an external catalog with typos (deterministically perturbed part names
+— every 5th part loses the 2nd character of its second word) matched
+back against the clean table. Blocking key = the FIRST word, which the
+perturbation never touches — so blocking recall is 100% by
+construction here, and the docstring trade-off (block on what the
+corruption can't touch) is honest. Candidates come from the block
+equi-join; exact Levenshtein scores survivors JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.operators.quality import (
+    blocked_fuzzy_join,
+    expectations_report,
+)
+from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+
+# --- DQ1: one-pass expectations report --------------------------------
+
+def dq1_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rules = {
+        "key_not_null": F.col("o_orderkey").isNotNull(),
+        "custkey_not_null": F.col("o_custkey").isNotNull(),
+        "price_positive": F.col("o_totalprice") > 0,
+        "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        "priority_wellformed": F.col("o_orderpriority").rlike("^[1-5]-"),
+        # freshness window: deliberately violated by the 2000+ tail
+        "date_before_2000": F.col("o_orderdate") < F.lit("2000-01-01").cast(
+            "timestamp"
+        ),
+    }
+    return expectations_report(orders, rules)
+
+
+_DQ_RULES_SQL = [
+    ("key_not_null", "o_orderkey IS NOT NULL"),
+    ("custkey_not_null", "o_custkey IS NOT NULL"),
+    ("price_positive", "o_totalprice > 0"),
+    ("status_in_domain", "o_orderstatus IN ('O', 'F', 'P')"),
+    ("priority_wellformed", "regexp_matches(o_orderpriority, '^[1-5]-')"),
+    ("date_before_2000", "o_orderdate < TIMESTAMP '2000-01-01'"),
+]
+
+
+def _dq1_oracle() -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN COALESCE({expr}, FALSE) THEN 0 ELSE 1 END) "
+        f"AS BIGINT) AS v{i}"
+        for i, (_, expr) in enumerate(_DQ_RULES_SQL)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, n AS n_rows, v{i} AS n_violations, "
+        f"ROUND(CAST(v{i} AS DOUBLE) / n, 6) AS violation_rate, "
+        f"v{i} = 0 AS passed FROM s"
+        for i, (name, _) in enumerate(_DQ_RULES_SQL)
+    )
+    return f"WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums} FROM orders)\n{rows}"
+
+
+DQ1_ORACLE = _dq1_oracle()
+
+
+# --- J12: blocked fuzzy record linkage --------------------------------
+
+def j12_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = F.split(F.col("p_name"), " ")
+    clean = part.select(
+        F.col("p_partkey").alias("key_clean"),
+        F.col("p_name").alias("name_clean"),
+        w.getItem(0).alias("blk"),
+    )
+    w2 = w.getItem(1)
+    typo_name = F.when(
+        F.col("p_partkey") % 5 == 0,
+        F.concat(
+            w.getItem(0),
+            F.lit(" "),
+            F.substring(w2, 1, 1),
+            F.expr("substring(split(p_name, ' ')[1], 3)"),
+        ),
+    ).otherwise(F.col("p_name"))
+    typos = part.select(
+        F.col("p_partkey").alias("key_typo"),
+        typo_name.alias("name_typo"),
+        w.getItem(0).alias("blk"),
+    )
+    pairs = blocked_fuzzy_join(
+        clean, typos, block_col="blk", left_text="name_clean",
+        right_text="name_typo", max_distance=2,
+    )
+    return (
+        pairs.groupBy("lev_distance")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("key_clean").alias("n_clean_keys"),
+            F.countDistinct("key_typo").alias("n_typo_keys"),
+        )
+        .orderBy("lev_distance")
+    )
+
+
+J12_ORACLE = """
+WITH clean AS (
+  SELECT p_partkey AS key_clean, p_name AS name_clean,
+         split_part(p_name, ' ', 1) AS blk
+  FROM part
+), typos AS (
+  SELECT p_partkey AS key_typo,
+         CASE WHEN p_partkey % 5 = 0
+              THEN split_part(p_name, ' ', 1) || ' ' ||
+                   substr(split_part(p_name, ' ', 2), 1, 1) ||
+                   substr(split_part(p_name, ' ', 2), 3)
+              ELSE p_name END AS name_typo,
+         split_part(p_name, ' ', 1) AS blk
+  FROM part
+), pairs AS (
+  SELECT key_clean, key_typo,
+         levenshtein(name_clean, name_typo) AS lev_distance
+  FROM clean JOIN typos USING (blk)
+  WHERE levenshtein(name_clean, name_typo) <= 2
+)
+SELECT lev_distance,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT key_clean) AS BIGINT) AS n_clean_keys,
+       CAST(COUNT(DISTINCT key_typo) AS BIGINT) AS n_typo_keys
+FROM pairs
+GROUP BY lev_distance
+ORDER BY lev_distance
+"""

@@ -33,6 +33,7 @@ FAMILIES = {
     "sketches": r"^sketch_",
     "cdc/merge": r"^m\d",
     "time-series": r"^ts\d",
+    "data-quality": r"^dq\d",
 }
 
 
