@@ -19,7 +19,7 @@ from personal_health_etl_pipeline_spark.streaming.upsert import (
 D = dt.date
 
 
-def _write_updates(src_dir, rows, name):
+def _write_updates(src_dir, rows, name, seq=0):
     table = pa.table(
         {
             "cust_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -27,7 +27,14 @@ def _write_updates(src_dir, rows, name):
             "eff_date": pa.array([r[2] for r in rows], pa.date32()),
         }
     )
-    pq.write_table(table, os.path.join(src_dir, f"{name}.parquet"))
+    path = os.path.join(src_dir, f"{name}.parquet")
+    pq.write_table(table, path)
+    # Spark's file source orders files by MODIFICATION TIME (lexicographic
+    # names do NOT tiebreak); back-to-back writes can land in the same
+    # fs-timestamp granule, letting a later batch run first. Pin strictly
+    # increasing mtimes so delivery order is the intended CDC order.
+    t = 1_700_000_000 + seq * 10
+    os.utime(path, (t, t))
 
 
 def _read_stream(spark, src_dir):
@@ -48,11 +55,9 @@ def test_stream_matches_batch_fold(spark, tmp_path):
     src.mkdir()
     table_dir = str(tmp_path / "dim")
     os.makedirs(table_dir)
-    # file-source ordering follows modification time; name batches so
-    # the lexicographic tiebreak agrees too
-    _write_updates(str(src), BATCH1, "b0")
-    _write_updates(str(src), BATCH2, "b1")
-    _write_updates(str(src), BATCH3, "b2")
+    _write_updates(str(src), BATCH1, "b0", seq=0)
+    _write_updates(str(src), BATCH2, "b1", seq=1)
+    _write_updates(str(src), BATCH3, "b2", seq=2)
 
     q = run_upsert_stream(
         _read_stream(spark, str(src)),
@@ -105,8 +110,8 @@ def test_pointer_repoints_per_batch(spark, tmp_path):
     src.mkdir()
     table_dir = str(tmp_path / "dim")
     os.makedirs(table_dir)
-    _write_updates(str(src), BATCH1, "b0")
-    _write_updates(str(src), BATCH2, "b1")
+    _write_updates(str(src), BATCH1, "b0", seq=0)
+    _write_updates(str(src), BATCH2, "b1", seq=1)
     q = run_upsert_stream(
         _read_stream(spark, str(src)),
         table_dir,
