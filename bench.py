@@ -70,6 +70,10 @@ HEADLINE = (
     "corpus_split_groupsafe",
     "text_pmi_top_pairs",
     "emb_covariance",
+    # round-4 third batch: the heavy new operators
+    "dedup_substring_spans",
+    "corpus_dsir_weights",
+    "text_nb_langid",
 )
 
 

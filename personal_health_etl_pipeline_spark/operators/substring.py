@@ -1,0 +1,122 @@
+"""Exact repeated-substring span detection (cross-document).
+
+MinHash/SimHash find documents that are near-duplicates *as wholes*;
+the complementary operator — the one "Deduplicating Training Data
+Makes Language Models Better" (Lee et al., 2021) builds a suffix array
+for — finds exact token spans repeated *across* documents (license
+boilerplate, quoted passages, templated headers) even when the hosting
+documents are otherwise unrelated. The reference repo has nothing like
+it (its analytics stop at two BigQuery probes, `composer_dags/dags/
+utils/data_sources/oura/etl/load.py:220-247`); this is part of the
+engine's extended training-data surface.
+
+Algorithm (the distributed equivalent of the suffix-array scan): slide
+a ``window`` -token rolling window over every document, hash each
+window with the portable md5 family, keep hashes seen in >= 2 distinct
+documents, then merge each document's surviving window starts into
+maximal spans with an islands (pos - row_number) grouping.
+
+Scale design:
+
+* The window explode is O(total tokens) — same cost class as the
+  bigram-LM explode — and runs as one scan + generate, no shuffle.
+* Finding duplicated hashes is ONE groupBy(h) with a partial-agg
+  count-distinct; joining the (bounded, distinct-hash) survivor set
+  back is an equi-join on the same key, so AQE can reuse the exchange.
+  No pair explosion anywhere: a window that occurs in a million
+  documents contributes one survivor row and a 1:1 probe per
+  occurrence — boilerplate skew degrades linearly, never
+  quadratically (contrast LSH buckets, which pair members).
+* The islands merge is a per-document window function: partitions by
+  doc_id, the natural parallel unit.
+* At 100 TB the windows table dominates; it is never collected and
+  never re-sorted globally — the only orderings are per-document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.functions import text as T
+from personal_health_etl_pipeline_spark.functions.hashing import md5_long
+from personal_health_etl_pipeline_spark.operators.partitioning import (
+    SKETCH_MIN_BYTES_PER_PARTITION,
+    spread,
+)
+
+SUBSTRING_WINDOW = 8  # tokens per rolling window
+SUBSTRING_MIN_DOCS = 2  # window must appear in >= this many distinct docs
+
+
+def token_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = SUBSTRING_WINDOW,
+) -> DataFrame:
+    """Every ``window``-token rolling window of every document:
+    ``(doc_id, pos, h)`` with ``pos`` the 0-based start-token index and
+    ``h`` the portable 60-bit hash of the space-joined window.
+
+    Reuses :func:`functions.text.word_shingles` (slices + zip_with, so
+    the tokenizer runs a constant ``window`` times per document, not
+    once per emitted window).
+    """
+    return (
+        spread(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+            min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
+        )
+        .select("doc_id", T.tokens(text_col).alias("t"))
+        .where(F.size("t") >= window)
+        .select(
+            "doc_id",
+            F.posexplode(
+                T._once(F.col("t"), lambda t: T.word_shingles(t, window))
+            ).alias("pos", "sh"),
+        )
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), md5_long("sh").alias("h"))
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = SUBSTRING_WINDOW,
+    min_docs: int = SUBSTRING_MIN_DOCS,
+) -> DataFrame:
+    """Maximal cross-document repeated token spans per document:
+    ``(doc_id, span_start, span_end, n_windows)`` with 1-based
+    inclusive token indices, ordered by (doc_id, span_start).
+
+    A span is maximal: consecutive duplicated window starts merge, so
+    a verbatim L-token passage shared by two documents reports once as
+    ``[s, s + L - 1]`` (L - window + 1 windows), not L - window + 1
+    times. ``n_windows`` is the merged window count — callers cut or
+    down-weight the span ``[span_start, span_end]`` of each document.
+    """
+    wins = token_windows(docs, id_col, text_col, window)
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = wins.join(dup, "h").select("doc_id", "pos")
+    isl = hits.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            (F.min("pos") + 1).alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+        .orderBy("doc_id", "span_start")
+    )

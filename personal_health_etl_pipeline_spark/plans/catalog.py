@@ -22,6 +22,7 @@ from personal_health_etl_pipeline_spark.plans import cdc_surface as cdc
 from personal_health_etl_pipeline_spark.plans import clustering_surface as cl
 from personal_health_etl_pipeline_spark.plans import llm_surface as llm
 from personal_health_etl_pipeline_spark.plans import llm_surface2 as llm2
+from personal_health_etl_pipeline_spark.plans import llm_surface3 as llm3
 from personal_health_etl_pipeline_spark.plans import quality_surface as dq
 from personal_health_etl_pipeline_spark.plans import sketches as sk
 from personal_health_etl_pipeline_spark.plans import reference_surface as rs
@@ -97,11 +98,33 @@ register("dedup_containment", llm.dedup_containment, llm.DEDUP_CONTAINMENT_ORACL
 register("dq1_expectations_report", dq.dq1_expectations_report, dq.DQ1_ORACLE)
 register("j12_fuzzy_blocked_match", dq.j12_fuzzy_blocked_match, dq.J12_ORACLE)
 register("f1_flatten_struct", rs.f1_flatten_struct, rs.F1_ORACLE)
+# NEW r4 (third batch): exact substring-span dedup, DSIR importance
+# weights, trained NB classifier, weighted A-ES sampling, HLL registers.
+# Rotated to block 2 to make room (all r3-green with value-code
+# unchanged this round): dedup_minhash_lsh (spread-floor change only —
+# physical, and the head's dedup_incremental_lookup exercises the same
+# MinHash band machinery), sketch_kmv_distinct (sketch_hll keeps the
+# family), corpus_curate_pipeline / corpus_pack_sequences (corpus_
+# family keeps 4 head reps), so1_set_ops (family-guard-exempt rider).
+register(
+    "dedup_substring_spans",
+    llm3.dedup_substring_spans,
+    llm3.DEDUP_SUBSTRING_ORACLE,
+)
+register(
+    "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
+)
+register("text_nb_langid", llm3.text_nb_langid, llm3.TEXT_NB_ORACLE)
+register(
+    "corpus_sample_weighted",
+    llm3.corpus_sample_weighted,
+    llm3.CORPUS_WEIGHTED_ORACLE,
+)
+register("sketch_hll_distinct", sk.sketch_hll_distinct, sk.SKETCH_HLL_ORACLE)
 
 # -- block 1c: dedup / similarity (r4 changed: minhash_lookup index
 #    param, PQ defaults + data-sampled residual codebooks, NEW external
 #    entry) ----------------------------------------------------------
-register("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_ORACLE)
 register("dedup_connected_groups", llm.dedup_connected_groups, llm.DEDUP_GROUPS_ORACLE)
 register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
 register("ann_pq_topk", llm.ann_pq_topk, llm.ANN_PQ_ORACLE)
@@ -115,13 +138,8 @@ register("mm_byte_stats", llm.mm_byte_stats, llm.MM_BYTE_STATS_ORACLE)
 
 # -- block 1d: family representatives (streaming / analytics / text) --
 register("st_tumbling_window_agg", st.st_tumbling_window_agg, st.ST_TUMBLING_ORACLE)
-register("so1_set_ops", an.so1_set_ops, an.SO1_ORACLE)
 
 # -- block 1e: corpus curation + deterministic sketches ---------------
-register(
-    "corpus_curate_pipeline", llm2.corpus_curate_pipeline, llm2.CORPUS_CURATE_ORACLE
-)
-register("sketch_kmv_distinct", sk.sketch_kmv_distinct, sk.SKETCH_KMV_ORACLE)
 
 # -- block 1f: clustering (r4 changed: persist plumbing + learned-IVF
 #    retune) + the remaining r4-changed entries ----------------------
@@ -129,9 +147,6 @@ register("emb_kmeans_assign", cl.emb_kmeans_assign, cl.EMB_KMEANS_ORACLE)
 register("dedup_semantic", cl.dedup_semantic, cl.DEDUP_SEMANTIC_ORACLE)
 register(
     "ann_ivf_kmeans_topk", cl.ann_ivf_kmeans_topk, cl.ANN_IVF_KMEANS_ORACLE
-)
-register(
-    "corpus_pack_sequences", llm2.corpus_pack_sequences, llm2.CORPUS_PACK_ORACLE
 )
 register(
     "corpus_chunk_documents",
@@ -171,6 +186,15 @@ register("text_tfidf_top_terms", llm.text_tfidf_top_terms, llm.TEXT_TFIDF_ORACLE
 # -- block 2: r3-certified entries with unchanged code, rotated out of
 #    the head, plus the remaining TPC-H sweep + reference variants ----
 register("j1_multiway_outer_combine", rs.j1_multiway_outer_combine, rs.J1_ORACLE)
+register("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_ORACLE)
+register("so1_set_ops", an.so1_set_ops, an.SO1_ORACLE)
+register(
+    "corpus_curate_pipeline", llm2.corpus_curate_pipeline, llm2.CORPUS_CURATE_ORACLE
+)
+register("sketch_kmv_distinct", sk.sketch_kmv_distinct, sk.SKETCH_KMV_ORACLE)
+register(
+    "corpus_pack_sequences", llm2.corpus_pack_sequences, llm2.CORPUS_PACK_ORACLE
+)
 register("a3_count_probes", rs.a3_count_probes, rs.A3_ORACLE)
 register("w3_sessionize", rs.w3_sessionize, rs.W3_ORACLE)
 register("text_bpe_token_count", llm.text_bpe_token_count, llm.TEXT_BPE_ORACLE)

@@ -1,0 +1,367 @@
+"""Extended training-data surface, third batch: exact substring-span
+dedup, DSIR importance weights, a trained Naive-Bayes language
+classifier, and weighted reservoir sampling.
+
+Same contract as llm_surface / llm_surface2: every entry is a pure
+DataFrame plan (zero Python UDFs), every stochastic-looking choice is
+derandomized through the portable md5 hash family, every ln is
+quantized to integer micro-units before aggregation where exactness
+matters, and every entry has a fully-unrolled DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.functions import text as T
+from personal_health_etl_pipeline_spark.functions.hashing import (
+    duckdb_md5_long,
+    md5_long,
+)
+from personal_health_etl_pipeline_spark.operators.partitioning import spread
+from personal_health_etl_pipeline_spark.operators.substring import (
+    SUBSTRING_MIN_DOCS,
+    SUBSTRING_WINDOW,
+    repeated_spans,
+)
+from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+_TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id, source, lang,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+)
+"""
+
+
+# --- exact repeated-substring spans (Lee et al. 2021 family) ----------
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document repeated token spans — the exact-match
+    complement of MinHash whole-document dedup (catches boilerplate /
+    quoted passages inside otherwise-unrelated documents). See
+    ``operators/substring.py`` for the scale design (one window
+    explode, one count-distinct groupBy, no pair explosion)."""
+    return repeated_spans(load_table(spark, sf_dir, "documents"))
+
+
+_W = SUBSTRING_WINDOW
+
+DEDUP_SUBSTRING_ORACLE = rf"""
+WITH {_TOKS_CTE},
+wins AS (
+  SELECT doc_id, s.pos AS pos, s.h AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - {_W} + 2),
+             i -> struct_pack(
+               pos := CAST(i - 1 AS BIGINT),
+               h := {duckdb_md5_long(
+                   f"array_to_string(t[CAST(i AS INT):CAST(i + {_W} - 1 AS INT)], ' ')"
+               )}))) AS s
+    FROM toks WHERE len(t) >= {_W})
+),
+dup AS (
+  SELECT h FROM wins GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) >= {SUBSTRING_MIN_DOCS}
+),
+hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id, MIN(pos) + 1 AS span_start, MAX(pos) + {_W} AS span_end,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
+# --- DSIR importance weights (Xie et al. 2023 family) -----------------
+
+DSIR_TARGET_LANG = "en"
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    return (
+        spread(docs.select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", F.explode(T.tokens("text")).alias("term"))
+    )
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, unigram variant: each
+    document's mean per-token log-likelihood ratio between a *target*
+    unigram LM (here: the ``lang = 'en'`` slice, standing in for
+    "high-quality target domain") and the *raw-corpus* LM, both add-1
+    smoothed. Documents resembling the target rank high; at real scale
+    the weights feed Gumbel-top-k resampling (the paper uses hashed
+    n-gram features — same shape, the hash becomes the term key).
+
+    Scale: one token explode; BOTH models come from a single
+    groupBy(term) pass over it (the target count is a conditional sum,
+    so the corpus is never exploded twice); scalar totals ride one
+    broadcast row; scoring is an equi-join of the explode against the
+    bounded term table. Each ln is micro-quantized before summing —
+    integer aggregates, one IEEE division at the end.
+    """
+    return dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
+def dsir_weights(
+    docs: DataFrame, target_lang: str = DSIR_TARGET_LANG
+) -> DataFrame:
+    """Scoring body of :func:`corpus_dsir_weights` over any
+    ``(doc_id, lang, text)`` frame (unit-testable on synthetic
+    corpora)."""
+    tok = _doc_tokens(docs)
+    cnt = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, 1).otherwise(0)
+        ).alias("n_tgt"),
+    )
+    tot = cnt.agg(
+        F.sum("n_all").alias("t_all"),
+        F.sum("n_tgt").alias("t_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lam = cnt.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            (
+                F.log(
+                    (F.col("n_tgt") + 1).cast("double")
+                    / (F.col("t_tgt") + F.col("v")).cast("double")
+                )
+                - F.log(
+                    (F.col("n_all") + 1).cast("double")
+                    / (F.col("t_all") + F.col("v")).cast("double")
+                )
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("llr"),
+    )
+    return (
+        tok.join(lam, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("llr").alias("sum_llr_micro"),
+            F.round(F.sum("llr") / F.count(F.lit(1)), 6).alias("avg_llr_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_DSIR_ORACLE = rf"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, lang, unnest(t) AS term FROM toks),
+cnt AS (
+  SELECT term, COUNT(*) AS n_all,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS n_tgt
+  FROM tok GROUP BY term
+),
+tot AS (SELECT SUM(n_all) AS t_all, SUM(n_tgt) AS t_tgt, COUNT(*) AS v FROM cnt),
+lam AS (
+  SELECT term,
+         CAST(round((ln(CAST(n_tgt + 1 AS DOUBLE) / CAST(t_tgt + v AS DOUBLE))
+                     - ln(CAST(n_all + 1 AS DOUBLE) / CAST(t_all + v AS DOUBLE)))
+                    * 1000000, 0) AS BIGINT) AS llr
+  FROM cnt CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(llr) AS BIGINT) AS sum_llr_micro,
+       ROUND(SUM(llr) / COUNT(*), 6) AS avg_llr_micro
+FROM tok JOIN lam USING (term)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- trained Naive-Bayes language classifier ---------------------------
+
+def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained on the corpus's own ``lang``
+    labels, then applied back to every document — the distributed shape
+    of a fastText-style quality/language classifier pass (train: one
+    grouped count; score: one bounded-model join; at real scale the
+    model is trained on a labeled sample and scored over everything).
+
+    Model: lp(term, lang) = ln((c(term,lang) + 1) / (c(lang) + V));
+    prior(lang) = ln(docs(lang) / N). The (term x lang) grid is built
+    with a broadcast cross join against the (tiny) language list so
+    unseen (term, lang) pairs get their add-1 mass. Scoring joins the
+    per-doc TERM FREQUENCY table (not the raw explode) against the
+    grid — fan-out is distinct-terms x L, then one groupBy(doc, lang)
+    and a per-doc argmax window. All lns micro-quantized: integer
+    aggregates, deterministic ties (score desc, lang asc).
+    """
+    return nb_langid(load_table(spark, sf_dir, "documents"))
+
+
+def nb_langid(docs: DataFrame) -> DataFrame:
+    """Train-and-score body of :func:`text_nb_langid` over any
+    ``(doc_id, lang, text)`` frame (unit-testable on synthetic
+    corpora)."""
+    tok = _doc_tokens(docs)
+    cnt_lt = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    c_l = cnt_lt.groupBy("lang").agg(F.sum("c").alias("c_l"))
+    vocab = tok.select("term").distinct()
+    v = vocab.agg(F.count(F.lit(1)).alias("v"))
+    prior = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("d_l"))
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n"))))
+        .select(
+            "lang",
+            F.round(
+                F.log(F.col("d_l").cast("double") / F.col("n").cast("double"))
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("prior_micro"),
+        )
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(c_l))
+        .join(cnt_lt, ["lang", "term"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "term",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("c_l") + F.col("v")).cast("double")
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("lp_micro"),
+        )
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(grid, "term")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.col("lp_micro")).alias("s"))
+        .join(prior, "lang")
+        .select("doc_id", "lang", (F.col("s") + F.col("prior_micro")).alias("score_micro"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("lang")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score_micro")
+    )
+    return (
+        pred.join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .select("doc_id", "true_lang", "pred_lang", "score_micro")
+        .orderBy("doc_id")
+    )
+
+
+TEXT_NB_ORACLE = rf"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, lang, unnest(t) AS term FROM toks),
+cnt_lt AS (SELECT lang, term, COUNT(*) AS c FROM tok GROUP BY lang, term),
+c_l AS (SELECT lang, SUM(c) AS c_l FROM cnt_lt GROUP BY lang),
+vocab AS (SELECT DISTINCT term FROM tok),
+v AS (SELECT COUNT(*) AS v FROM vocab),
+prior AS (
+  SELECT lang,
+         CAST(round(ln(CAST(COUNT(*) AS DOUBLE)
+                       / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents))
+                    * 1000000, 0) AS BIGINT) AS prior_micro
+  FROM documents GROUP BY lang
+),
+grid AS (
+  SELECT vocab.term, c_l.lang,
+         CAST(round(ln(CAST(COALESCE(cnt_lt.c, 0) + 1 AS DOUBLE)
+                       / CAST(c_l.c_l + v.v AS DOUBLE)) * 1000000, 0)
+              AS BIGINT) AS lp_micro
+  FROM vocab CROSS JOIN c_l CROSS JOIN v
+  LEFT JOIN cnt_lt ON cnt_lt.lang = c_l.lang AND cnt_lt.term = vocab.term
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+scored AS (
+  SELECT tf.doc_id, grid.lang,
+         CAST(SUM(tf.tf * grid.lp_micro) + ANY_VALUE(prior.prior_micro)
+              AS BIGINT) AS score_micro
+  FROM tf JOIN grid USING (term) JOIN prior ON prior.lang = grid.lang
+  GROUP BY tf.doc_id, grid.lang
+),
+pred AS (
+  SELECT doc_id, lang AS pred_lang, score_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_micro DESC, lang) AS rn
+  FROM scored
+)
+SELECT p.doc_id, d.lang AS true_lang, p.pred_lang, p.score_micro
+FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+WHERE p.rn = 1 ORDER BY p.doc_id
+"""
+
+
+# --- weighted reservoir sampling (Efraimidis-Spirakis A-ES) ------------
+
+WEIGHTED_SAMPLE_K = 20
+_H_DOMAIN_PLUS1 = float(2**60)  # md5_long range [0, 2^60); (h+1)/2^60 in (0, 1]
+
+
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis
+    A-ES: item i gets key u_i^(1/w_i) with u_i uniform; the k largest
+    keys are a correct weighted sample. Derandomized: u_i comes from
+    the portable md5 hash of the doc id, weights are ``n_chars``
+    (zero-weight docs are definitionally never sampled and are
+    filtered identically in both engines). Ranking uses the monotone
+    transform ln(u)/w (pico-quantized) instead of u^(1/w) — no
+    overflow, integer compare.
+
+    Scale: a pure projection followed by a distributed top-k
+    (``TakeOrderedAndProject``: O(k) heap state per partition, no
+    global sort, no full shuffle) — the same plan shape Spark gives
+    ORDER BY + LIMIT.
+    """
+    return weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
+def weighted_sample(docs: DataFrame, k: int = WEIGHTED_SAMPLE_K) -> DataFrame:
+    """Sampling body of :func:`corpus_sample_weighted` over any
+    ``(doc_id, lang, n_chars)`` frame (unit-testable)."""
+    keyed = docs.where(F.col("n_chars") > 0).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(
+            F.log(
+                (md5_long("doc_id") + 1).cast("double") / F.lit(_H_DOMAIN_PLUS1)
+            )
+            / F.col("n_chars").cast("double")
+            * 1_000_000_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("key_pico"),
+    )
+    return keyed.orderBy(F.col("key_pico").desc(), "doc_id").limit(k)
+
+
+CORPUS_WEIGHTED_ORACLE = rf"""
+SELECT doc_id, lang, n_chars,
+       CAST(round(ln(CAST({duckdb_md5_long("doc_id")} + 1 AS DOUBLE)
+                     / {_H_DOMAIN_PLUS1!r})
+                  / CAST(n_chars AS DOUBLE) * 1000000000000, 0) AS BIGINT)
+           AS key_pico
+FROM documents WHERE n_chars > 0
+ORDER BY key_pico DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+"""

@@ -484,3 +484,125 @@ FROM gram g
 JOIN marg si ON si.k = g.i
 JOIN marg sj ON sj.k = g.j
 """
+
+
+# --- HyperLogLog register sketch ---------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+_HLL_WBITS = 60 - HLL_P  # md5_long payload bits after the register index
+# alpha_m * m^2 * 2^WBITS, written as one expression BOTH engines fold
+# identically (never a pre-rounded Python float literal)
+_HLL_SCALE = f"(0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M * HLL_M}.0 * {1 << _HLL_WBITS}.0"
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from a HyperLogLog
+    register sketch (Flajolet et al. 2007) — the portable twin of
+    Spark's own ``approx_count_distinct`` (HLL++), whose engine seeds
+    the oracle cannot reproduce. Emitted next to the exact count so
+    the audit shows the error.
+
+    Register build: hash -> low ``HLL_P`` bits pick a register, the
+    remaining 52 bits w give rank rho = leading zeros + 1 (computed as
+    53 - bit_length(w), pure string/integer ops); register value =
+    max(rho). That is ONE (event_type, register) groupBy with a
+    map-side-combining max — O(m) state per group no matter the
+    cardinality, and registers merge across partitions/days by the
+    same max, which is the whole point of HLL at 100 TB.
+
+    Determinism: the 2^-rho harmonic sum is kept EXACT by scaling to
+    integers (sum of 2^(52 - rho + 1) <= m * 2^53 fits bigint), so no
+    float-addition-order drift can flip the estimate; the one double
+    division and the small-range ln correction round identically in
+    both engines.
+    """
+    return hll_distinct(load_table(spark, sf_dir, "events"))
+
+
+def hll_distinct(events: DataFrame) -> DataFrame:
+    """Register build + estimate body of :func:`sketch_hll_distinct`
+    over any ``(event_type, user_id)`` frame (unit-testable; register
+    merge = max, so the estimate is invariant under row duplication)."""
+    regs = (
+        events.select("event_type", md5_long("user_id").alias("h"))
+        .select(
+            "event_type",
+            F.pmod("h", F.lit(HLL_M)).alias("idx"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .select(
+            "event_type",
+            "idx",
+            F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1))
+            .otherwise(F.lit(_HLL_WBITS + 1) - F.length(F.bin("w")))
+            .alias("rho"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("r"))
+    )
+    per = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS} - r AS INT))")
+        ).alias("z_hit"),
+    )
+    zeros = F.lit(HLL_M) - F.col("n_present")
+    z_int = F.col("z_hit") + zeros * F.lit(1 << _HLL_WBITS)
+    e_raw = F.expr(_HLL_SCALE) / z_int.cast("double")
+    e = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_ndv")
+    )
+    return (
+        per.select(
+            "event_type", F.round(e, 0).cast("bigint").alias("est_ndv")
+        )
+        .join(exact, "event_type")
+        .orderBy("event_type")
+    )
+
+
+SKETCH_HLL_ORACLE = rf"""
+WITH hashed AS (
+  SELECT event_type, {duckdb_md5_long("user_id")} AS h FROM events
+),
+split AS (
+  SELECT event_type, h % {HLL_M} AS idx, h // {HLL_M} AS w FROM hashed
+),
+regs AS (
+  SELECT event_type, idx,
+         MAX(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(w)) END) AS r
+  FROM split GROUP BY event_type, idx
+),
+per AS (
+  SELECT event_type, COUNT(*) AS n_present,
+         SUM(CAST(1 AS BIGINT) << ({_HLL_WBITS} - r)) AS z_hit
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CAST(z_hit + ({HLL_M} - n_present) * CAST({1 << _HLL_WBITS} AS BIGINT)
+              AS DOUBLE) AS z,
+         {HLL_M} - n_present AS zeros
+  FROM per
+),
+ndv AS (
+  SELECT event_type,
+         CASE WHEN ({_HLL_SCALE}) / z <= {2.5 * HLL_M} AND zeros > 0
+              THEN {HLL_M}.0 * ln({HLL_M}.0 / CAST(zeros AS DOUBLE))
+              ELSE ({_HLL_SCALE}) / z END AS e
+  FROM est
+)
+SELECT n.event_type, CAST(round(n.e, 0) AS BIGINT) AS est_ndv,
+       x.exact_ndv
+FROM ndv n JOIN (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_ndv
+  FROM events GROUP BY event_type
+) x USING (event_type)
+ORDER BY n.event_type
+"""

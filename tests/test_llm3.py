@@ -1,0 +1,220 @@
+"""Third-batch LLM-pipeline operators: exact substring-span dedup,
+DSIR importance weights, NB language classifier, weighted A-ES
+sampling, and the HLL register sketch — semantic gates beyond the
+oracle parity the catalog already enforces."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.operators.substring import (
+    repeated_spans,
+)
+from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+    dsir_weights,
+    nb_langid,
+    weighted_sample,
+)
+from personal_health_etl_pipeline_spark.plans.sketches import (
+    SKETCH_HLL_ORACLE,
+    sketch_hll_distinct,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string, n_chars bigint"
+    )
+
+
+PASSAGE = "the quick brown fox jumps over the lazy dog again and again"  # 12 tokens
+
+
+class TestSubstringSpans:
+    def test_shared_passage_reports_one_maximal_span_per_doc(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "en", f"alpha beta {PASSAGE} gamma delta", 0),
+                (2, "en", f"one two three four five six {PASSAGE}", 0),
+                (3, "en", "totally unrelated text with no overlap at all here", 0),
+            ],
+        )
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in repeated_spans(docs, window=8).collect()
+        }
+        # 12-token passage -> 5 windows of 8, merged into ONE span each
+        assert got == {
+            (1, 3, 14, 5),  # passage occupies tokens 3..14 of doc 1
+            (2, 7, 18, 5),  # ...and tokens 7..18 of doc 2
+        }
+
+    def test_within_doc_repetition_alone_does_not_fire(self, spark):
+        # the same 8-token run twice in ONE document, nowhere else:
+        # cross-document dedup must stay silent (min_docs=2 distinct)
+        run = "a b c d e f g h"
+        docs = _docs(
+            spark,
+            [(1, "en", f"{run} x y z {run}", 0), (2, "en", "no shared text here at all ok", 0)],
+        )
+        assert repeated_spans(docs, window=8).count() == 0
+
+    def test_short_docs_are_skipped(self, spark):
+        docs = _docs(spark, [(1, "en", "too short", 0), (2, "en", "too short", 0)])
+        assert repeated_spans(docs, window=8).count() == 0
+
+    def test_no_pair_explosion_plan(self, spark, sf_dir):
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            dedup_substring_spans,
+        )
+
+        plan = (
+            dedup_substring_spans(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestDsirWeights:
+    def test_target_lookalikes_outscore_out_of_domain(self, spark):
+        # target = 'en'; doc 3 is unlabeled but uses the target's
+        # vocabulary; doc 4 uses the out-of-domain vocabulary. DSIR
+        # must rank 3 above 4.
+        docs = _docs(
+            spark,
+            [
+                (1, "en", "alpha beta gamma alpha beta", 0),
+                (2, "de", "eins zwei drei vier funf", 0),
+                (3, "xx", "alpha beta alpha gamma beta", 0),
+                (4, "xx", "eins zwei eins drei vier", 0),
+            ],
+        )
+        w = {
+            r.doc_id: r.avg_llr_micro
+            for r in dsir_weights(docs, target_lang="en").collect()
+        }
+        assert w[3] > w[4]
+        assert w[1] > w[2]
+
+    def test_weight_is_mean_token_llr(self, spark):
+        # single-token docs: avg == the token's llr, computable by hand
+        docs = _docs(spark, [(1, "en", "tok", 0), (2, "de", "tok", 0)])
+        rows = dsir_weights(docs, target_lang="en").collect()
+        # one 'tok' in target of 2 total tokens, vocab=1:
+        # llr = ln((1+1)/(1+1)) - ln((2+1)/(2+1)) = 0
+        assert all(r.sum_llr_micro == 0 for r in rows)
+
+
+class TestNbLangid:
+    def test_disjoint_vocabularies_classify_perfectly(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "en", "alpha beta gamma", 0),
+                (2, "en", "beta gamma delta", 0),
+                (3, "de", "eins zwei drei", 0),
+                (4, "de", "zwei drei vier", 0),
+            ],
+        )
+        rows = nb_langid(docs).collect()
+        assert all(r.pred_lang == r.true_lang for r in rows)
+
+    def test_prior_breaks_empty_evidence_ties_deterministically(self, spark):
+        # a token seen equally in both classes: posterior reduces to
+        # the prior; majority class must win, ties by lang ascending
+        docs = _docs(
+            spark,
+            [
+                (1, "en", "tok", 0),
+                (2, "en", "tok", 0),
+                (3, "de", "tok", 0),
+            ],
+        )
+        rows = {r.doc_id: r.pred_lang for r in nb_langid(docs).collect()}
+        assert set(rows.values()) == {"en"}  # 2/3 prior beats 1/3
+
+    def test_real_corpus_accuracy_beats_majority_baseline(self, spark, sf_dir):
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            text_nb_langid,
+        )
+
+        rows = text_nb_langid(spark, sf_dir).collect()
+        acc = sum(r.pred_lang == r.true_lang for r in rows) / len(rows)
+        from collections import Counter
+
+        majority = Counter(r.true_lang for r in rows).most_common(1)[0][1] / len(rows)
+        assert acc > majority  # the classifier must beat predict-majority
+
+
+class TestWeightedSample:
+    def test_matches_hand_computed_aes_keys(self, spark):
+        import hashlib
+
+        docs = _docs(
+            spark,
+            [(i, "en", "t", 100 + 37 * i) for i in range(1, 31)],
+        )
+        got = [(r.doc_id, r.key_pico) for r in weighted_sample(docs, k=5).collect()]
+
+        def key(doc_id, w):
+            h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+            return round(math.log((h + 1) / 2.0**60) / w * 1e12)
+
+        want = sorted(
+            ((i, key(i, 100 + 37 * i)) for i in range(1, 31)),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert got == want
+
+    def test_zero_weight_docs_never_sampled(self, spark):
+        docs = _docs(spark, [(1, "en", "t", 0), (2, "en", "t", 5)])
+        ids = [r.doc_id for r in weighted_sample(docs, k=10).collect()]
+        assert ids == [2]
+
+    def test_plan_is_distributed_topk_not_global_sort(self, spark, sf_dir):
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            corpus_sample_weighted,
+        )
+
+        plan = (
+            corpus_sample_weighted(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+
+class TestHllSketch:
+    def test_estimate_within_15pct_of_exact(self, spark):
+        sf = "/root/testdata/sf0.01"  # enough users for the sketch regime
+        for r in sketch_hll_distinct(spark, sf).collect():
+            assert abs(r.est_ndv - r.exact_ndv) / r.exact_ndv < 0.15
+
+    def test_registers_merge_by_max(self, spark):
+        # HLL's scale story: registers merge by max, so the estimate
+        # is invariant under row duplication (a shard processed twice,
+        # a backfill overlapping a live window) — unlike a naive count
+        from personal_health_etl_pipeline_spark.plans.sketches import (
+            hll_distinct,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        ev = load_table(spark, sf, "events").select("event_type", "user_id")
+        once = {
+            (r.event_type, r.est_ndv) for r in hll_distinct(ev).collect()
+        }
+        twice = {
+            (r.event_type, r.est_ndv)
+            for r in hll_distinct(ev.union(ev)).collect()
+        }
+        assert once == twice
