@@ -74,6 +74,7 @@ HEADLINE = (
     "dedup_substring_spans",
     "corpus_dsir_weights",
     "text_nb_langid",
+    "graph_pagerank",
 )
 
 

@@ -1,0 +1,106 @@
+"""PageRank on the integer grid — iterative graph analytics beyond
+connected components (``operators/graph.py``).
+
+A training-data pipeline ranks entities all the time: which domains
+anchor the link graph (quality priors for crawl filtering), which
+suppliers/customers anchor a transaction graph. PageRank is the
+canonical iterative job, and its distributed shape — edge join +
+groupBy per iteration — is exactly what a 1000-executor cluster is
+for. The reference repo has no iterative operator (its analytics stop
+at two BigQuery probes, `composer_dags/dags/utils/data_sources/oura/
+etl/load.py:220-247`); this extends the engine's graph family.
+
+Determinism contract: float PageRank is NOT reproducible across
+engines (distributed sums reorder, doubles drift), so ranks live in
+integer MICRO-UNITS — every node starts at 1,000,000; contributions
+are integer divisions (``rank div out_degree``); the damping update is
+``(15 * 1_000_000 + 85 * inflow) div 100``. Integer addition is
+associative, so Spark's unordered partial aggregation is bit-identical
+to a serial SQL oracle. Rounding loses < 1e-6 of relative mass per
+hop — irrelevant for ranking, essential for certifiability.
+
+Scale design:
+
+* Per iteration: ONE equi-join of ranks against the edge list (hash
+  partitioned by src — reused every round), ONE groupBy(dst) with
+  map-side partial sums, and a 1-row dangling-mass aggregate that
+  rides a broadcast. No driver-side per-node state ever.
+* Ranks are ``localCheckpoint``-ed each round (same recipe as
+  ``connected_components``): the next iteration references the rank
+  frame three times (inflow, dangling, carry), so without
+  materialization the plan tree grows 3^k. On a cluster pass a
+  reliable ``checkpoint_dir`` via ``connected_components``' pattern if
+  executor loss matters; iterations here are fixed and few.
+* Edge skew (a node with millions of in-edges) lands in the groupBy's
+  partial aggregation — combiner-friendly, no pair explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_MICRO = 1_000_000
+DAMPING_PCT = 85  # 0.85, in integer percent
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 3,
+) -> DataFrame:
+    """``n_iters`` synchronous PageRank updates over a directed edge
+    list; returns ``(node, rank_micro)`` for every node that appears
+    as an endpoint.
+
+    Dangling nodes (no out-edges) donate their whole rank to the
+    uniform pool each iteration: ``dang div N`` is added to every
+    node's inflow before damping — the standard correction, kept in
+    exact integer math (one 1-row broadcast per iteration).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.withColumn("r", F.lit(PAGERANK_MICRO).cast("bigint"))
+    for _ in range(n_iters):
+        ranks = _update(ranks, e, outdeg, nodes, n_row).localCheckpoint(
+            eager=True
+        )
+    return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+def _update(ranks, e, outdeg, nodes, n_row) -> DataFrame:
+    inflow = (
+        e.join(ranks, ranks["node"] == e["src"])
+        .join(outdeg, "src")
+        .select("dst", F.expr("r div deg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("inflow"))
+    )
+    dang = (
+        ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+        .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dang"))
+    )
+    return (
+        nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+        .crossJoin(F.broadcast(dang))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "node",
+            F.expr(
+                f"(({100 - DAMPING_PCT}) * {PAGERANK_MICRO} + {DAMPING_PCT}"
+                " * (coalesce(inflow, 0) + (dang div n))) div 100"
+            ).alias("r"),
+        )
+    )

@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.plans.exact import (
     cents,
+    cents_to_double,
     d2,
     exact_sum_cents,
+    oracle_avg,
     oracle_sum,
     od2,
 )
@@ -631,3 +633,57 @@ ORDER BY bucket
 
 
 A14_ORACLE = _decile_oracle()
+
+
+# --- a15: incremental aggregate maintenance ----------------------------
+
+A15_SPLIT = "1997-06-01"  # history < split (stored partials), batch >= split
+
+
+def a15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: the monthly revenue
+    rollup is maintained from per-day PARTIAL aggregates — the stored
+    history partials plus a partial built from only the new batch —
+    merged by a second-level aggregation, never re-reading history
+    rows. The warehouse pattern behind every incremental ETL
+    (the reference recomputes its BigQuery tables from scratch each
+    run, `composer_dags/dags/utils/data_sources/oura/etl/load.py`;
+    this is the scalable refinement).
+
+    The ORACLE computes the full recompute directly, so the value-hash
+    gate certifies the maintenance invariant itself: merge(partials) ==
+    recompute. Exact because cents sums are associative integers; the
+    per-day partial key means the merge shuffle carries days, not rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", cents("o_totalprice").alias("oc")
+    )
+    split = F.lit(A15_SPLIT).cast("date")
+    partial = lambda df: df.groupBy("o_orderdate").agg(  # noqa: E731
+        F.sum("oc").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    stored = partial(orders.where(F.col("o_orderdate") < split))
+    fresh = partial(orders.where(F.col("o_orderdate") >= split))
+    merged = stored.unionByName(fresh)
+    month_sum = F.sum("s")
+    return (
+        merged.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            F.sum("c").alias("n_orders"),
+            F.round(cents_to_double(month_sum, 2), 2).alias("sum_price"),
+            F.round(
+                cents_to_double(month_sum, 2) / F.sum("c"), 6
+            ).alias("avg_price"),
+        )
+        .orderBy("month")
+    )
+
+
+A15_ORACLE = f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS n_orders,
+       {oracle_sum(od2('o_totalprice'))} AS sum_price,
+       {oracle_avg(od2('o_totalprice'))} AS avg_price
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from personal_health_etl_pipeline_spark.plans import analytics_surface as an
 from personal_health_etl_pipeline_spark.plans import cdc_surface as cdc
 from personal_health_etl_pipeline_spark.plans import clustering_surface as cl
+from personal_health_etl_pipeline_spark.plans import graph_surface as gr
 from personal_health_etl_pipeline_spark.plans import llm_surface as llm
 from personal_health_etl_pipeline_spark.plans import llm_surface2 as llm2
 from personal_health_etl_pipeline_spark.plans import llm_surface3 as llm3
@@ -121,12 +122,18 @@ register(
     llm3.CORPUS_WEIGHTED_ORACLE,
 )
 register("sketch_hll_distinct", sk.sketch_hll_distinct, sk.SKETCH_HLL_ORACLE)
+# NEW r4 (third batch, cont.): integer-grid PageRank (new graph-
+# analytics family rep) and the windowed-HLL streaming twin. Rotated
+# out: ann_lsh_topk (r3-green; the r4 similarity.py changes are all in
+# the PQ region) and st_tumbling_window_agg (r3-green, unchanged —
+# st_hll_window keeps the streaming family in the head).
+register("graph_pagerank", gr.graph_pagerank, gr.GRAPH_PAGERANK_ORACLE)
+register("st_hll_window", st.st_hll_window, st.ST_HLL_WINDOW_ORACLE)
 
 # -- block 1c: dedup / similarity (r4 changed: minhash_lookup index
 #    param, PQ defaults + data-sampled residual codebooks, NEW external
 #    entry) ----------------------------------------------------------
 register("dedup_connected_groups", llm.dedup_connected_groups, llm.DEDUP_GROUPS_ORACLE)
-register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
 register("ann_pq_topk", llm.ann_pq_topk, llm.ANN_PQ_ORACLE)
 register(
     "ann_pq_external_topk",
@@ -137,7 +144,6 @@ register("ann_ivfpq_topk", llm.ann_ivfpq_topk, llm.ANN_IVFPQ_ORACLE)
 register("mm_byte_stats", llm.mm_byte_stats, llm.MM_BYTE_STATS_ORACLE)
 
 # -- block 1d: family representatives (streaming / analytics / text) --
-register("st_tumbling_window_agg", st.st_tumbling_window_agg, st.ST_TUMBLING_ORACLE)
 
 # -- block 1e: corpus curation + deterministic sketches ---------------
 
@@ -185,6 +191,11 @@ register("text_tfidf_top_terms", llm.text_tfidf_top_terms, llm.TEXT_TFIDF_ORACLE
 #    head slots ------------------------------------------------------
 # -- block 2: r3-certified entries with unchanged code, rotated out of
 #    the head, plus the remaining TPC-H sweep + reference variants ----
+# a15 is NEW r4 but the head is full of changed code; it leads block 2
+# so the next round's stale-cert rotation certifies it first.
+register("a15_incremental_rollup", an.a15_incremental_rollup, an.A15_ORACLE)
+register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
+register("st_tumbling_window_agg", st.st_tumbling_window_agg, st.ST_TUMBLING_ORACLE)
 register("j1_multiway_outer_combine", rs.j1_multiway_outer_combine, rs.J1_ORACLE)
 register("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_ORACLE)
 register("so1_set_ops", an.so1_set_ops, an.SO1_ORACLE)

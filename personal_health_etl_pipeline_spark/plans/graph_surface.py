@@ -1,0 +1,107 @@
+"""Catalog entry for integer-grid PageRank over the customer-supplier
+transaction graph, with a fully-unrolled DuckDB oracle.
+
+Fixed-iteration PageRank on the integer grid is deterministic
+(operators/pagerank.py), so the oracle is the same computation
+unrolled: one (dangling, inflow, update) CTE triple per iteration —
+the same recipe as the k-means oracle (plans/clustering_surface.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.operators.pagerank import (
+    DAMPING_PCT,
+    PAGERANK_MICRO,
+    pagerank,
+)
+from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+PR_ITERS = 3
+
+# node encoding: supplier = suppkey * 2, customer = custkey * 2 + 1 —
+# one bigint key space, parity decodes the type
+_EDGES_CTE = """
+pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 + 1 AS c_node, l.l_suppkey * 2 AS s_node
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+)
+"""
+
+
+def _pr_ctes(n_iters: int) -> str:
+    parts = [
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT node FROM ("
+        "SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({PAGERANK_MICRO} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r{i} r "
+            f"LEFT JOIN outdeg o ON o.src = r.node WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.r // o.deg) AS inflow "
+            f"FROM edges e JOIN r{i} r ON r.node = e.src "
+            f"JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT n.node, "
+            f"CAST((({100 - DAMPING_PCT}) * {PAGERANK_MICRO} + {DAMPING_PCT} * "
+            f"(COALESCE(c.inflow, 0) + (SELECT dang FROM d{i}) "
+            f"// (SELECT n FROM nn))) // 100 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN c{i} c USING (node))"
+        )
+    return ",\n".join(parts)
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer-supplier graph (an edge
+    per distinct trading relationship, both directions): which
+    entities anchor the transaction network. 3 synchronous iterations
+    on the integer grid — see ``operators/pagerank.py`` for why
+    integer micro-units make distributed PageRank oracle-certifiable
+    at all."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2 + 1).alias("c_node"),
+            (F.col("l_suppkey") * 2).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+    ranked = pagerank(edges, n_iters=PR_ITERS)
+    return ranked.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("key"),
+        "rank_micro",
+    ).orderBy(F.col("rank_micro").desc(), "node_type", "key")
+
+
+GRAPH_PAGERANK_ORACLE = rf"""
+WITH {_EDGES_CTE},
+{_pr_ctes(PR_ITERS)}
+SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+       node // 2 AS key,
+       r AS rank_micro
+FROM r{PR_ITERS}
+ORDER BY rank_micro DESC, node_type, key
+"""

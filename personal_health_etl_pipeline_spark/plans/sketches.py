@@ -520,28 +520,35 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(load_table(spark, sf_dir, "events"))
 
 
-def hll_distinct(events: DataFrame) -> DataFrame:
+def hll_distinct(
+    events: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    key_col: str = "user_id",
+) -> DataFrame:
     """Register build + estimate body of :func:`sketch_hll_distinct`
-    over any ``(event_type, user_id)`` frame (unit-testable; register
-    merge = max, so the estimate is invariant under row duplication)."""
+    over any frame, grouped by ``group_cols`` (unit-testable; register
+    merge = max, so the estimate is invariant under row duplication —
+    the same property that lets a streaming sink keep the registers as
+    its state, see ``st_hll_window``)."""
+    gc = list(group_cols)
     regs = (
-        events.select("event_type", md5_long("user_id").alias("h"))
+        events.select(*gc, md5_long(key_col).alias("h"))
         .select(
-            "event_type",
+            *gc,
             F.pmod("h", F.lit(HLL_M)).alias("idx"),
             F.expr(f"h div {HLL_M}").alias("w"),
         )
         .select(
-            "event_type",
+            *gc,
             "idx",
             F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1))
             .otherwise(F.lit(_HLL_WBITS + 1) - F.length(F.bin("w")))
             .alias("rho"),
         )
-        .groupBy("event_type", "idx")
+        .groupBy(*gc, "idx")
         .agg(F.max("rho").alias("r"))
     )
-    per = regs.groupBy("event_type").agg(
+    per = regs.groupBy(*gc).agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS} - r AS INT))")
@@ -554,15 +561,13 @@ def hll_distinct(events: DataFrame) -> DataFrame:
         (e_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
     ).otherwise(e_raw)
-    exact = events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_ndv")
+    exact = events.groupBy(*gc).agg(
+        F.countDistinct(key_col).alias("exact_ndv")
     )
     return (
-        per.select(
-            "event_type", F.round(e, 0).cast("bigint").alias("est_ndv")
-        )
-        .join(exact, "event_type")
-        .orderBy("event_type")
+        per.select(*gc, F.round(e, 0).cast("bigint").alias("est_ndv"))
+        .join(exact, gc)
+        .orderBy(*gc)
     )
 
 

@@ -248,3 +248,76 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 LEFT JOIN profile pr ON p.user_id = pr.user_id
 ORDER BY p.event_id
 """
+
+
+_DAY_US = 86_400_000_000
+
+
+def st_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tumbling-day HLL distinct-user estimate — the streaming
+    sketch twin. In streaming mode the (window, register) max-table IS
+    the operator state: registers merge by max across micro-batches
+    (idempotent under replay/duplication, unlike a count), the
+    watermark evicts closed windows, and the estimate is emitted on
+    window close. Executed here in batch with the identical
+    ``hll_distinct`` body grouped by the window bounds, so the DuckDB
+    oracle certifies the register math itself (Spark's own
+    ``approx_count_distinct`` is engine-seeded and uncertifiable).
+    """
+    from personal_health_etl_pipeline_spark.plans.sketches import hll_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    windowed = events.select(
+        F.window("ts", "1 day").alias("w"), "user_id"
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "user_id",
+    )
+    return hll_distinct(windowed, group_cols=("window_start", "window_end"))
+
+
+ST_HLL_WINDOW_ORACLE = f"""
+WITH hashed AS (
+  SELECT make_timestamp((epoch_us(ts) // {_DAY_US}) * {_DAY_US}) AS window_start,
+         make_timestamp((epoch_us(ts) // {_DAY_US}) * {_DAY_US} + {_DAY_US})
+             AS window_end,
+         user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+),
+regs AS (
+  SELECT window_start, window_end, h % 256 AS idx,
+         MAX(CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END) AS r
+  FROM hashed GROUP BY window_start, window_end, idx
+),
+per AS (
+  SELECT window_start, window_end, COUNT(*) AS n_present,
+         SUM(CAST(1 AS BIGINT) << (52 - r)) AS z_hit
+  FROM regs GROUP BY window_start, window_end
+),
+est AS (
+  SELECT window_start, window_end,
+         CAST(z_hit + (256 - n_present) * CAST({1 << 52} AS BIGINT) AS DOUBLE) AS z,
+         256 - n_present AS zeros
+  FROM per
+),
+ndv AS (
+  SELECT window_start, window_end,
+         CASE WHEN ((0.7213 / (1.0 + 1.079 / 256)) * 65536.0 * {1 << 52}.0) / z
+                   <= 640.0 AND zeros > 0
+              THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+              ELSE ((0.7213 / (1.0 + 1.079 / 256)) * 65536.0 * {1 << 52}.0) / z
+         END AS e
+  FROM est
+)
+SELECT n.window_start, n.window_end,
+       CAST(round(n.e, 0) AS BIGINT) AS est_ndv, x.exact_ndv
+FROM ndv n JOIN (
+  SELECT make_timestamp((epoch_us(ts) // {_DAY_US}) * {_DAY_US}) AS window_start,
+         COUNT(DISTINCT user_id) AS exact_ndv
+  FROM events GROUP BY 1
+) x USING (window_start)
+ORDER BY n.window_start
+"""

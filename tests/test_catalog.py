@@ -34,6 +34,7 @@ FAMILIES = {
     "cdc/merge": r"^m\d",
     "time-series": r"^ts\d",
     "data-quality": r"^dq\d",
+    "graph analytics": r"^graph_",
 }
 
 
