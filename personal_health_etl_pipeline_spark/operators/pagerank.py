@@ -49,6 +49,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     n_iters: int = 3,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """``n_iters`` synchronous PageRank updates over a directed edge
     list; returns ``(node, rank_micro)`` for every node that appears
@@ -59,28 +60,49 @@ def pagerank(
     node's inflow before damping — the standard correction, kept in
     exact integer math (one 1-row broadcast per iteration).
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if dedup_edges:
+        # a repeated edge would double-count its contribution; callers
+        # whose edge list is distinct BY CONSTRUCTION (e.g. a union of
+        # disjoint projections of a deduped pair table) pass False and
+        # save this full-width shuffle
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # N is ONE scalar — ferried by the driver like the k-means centroid
+    # counts (bounded state, no arithmetic happens driver-side)
+    n_nodes = nodes.count()
+    # the dangling SET is static (graph structure); only its rank mass
+    # changes per iteration. Graphs with no dangling nodes skip the
+    # per-iteration mass aggregate (and its broadcast) entirely.
+    dangling = nodes.join(
+        outdeg, nodes["node"] == outdeg["src"], "left_anti"
+    ).localCheckpoint(eager=True)
+    has_dangling = dangling.limit(1).count() > 0
     ranks = nodes.withColumn("r", F.lit(PAGERANK_MICRO).cast("bigint"))
     for _ in range(n_iters):
-        ranks = _update(ranks, e, outdeg, nodes, n_row).localCheckpoint(
-            eager=True
+        ranks = _update(
+            ranks, e, outdeg, nodes, n_nodes, dangling if has_dangling else None
         )
+        if has_dangling:
+            # the dangling branch references ranks a second time, so the
+            # plan tree would grow 2^k without materialization. Dangling-
+            # free graphs reference ranks exactly once per iteration —
+            # lineage stays LINEAR and the whole loop executes as one
+            # deferred plan (k chained join+agg rounds, zero extra jobs).
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 
-def _update(ranks, e, outdeg, nodes, n_row) -> DataFrame:
+def _update(ranks, e, outdeg, nodes, n_nodes, dangling) -> DataFrame:
     inflow = (
         e.join(ranks, ranks["node"] == e["src"])
         .join(outdeg, "src")
@@ -88,19 +110,19 @@ def _update(ranks, e, outdeg, nodes, n_row) -> DataFrame:
         .groupBy("dst")
         .agg(F.sum("c").alias("inflow"))
     )
-    dang = (
-        ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-        .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dang"))
-    )
-    return (
-        nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
-        .crossJoin(F.broadcast(dang))
-        .crossJoin(F.broadcast(n_row))
-        .select(
-            "node",
-            F.expr(
-                f"(({100 - DAMPING_PCT}) * {PAGERANK_MICRO} + {DAMPING_PCT}"
-                " * (coalesce(inflow, 0) + (dang div n))) div 100"
-            ).alias("r"),
+    out = nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+    if dangling is not None:
+        dang = ranks.join(dangling, "node").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dang")
         )
+        out = out.crossJoin(F.broadcast(dang))
+        pool = f"(dang div {n_nodes})"
+    else:
+        pool = "0"
+    return out.select(
+        "node",
+        F.expr(
+            f"(({100 - DAMPING_PCT}) * {PAGERANK_MICRO} + {DAMPING_PCT}"
+            f" * (coalesce(inflow, 0) + {pool})) div 100"
+        ).alias("r"),
     )

@@ -86,7 +86,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
-    ranked = pagerank(edges, n_iters=PR_ITERS)
+    # edges are distinct by construction: `pairs` is deduped and the two
+    # directions live in disjoint (odd->even / even->odd) key spaces
+    ranked = pagerank(edges, n_iters=PR_ITERS, dedup_edges=False)
     return ranked.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier"))
         .otherwise(F.lit("customer"))

@@ -90,6 +90,29 @@ def _doc_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+def _tf_table(docs: DataFrame) -> DataFrame:
+    """The per-doc term-frequency table, materialized ONCE.
+
+    Every consumer below (model counts, vocabulary, totals, scoring)
+    references this table several times, and Spark executes each plan
+    branch's subtree independently (exchange reuse only dedupes
+    byte-identical exchanges, which post-aggregation branches are not)
+    — without materialization the corpus gets re-exploded once per
+    branch (~8 Generate nodes observed). Eager ``localCheckpoint``
+    runs the explode+shuffle exactly once and hands every branch an
+    in-memory block scan; the tf table is the natural thing to
+    materialize — it is the smallest corpus-derived state all passes
+    share (cf. ``bigram_logprob``, which accepts TWO explodes instead
+    because its shared state would be the raw bigram stream itself).
+    """
+    return (
+        _doc_tokens(docs)
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling, unigram variant: each
     document's mean per-token log-likelihood ratio between a *target*
@@ -99,12 +122,13 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weights feed Gumbel-top-k resampling (the paper uses hashed
     n-gram features — same shape, the hash becomes the term key).
 
-    Scale: one token explode; BOTH models come from a single
-    groupBy(term) pass over it (the target count is a conditional sum,
-    so the corpus is never exploded twice); scalar totals ride one
-    broadcast row; scoring is an equi-join of the explode against the
-    bounded term table. Each ln is micro-quantized before summing —
-    integer aggregates, one IEEE division at the end.
+    Scale: the corpus is exploded ONCE, into the per-doc term-frequency
+    table; BOTH models derive from one groupBy(term) over it (the
+    target count is a conditional sum), scalar totals ride one
+    broadcast row, and scoring re-joins the same tf table against the
+    bounded term table — the big explode+shuffle happens once, not once
+    per model. Each ln is micro-quantized before summing — integer
+    aggregates, one IEEE division at the end.
     """
     return dsir_weights(load_table(spark, sf_dir, "documents"))
 
@@ -115,11 +139,11 @@ def dsir_weights(
     """Scoring body of :func:`corpus_dsir_weights` over any
     ``(doc_id, lang, text)`` frame (unit-testable on synthetic
     corpora)."""
-    tok = _doc_tokens(docs)
-    cnt = tok.groupBy("term").agg(
-        F.count(F.lit(1)).alias("n_all"),
+    tfl = _tf_table(docs)
+    cnt = tfl.groupBy("term").agg(
+        F.sum("tf").alias("n_all"),
         F.sum(
-            F.when(F.col("lang") == target_lang, 1).otherwise(0)
+            F.when(F.col("lang") == target_lang, F.col("tf")).otherwise(0)
         ).alias("n_tgt"),
     )
     tot = cnt.agg(
@@ -146,13 +170,14 @@ def dsir_weights(
         .cast("bigint")
         .alias("llr"),
     )
+    lp = F.sum(F.col("tf") * F.col("llr"))
     return (
-        tok.join(lam, "term")
+        tfl.join(lam, "term")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("llr").alias("sum_llr_micro"),
-            F.round(F.sum("llr") / F.count(F.lit(1)), 6).alias("avg_llr_micro"),
+            F.sum("tf").alias("n_tokens"),
+            lp.alias("sum_llr_micro"),
+            F.round(lp / F.sum("tf"), 6).alias("avg_llr_micro"),
         )
         .orderBy("doc_id")
     )
@@ -207,10 +232,10 @@ def nb_langid(docs: DataFrame) -> DataFrame:
     """Train-and-score body of :func:`text_nb_langid` over any
     ``(doc_id, lang, text)`` frame (unit-testable on synthetic
     corpora)."""
-    tok = _doc_tokens(docs)
-    cnt_lt = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    tfl = _tf_table(docs)
+    cnt_lt = tfl.groupBy("lang", "term").agg(F.sum("tf").alias("c"))
     c_l = cnt_lt.groupBy("lang").agg(F.sum("c").alias("c_l"))
-    vocab = tok.select("term").distinct()
+    vocab = cnt_lt.select("term").distinct()
     v = vocab.agg(F.count(F.lit(1)).alias("v"))
     prior = (
         docs.groupBy("lang")
@@ -246,7 +271,7 @@ def nb_langid(docs: DataFrame) -> DataFrame:
             .alias("lp_micro"),
         )
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tfl.select("doc_id", "term", "tf")
     scored = (
         tf.join(grid, "term")
         .groupBy("doc_id", "lang")

@@ -112,6 +112,21 @@ class TestDsirWeights:
         assert all(r.sum_llr_micro == 0 for r in rows)
 
 
+class TestSingleExplodePlans:
+    @pytest.mark.parametrize("name", ["corpus_dsir_weights", "text_nb_langid"])
+    def test_corpus_exploded_exactly_once(self, spark, sf_dir, name):
+        # the 100 TB contract: model build, vocabulary, and scoring all
+        # derive from ONE materialized tf table — the returned plan must
+        # contain ZERO corpus explodes (they ran once, eagerly, into the
+        # checkpointed tf blocks every branch scans instead)
+        from personal_health_etl_pipeline_spark.plans import llm_surface3
+
+        df = getattr(llm_surface3, name)(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate explode") == 0, plan
+        assert "ExistingRDD" in plan  # the materialized tf table
+
+
 class TestNbLangid:
     def test_disjoint_vocabularies_classify_perfectly(self, spark):
         docs = _docs(
