@@ -531,8 +531,29 @@ def hll_distinct(
     the same property that lets a streaming sink keep the registers as
     its state, see ``st_hll_window``)."""
     gc = list(group_cols)
-    regs = (
-        events.select(*gc, md5_long(key_col).alias("h"))
+    exact = events.groupBy(*gc).agg(
+        F.countDistinct(key_col).alias("exact_ndv")
+    )
+    return (
+        hll_estimate(hll_registers(events, group_cols, key_col), group_cols)
+        .join(exact, gc)
+        .orderBy(*gc)
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    key_col: str = "user_id",
+) -> DataFrame:
+    """The HLL register table ``(*group_cols, idx, r)`` — the sketch's
+    ENTIRE state: O(m) rows per group, merged across any partitioning
+    of the input (or across stored snapshots) by ``max(r)``. This is
+    what a streaming sink persists per micro-batch
+    (``streaming/hll_sink.py``)."""
+    gc = list(group_cols)
+    return (
+        df.select(*gc, md5_long(key_col).alias("h"))
         .select(
             *gc,
             F.pmod("h", F.lit(HLL_M)).alias("idx"),
@@ -548,6 +569,14 @@ def hll_distinct(
         .groupBy(*gc, "idx")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """Distinct-count estimate from a register table (exact-integer
+    harmonic sum, small-range ln correction)."""
+    gc = list(group_cols)
     per = regs.groupBy(*gc).agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(
@@ -561,14 +590,7 @@ def hll_distinct(
         (e_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
     ).otherwise(e_raw)
-    exact = events.groupBy(*gc).agg(
-        F.countDistinct(key_col).alias("exact_ndv")
-    )
-    return (
-        per.select(*gc, F.round(e, 0).cast("bigint").alias("est_ndv"))
-        .join(exact, gc)
-        .orderBy(*gc)
-    )
+    return per.select(*gc, F.round(e, 0).cast("bigint").alias("est_ndv"))
 
 
 SKETCH_HLL_ORACLE = rf"""

@@ -116,3 +116,70 @@ class TestClusterBy:
         # sampling imbalance
         assert unclustered_rows == 5000
         assert clustered_rows < 2500
+
+
+class TestZorderBy:
+    def _scan_rows(self, df):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.executedPlan()
+        leaves = plan.collectLeaves()
+        rows = 0
+        for i in range(leaves.size()):
+            mets = leaves.apply(i).metrics()
+            it = mets.iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    rows += kv._2().value()
+        return rows
+
+    def test_both_dimensions_prune(self, spark, tmp_path, drizzle):
+        """The z-order contract: after clustering on (id, k), a range
+        predicate on EITHER key alone decodes a fraction of the corpus
+        — the capability lexicographic clustering lacks (its second
+        key gets no pruning power). 4 files ~ the curve's quadrants
+        (top bit of each scaled key), so each single-key half-space
+        predicate should decode ~2 of 4 files."""
+        from personal_health_etl_pipeline_spark.operators.layout import zorder_by
+
+        out = str(tmp_path / "zordered")
+        zorder_by(spark, drizzle, out, cols=["id", "k"], n_files=4)
+
+        id_rows = self._scan_rows(
+            spark.read.parquet(out).where(F.col("id") < 1250)
+        )
+        k_rows = self._scan_rows(spark.read.parquet(out).where(F.col("k") >= 80))
+        assert id_rows < 4000  # pruned: quadrant sampling is inexact
+        assert k_rows < 4000
+        # the contrast case: lexicographic clustering on (id, k) gives
+        # k-alone predicates nothing — every file spans (nearly) all k
+        lex = str(tmp_path / "lexed")
+        cluster_by(spark, drizzle, lex, cols=["id", "k"], n_files=4)
+        k_rows_lex = self._scan_rows(
+            spark.read.parquet(lex).where(F.col("k") >= 80)
+        )
+        assert k_rows_lex == 5000  # nothing pruned
+        assert k_rows < k_rows_lex
+
+    def test_content_preserved(self, spark, tmp_path, drizzle):
+        from personal_health_etl_pipeline_spark.operators.layout import zorder_by
+
+        out = str(tmp_path / "zordered2")
+        zorder_by(spark, drizzle, out, cols=["id", "k"], n_files=3)
+        before = spark.read.parquet(drizzle).orderBy("id").collect()
+        after = spark.read.parquet(out).orderBy("id").collect()
+        assert after == before
+
+    def test_zvalue_interleave_is_morton(self, spark):
+        # hand-check the bit interleave on a 2-bit grid: (x=0b10, y=0b01)
+        # -> z = x1 y1 x0 y0 = 0b1001 = 9
+        from personal_health_etl_pipeline_spark.operators.layout import (
+            _zvalue_expr,
+        )
+
+        row = spark.range(1).selectExpr(
+            f"({_zvalue_expr(['CAST(2 AS BIGINT)', 'CAST(1 AS BIGINT)'], 2)}) AS z"
+        ).first()
+        assert row.z == 9
