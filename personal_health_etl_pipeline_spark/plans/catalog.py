@@ -194,6 +194,7 @@ register("text_tfidf_top_terms", llm.text_tfidf_top_terms, llm.TEXT_TFIDF_ORACLE
 # a15 is NEW r4 but the head is full of changed code; it leads block 2
 # so the next round's stale-cert rotation certifies it first.
 register("a15_incremental_rollup", an.a15_incremental_rollup, an.A15_ORACLE)
+register("dq2_column_profile", dq.dq2_column_profile, dq.DQ2_ORACLE)
 register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
 register("st_tumbling_window_agg", st.st_tumbling_window_agg, st.ST_TUMBLING_ORACLE)
 register("j1_multiway_outer_combine", rs.j1_multiway_outer_combine, rs.J1_ORACLE)

@@ -141,3 +141,83 @@ FROM pairs
 GROUP BY lev_distance
 ORDER BY lev_distance
 """
+
+
+# --- DQ2: one-pass column profile --------------------------------------
+
+_PROFILE_COLS = (
+    # (column, render) — render must be engine-identical as a string:
+    # bigints cast directly; the 2-dp double goes through DECIMAL(18,2)
+    # (double->string shortest-repr is not a cross-engine contract);
+    # varchars pass through. The timestamp column is excluded: its
+    # string rendering differs between engines.
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "varchar"),
+    ("o_totalprice", "decimal"),
+    ("o_orderpriority", "varchar"),
+)
+
+
+def dq2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic data profiler: per column — row count, null count,
+    exact distinct count, and min/max (string-rendered) — computed in
+    ONE aggregation pass over the table (a single 1-row aggregate with
+    5 metrics per column, unpivoted driver-side-free by exploding an
+    array of structs). The profile every ingestion pipeline runs before
+    trusting a new drop; at 100 TB swap `countDistinct` for the HLL
+    registers (`plans/sketches.hll_registers`) and the pass shape is
+    unchanged.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _typed(c: str, kind: str):
+        col = F.col(c)
+        # min/max run on the NATIVE ordering (string rendering happens
+        # after aggregation — '999' > '1499' lexicographically)
+        return col.cast("decimal(18,2)") if kind == "decimal" else col
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(_typed(c, kind)).cast("string").alias(f"mn_{c}"),
+            F.max(_typed(c, kind)).cast("string").alias(f"mx_{c}"),
+        ]
+    row = orders.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return (
+        row.select(F.explode(entries).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        r = f"CAST({c} AS DECIMAL(18,2))" if kind == "decimal" else c
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({c}) AS n_null, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"CAST(MIN({r}) AS VARCHAR) AS min_val, "
+            f"CAST(MAX({r}) AS VARCHAR) AS max_val FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+DQ2_ORACLE = _profile_oracle()
