@@ -75,6 +75,7 @@ HEADLINE = (
     "corpus_dsir_weights",
     "text_nb_langid",
     "graph_pagerank",
+    "text_bpe_learned_segment",
 )
 
 

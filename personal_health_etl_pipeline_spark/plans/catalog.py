@@ -195,6 +195,11 @@ register("text_tfidf_top_terms", llm.text_tfidf_top_terms, llm.TEXT_TFIDF_ORACLE
 # so the next round's stale-cert rotation certifies it first.
 register("a15_incremental_rollup", an.a15_incremental_rollup, an.A15_ORACLE)
 register("dq2_column_profile", dq.dq2_column_profile, dq.DQ2_ORACLE)
+register(
+    "text_bpe_learned_segment",
+    llm3.text_bpe_learned_segment,
+    llm3.TEXT_BPE_LEARNED_ORACLE,
+)
 register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
 register("st_tumbling_window_agg", st.st_tumbling_window_agg, st.ST_TUMBLING_ORACLE)
 register("j1_multiway_outer_combine", rs.j1_multiway_outer_combine, rs.J1_ORACLE)

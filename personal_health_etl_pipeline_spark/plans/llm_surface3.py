@@ -390,3 +390,135 @@ SELECT doc_id, lang, n_chars,
 FROM documents WHERE n_chars > 0
 ORDER BY key_pico DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}
 """
+
+
+# --- learned BPE: byte-pair-encoding merge training ---------------------
+
+BPE_MERGES = 6
+EOW = "</w>"
+
+
+def text_bpe_learned_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED byte-pair encoding (Sennrich et al. 2016) — the actual
+    tokenizer-training loop, distributed: start from characters (+ an
+    end-of-word marker), repeatedly count adjacent symbol pairs across
+    the corpus and merge the most frequent one. Complements
+    ``text_bpe_token_count`` (which only *applies* a GPT-style regex);
+    this learns the merges.
+
+    Scale shape: the corpus collapses to the distinct-WORD count table
+    in one explode+shuffle (BPE's own trick — pair counts are weighted
+    word counts, so the loop never touches the corpus again). Each
+    merge round is one bounded pair-count aggregation; the winning pair
+    (1 row) is driver-ferried into the next round's merge expression as
+    literals (the k-means contract: bounded state, no driver
+    arithmetic). The merge itself is a pure array map.
+
+    Determinism: ties break on (count desc, a, b); merges restricted to
+    a != b pairs, which makes greedy left-to-right merging exactly
+    positional (no overlapping matches) and therefore expressible
+    identically in both engines. Self-pair merges (rare in natural
+    text: 'aa' runs) are the documented exclusion.
+    """
+    return bpe_segment(
+        load_table(spark, sf_dir, "documents"), n_merges=BPE_MERGES
+    )
+
+
+def _merge_expr(a: str, b: str) -> str:
+    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    return f"""
+    filter(transform(s, (x, i) ->
+      CASE WHEN x = '{qa}' AND get(s, i + 1) = '{qb}'
+             THEN concat(x, get(s, i + 1))
+           WHEN get(s, i - 1) = '{qa}' AND x = '{qb}' THEN CAST(NULL AS STRING)
+           ELSE x END), x -> x IS NOT NULL)
+    """
+
+
+def bpe_segment(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Training body of :func:`text_bpe_learned_segment`: returns every
+    distinct word as ``(word, wc, seg)`` with ``seg`` the space-joined
+    symbol sequence after ``n_merges`` learned merges."""
+    words = (
+        _doc_tokens(docs)
+        .groupBy(F.col("term").alias("word"))
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    syms = words.select(
+        "word",
+        "wc",
+        F.expr(
+            f"array_append(transform(sequence(1, length(word)),"
+            f" i -> substring(word, i, 1)), '{EOW}')"
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+    for _ in range(n_merges):
+        best = (
+            syms.select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),"
+                        " (x, y) -> struct(x AS a, y AS b))"
+                    )
+                ).alias("p"),
+            )
+            .where(F.col("p.a") != F.col("p.b"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:  # pair space exhausted: remaining rounds are no-ops
+            break
+        a, b = best[0].a, best[0].b
+        syms = syms.select(
+            "word", "wc", F.expr(_merge_expr(a, b)).alias("s")
+        ).localCheckpoint(eager=True)
+    return syms.select(
+        "word", "wc", F.array_join("s", " ").alias("seg")
+    ).orderBy("word")
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    parts = [
+        "tok2 AS (SELECT unnest(t) AS word FROM toks)",
+        "w0 AS (SELECT word, COUNT(*) AS wc FROM tok2 GROUP BY word)",
+        (
+            "s0 AS (SELECT word, wc, list_append(list_transform("
+            "range(1, length(word) + 1), i -> word[CAST(i AS INT):CAST(i AS INT)]),"
+            f" '{EOW}') AS s FROM w0)"
+        ),
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"pr{r} AS (SELECT pp.a AS a, pp.b AS b, SUM(wc) AS cnt FROM ("
+            f"SELECT wc, unnest(list_transform(range(1, len(s)), "
+            f"p -> struct_pack(a := s[p], b := s[p + 1]))) AS pp FROM s{r}"
+            f") WHERE pp.a <> pp.b GROUP BY pp.a, pp.b)"
+        )
+        parts.append(
+            f"best{r} AS (SELECT a, b FROM pr{r} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            # LEFT JOIN ON TRUE (not CROSS JOIN): an exhausted pair space
+            # leaves best{r} empty -> NULL literals -> the round is a
+            # no-op, mirroring the Spark side's early break
+            f"s{r + 1} AS (SELECT word, wc, "
+            f"list_filter(list_transform(range(1, len(s) + 1), p -> "
+            f"CASE WHEN s[p] = ba AND s[p + 1] = bb THEN s[p] || s[p + 1] "
+            f"WHEN s[p - 1] = ba AND s[p] = bb THEN NULL "
+            f"ELSE s[p] END), x -> x IS NOT NULL) AS s "
+            f"FROM s{r} LEFT JOIN (SELECT a AS ba, b AS bb FROM best{r}) "
+            f"ON TRUE)"
+        )
+    return (
+        f"WITH {_TOKS_CTE},\n" + ",\n".join(parts)
+        + f"\nSELECT word, wc, array_to_string(s, ' ') AS seg FROM s{n_merges}"
+        " ORDER BY word"
+    )
+
+
+TEXT_BPE_LEARNED_ORACLE = _bpe_oracle(BPE_MERGES)

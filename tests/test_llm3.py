@@ -233,3 +233,46 @@ class TestHllSketch:
             for r in hll_distinct(ev.union(ev)).collect()
         }
         assert once == twice
+
+
+class TestBpeLearned:
+    def test_most_frequent_pair_merges_first(self, spark):
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            EOW,
+            bpe_segment,
+        )
+
+        # 'ab' appears in 3 words x high counts; one merge must fuse it
+        docs = _docs(
+            spark,
+            [
+                (1, "en", "abc abd abe", 0),
+                (2, "en", "abc abd", 0),
+                (3, "en", "xy", 0),
+            ],
+        )
+        segs = {r.word: r.seg for r in bpe_segment(docs, n_merges=1).collect()}
+        assert segs["abc"].startswith("ab ")
+        assert segs["abd"].startswith("ab ")
+        assert segs["xy"] == f"x y {EOW}"
+
+    def test_segmentation_reconstructs_words(self, spark, sf_dir):
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            EOW,
+            text_bpe_learned_segment,
+        )
+
+        for r in text_bpe_learned_segment(spark, sf_dir).collect():
+            assert r.seg.replace(" ", "") == r.word + EOW
+
+    def test_exhausted_pair_space_is_a_noop(self, spark):
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            bpe_segment,
+        )
+
+        # single 1-char word: after the first merge ('a', EOW) there are
+        # no pairs left; extra rounds must not error or change output
+        docs = _docs(spark, [(1, "en", "a", 0)])
+        few = {r.word: r.seg for r in bpe_segment(docs, n_merges=1).collect()}
+        many = {r.word: r.seg for r in bpe_segment(docs, n_merges=5).collect()}
+        assert few == many
