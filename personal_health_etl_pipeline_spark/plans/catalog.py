@@ -200,6 +200,8 @@ register(
     llm3.text_bpe_learned_segment,
     llm3.TEXT_BPE_LEARNED_ORACLE,
 )
+register("dq3_key_skew_report", dq.dq3_key_skew_report, dq.DQ3_ORACLE)
+register("st_topk_trending", st.st_topk_trending, st.ST_TOPK_TRENDING_ORACLE)
 register("ann_lsh_topk", llm.ann_lsh_topk, llm.ANN_LSH_ORACLE)
 register("st_tumbling_window_agg", st.st_tumbling_window_agg, st.ST_TUMBLING_ORACLE)
 register("j1_multiway_outer_combine", rs.j1_multiway_outer_combine, rs.J1_ORACLE)

@@ -221,3 +221,52 @@ def _profile_oracle() -> str:
 
 
 DQ2_ORACLE = _profile_oracle()
+
+
+# --- DQ3: join-key skew audit -------------------------------------------
+
+SKEW_TOP = 10
+
+
+def dq3_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the profile a planner (or an engineer
+    choosing a salting factor, cf. ``operators/skew.salted_join``) needs
+    before shuffling 100 TB on a key: per-key row counts for the
+    heaviest ``SKEW_TOP`` keys, each with its skew ratio against the
+    mean key load (micro-quantized integer, so the report is
+    value-hash certifiable). One groupBy + one bounded top-k; the mean
+    rides a 1-row broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n_rows")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("l_suppkey").alias("key"),
+            "cnt",
+            "n_keys",
+            F.round(
+                F.col("cnt") * F.col("n_keys") * 1_000_000 / F.col("n_rows"), 0
+            )
+            .cast("bigint")
+            .alias("skew_ratio_micro"),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(SKEW_TOP)
+    )
+
+
+DQ3_ORACLE = f"""
+WITH per_key AS (
+  SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+),
+stats AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows FROM per_key)
+SELECT key, cnt, n_keys,
+       CAST(round(cnt * n_keys * 1000000 / n_rows, 0) AS BIGINT)
+           AS skew_ratio_micro
+FROM per_key CROSS JOIN stats
+ORDER BY cnt DESC, key LIMIT {SKEW_TOP}
+"""

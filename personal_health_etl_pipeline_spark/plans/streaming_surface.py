@@ -19,7 +19,7 @@ while the next event starts strictly before last_ts + gap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.plans.exact import (
@@ -320,4 +320,69 @@ FROM ndv n JOIN (
   FROM events GROUP BY 1
 ) x USING (window_start)
 ORDER BY n.window_start
+"""
+
+
+TRENDING_K = 3
+
+
+def st_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tumbling-day top-k "trending" users by exact summed value —
+    the streaming leaderboard shape (in streaming mode: windowed
+    aggregation state + per-window rank emitted on watermark close;
+    executed here in batch so the oracle certifies the window+rank
+    semantics). The rank window partitions by the time window, so at
+    scale each window's leaderboard is one partition's work — no
+    global sort.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per = (
+        events.select(
+            F.window("ts", "1 day").alias("w"), "user_id", cents("value").alias("vc")
+        )
+        .groupBy(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+        )
+        .agg(F.sum("vc").alias("sum_vc"), F.count(F.lit(1)).alias("n_events"))
+    )
+    win = Window.partitionBy("window_start").orderBy(
+        F.col("sum_vc").desc(), "user_id"
+    )
+    from personal_health_etl_pipeline_spark.plans.exact import cents_to_double
+
+    return (
+        per.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= TRENDING_K)
+        .select(
+            "window_start",
+            "window_end",
+            "rank",
+            "user_id",
+            F.round(cents_to_double(F.col("sum_vc"), 2), 2).alias("sum_value"),
+            "n_events",
+        )
+        .orderBy("window_start", "rank")
+    )
+
+
+ST_TOPK_TRENDING_ORACLE = f"""
+WITH per AS (
+  SELECT make_timestamp((epoch_us(ts) // {_DAY_US}) * {_DAY_US}) AS window_start,
+         make_timestamp((epoch_us(ts) // {_DAY_US}) * {_DAY_US} + {_DAY_US})
+             AS window_end,
+         user_id,
+         {oracle_sum(od2('value'))} AS sum_value,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY sum_value DESC, user_id) AS rank
+  FROM per
+)
+SELECT window_start, window_end, rank, user_id, sum_value, n_events
+FROM ranked WHERE rank <= {TRENDING_K}
+ORDER BY window_start, rank
 """

@@ -1,0 +1,59 @@
+"""JSONL quarantine source (sources/jsonl.py): good/bad split,
+losslessness, and FAILFAST abort."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from personal_health_etl_pipeline_spark.sources.jsonl import (
+    read_jsonl_quarantine,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+    ]
+)
+
+LINES = [
+    '{"id": 1, "name": "ok"}',
+    "{definitely not json",
+    '{"id": 2, "name": "fine"}',
+    '{"id": "not-a-number", "name": "type-drift"}',
+    '{"id": 3, "name": "good"}',
+]
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    p = tmp_path / "landing.jsonl"
+    p.write_text("\n".join(LINES) + "\n", encoding="utf-8")
+    return str(p)
+
+
+def test_split_is_lossless_and_typed(spark, landing):
+    good, quarantine = read_jsonl_quarantine(spark, landing, SCHEMA)
+    g = {(r.id, r.name) for r in good.collect()}
+    q = [r.raw_line for r in quarantine.collect()]
+    assert g == {(1, "ok"), (2, "fine"), (3, "good")}
+    assert len(q) == 2  # syntax error + type drift, raw lines preserved
+    assert any("definitely not json" in line for line in q)
+    assert any("not-a-number" in line for line in q)
+    assert good.columns == ["id", "name"]  # carrier column dropped
+    assert good.count() + quarantine.count() == len(LINES)
+
+
+def test_failfast_aborts_on_first_bad_line(spark, landing):
+    good, _ = read_jsonl_quarantine(spark, landing, SCHEMA, mode="FAILFAST")
+    with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+        good.collect()
+
+
+def test_clean_file_quarantines_nothing(spark, tmp_path):
+    p = tmp_path / "clean.jsonl"
+    p.write_text('{"id": 9, "name": "x"}\n', encoding="utf-8")
+    good, quarantine = read_jsonl_quarantine(spark, str(p), SCHEMA)
+    assert quarantine.count() == 0
+    assert good.count() == 1
