@@ -120,3 +120,83 @@ def repeated_spans(
         .select("doc_id", "span_start", "span_end", "n_windows")
         .orderBy("doc_id", "span_start")
     )
+
+
+def cut_repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = SUBSTRING_WINDOW,
+    min_docs: int = SUBSTRING_MIN_DOCS,
+) -> DataFrame:
+    """APPLY the dedup decision: rebuild every document with its
+    cross-document repeated spans cut, keeping the copy in the
+    LOWEST-doc_id document per repeated window (Lee et al.'s
+    remove-all-but-one, positionally: token position p is cut iff some
+    duplicated window covering p belongs to a doc that is not that
+    window-hash's minimum doc). Returns
+    ``(doc_id, n_tokens, n_cut, cleaned_text)`` for every document —
+    unchanged docs pass through with ``n_cut = 0`` (whitespace
+    normalized to single spaces by reconstruction, identically in the
+    oracle).
+
+    Scale: one extra bounded explode (window x cut-hit) over
+    :func:`repeated_spans`'s machinery, an anti-join on (doc, token
+    position), and a per-doc ordered re-assembly via sort_array over
+    collected (pos, token) structs — per-doc state only.
+    """
+    toks = (
+        spread(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+            min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
+        )
+        .select("doc_id", T.tokens(text_col).alias("t"))
+        .select(
+            "doc_id",
+            F.posexplode("t").alias("tp", "tok"),
+        )
+        .select("doc_id", F.col("tp").cast("bigint").alias("tp"), "tok")
+    )
+    wins = token_windows(docs, id_col, text_col, window)
+    keeper = (
+        wins.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("mdoc"),
+        )
+        .where(F.col("nd") >= min_docs)
+        .select("h", "mdoc")
+    )
+    cut_pos = (
+        wins.join(keeper, "h")
+        .where(F.col("doc_id") > F.col("mdoc"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    kept = toks.join(cut_pos, ["doc_id", "tp"], "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(tp, tok))), s -> s.tok)"),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .join(
+            toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens")),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.col("n_kept")).alias("n_cut"),
+            "cleaned_text",
+        )
+        .orderBy("doc_id")
+    )
