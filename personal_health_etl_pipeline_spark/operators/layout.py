@@ -146,6 +146,15 @@ def zorder_by(
     df = spark.read.parquet(path)
     if len(cols) < 2:
         raise ValueError("z-ordering needs >= 2 keys; use cluster_by for 1")
+    if bits * len(cols) > 63:
+        # The top interleaved bit would land on (or past) the bigint
+        # sign bit, flipping z negative for half the rows and INVERTING
+        # their sort order — silent clustering corruption. Either lower
+        # bits or pass fewer keys (63 // len(cols) is the max grid).
+        raise ValueError(
+            f"bits * len(cols) = {bits * len(cols)} exceeds 63 (bigint "
+            f"sign bit); use bits <= {63 // len(cols)} for {len(cols)} keys"
+        )
     if n_files is None:
         n_files = max(1, math.ceil(_dir_bytes(path) / (128 * 1024 * 1024)))
     from pyspark.sql import functions as F
@@ -159,6 +168,14 @@ def zorder_by(
     for i, c in enumerate(cols):
         mn, mx = stats[f"mn{i}"], stats[f"mx{i}"]
         span = max(1, mx - mn)
+        if span > (2**63 - 1) // top:
+            # (c - mn) * top would wrap bigint before the div — the
+            # scaled key becomes garbage silently. Pre-shrink huge-span
+            # keys (epoch-micros etc.) before z-ordering.
+            raise ValueError(
+                f"key {c!r} span {span} overflows the {bits}-bit scale "
+                f"(max span {(2**63 - 1) // top}); bucket the key first"
+            )
         scaled.append(f"(((CAST({c} AS BIGINT) - {mn}) * {top}) div {span})")
     z = _zvalue_expr(scaled, bits)
     (

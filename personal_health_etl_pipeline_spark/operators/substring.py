@@ -179,24 +179,33 @@ def cut_repeated_spans(
         .distinct()
     )
     kept = toks.join(cut_pos, ["doc_id", "tp"], "left_anti")
+    # totals drive the output (LEFT join from totals): a document whose
+    # tokens are ALL cut has zero kept rows but must still appear, with
+    # n_cut = n_tokens and an empty cleaned_text.
     return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.expr("transform(array_sort(collect_list(struct(tp, tok))), s -> s.tok)"),
-                " ",
-            ).alias("cleaned_text"),
-        )
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
         .join(
-            toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens")),
+            kept.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(tp, tok))),"
+                        " s -> s.tok)"
+                    ),
+                    " ",
+                ).alias("cleaned_text"),
+            ),
             "doc_id",
+            "left",
         )
         .select(
             "doc_id",
             "n_tokens",
-            (F.col("n_tokens") - F.col("n_kept")).alias("n_cut"),
-            "cleaned_text",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_cut"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
         .orderBy("doc_id")
     )

@@ -112,6 +112,12 @@ register(
     llm3.dedup_substring_spans,
     llm3.DEDUP_SUBSTRING_ORACLE,
 )
+# NEW r5: apply-path of the substring dedup (rewrites documents)
+register(
+    "dedup_substring_cut",
+    llm3.dedup_substring_cut,
+    llm3.DEDUP_SUBSTRING_CUT_ORACLE,
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )

@@ -23,6 +23,7 @@ from personal_health_etl_pipeline_spark.operators.partitioning import spread
 from personal_health_etl_pipeline_spark.operators.substring import (
     SUBSTRING_MIN_DOCS,
     SUBSTRING_WINDOW,
+    cut_repeated_spans,
     repeated_spans,
 )
 from personal_health_etl_pipeline_spark.sources.tables import load_table
@@ -75,6 +76,66 @@ isl AS (
 SELECT doc_id, MIN(pos) + 1 AS span_start, MAX(pos) + {_W} AS span_end,
        COUNT(*) AS n_windows
 FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY-path twin of :func:`dedup_substring_spans`: rewrite every
+    document with its cross-document repeated spans cut, keeping the
+    copy in the lowest-doc_id document per duplicated window (Lee et
+    al.'s remove-all-but-one). Returns the full rewritten corpus frame
+    ``(doc_id, n_tokens, n_cut, cleaned_text)`` — the value hash
+    certifies the positional cut logic AND the whitespace-normalized
+    reconstruction, not just the span report."""
+    return cut_repeated_spans(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_SUBSTRING_CUT_ORACLE = rf"""
+WITH {_TOKS_CTE},
+tokpos AS (
+  SELECT doc_id, s.tp AS tp, s.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) + 1),
+             i -> struct_pack(
+               tp := CAST(i - 1 AS BIGINT),
+               tok := t[CAST(i AS INT)]))) AS s
+    FROM toks)
+),
+wins AS (
+  SELECT doc_id, s.pos AS pos, s.h AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - {_W} + 2),
+             i -> struct_pack(
+               pos := CAST(i - 1 AS BIGINT),
+               h := {duckdb_md5_long(
+                   f"array_to_string(t[CAST(i AS INT):CAST(i + {_W} - 1 AS INT)], ' ')"
+               )}))) AS s
+    FROM toks WHERE len(t) >= {_W})
+),
+keeper AS (
+  SELECT h, MIN(doc_id) AS mdoc FROM wins GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) >= {SUBSTRING_MIN_DOCS}
+),
+cut_pos AS (
+  SELECT DISTINCT w.doc_id, w.pos + u.off AS tp
+  FROM wins w JOIN keeper k USING (h), range(0, {_W}) u(off)
+  WHERE w.doc_id > k.mdoc
+),
+kept AS (
+  SELECT t.doc_id, t.tp, t.tok FROM tokpos t
+  ANTI JOIN cut_pos c ON t.doc_id = c.doc_id AND t.tp = c.tp
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tokpos GROUP BY doc_id),
+reasm AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         array_to_string(list(tok ORDER BY tp), ' ') AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       t.n_tokens - COALESCE(r.n_kept, 0) AS n_cut,
+       COALESCE(r.cleaned_text, '') AS cleaned_text
+FROM totals t LEFT JOIN reasm r USING (doc_id)
+ORDER BY t.doc_id
 """
 
 
@@ -425,8 +486,14 @@ def text_bpe_learned_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_quote(s: str) -> str:
+    # Backslash FIRST, then quote — a token like "a\b" or "it's" must
+    # round-trip through Spark SQL's string-literal parser unchanged.
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def _merge_expr(a: str, b: str) -> str:
-    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    qa, qb = _sql_quote(a), _sql_quote(b)
     return f"""
     filter(transform(s, (x, i) ->
       CASE WHEN x = '{qa}' AND get(s, i + 1) = '{qb}'

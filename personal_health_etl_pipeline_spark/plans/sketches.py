@@ -493,7 +493,13 @@ HLL_M = 1 << HLL_P  # 256 registers
 _HLL_WBITS = 60 - HLL_P  # md5_long payload bits after the register index
 # alpha_m * m^2 * 2^WBITS, written as one expression BOTH engines fold
 # identically (never a pre-rounded Python float literal)
-_HLL_SCALE = f"(0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M * HLL_M}.0 * {1 << _HLL_WBITS}.0"
+# Harmonic-sum scale is 2^(WBITS+1), NOT 2^WBITS: rho ranges over
+# [1, WBITS+1] (the w == 0 register), so the per-register exponent
+# WBITS+1-rho stays in [0, WBITS] — a 2^WBITS scale would need a
+# NEGATIVE shift for rho = WBITS+1, which Spark's shiftleft silently
+# mangles (masked shift count -> Long.MIN_VALUE) and DuckDB rejects.
+# Max sum = m * 2^WBITS = 2^60 — still comfortably bigint.
+_HLL_SCALE = f"(0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M * HLL_M}.0 * {1 << (_HLL_WBITS + 1)}.0"
 
 
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,7 +518,7 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     same max, which is the whole point of HLL at 100 TB.
 
     Determinism: the 2^-rho harmonic sum is kept EXACT by scaling to
-    integers (sum of 2^(52 - rho + 1) <= m * 2^53 fits bigint), so no
+    integers (sum of 2^(53 - rho) <= m * 2^52 fits bigint), so no
     float-addition-order drift can flip the estimate; the one double
     division and the small-range ln correction round identically in
     both engines.
@@ -580,11 +586,13 @@ def hll_estimate(
     per = regs.groupBy(*gc).agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS} - r AS INT))")
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS + 1} - r AS INT))"
+            )
         ).alias("z_hit"),
     )
     zeros = F.lit(HLL_M) - F.col("n_present")
-    z_int = F.col("z_hit") + zeros * F.lit(1 << _HLL_WBITS)
+    z_int = F.col("z_hit") + zeros * F.lit(1 << (_HLL_WBITS + 1))
     e_raw = F.expr(_HLL_SCALE) / z_int.cast("double")
     e = F.when(
         (e_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
@@ -608,12 +616,12 @@ regs AS (
 ),
 per AS (
   SELECT event_type, COUNT(*) AS n_present,
-         SUM(CAST(1 AS BIGINT) << ({_HLL_WBITS} - r)) AS z_hit
+         SUM(CAST(1 AS BIGINT) << ({_HLL_WBITS + 1} - r)) AS z_hit
   FROM regs GROUP BY event_type
 ),
 est AS (
   SELECT event_type,
-         CAST(z_hit + ({HLL_M} - n_present) * CAST({1 << _HLL_WBITS} AS BIGINT)
+         CAST(z_hit + ({HLL_M} - n_present) * CAST({1 << (_HLL_WBITS + 1)} AS BIGINT)
               AS DOUBLE) AS z,
          {HLL_M} - n_present AS zeros
   FROM per

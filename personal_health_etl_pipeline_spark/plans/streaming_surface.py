@@ -294,21 +294,21 @@ regs AS (
 ),
 per AS (
   SELECT window_start, window_end, COUNT(*) AS n_present,
-         SUM(CAST(1 AS BIGINT) << (52 - r)) AS z_hit
+         SUM(CAST(1 AS BIGINT) << (53 - r)) AS z_hit
   FROM regs GROUP BY window_start, window_end
 ),
 est AS (
   SELECT window_start, window_end,
-         CAST(z_hit + (256 - n_present) * CAST({1 << 52} AS BIGINT) AS DOUBLE) AS z,
+         CAST(z_hit + (256 - n_present) * CAST({1 << 53} AS BIGINT) AS DOUBLE) AS z,
          256 - n_present AS zeros
   FROM per
 ),
 ndv AS (
   SELECT window_start, window_end,
-         CASE WHEN ((0.7213 / (1.0 + 1.079 / 256)) * 65536.0 * {1 << 52}.0) / z
+         CASE WHEN ((0.7213 / (1.0 + 1.079 / 256)) * 65536.0 * {1 << 53}.0) / z
                    <= 640.0 AND zeros > 0
               THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
-              ELSE ((0.7213 / (1.0 + 1.079 / 256)) * 65536.0 * {1 << 52}.0) / z
+              ELSE ((0.7213 / (1.0 + 1.079 / 256)) * 65536.0 * {1 << 53}.0) / z
          END AS e
   FROM est
 )

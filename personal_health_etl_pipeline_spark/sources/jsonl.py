@@ -59,8 +59,17 @@ def read_jsonl_quarantine(
         .json(path)
     )
     # one materialization: required for corrupt-column filters
-    # (SPARK-38285) and reads the landing files once for both splits
-    df = df.cache()
+    # (SPARK-38285) and reads the landing files once for both splits.
+    # localCheckpoint, NOT cache(): cache registers in the session's
+    # CacheManager and lives until an explicit unpersist the caller
+    # can't issue (they never see this frame) — repeated landing reads
+    # would accumulate blocks for the session lifetime. Checkpoint
+    # blocks are released by the ContextCleaner as soon as the derived
+    # splits are garbage-collected. Lazy (eager=False): the plan is
+    # rebased off the JSON relation at once (which is what satisfies
+    # the corrupt-column analysis check), but materialization — and a
+    # FAILFAST parse abort — happens at the caller's first action.
+    df = df.localCheckpoint(eager=False)
     good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = df.where(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.operators.substring import (
+    cut_repeated_spans,
     repeated_spans,
 )
 from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
@@ -80,6 +81,61 @@ class TestSubstringSpans:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestCutRepeatedSpans:
+    """Apply-path twin of :class:`TestSubstringSpans` — the operator
+    that actually rewrites documents (remove-all-but-one, keeper =
+    lowest doc_id per duplicated window)."""
+
+    def test_passage_kept_only_in_min_doc(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "en", f"alpha beta {PASSAGE} gamma delta", 0),
+                (2, "en", f"one two three four five six {PASSAGE}", 0),
+                (3, "en", "totally unrelated text with no overlap at all here", 0),
+            ],
+        )
+        rows = {r.doc_id: r for r in cut_repeated_spans(docs, window=8).collect()}
+        # doc 1 is the keeper: untouched, reconstruction whitespace-normalized
+        assert rows[1].n_cut == 0
+        assert rows[1].cleaned_text == f"alpha beta {PASSAGE} gamma delta"
+        # doc 2 loses exactly the 12 passage tokens, keeps its own prefix
+        assert rows[2].n_cut == 12
+        assert rows[2].n_tokens == 18
+        assert rows[2].cleaned_text == "one two three four five six"
+        # untouched doc passes through whole
+        assert rows[3].n_cut == 0
+        assert rows[3].n_tokens == 9
+
+    def test_fully_cut_doc_still_reported(self, spark):
+        # doc 2 IS the shared passage: every token cut, row must remain
+        docs = _docs(
+            spark,
+            [
+                (1, "en", f"{PASSAGE} trailing words here", 0),
+                (2, "en", PASSAGE, 0),
+            ],
+        )
+        rows = {r.doc_id: r for r in cut_repeated_spans(docs, window=8).collect()}
+        assert rows[2].n_cut == rows[2].n_tokens == 12
+        assert rows[2].cleaned_text == ""
+        assert rows[1].n_cut == 0
+
+    def test_token_conservation(self, spark):
+        # n_tokens - n_cut == tokens of cleaned_text, for every doc
+        docs = _docs(
+            spark,
+            [
+                (1, "en", f"alpha beta {PASSAGE}", 0),
+                (2, "en", f"{PASSAGE} omega", 0),
+                (3, "en", "independent filler text with enough tokens here ok", 0),
+            ],
+        )
+        for r in cut_repeated_spans(docs, window=8).collect():
+            n_clean = len(r.cleaned_text.split()) if r.cleaned_text else 0
+            assert r.n_tokens - r.n_cut == n_clean
 
 
 class TestDsirWeights:
@@ -234,6 +290,26 @@ class TestHllSketch:
         }
         assert once == twice
 
+    def test_max_rank_register_does_not_corrupt_harmonic_sum(self, spark):
+        # rho = WBITS + 1 (the w == 0 register, probability 2^-52 per
+        # key with md5 — unreachable by fixture, so inject it): before
+        # the round-5 rescale the per-register term was
+        # shiftleft(1, WBITS - rho) = shiftleft(1, -1), which Spark's
+        # masked shift turns into Long.MIN_VALUE, flipping the whole
+        # estimate negative. After the fix the exponent is
+        # WBITS + 1 - rho = 0 and the estimate stays sane.
+        from personal_health_etl_pipeline_spark.plans.sketches import (
+            _HLL_WBITS,
+            hll_estimate,
+        )
+
+        regs = spark.createDataFrame(
+            [("t", i, _HLL_WBITS + 1 if i == 0 else 1) for i in range(64)],
+            "event_type string, idx int, r int",
+        )
+        [row] = hll_estimate(regs).collect()
+        assert row.est_ndv > 0
+
 
 class TestBpeLearned:
     def test_most_frequent_pair_merges_first(self, spark):
@@ -276,3 +352,30 @@ class TestBpeLearned:
         few = {r.word: r.seg for r in bpe_segment(docs, n_merges=1).collect()}
         many = {r.word: r.seg for r in bpe_segment(docs, n_merges=5).collect()}
         assert few == many
+
+    def test_special_chars_in_winning_pair_survive_literal_injection(
+        self, spark
+    ):
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            EOW,
+            bpe_segment,
+        )
+
+        # the winning pair's symbols are driver-ferried into a Spark SQL
+        # string literal; backslashes and quotes must round-trip (the
+        # round-5 escaping fix — previously a\b crashed with a
+        # ParseException). Corpus is dominated by backslash-and-quote
+        # words so the merged pairs CONTAIN the specials.
+        docs = _docs(
+            spark,
+            [
+                (1, "en", "a\\b a\\b a\\b a\\b", 0),
+                (2, "en", "c'd c'd c'd", 0),
+            ],
+        )
+        segs = {r.word: r.seg for r in bpe_segment(docs, n_merges=3).collect()}
+        # every word still reconstructs -> no literal corruption
+        for word, seg in segs.items():
+            assert seg.replace(" ", "") == word + EOW
+        # and the backslash pair actually merged (it is the most frequent)
+        assert segs["a\\b"].split(" ")[0] in ("a\\", "a\\b", f"a\\b{EOW}")
