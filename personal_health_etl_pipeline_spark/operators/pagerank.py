@@ -25,12 +25,12 @@ Scale design:
   partitioned by src — reused every round), ONE groupBy(dst) with
   map-side partial sums, and a 1-row dangling-mass aggregate that
   rides a broadcast. No driver-side per-node state ever.
-* Ranks are ``localCheckpoint``-ed each round (same recipe as
+* Ranks are checkpointed each round (same recipe as
   ``connected_components``): the next iteration references the rank
   frame three times (inflow, dangling, carry), so without
-  materialization the plan tree grows 3^k. On a cluster pass a
-  reliable ``checkpoint_dir`` via ``connected_components``' pattern if
-  executor loss matters; iterations here are fixed and few.
+  materialization the plan tree grows 3^k. ``localCheckpoint`` by
+  default; pass a reliable ``checkpoint_dir`` on a cluster where
+  executor loss matters (e.g. a 50-iteration run).
 * Edge skew (a node with millions of in-edges) lands in the groupBy's
   partial aggregation — combiner-friendly, no pair explosion.
 """
@@ -39,6 +39,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.operators.graph import (
+    _checkpoint_rdd_dirs,
+    _delete_checkpoint_rdd_dirs,
+)
 
 PAGERANK_MICRO = 1_000_000
 DAMPING_PCT = 85  # 0.85, in integer percent
@@ -50,6 +55,7 @@ def pagerank(
     dst: str = "dst",
     n_iters: int = 3,
     dedup_edges: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """``n_iters`` synchronous PageRank updates over a directed edge
     list; returns ``(node, rank_micro)`` for every node that appears
@@ -59,7 +65,56 @@ def pagerank(
     uniform pool each iteration: ``dang div N`` is added to every
     node's inflow before damping — the standard correction, kept in
     exact integer math (one 1-row broadcast per iteration).
+
+    ``checkpoint_dir``: when set, per-round state is truncated with
+    RELIABLE checkpoints written under this path (HDFS/object storage
+    on a cluster) instead of ``localCheckpoint``. Local checkpoints
+    live in executor block storage, so on a real cluster losing one
+    executor mid-iteration kills the job; reliable checkpoints survive
+    executor loss and are the right default for any long-running
+    cluster deployment. Local mode / tests can keep the default.
+
+    Checkpoint lifecycle: ``setCheckpointDir`` is a PROCESS-GLOBAL
+    SparkContext mutation; this function restores the previous
+    checkpoint location before returning, so other code's
+    ``checkpoint()`` calls are unaffected. Superseded per-round
+    checkpoints are deleted as the loop advances (Spark never cleans
+    them itself — ``cleanCheckpoints`` defaults to false); what remains
+    on return is exactly the graph-structure snapshots + the final
+    ranks, which the RETURNED FRAME READS FROM — delete
+    ``checkpoint_dir`` only after consuming the result.
     """
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    if checkpoint_dir is not None:
+        prior = sc._jsc.sc().getCheckpointDir()  # scala Option[String]
+        sc.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    try:
+        return _pagerank_loop(
+            spark, edges, src, dst, n_iters, dedup_edges, _ckpt,
+            track_files=checkpoint_dir is not None,
+        )
+    finally:
+        if checkpoint_dir is not None:
+            # restore the exact prior location (possibly unset). A plain
+            # setCheckpointDir(prior) would nest a fresh UUID dir under
+            # it, so write the field back through the scala var setter.
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(prior)
+
+
+def _pagerank_loop(
+    spark,
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    n_iters: int,
+    dedup_edges: bool,
+    _ckpt,
+    track_files: bool = False,
+) -> DataFrame:
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if dedup_edges:
         # a repeated edge would double-count its contribution; callers
@@ -67,15 +122,13 @@ def pagerank(
         # disjoint projections of a deduped pair table) pass False and
         # save this full-width shuffle
         e = e.distinct()
-    e = e.localCheckpoint(eager=True)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=True
-    )
-    nodes = (
+    seen_dirs = _checkpoint_rdd_dirs(spark) if track_files else set()
+    e = _ckpt(e)
+    outdeg = _ckpt(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    nodes = _ckpt(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # N is ONE scalar — ferried by the driver like the k-means centroid
     # counts (bounded state, no arithmetic happens driver-side)
@@ -83,10 +136,14 @@ def pagerank(
     # the dangling SET is static (graph structure); only its rank mass
     # changes per iteration. Graphs with no dangling nodes skip the
     # per-iteration mass aggregate (and its broadcast) entirely.
-    dangling = nodes.join(
-        outdeg, nodes["node"] == outdeg["src"], "left_anti"
-    ).localCheckpoint(eager=True)
+    dangling = _ckpt(
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left_anti")
+    )
     has_dangling = dangling.limit(1).count() > 0
+    if track_files:
+        # graph-structure snapshots stay protected for the whole loop
+        seen_dirs |= _checkpoint_rdd_dirs(spark) - seen_dirs
+    live_rank_dirs: set[str] = set()
     ranks = nodes.withColumn("r", F.lit(PAGERANK_MICRO).cast("bigint"))
     for _ in range(n_iters):
         ranks = _update(
@@ -98,7 +155,15 @@ def pagerank(
             # free graphs reference ranks exactly once per iteration —
             # lineage stays LINEAR and the whole loop executes as one
             # deferred plan (k chained join+agg rounds, zero extra jobs).
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _ckpt(ranks)
+            if track_files:
+                # the previous round's rank checkpoint is superseded the
+                # moment this round has materialized — delete it (Spark
+                # itself never does; cleanCheckpoints defaults false)
+                new_dirs = _checkpoint_rdd_dirs(spark) - seen_dirs
+                seen_dirs |= new_dirs
+                _delete_checkpoint_rdd_dirs(spark, live_rank_dirs)
+                live_rank_dirs = new_dirs
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 

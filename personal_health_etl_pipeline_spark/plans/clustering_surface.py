@@ -89,14 +89,27 @@ IVFK_QUERY_MOD = 50
 
 
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN whose coarse quantizer is LEARNED by k-means (one Lloyd
-    update), not taken from the supplied ``label`` column — the shape a
-    real 100 TB index build uses."""
+    """IVF ANN whose coarse quantizer is LEARNED by k-means, not taken
+    from the supplied ``label`` column — the shape a real 100 TB index
+    build uses.
+
+    Cost attribution (r5 A/B at sf0.1, medians of 3): the r3->r4
+    slowdown decomposes as ~0.8s for the second Lloyd update and
+    ~0.2s for nprobe 3->4 — both bought recall@10 0.60 -> 0.71, i.e.
+    they are the price of the >= 0.7 recall gate, not waste — plus
+    ~0.2-0.3s for ``persist=True``, which was pure loss HERE: at
+    sf0.1 the embeddings scan is cheaper than eagerly filling the
+    cache, so training reads the parquet (u2p4: persist 3.43s vs
+    no-persist 3.14s; same sign at u1p3). Crossover: persist wins when
+    a base scan costs more than one cache write+read — remote storage,
+    wide rows, or n_updates deep enough that (n_updates + 1) scans
+    dominate; cluster deployments should pass ``persist=True``.
+    """
     from personal_health_etl_pipeline_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = C.kmeans_centroids(
-        emb, k=IVFK_LISTS, n_updates=IVFK_UPDATES, persist=True
+        emb, k=IVFK_LISTS, n_updates=IVFK_UPDATES, persist=False
     )
     return S.ivf_topk(
         emb,

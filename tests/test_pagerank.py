@@ -77,3 +77,35 @@ class TestPagerankSemantics:
         # the only nested-loop joins allowed are the 1-row broadcast
         # scalar ferries (dangling mass, node count)
         assert "CartesianProduct" not in plan
+
+    def test_reliable_checkpoint_dir(self, spark, tmp_path):
+        """With ``checkpoint_dir`` set, rounds truncate lineage via
+        RELIABLE checkpoints (files under the dir) instead of
+        localCheckpoint — the cluster-safe mode (executor loss cannot
+        drop local-checkpoint blocks it depends on). Ranks must be
+        bit-identical to the local mode, the process-global checkpoint
+        location must be restored, and superseded per-round rank
+        checkpoints must be deleted as the loop advances."""
+        import glob as _glob
+
+        sc = spark.sparkContext
+        prior = sc._jsc.sc().getCheckpointDir()
+        ckpt = str(tmp_path / "ckpt")
+        e = _edges(spark, [(1, 2), (2, 1), (3, 2), (3, 4)])
+        local = {r.node: r.rank_micro for r in pagerank(e, n_iters=3).collect()}
+        reliable_df = pagerank(e, n_iters=3, checkpoint_dir=ckpt)
+        reliable = {r.node: r.rank_micro for r in reliable_df.collect()}
+        assert reliable == local
+        rdd_dirs = _glob.glob(f"{ckpt}/**/rdd-*", recursive=True)
+        assert rdd_dirs, "no reliable checkpoint files under checkpoint_dir"
+        # graph structure (edges, outdeg, nodes, dangling) + final ranks
+        # remain; the 2 superseded per-round rank checkpoints are gone
+        assert len(rdd_dirs) == 5, rdd_dirs
+        after = sc._jsc.sc().getCheckpointDir()
+        assert after.isDefined() == prior.isDefined()
+        if prior.isDefined():
+            assert after.get() == prior.get()
+        # the returned frame still materializes from what remains
+        assert {
+            r.node: r.rank_micro for r in reliable_df.collect()
+        } == local
