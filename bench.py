@@ -126,6 +126,37 @@ def main() -> None:
     medians = {name: round(sorted(ts)[1], 3) for name, ts in trials.items()}
 
     total = round(sum(timings.values()), 3)
+
+    # DuckDB-oracle wall-clock over the SAME headline set and parquet:
+    # the measured baseline (the reference publishes no numbers), so
+    # bench_vs_baseline is a recorded ratio instead of a README estimate.
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracle_set = [n for n in HEADLINE if CATALOG[n][1] is not None]
+    for name in oracle_set:  # warm pass (catalog/IO caches)
+        con.execute(CATALOG[name][1]).fetchall()
+    o_trials: dict[str, list[float]] = {n: [] for n in oracle_set}
+    for _ in range(3):
+        for name in oracle_set:
+            start = time.perf_counter()
+            con.execute(CATALOG[name][1]).fetchall()
+            o_trials[name].append(time.perf_counter() - start)
+    con.close()
+    oracle_medians = {
+        n: round(sorted(ts)[1], 3) for n, ts in o_trials.items()
+    }
+    oracle_median_total = round(sum(oracle_medians.values()), 3)
+    median_total = round(sum(medians.values()), 3)
+
     print(
         json.dumps(
             {
@@ -134,7 +165,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
-                "median_total": round(sum(medians.values()), 3),
+                "median_total": median_total,
+                "oracle_median_total": oracle_median_total,
+                "oracle_queries_median": oracle_medians,
+                "bench_vs_baseline": round(
+                    median_total / oracle_median_total, 3
+                )
+                if oracle_median_total
+                else None,
                 "sf": sf,
             }
         )

@@ -144,6 +144,32 @@ def zorder_by(
     clamps to 1, the key contributes zero bits).
     """
     df = spark.read.parquet(path)
+    if n_files is None:
+        n_files = max(1, math.ceil(_dir_bytes(path) / (128 * 1024 * 1024)))
+    z = zorder_z_expr(df, cols, bits)
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("_z", F.expr(z))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def zorder_z_expr(df, cols: list[str], bits: int = 16) -> str:
+    """The Morton z-value of ``cols`` as a SQL expression string over
+    ``df``'s columns: each key affinely scaled onto a ``bits``-bit grid
+    from its observed min/max (ONE bounded stats aggregate, driver-
+    ferried as literals), bits interleaved per :func:`_zvalue_expr`.
+
+    Exposed separately so audit/certification paths can recompute the
+    exact z a layout pass used (the stats are data-derived, so the
+    same content yields the same expression)."""
+    from pyspark.sql import functions as F
+
     if len(cols) < 2:
         raise ValueError("z-ordering needs >= 2 keys; use cluster_by for 1")
     if bits * len(cols) > 63:
@@ -155,10 +181,6 @@ def zorder_by(
             f"bits * len(cols) = {bits * len(cols)} exceeds 63 (bigint "
             f"sign bit); use bits <= {63 // len(cols)} for {len(cols)} keys"
         )
-    if n_files is None:
-        n_files = max(1, math.ceil(_dir_bytes(path) / (128 * 1024 * 1024)))
-    from pyspark.sql import functions as F
-
     stats = df.agg(
         *[F.min(c).cast("bigint").alias(f"mn{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("bigint").alias(f"mx{i}") for i, c in enumerate(cols)],
@@ -177,12 +199,50 @@ def zorder_by(
                 f"(max span {(2**63 - 1) // top}); bucket the key first"
             )
         scaled.append(f"(((CAST({c} AS BIGINT) - {mn}) * {top}) div {span})")
-    z = _zvalue_expr(scaled, bits)
+    return _zvalue_expr(scaled, bits)
+
+
+def zorder_bucket_by(
+    df,
+    out_path: str,
+    cols: list[str],
+    n_buckets: int = 4,
+    bits: int = 16,
+) -> int:
+    """Z-order into STATIC equal-width z-grid buckets: rows land in
+    bucket ``z >> (bits * len(cols) - log2(n_buckets))`` (the top z
+    bits), written as one compacted file per bucket directory
+    (``_zbucket=<b>/``).
+
+    vs :func:`zorder_by`: that one range-partitions on SAMPLED z
+    boundaries — equal-size files, but boundaries depend on the sample,
+    so the exact file assignment is not reproducible from the data
+    alone. Equal-WIDTH buckets trade balanced file sizes for a fully
+    deterministic, math-derivable layout (Iceberg's truncate-transform
+    applied to the z value): every row's bucket is a pure function of
+    the data, so an external auditor can recompute per-file counts and
+    min/max pruning stats exactly — the property the catalog's
+    ``layout_zorder_audit`` entry hash-certifies. Skewed key spaces
+    prefer :func:`zorder_by`; certification and static-partition-layout
+    pipelines prefer this.
+
+    Returns ``shift`` — the right-shift mapping a z value to its
+    bucket id (``z >> shift``), for auditors recomputing the layout.
+    """
+    from pyspark.sql import functions as F
+
+    if n_buckets < 2 or n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two >= 2")
+    shift = bits * len(cols) - n_buckets.bit_length() + 1
+    z = zorder_z_expr(df, cols, bits)
     (
-        df.withColumn("_z", F.expr(z))
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        df.withColumn("_zbucket", F.expr(f"shiftright({z}, {shift})"))
+        # repartition by the bucket key: every bucket's rows land in ONE
+        # task -> exactly one compacted file per bucket directory
+        .repartition(n_buckets, "_zbucket")
+        .sortWithinPartitions("_zbucket")
         .write.mode("overwrite")
+        .partitionBy("_zbucket")
         .parquet(out_path)
     )
+    return shift

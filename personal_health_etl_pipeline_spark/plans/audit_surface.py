@@ -1,0 +1,315 @@
+"""Derived-audit catalog entries for SIDE-EFFECTFUL operators.
+
+The catalog's hash gate certifies pure queries; the engine's layout
+maintenance (``operators/layout.py``), streaming SCD-2 upsert sink
+(``streaming/upsert.py``) and JSONL quarantine source
+(``sources/jsonl.py``) act on storage instead of returning frames, so
+until round 5 they were test-certified only. Each entry here PERFORMS
+the side effect into a scratch directory and returns a derived audit
+frame whose every value is recomputable by the DuckDB oracle from the
+source tables alone — putting the side-effectful path under the same
+value-hash gate as everything else:
+
+* ``layout_zorder_audit`` — static-grid z-order rewrite of ``events``,
+  then per-bucket-file (count, z-min, z-max, file-count, misplacement)
+  stats read BACK from the written layout. Oracle = the z-curve math.
+* ``st_scd2_upsert_state`` — an ACTUAL Structured Streaming run (file
+  source, one micro-batch per CDC day-batch) through the SCD-2
+  ``foreachBatch`` sink; the final committed history is the frame.
+  Oracle = the batch fold of the same updates in SQL.
+* ``src_jsonl_quarantine_audit`` — writes a landing file with
+  deterministically corrupted lines, splits it through the quarantine
+  reader, returns the (good, quarantined) accounting. Oracle = the
+  corruption rule's arithmetic.
+
+Scratch lifecycle: each call uses a fresh ``tempfile.mkdtemp`` dir the
+RETURNED FRAME READS FROM — the dirs live until process exit (the
+certification harness is short-lived; production deployments point the
+sinks at real table paths instead).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from personal_health_etl_pipeline_spark.operators.layout import (
+    zorder_bucket_by,
+    zorder_z_expr,
+)
+from personal_health_etl_pipeline_spark.sources.jsonl import (
+    read_jsonl_quarantine,
+)
+from personal_health_etl_pipeline_spark.sources.tables import load_table
+from personal_health_etl_pipeline_spark.streaming.upsert import (
+    read_current,
+    run_upsert_stream,
+)
+
+# --- layout: static-grid z-order audit --------------------------------
+
+ZORDER_COLS = ["user_id", "event_id"]
+ZORDER_BITS = 16
+ZORDER_BUCKETS = 4
+
+
+def layout_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite ``events`` z-ordered into static equal-width z-grid
+    buckets (``operators/layout.py:zorder_bucket_by``), read the
+    layout BACK, and report per bucket: row count, exact z min/max
+    (the parquet-footer pruning stats a z-range predicate would use),
+    the physical file count (must be 1 — compaction), and the number
+    of rows whose recomputed bucket disagrees with the directory they
+    landed in (must be 0). Every value is pure z-curve math the oracle
+    derives from the source table — certifying the write+read-back
+    round trip, the interleave arithmetic, and the layout invariant
+    in one frame."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    scratch = tempfile.mkdtemp(prefix="spark_zorder_audit_")
+    out = os.path.join(scratch, "events_z")
+    shift = zorder_bucket_by(
+        ev, out, ZORDER_COLS, n_buckets=ZORDER_BUCKETS, bits=ZORDER_BITS
+    )
+    back = spark.read.parquet(out)
+    z = zorder_z_expr(back, ZORDER_COLS, ZORDER_BITS)
+    return (
+        back.withColumn("_z", F.expr(z))
+        # project the file name BEFORE aggregating: input_file_name()
+        # is non-deterministic and rejected inside agg arguments
+        .withColumn("_file", F.input_file_name())
+        .groupBy(F.col("_zbucket").cast("int").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_z").alias("z_min"),
+            F.max("_z").alias("z_max"),
+            F.countDistinct("_file").alias("n_files"),
+            F.sum(
+                F.when(
+                    F.expr(f"shiftright(_z, {shift})")
+                    != F.col("_zbucket").cast("bigint"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_misplaced"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+def _duck_z_terms(n_cols: int, bits: int) -> str:
+    terms = [
+        f"(((s{j} >> {b}) & 1) << {b * n_cols + (n_cols - 1 - j)})"
+        for b in range(bits)
+        for j in range(n_cols)
+    ]
+    return " + ".join(terms)
+
+
+def _duck_zorder_oracle() -> str:
+    k, bits = len(ZORDER_COLS), ZORDER_BITS
+    top = (1 << bits) - 1
+    shift = bits * k - ZORDER_BUCKETS.bit_length() + 1
+    stats_sel = ", ".join(
+        f"CAST(MIN({c}) AS BIGINT) AS mn{i}, CAST(MAX({c}) AS BIGINT) AS mx{i}"
+        for i, c in enumerate(ZORDER_COLS)
+    )
+    scaled_sel = ", ".join(
+        f"((CAST({c} AS BIGINT) - mn{i}) * {top})"
+        f" // GREATEST(CAST(1 AS BIGINT), mx{i} - mn{i}) AS s{i}"
+        for i, c in enumerate(ZORDER_COLS)
+    )
+    return f"""
+WITH stats AS (SELECT {stats_sel} FROM events),
+scaled AS (SELECT {scaled_sel} FROM events CROSS JOIN stats),
+zvals AS (SELECT {_duck_z_terms(k, bits)} AS z FROM scaled)
+SELECT CAST(z >> {shift} AS INT) AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(z) AS z_min,
+       MAX(z) AS z_max,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(0 AS BIGINT) AS n_misplaced
+FROM zvals GROUP BY zbucket ORDER BY zbucket
+"""
+
+
+LAYOUT_ZORDER_AUDIT_ORACLE = _duck_zorder_oracle()
+
+
+# --- streaming SCD-2 upsert: final state vs batch fold ----------------
+
+SCD2_N_DAYS = 3
+
+
+def st_scd2_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the streaming SCD-2 upsert sink END-TO-END and return the
+    final committed dimension history. CDC updates are derived from
+    ``events``: for each of the corpus's {SCD2_N_DAYS} earliest days,
+    each user's last ``event_type`` that day (ties broken on
+    (ts, event_id) desc) becomes one update record effective that day.
+    Each day-batch is one parquet file in a streaming file source
+    (``maxFilesPerTrigger=1`` -> one micro-batch per day, in mtime
+    order), merged through ``streaming/upsert.py``'s ``foreachBatch``
+    sink (versioned parquet + atomic pointer swap). The returned frame
+    is ``read_current`` — what a consumer of the dimension actually
+    sees — and the oracle is the same updates folded in SQL: keep a
+    day's row iff its attr differs from the previous kept row,
+    ``valid_to`` = the next kept row's day. Hash equality certifies
+    the stream's micro-batch merge == one big sorted batch replay."""
+    events = load_table(spark, sf_dir, "events")
+    days = [
+        r.d
+        for r in events.select(F.to_date("ts").alias("d"))
+        .distinct()
+        .orderBy("d")
+        .limit(SCD2_N_DAYS)
+        .collect()
+    ]
+    w = Window.partitionBy("user_id", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    upd = (
+        events.withColumn("d", F.to_date("ts"))
+        .where(F.col("d").isin(days))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("d").alias("eff_date"))
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_scd2_audit_")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src)
+    base_mtime = 1_700_000_000
+    for i, d in enumerate(sorted(days)):
+        bdir = os.path.join(scratch, f"w{i}")
+        upd.where(F.col("eff_date") == F.lit(d)).coalesce(1).write.parquet(
+            bdir
+        )
+        [part] = glob.glob(os.path.join(bdir, "part-*.parquet"))
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        shutil.move(part, dst)
+        # micro-batch order = the file source's (mtime, path) order;
+        # pin strictly increasing mtimes so day order is guaranteed
+        os.utime(dst, (base_mtime + i, base_mtime + i))
+    table_dir = os.path.join(scratch, "table")
+    os.makedirs(table_dir)
+    stream = (
+        spark.readStream.schema(upd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_upsert_stream(
+        stream,
+        table_dir,
+        os.path.join(scratch, "ck"),
+        key="user_id",
+        attrs=["event_type"],
+        eff_col="eff_date",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    hist = read_current(spark, table_dir)
+    return hist.select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    ).orderBy("user_id", "valid_from")
+
+
+ST_SCD2_UPSERT_ORACLE = f"""
+WITH days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events ORDER BY d
+  LIMIT {SCD2_N_DAYS}
+),
+upd AS (
+  SELECT user_id, event_type, d AS eff_date FROM (
+    SELECT e.user_id, e.event_type, CAST(e.ts AS DATE) AS d,
+           row_number() OVER (PARTITION BY e.user_id, CAST(e.ts AS DATE)
+                              ORDER BY e.ts DESC, e.event_id DESC) AS rn
+    FROM events e JOIN days ON CAST(e.ts AS DATE) = days.d
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT user_id, event_type, eff_date,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY eff_date)
+             AS prev_et
+  FROM upd
+),
+hist AS (
+  SELECT user_id, event_type, eff_date AS valid_from,
+         lead(eff_date) OVER (PARTITION BY user_id ORDER BY eff_date)
+             AS valid_to
+  FROM kept WHERE prev_et IS NULL OR event_type <> prev_et
+)
+SELECT user_id, event_type, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM hist ORDER BY user_id, valid_from
+"""
+
+
+# --- JSONL quarantine: good/bad accounting ----------------------------
+
+_JSONL_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("lang", StringType())]
+)
+
+
+def src_jsonl_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a JSONL landing file from ``documents`` with two
+    deterministic corruption modes — ``doc_id % 7 == 0`` truncated
+    mid-object (syntax error), ``doc_id % 7 == 3`` doc_id written as a
+    non-numeric string (type drift) — then split it through
+    ``sources/jsonl.py``'s quarantine reader and return one row of
+    accounting: good-row count, the SUM of good doc_ids (certifies
+    parsed values, not just counts), distinct langs among good rows,
+    and the quarantined-line count. Oracle = the same modular
+    arithmetic straight off the table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scratch = tempfile.mkdtemp(prefix="spark_jsonl_audit_")
+    landing = os.path.join(scratch, "landing")
+    line = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit('{"doc_id": '),
+                F.col("doc_id").cast("string"),
+                F.lit(', "lang"'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.lit('{"doc_id": "x'),
+                F.col("doc_id").cast("string"),
+                F.lit('", "lang": "'),
+                F.coalesce(F.col("lang"), F.lit("")),
+                F.lit('"}'),
+            ),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "lang")))
+    )
+    docs.select(line.alias("value")).write.mode("overwrite").text(landing)
+    good, quar = read_jsonl_quarantine(spark, landing, _JSONL_SCHEMA)
+    return good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum("doc_id").alias("sum_good_doc_id"),
+        F.countDistinct("lang").alias("n_good_langs"),
+    ).crossJoin(
+        F.broadcast(quar.agg(F.count(F.lit(1)).alias("n_quarantine")))
+    )
+
+
+SRC_JSONL_QUARANTINE_ORACLE = """
+SELECT
+  (SELECT COUNT(*) FROM documents WHERE doc_id % 7 NOT IN (0, 3))
+      AS n_good,
+  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+   WHERE doc_id % 7 NOT IN (0, 3)) AS sum_good_doc_id,
+  (SELECT COUNT(DISTINCT lang) FROM documents
+   WHERE doc_id % 7 NOT IN (0, 3)) AS n_good_langs,
+  (SELECT COUNT(*) FROM documents WHERE doc_id % 7 IN (0, 3))
+      AS n_quarantine
+"""

@@ -18,6 +18,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from personal_health_etl_pipeline_spark.plans import analytics_surface as an
+from personal_health_etl_pipeline_spark.plans import audit_surface as au
 from personal_health_etl_pipeline_spark.plans import cdc_surface as cdc
 from personal_health_etl_pipeline_spark.plans import clustering_surface as cl
 from personal_health_etl_pipeline_spark.plans import graph_surface as gr
@@ -118,6 +119,24 @@ register(
     llm3.dedup_substring_cut,
     llm3.DEDUP_SUBSTRING_CUT_ORACLE,
 )
+# NEW r5: derived-audit entries putting the side-effectful operators
+# (layout maintenance, streaming SCD-2 upsert sink, JSONL quarantine
+# source) under the driver's value-hash gate
+register(
+    "layout_zorder_audit",
+    au.layout_zorder_audit,
+    au.LAYOUT_ZORDER_AUDIT_ORACLE,
+)
+register(
+    "st_scd2_upsert_state", au.st_scd2_upsert_state, au.ST_SCD2_UPSERT_ORACLE
+)
+register(
+    "src_jsonl_quarantine_audit",
+    au.src_jsonl_quarantine_audit,
+    au.SRC_JSONL_QUARANTINE_ORACLE,
+)
+# NEW r5: heartrate SPECIAL 7-day-chunked source path, hash-certified
+register("j13_heartrate_chunked", rs.j13_heartrate_chunked, rs.J13_ORACLE)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -319,6 +338,85 @@ register("p5_exists_probe", rs.p5_exists_probe, rs.P5_ORACLE)
 register("p6_new_dates_antijoin", rs.p6_new_dates_antijoin, rs.P6_ORACLE)
 register("f3_timestamp_coerce", rs.f3_timestamp_coerce, rs.F3_ORACLE)
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
+
+
+# --- r5 head-window rotation -----------------------------------------
+# The rotation rule (adopted r4) as an EXPLICIT list instead of
+# registration-order surgery: external harnesses certify the FIRST ~50
+# entries in dict order, so the head must hold (a) every entry that has
+# NEVER had a driver certification, (b) every entry whose implementation
+# changed this round, (c) backfill from the stalest certifications.
+# Everything not listed keeps its registration order after the head.
+_HEAD = [
+    # (a) never driver-certified (added after the r4 head filled)
+    "a15_incremental_rollup",
+    "dq2_column_profile",
+    "text_bpe_learned_segment",  # also r5-changed: literal escaping fix
+    "dq3_key_skew_report",
+    "st_topk_trending",
+    # (b) new in r5
+    "dedup_substring_cut",
+    "layout_zorder_audit",
+    "st_scd2_upsert_state",
+    "src_jsonl_quarantine_audit",
+    "j13_heartrate_chunked",
+    # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
+    # persist attribution, pagerank checkpoint refactor)
+    "sketch_hll_distinct",
+    "st_hll_window",
+    "ann_ivf_kmeans_topk",
+    "graph_pagerank",
+    # (c) stalest certifications (last green r1/r2): the TPC-H sweep,
+    # f-family coercions, p-family probes, a4, streaming windows, w1/w2
+    "q2_min_price_line",
+    "q3_shipping_priority",
+    "q4_late_ship_priority",
+    "q5_region_volume",
+    "q6_revenue_delta",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q14_conditional_revenue",
+    "q15_top_supplier",
+    "q18_large_volume_orders",
+    "q21_blocking_suppliers",
+    # family-coverage guard: the head keeps >= 1 rep of EVERY family
+    # (tests/test_catalog.py), so six of the stale TPC-H re-checks
+    # (q12/q16/q17/q19/q20/q22 -> r6 head) yield to these family reps
+    "c3_schema_align",
+    "m1_scd2_merge",
+    "ts1_gap_fill_ffill",
+    "mm_byte_stats",
+    "emb_centroids",
+    "corpus_pack_sequences",
+    "f3_timestamp_coerce",
+    "f4_array_to_json",
+    "f5_date_range_explode",
+    "f6_path_roundtrip",
+    "f8_json_extract",
+    "p1_required_filter",
+    "p3_prefix_columns",
+    "p4_distinct_days",
+    "p5_exists_probe",
+    "p6_new_dates_antijoin",
+    "a4_union_distinct_days",
+    "st_session_window_agg",
+    "st_sliding_window_agg",
+    "w1_rolling_7day_revenue",
+    "w2_topk_per_group",
+]
+# next-stalest after these (rotate into the r6 head): a5-a10, a1/a3,
+# w3/w4, f2, st_dedup/interval/enrich, j2/j3
+
+assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
+assert len(_HEAD) == len(set(_HEAD)) == 50
+CATALOG = {
+    **{n: CATALOG[n] for n in _HEAD},
+    **{n: v for n, v in CATALOG.items() if n not in set(_HEAD)},
+}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -773,3 +773,63 @@ def c3_schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 C3_ORACLE = """
 SELECT doc_id, lang, n_chars, CAST(NULL AS DOUBLE) AS quality FROM documents
 """
+
+
+# --- J13: heartrate SPECIAL chunked extraction end-to-end (S2/S4) -------
+
+J13_START = dt.date(2024, 1, 1)
+J13_END = dt.date(2024, 1, 30)
+
+
+def j13_heartrate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heartrate SPECIAL path (``sources/registry.py``: 7-day
+    chunked range fetch, reference ``extract.py:133-149,184``) driven
+    END-TO-END over a fixed 30-day window: 5 chunk fetches union into
+    one plan, flattened to scalars. The oracle recomputes every record
+    independently per day from the fixture's sha256 arithmetic (DuckDB
+    ``sha256`` == hashlib), so hash equality certifies the chunk
+    windows tile the range exactly — no overlapping day fetched twice,
+    no boundary day dropped — which is the chunking property S4's
+    chunked==unchunked test asserts, now under the driver's gate.
+    ``sf_dir`` is unused: this certifies the SOURCE layer, whose
+    fixture is synthesized from (data_type, day) alone."""
+    from personal_health_etl_pipeline_spark.sources.registry import (
+        extract_data_type,
+    )
+
+    raw = extract_data_type(spark, "heartrate", J13_START, J13_END)
+    return raw.select(
+        "id",
+        "day",
+        "score",
+        F.col("contributors.deep_sleep").alias("deep_sleep"),
+        F.col("contributors.efficiency").alias("efficiency"),
+        F.col("contributors.latency").alias("latency"),
+        F.col("timestamp").alias("wire_ts"),
+    ).orderBy("day")
+
+
+J13_ORACLE = f"""
+WITH days AS (
+  SELECT CAST(d AS DATE) AS day
+  FROM generate_series(DATE '{J13_START.isoformat()}',
+                       DATE '{J13_END.isoformat()}',
+                       INTERVAL 1 DAY) t(d)
+),
+h AS (
+  SELECT strftime(day, '%Y-%m-%d') AS day_s,
+         CAST(('0x' || substr(
+             sha256('heartrate|' || strftime(day, '%Y-%m-%d') || '|rec'),
+             1, 16)) AS UBIGINT) AS h
+  FROM days
+)
+SELECT 'heartrate-' || day_s AS id,
+       day_s AS day,
+       CAST(40 + h % 60 AS BIGINT) AS score,
+       CAST(h % 100 AS BIGINT) AS deep_sleep,
+       CAST((h // 100) % 100 AS BIGINT) AS efficiency,
+       CAST((h // 10000) % 100 AS BIGINT) AS latency,
+       day_s || 'T04:00:00.' || lpad(CAST(h % 1000000 AS VARCHAR), 6, '0')
+           || '+00:00' AS wire_ts
+FROM h ORDER BY day_s
+"""

@@ -35,6 +35,9 @@ FAMILIES = {
     "time-series": r"^ts\d",
     "data-quality": r"^dq\d",
     "graph analytics": r"^graph_",
+    # r5: side-effectful operators under the hash gate via derived audits
+    "layout audit": r"^layout_",
+    "source audit": r"^src_",
 }
 
 
