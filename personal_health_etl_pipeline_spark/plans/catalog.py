@@ -137,6 +137,12 @@ register(
 )
 # NEW r5: heartrate SPECIAL 7-day-chunked source path, hash-certified
 register("j13_heartrate_chunked", rs.j13_heartrate_chunked, rs.J13_ORACLE)
+# NEW r5: learned-BPE train -> corpus-wide apply composition
+register(
+    "text_bpe_apply_corpus",
+    llm3.text_bpe_apply_corpus,
+    llm3.TEXT_BPE_APPLY_ORACLE,
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -355,6 +361,7 @@ _HEAD = [
     "dq3_key_skew_report",
     "st_topk_trending",
     # (b) new in r5
+    "text_bpe_apply_corpus",
     "dedup_substring_cut",
     "layout_zorder_audit",
     "st_scd2_upsert_state",
@@ -402,7 +409,7 @@ _HEAD = [
     "p4_distinct_days",
     "p5_exists_probe",
     "p6_new_dates_antijoin",
-    "a4_union_distinct_days",
+    # (a4_union_distinct_days -> r6 head; a-family rep = a15 in slot 1)
     "st_session_window_agg",
     "st_sliding_window_agg",
     "w1_rolling_7day_revenue",

@@ -550,6 +550,17 @@ def bpe_segment(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
 
 
 def _bpe_oracle(n_merges: int) -> str:
+    return (
+        f"WITH {_TOKS_CTE},\n{_bpe_ctes(n_merges)}"
+        + f"\nSELECT word, wc, array_to_string(s, ' ') AS seg FROM s{n_merges}"
+        " ORDER BY word"
+    )
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    """The training-loop CTE chain (``toks`` must already be defined);
+    ends at ``s{n_merges}`` = ``(word, wc, s)`` with ``s`` the merged
+    symbol list — shared by the train oracle and the apply oracle."""
     parts = [
         "tok2 AS (SELECT unnest(t) AS word FROM toks)",
         "w0 AS (SELECT word, COUNT(*) AS wc FROM tok2 GROUP BY word)",
@@ -581,11 +592,57 @@ def _bpe_oracle(n_merges: int) -> str:
             f"FROM s{r} LEFT JOIN (SELECT a AS ba, b AS bb FROM best{r}) "
             f"ON TRUE)"
         )
-    return (
-        f"WITH {_TOKS_CTE},\n" + ",\n".join(parts)
-        + f"\nSELECT word, wc, array_to_string(s, ' ') AS seg FROM s{n_merges}"
-        " ORDER BY word"
-    )
+    return ",\n".join(parts)
 
 
 TEXT_BPE_LEARNED_ORACLE = _bpe_oracle(BPE_MERGES)
+
+
+def text_bpe_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the BPE merges, then APPLY them corpus-wide — the
+    composition a tokenizer pipeline actually runs: per language,
+    total word occurrences, total subword tokens under the learned
+    segmentation, and the compression ratio in milli-units.
+
+    Scale shape: training collapses to the distinct-word table
+    (:func:`bpe_segment`); the apply is the corpus token explode
+    equi-joined against that word->segment table — vocabulary-sized,
+    so at real scale it broadcasts (AQE does here) or rides a bucketed
+    vocab table; the corpus is never re-touched by the training loop.
+    Integer milli-ratio keeps the output engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    seg = bpe_segment(docs, n_merges=BPE_MERGES).select(
+        F.col("word").alias("term"), F.size(F.split("seg", " ")).alias("n_sub")
+    )
+    return (
+        _doc_tokens(docs)
+        .join(seg, "term")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            F.col("n_subwords").cast("bigint").alias("n_subwords"),
+            F.expr("(CAST(n_subwords AS BIGINT) * 1000) div n_words").alias(
+                "compression_milli"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_BPE_APPLY_ORACLE = (
+    f"WITH {_TOKS_CTE},\n{_bpe_ctes(BPE_MERGES)},\n"
+    f"sub AS (SELECT word, len(s) AS n_sub FROM s{BPE_MERGES}),\n"
+    "tokl AS (SELECT lang, unnest(t) AS word FROM toks)\n"
+    "SELECT lang, COUNT(*) AS n_words,\n"
+    "       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,\n"
+    "       (CAST(SUM(n_sub) AS BIGINT) * 1000) // COUNT(*)\n"
+    "           AS compression_milli\n"
+    "FROM tokl JOIN sub USING (word)\n"
+    "GROUP BY lang ORDER BY lang"
+)
