@@ -439,3 +439,63 @@ class TestRound4BatchPlanShapes:
             assert "Exchange hashpartitioning" not in below.split("+- FileScan")[0], below
         # the strong scans-once property is asserted in
         # tests/test_linalg.py::test_covariance_scans_source_once
+
+
+class TestRound5PlanShapes:
+    """Physical-plan gates for the round-5 additions."""
+
+    def test_substring_cut_no_pair_or_nested_loop_joins(self, spark, sf_dir):
+        """The apply path (windows -> keeper -> cut positions -> token
+        anti-join -> reassembly) must stay equi-join shaped: no
+        cartesian, no BNLJ — boilerplate skew degrades linearly."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            dedup_substring_cut,
+        )
+
+        plan = _executed_plan(dedup_substring_cut(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_bpe_apply_join_is_equi_shaped(self, spark, sf_dir):
+        """Corpus explode joined against the vocabulary-sized segment
+        table: an equi-join (AQE may broadcast the vocab side), never a
+        nested loop."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            text_bpe_apply_corpus,
+        )
+
+        plan = _executed_plan(text_bpe_apply_corpus(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_zorder_audit_z_is_pure_map_over_readback(self, spark, sf_dir):
+        """The read-back audit recomputes z as a projection: the only
+        exchange above the bucket scan is the per-bucket groupBy (plus
+        the final sort) — the z interleave itself must not shuffle."""
+        import re
+
+        from personal_health_etl_pipeline_spark.plans.audit_surface import (
+            layout_zorder_audit,
+        )
+
+        plan = _executed_plan(layout_zorder_audit(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # 2 = the per-bucket groupBy's two phases (countDistinct(_file)
+        # expands to a (bucket, file) pre-aggregate); the z interleave
+        # itself rides the scan projection
+        n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
+        assert n_ex <= 2, f"{n_ex} hash exchanges:\n{plan}"
+
+    def test_scd2_upsert_final_state_reads_plain_parquet(self, spark, sf_dir):
+        """The returned history is the committed current version: a
+        plain parquet scan + sort, no residual streaming nodes or
+        joins (the merge work happened inside the micro-batches)."""
+        from personal_health_etl_pipeline_spark.plans.audit_surface import (
+            st_scd2_upsert_state,
+        )
+
+        plan = _executed_plan(st_scd2_upsert_state(spark, sf_dir))
+        assert "FileScan parquet" in plan
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin", "Join"):
+            assert node not in plan
