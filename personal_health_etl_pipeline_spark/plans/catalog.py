@@ -143,6 +143,10 @@ register(
     llm3.text_bpe_apply_corpus,
     llm3.TEXT_BPE_APPLY_ORACLE,
 )
+# NEW r5: the 100 TB profiler — dq2's documented HLL swap, built
+register(
+    "dq4_column_profile_hll", dq.dq4_column_profile_hll, dq.DQ4_ORACLE
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -367,6 +371,7 @@ _HEAD = [
     "st_scd2_upsert_state",
     "src_jsonl_quarantine_audit",
     "j13_heartrate_chunked",
+    "dq4_column_profile_hll",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -407,7 +412,7 @@ _HEAD = [
     "p1_required_filter",
     "p3_prefix_columns",
     "p4_distinct_days",
-    "p5_exists_probe",
+    # (p5_exists_probe -> r6 head; p-family reps p1/p3/p4/p6 remain)
     "p6_new_dates_antijoin",
     # (a4_union_distinct_days -> r6 head; a-family rep = a15 in slot 1)
     "st_session_window_agg",

@@ -270,3 +270,126 @@ SELECT key, cnt, n_keys,
 FROM per_key CROSS JOIN stats
 ORDER BY cnt DESC, key LIMIT {SKEW_TOP}
 """
+
+
+# --- DQ4: the 100 TB profiler — HLL registers instead of countDistinct --
+
+DQ4_COLS = ("event_id", "user_id", "event_type")
+
+
+def dq4_column_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dq2_column_profile`'s documented scale path, actually
+    built and certified: per column — row count, null count, and the
+    HLL-ESTIMATED distinct count. ``dq2``'s exact ``countDistinct``
+    keeps per-group state proportional to the column's cardinality
+    (a full shuffle of every distinct value); this profile keeps O(m)
+    registers per column no matter the cardinality, mergeable across
+    partitions, days and snapshots by ``max`` — the only profiler
+    shape that survives a 100 TB drop. One unpivot explode (rows x
+    n_cols), one (column, register) groupBy; the HLL math is the
+    deterministic register sketch of ``plans/sketches.py``, so the
+    estimate itself is value-hash certified against the oracle.
+
+    Columns are profiled through their exact string rendering (bigint
+    and varchar columns only — float renderings are not engine-stable).
+    """
+    from personal_health_etl_pipeline_spark.operators.partitioning import (
+        spread,
+    )
+    from personal_health_etl_pipeline_spark.plans.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    stacked = spread(events.select(*DQ4_COLS)).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in DQ4_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.v")
+    base = stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+    )
+    est = hll_estimate(
+        hll_registers(
+            stacked.where(F.col("v").isNotNull()),
+            group_cols=("col_name",),
+            key_col="v",
+        ),
+        ("col_name",),
+    )
+    return base.join(est, "col_name").select(
+        "col_name", "n_rows", "n_null", "est_ndv"
+    ).orderBy("col_name")
+
+
+def _dq4_oracle() -> str:
+    from personal_health_etl_pipeline_spark.functions.hashing import (
+        duckdb_md5_long,
+    )
+    from personal_health_etl_pipeline_spark.plans.sketches import (
+        _HLL_SCALE,
+        _HLL_WBITS,
+        HLL_M,
+    )
+
+    stack = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS v FROM events"
+        for c in DQ4_COLS
+    )
+    return f"""
+WITH stacked AS ({stack}),
+base AS (
+  SELECT col_name, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(v) AS n_null
+  FROM stacked GROUP BY col_name
+),
+hashed AS (
+  SELECT col_name, {duckdb_md5_long("v")} AS h
+  FROM stacked WHERE v IS NOT NULL
+),
+split AS (
+  SELECT col_name, h % {HLL_M} AS idx, h // {HLL_M} AS w FROM hashed
+),
+regs AS (
+  SELECT col_name, idx,
+         MAX(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(w)) END) AS r
+  FROM split GROUP BY col_name, idx
+),
+per AS (
+  SELECT col_name, COUNT(*) AS n_present,
+         SUM(CAST(1 AS BIGINT) << ({_HLL_WBITS + 1} - r)) AS z_hit
+  FROM regs GROUP BY col_name
+),
+est AS (
+  SELECT col_name,
+         CAST(z_hit + ({HLL_M} - n_present)
+              * CAST({1 << (_HLL_WBITS + 1)} AS BIGINT) AS DOUBLE) AS z,
+         {HLL_M} - n_present AS zeros
+  FROM per
+),
+ndv AS (
+  SELECT col_name,
+         CASE WHEN ({_HLL_SCALE}) / z <= {2.5 * HLL_M} AND zeros > 0
+              THEN {HLL_M}.0 * ln({HLL_M}.0 / CAST(zeros AS DOUBLE))
+              ELSE ({_HLL_SCALE}) / z END AS e
+  FROM est
+)
+SELECT b.col_name, b.n_rows, b.n_null,
+       CAST(round(n.e, 0) AS BIGINT) AS est_ndv
+FROM base b JOIN ndv n USING (col_name)
+ORDER BY b.col_name
+"""
+
+
+DQ4_ORACLE = _dq4_oracle()

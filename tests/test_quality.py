@@ -82,3 +82,31 @@ class TestBlockedFuzzyJoin:
         # blocking is authoritative: the identical string in another
         # block is never even compared
         assert all(p[1] != 30 for p in got)
+
+
+class TestDq4HllProfile:
+    def test_estimates_track_exact_ndv(self, spark):
+        """The HLL profile must land within the sketch's error band of
+        dq2-style exact counts for every profiled column (events at
+        sf0.01 — enough cardinality for the sketch regime)."""
+        from pyspark.sql import functions as F
+
+        from personal_health_etl_pipeline_spark.plans.quality_surface import (
+            DQ4_COLS,
+            dq4_column_profile_hll,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.01"
+        got = {r.col_name: r for r in dq4_column_profile_hll(spark, sf).collect()}
+        events = load_table(spark, sf, "events")
+        exact = events.agg(
+            *[F.countDistinct(c).alias(c) for c in DQ4_COLS],
+            F.count(F.lit(1)).alias("_n"),
+        ).first()
+        assert set(got) == set(DQ4_COLS)
+        for c in DQ4_COLS:
+            assert got[c].n_rows == exact["_n"]
+            assert abs(got[c].est_ndv - exact[c]) / exact[c] < 0.15, (
+                c, got[c].est_ndv, exact[c],
+            )
