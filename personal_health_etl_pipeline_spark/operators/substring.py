@@ -97,7 +97,17 @@ def repeated_spans(
     times. ``n_windows`` is the merged window count — callers cut or
     down-weight the span ``[span_start, span_end]`` of each document.
     """
-    wins = token_windows(docs, id_col, text_col, window)
+    # materialize the windows table ONCE: both consumers below (the
+    # survivor groupBy and the probe join) would otherwise recompute
+    # the tokenize+shingle+md5 pass — partial aggregation sits below
+    # the groupBy's exchange, so ReuseExchange cannot dedupe the two
+    # subtrees (the _tf_table precedent, plans/llm_surface3.py). One
+    # write + two block reads beats two full hash passes (~25% at
+    # sf0.1); at cluster scale the write is shuffle-class IO the
+    # recompute would pay anyway.
+    wins = token_windows(docs, id_col, text_col, window).localCheckpoint(
+        eager=True
+    )
     dup = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -145,6 +155,9 @@ def cut_repeated_spans(
     position), and a per-doc ordered re-assembly via sort_array over
     collected (pos, token) structs — per-doc state only.
     """
+    # toks feeds the anti-join AND the totals groupBy; wins feeds the
+    # keeper groupBy AND the cut-position join — materialize each once
+    # (see repeated_spans for why ReuseExchange cannot)
     toks = (
         spread(
             docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
@@ -156,8 +169,11 @@ def cut_repeated_spans(
             F.posexplode("t").alias("tp", "tok"),
         )
         .select("doc_id", F.col("tp").cast("bigint").alias("tp"), "tok")
+        .localCheckpoint(eager=True)
     )
-    wins = token_windows(docs, id_col, text_col, window)
+    wins = token_windows(docs, id_col, text_col, window).localCheckpoint(
+        eager=True
+    )
     keeper = (
         wins.groupBy("h")
         .agg(
