@@ -76,6 +76,13 @@ HEADLINE = (
     "text_nb_langid",
     "graph_pagerank",
     "text_bpe_learned_segment",
+    # round-5 additions: the data-scaling new operators (the audit /
+    # streaming-sink entries stay out — their cost is side-effect IO,
+    # not query execution)
+    "dedup_substring_cut",
+    "text_bpe_apply_corpus",
+    "graph_triangles",
+    "dq4_column_profile_hll",
 )
 
 

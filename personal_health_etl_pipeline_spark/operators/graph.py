@@ -224,3 +224,72 @@ def dedup_groups(
         (F.col("node") == F.col("component")).alias("is_keeper"),
         F.count(F.lit(1)).over(Window.partitionBy("component")).alias("group_size"),
     )
+
+
+def triangle_counts(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list:
+    ``(node, n_triangles)`` for every node in >= 1 triangle.
+
+    Algorithm: the degree-ordered orientation (the MapReduce-era
+    standard, Suri & Vassilvitskii 2011) — direct every edge from its
+    lower-(degree, id) endpoint to the higher, enumerate wedges from
+    each source's out-neighborhood, and close them against the
+    canonical edge set. Orientation is the whole scale story: a node's
+    out-degree under it is O(sqrt(m)) no matter how big its real
+    degree, so the wedge fan-out is bounded by O(m^1.5) TOTAL even on
+    power-law graphs — a celebrity node with 10M followers generates
+    wedges from its sqrt-bounded out-list, never its full neighborhood.
+    Three equi-joins + one explode + one groupBy; no driver state.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        # consumed by the degree count, the orientation join and the
+        # wedge-closing join — materialize once (tree-shaped plans
+        # would recompute the upstream edge construction per branch)
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    lower_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst"))).select(
+        F.col("x.src").alias("corner"),
+        F.col("x.dst").alias("d1"),
+        F.col("y.dst").alias("d2"),
+    )
+    tri = wedges.join(
+        e,
+        (F.least("d1", "d2") == F.col("a"))
+        & (F.greatest("d1", "d2") == F.col("b")),
+    ).select("corner", "d1", "d2")
+    return (
+        tri.select(
+            F.explode(F.array("corner", "d1", "d2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+    )

@@ -687,3 +687,45 @@ SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
 FROM orders
 GROUP BY 1 ORDER BY 1
 """
+
+
+# --- W6: distribution windows (ntile / percent_rank / cume_dist) --------
+
+def w6_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type spend distribution over users: each user's exact
+    total, their quartile (``ntile``), ``percent_rank`` and
+    ``cume_dist`` within the event type — the remaining distribution
+    window family. The window ORDER includes ``user_id`` so ntile's
+    positional split is deterministic under tied totals in both
+    engines. One aggregation shuffle + one window partitioning; the
+    window partitions by the groupBy's own key, so AQE plans no extra
+    exchange between them."""
+    events = load_table(spark, sf_dir, "events")
+    totals = events.groupBy("event_type", "user_id").agg(
+        exact_sum_cents(cents("value"), 2).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy("total_value", "user_id")
+    return totals.select(
+        "event_type",
+        "user_id",
+        "total_value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("event_type", "user_id")
+
+
+W6_ORACLE = f"""
+WITH totals AS (
+  SELECT event_type, user_id,
+         {oracle_sum(od2('value'))} AS total_value
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, total_value,
+       ntile(4) OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume
+FROM totals
+WINDOW w AS (PARTITION BY event_type ORDER BY total_value, user_id)
+ORDER BY event_type, user_id
+"""

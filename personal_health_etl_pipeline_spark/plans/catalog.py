@@ -147,6 +147,12 @@ register(
 register(
     "dq4_column_profile_hll", dq.dq4_column_profile_hll, dq.DQ4_ORACLE
 )
+# NEW r5: distribution windows (ntile / percent_rank / cume_dist)
+register(
+    "w6_value_distribution", an.w6_value_distribution, an.W6_ORACLE
+)
+# NEW r5: degree-ordered triangle counting (graph cohesion motif)
+register("graph_triangles", gr.graph_triangles, gr.GRAPH_TRIANGLES_ORACLE)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -372,6 +378,8 @@ _HEAD = [
     "src_jsonl_quarantine_audit",
     "j13_heartrate_chunked",
     "dq4_column_profile_hll",
+    "w6_value_distribution",
+    "graph_triangles",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -391,8 +399,7 @@ _HEAD = [
     "q10_returned_items",
     "q11_important_parts",
     "q13_order_count_distribution",
-    "q14_conditional_revenue",
-    "q15_top_supplier",
+    # (q14/q15 -> r6 head, displaced by the new w6/graph_triangles)
     "q18_large_volume_orders",
     "q21_blocking_suppliers",
     # family-coverage guard: the head keeps >= 1 rep of EVERY family

@@ -107,3 +107,68 @@ SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
 FROM r{PR_ITERS}
 ORDER BY rank_micro DESC, node_type, key
 """
+
+
+# --- triangle counting over the part co-occurrence graph ---------------
+
+TRI_MIN_ORDERS = 2
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-occurrence graph:
+    parts are connected when they appear together in >= 2 orders
+    (the support threshold keeps the graph at genuine-affinity edges
+    instead of one-off baskets). Triangles are the smallest cohesion
+    motif — the engine-side primitive behind clustering-coefficient /
+    community features. Degree-ordered orientation bounds the wedge
+    fan-out at O(m^1.5) regardless of skew (``operators/graph.py:
+    triangle_counts``); the oracle certifies the counts via the
+    id-canonical 3-way self-join, so the hash equality also proves the
+    orientation trick loses/duplicates nothing."""
+    from personal_health_etl_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= TRI_MIN_ORDERS)
+        .select("id_a", "id_b")
+    )
+    return triangle_counts(edges)
+
+
+GRAPH_TRIANGLES_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_ORDERS}
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM corners GROUP BY node
+ORDER BY n_triangles DESC, node
+"""

@@ -170,3 +170,57 @@ class TestDedupGroups:
         assert all(r.group_id == 0 for r in groups)
         assert sum(r.is_keeper for r in groups) == 1
         assert groups[0].group_size == 2000
+
+
+class TestTriangleCounts:
+    def test_k4_every_node_in_three_triangles(self, spark):
+        from personal_health_etl_pipeline_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        k4 = _pairs(
+            spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        )
+        got = {r.node: r.n_triangles for r in triangle_counts(k4).collect()}
+        # K4 has C(4,3)=4 triangles; each node sits in C(3,2)=3 of them
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_triangle_free_graph_is_empty(self, spark):
+        from personal_health_etl_pipeline_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        path = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        assert triangle_counts(path).count() == 0
+        star = _pairs(spark, [(0, i) for i in range(1, 6)])
+        assert triangle_counts(star).count() == 0
+
+    def test_direction_and_duplicate_invariance(self, spark):
+        from personal_health_etl_pipeline_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        a = triangle_counts(_pairs(spark, [(1, 2), (2, 3), (1, 3)]))
+        b = triangle_counts(
+            _pairs(spark, [(2, 1), (3, 2), (1, 3), (1, 2), (3, 1)])
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        assert a.count() == 3  # one triangle, three corners
+
+    def test_hub_skew_wedges_come_from_oriented_outlist(self, spark):
+        """The orientation property on a skewed graph: a hub joined to
+        every spoke plus one spoke-spoke edge — triangles found, and
+        the plan contains only equi-joins (no cartesian/BNLJ)."""
+        from personal_health_etl_pipeline_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        hub = _pairs(
+            spark, [(0, i) for i in range(1, 30)] + [(1, 2), (5, 6)]
+        )
+        df = triangle_counts(hub)
+        got = {r.node: r.n_triangles for r in df.collect()}
+        assert got == {0: 2, 1: 1, 2: 1, 5: 1, 6: 1}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

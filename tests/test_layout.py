@@ -183,3 +183,58 @@ class TestZorderBy:
             f"({_zvalue_expr(['CAST(2 AS BIGINT)', 'CAST(1 AS BIGINT)'], 2)}) AS z"
         ).first()
         assert row.z == 9
+
+
+class TestZorderEnvelopes:
+    """The r5 validation guards: silent-corruption envelopes raise."""
+
+    def test_sign_bit_collision_rejected(self, spark, tmp_path, drizzle):
+        from personal_health_etl_pipeline_spark.operators.layout import (
+            zorder_by,
+        )
+
+        out = str(tmp_path / "zs")
+        with pytest.raises(ValueError, match="exceeds 63"):
+            zorder_by(spark, drizzle, out, ["id", "k", "id", "k"], bits=16)
+
+    def test_span_overflow_rejected(self, spark, tmp_path):
+        from personal_health_etl_pipeline_spark.operators.layout import (
+            zorder_by,
+        )
+
+        path = str(tmp_path / "wide")
+        spark.createDataFrame(
+            [(0, 0), (2**61, 1)], "a long, b long"
+        ).write.parquet(path)
+        with pytest.raises(ValueError, match="overflows"):
+            zorder_by(spark, path, str(tmp_path / "zo"), ["a", "b"], bits=16)
+
+    def test_bucket_count_must_be_power_of_two(self, spark, tmp_path, drizzle):
+        from personal_health_etl_pipeline_spark.operators.layout import (
+            zorder_bucket_by,
+        )
+
+        df = spark.read.parquet(drizzle)
+        with pytest.raises(ValueError, match="power of two"):
+            zorder_bucket_by(df, str(tmp_path / "zb"), ["id", "k"], n_buckets=3)
+
+    def test_bucket_layout_one_file_per_bucket_content_preserved(
+        self, spark, tmp_path, drizzle
+    ):
+        from personal_health_etl_pipeline_spark.operators.layout import (
+            zorder_bucket_by,
+        )
+
+        df = spark.read.parquet(drizzle)
+        out = str(tmp_path / "zb4")
+        zorder_bucket_by(df, out, ["id", "k"], n_buckets=4, bits=16)
+        back = spark.read.parquet(out)
+        assert back.count() == df.count()
+        assert sorted(
+            r.id for r in back.select("id").collect()
+        ) == sorted(r.id for r in df.select("id").collect())
+        for bdir in glob.glob(os.path.join(out, "_zbucket=*")):
+            files = [
+                f for f in os.listdir(bdir) if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (bdir, files)
