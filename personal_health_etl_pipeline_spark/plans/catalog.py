@@ -153,6 +153,12 @@ register(
 )
 # NEW r5: degree-ordered triangle counting (graph cohesion motif)
 register("graph_triangles", gr.graph_triangles, gr.GRAPH_TRIANGLES_ORACLE)
+# NEW r5: persisted-IVF-index probe (partition-pruned external lookup)
+register(
+    "ann_ivf_external_lookup",
+    llm.ann_ivf_external_lookup,
+    llm.ANN_IVF_EXTERNAL_ORACLE,
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -380,6 +386,7 @@ _HEAD = [
     "dq4_column_profile_hll",
     "w6_value_distribution",
     "graph_triangles",
+    "ann_ivf_external_lookup",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -412,7 +419,7 @@ _HEAD = [
     "emb_centroids",
     "corpus_pack_sequences",
     "f3_timestamp_coerce",
-    "f4_array_to_json",
+    # (f4_array_to_json -> r6 head; f-family reps f3/f5/f6/f8 remain)
     "f5_date_range_explode",
     "f6_path_roundtrip",
     "f8_json_extract",

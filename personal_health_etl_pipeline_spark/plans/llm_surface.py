@@ -1234,3 +1234,128 @@ both_dirs AS (
 )
 SELECT * FROM both_dirs WHERE containment >= 0.8
 """
+
+
+# --- IVF with a PERSISTED index + partition-pruned external probe -------
+
+IVF_EXT_QUERIES = 64
+IVF_EXT_SEED = 11  # distinct from the PQ external seed
+
+
+def ann_ivf_external_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in its INCREMENTAL production shape (the `minhash_index`
+    / `minhash_lookup` pattern applied to vectors): the inverted file —
+    every vector's (list_id, quantized vector, norm) — is WRITTEN to
+    parquet partitioned by ``list_id``, then a BOUNDED external query
+    frame (the {IVF_EXT_QUERIES} corpus vectors with smallest seeded
+    portable hash) probes it back. The probe filters the read to the
+    queries' probed lists, so Catalyst prunes non-probed list
+    partitions at the SCAN (the audit gate asserts PartitionFilters);
+    the query frame broadcasts. At 100 TB: the index build is the
+    one-time cost, and each online batch reads only
+    ``nprobe x n_queries`` list partitions — never the corpus.
+
+    Same quantizer, nprobe and tie-order as ``ann_ivf_topk``, so the
+    oracle is that entry's SQL with the external query filter.
+    """
+    import os
+    import tempfile
+
+    from personal_health_etl_pipeline_spark.functions.hashing import (
+        md5_long_seeded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", "label", "embedding")
+        .select(
+            F.col("vec_id").alias("_id"),
+            "label",
+            S.quantize(F.col("embedding")).alias("_q"),
+        )
+        .withColumn("_n2", S.norm2_int(F.col("_q")))
+    )
+    cents = S.quantized_centroids(base, "label")
+    cent_arr = cents.agg(F.collect_list(F.struct("cid", "cvec")).alias("cs"))
+    ranked = base.crossJoin(F.broadcast(cent_arr)).withColumn(
+        "_ranked",
+        F.expr(
+            "array_sort(transform(cs, c -> struct("
+            "aggregate(zip_with(_q, c.cvec, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (a, x) -> a + x) AS d2, c.cid AS cid)))"
+        ),
+    )
+    # index build: one write, partitioned by list — the persisted state
+    scratch = tempfile.mkdtemp(prefix="spark_ivf_index_")
+    index_path = os.path.join(scratch, "ivf_index")
+    (
+        ranked.select(
+            "_id", "_q", "_n2", F.expr("_ranked[0].cid").alias("list_id")
+        )
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(index_path)
+    )
+    # external query frame: bounded by construction, never corpus-sized
+    probes = (
+        ranked.withColumn("_h", md5_long_seeded("_id", IVF_EXT_SEED))
+        .orderBy("_h", "_id")
+        .limit(IVF_EXT_QUERIES)
+        .select(
+            F.col("_id").alias("query_id"),
+            F.col("_q").alias("_qq"),
+            F.col("_n2").alias("_qn2"),
+            F.explode(
+                F.expr(
+                    f"transform(slice(_ranked, 1, {IVF_NPROBE}), c -> c.cid)"
+                )
+            ).alias("list_id"),
+        )
+        .localCheckpoint(eager=True)  # bounded: <= queries x nprobe rows
+    )
+    probed_lists = sorted(
+        {r.list_id for r in probes.select("list_id").distinct().collect()}
+    )
+    index = spark.read.parquet(index_path).where(
+        F.col("list_id").isin(probed_lists)  # -> partition pruning
+    )
+    scored = (
+        index.join(F.broadcast(probes), "list_id")
+        .where(F.col("_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("_id").alias("neighbor_id"),
+            S.cosine_pre(
+                F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2")
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def _ivf_external_oracle() -> str:
+    from personal_health_etl_pipeline_spark.functions.hashing import (
+        duckdb_md5_long_seeded,
+    )
+
+    ext = (
+        f"vec_id IN (SELECT vec_id FROM q ORDER BY "
+        f"{duckdb_md5_long_seeded('vec_id', IVF_EXT_SEED)}, vec_id "
+        f"LIMIT {IVF_EXT_QUERIES})"
+    )
+    return ANN_IVF_ORACLE.replace(
+        "FROM ranked WHERE vec_id % 50 = 0 AND", f"FROM ranked WHERE {ext} AND"
+    )
+
+
+ANN_IVF_EXTERNAL_ORACLE = _ivf_external_oracle()
+assert "LIMIT 64" in ANN_IVF_EXTERNAL_ORACLE  # the replace must have hit

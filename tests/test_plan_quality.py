@@ -499,3 +499,17 @@ class TestRound5PlanShapes:
         assert "FileScan parquet" in plan
         for node in ("CartesianProduct", "BroadcastNestedLoopJoin", "Join"):
             assert node not in plan
+
+    def test_ivf_external_probe_prunes_index_partitions(self, spark, sf_dir):
+        """The persisted-index probe must reach the scan as a partition
+        filter on list_id (only probed lists read) with the bounded
+        query frame on the broadcast side — no cartesian/BNLJ."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface import (
+            ann_ivf_external_lookup,
+        )
+
+        plan = _executed_plan(ann_ivf_external_lookup(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        seg = plan.split("PartitionFilters", 1)
+        assert len(seg) == 2 and "list_id" in seg[1][:160], plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
