@@ -159,6 +159,8 @@ register(
     llm.ann_ivf_external_lookup,
     llm.ANN_IVF_EXTERNAL_ORACLE,
 )
+# NEW r5: day-of-week seasonal anomaly flags (ts2's missing axis)
+register("ts3_weekday_anomaly", ts.ts3_weekday_anomaly, ts.TS3_ORACLE)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -387,6 +389,7 @@ _HEAD = [
     "w6_value_distribution",
     "graph_triangles",
     "ann_ivf_external_lookup",
+    "ts3_weekday_anomaly",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -405,8 +408,7 @@ _HEAD = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_parts",
-    "q13_order_count_distribution",
-    # (q14/q15 -> r6 head, displaced by the new w6/graph_triangles)
+    # (q13/q14/q15 -> r6 head, displaced by the new r5 entries)
     "q18_large_volume_orders",
     "q21_blocking_suppliers",
     # family-coverage guard: the head keeps >= 1 rep of EVERY family

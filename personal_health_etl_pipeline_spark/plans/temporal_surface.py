@@ -207,3 +207,105 @@ SELECT day,
              FALSE) AS is_anomaly
 FROM stats
 """
+
+
+# --- TS3: weekday seasonal profile + anomaly flags ----------------------
+
+def ts3_weekday_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality: daily event-value totals compared to
+    their (event_type, weekday) seasonal mean — Mondays against
+    Mondays — with a 2-sigma anomaly flag. The missing axis next to
+    ``ts2_rolling_zscore``'s trailing window: a quiet Sunday is normal
+    FOR a Sunday even when it is 3 sigma under the all-days mean (the
+    reference's domain is exactly such daily health series).
+
+    Exactness recipe: totals are bigint cents; the residual is kept
+    divisionless as ``r_n = day_cents * n_dow - sum_dow`` (the true
+    residual scaled by the weekday count, exact bigint); the 2-sigma
+    test compares ``r_n^2 * n`` against ``4 * sum(r_n^2)`` — algebra
+    identical to |r| > 2*sigma — with the squares computed in IEEE
+    doubles FROM the exact integers, so both engines multiply the same
+    ints and branch identically (no overflow envelope on the squares).
+    Two bounded groupBys (days x types, then dow x types); no windows,
+    no driver state.
+    """
+    from personal_health_etl_pipeline_spark.plans.exact import cents
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            cents("value").alias("v_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_c").alias("day_c"))
+        # 0 = Sunday in both engines (Spark dayofweek is 1-based)
+        .withColumn("dow", (F.dayofweek("day") - 1).cast("int"))
+    )
+    prof = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_dow"),
+        F.sum("day_c").alias("sum_dow"),
+    )
+    resid = daily.join(prof, ["event_type", "dow"]).withColumn(
+        "resid_n", F.col("day_c") * F.col("n_dow") - F.col("sum_dow")
+    )
+    spread_ = resid.groupBy("event_type", "dow").agg(
+        F.sum(
+            F.col("resid_n").cast("double") * F.col("resid_n").cast("double")
+        ).alias("ss_n")
+    )
+    return (
+        resid.join(spread_, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "dow",
+            F.round(F.col("day_c").cast("double") / 100.0, 2).alias(
+                "day_total"
+            ),
+            "resid_n",
+            "n_dow",
+            (
+                F.col("resid_n").cast("double")
+                * F.col("resid_n").cast("double")
+                * F.col("n_dow").cast("double")
+                > F.lit(4.0) * F.col("ss_n")
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+TS3_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_c
+  FROM events GROUP BY 1, 2
+),
+dowd AS (
+  SELECT *, CAST(dayofweek(day) AS INT) AS dow FROM daily
+),
+prof AS (
+  SELECT event_type, dow, COUNT(*) AS n_dow,
+         CAST(SUM(day_c) AS BIGINT) AS sum_dow
+  FROM dowd GROUP BY 1, 2
+),
+resid AS (
+  SELECT d.event_type, d.day, d.dow, d.day_c, p.n_dow,
+         d.day_c * p.n_dow - p.sum_dow AS resid_n
+  FROM dowd d JOIN prof p USING (event_type, dow)
+),
+ss AS (
+  SELECT event_type, dow,
+         SUM(CAST(resid_n AS DOUBLE) * CAST(resid_n AS DOUBLE)) AS ss_n
+  FROM resid GROUP BY 1, 2
+)
+SELECT r.event_type, r.day, r.dow,
+       ROUND(CAST(r.day_c AS DOUBLE) / 100.0, 2) AS day_total,
+       r.resid_n, r.n_dow,
+       CAST(r.resid_n AS DOUBLE) * CAST(r.resid_n AS DOUBLE)
+           * CAST(r.n_dow AS DOUBLE) > 4.0 * s.ss_n AS is_anomaly
+FROM resid r JOIN ss s USING (event_type, dow)
+ORDER BY r.event_type, r.day
+"""
