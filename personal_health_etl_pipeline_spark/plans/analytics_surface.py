@@ -729,3 +729,89 @@ FROM totals
 WINDOW w AS (PARTITION BY event_type ORDER BY total_value, user_id)
 ORDER BY event_type, user_id
 """
+
+
+# --- A16: robust outliers (median / MAD) --------------------------------
+
+MAD_K = 4.4478  # 3 sigma-equivalents x 1.4826 (normal consistency)
+
+
+def a16_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier audit: median and MAD (median absolute
+    deviation) of event values, and the count of values beyond
+    ``3 * 1.4826 * MAD`` — the robust twin of the z-score (mean/std
+    break down when the outliers they're meant to find inflate them;
+    median/MAD have a 50% breakdown point). The distribution-probe a
+    quality pipeline runs on scores/lengths before setting filter
+    thresholds.
+
+    Exactness: values ride as integer cents; both medians are the
+    exact interpolated percentile (identical definition to DuckDB's
+    ``quantile_cont``, already relied on by ``a8``); the deviation and
+    threshold comparisons are IEEE doubles computed from identical
+    inputs, so both engines flag identical rows. Scale: exact
+    percentiles shuffle each group's values to one reducer — at 100 TB
+    swap ``F.percentile`` for ``percentile_approx`` (same plan shape),
+    or the engine's ``sketch_sample_quantiles`` path.
+    """
+    from personal_health_etl_pipeline_spark.plans.exact import cents
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("event_type", cents("value").alias("v_c"))
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("v_c").cast("double"), F.lit(0.5)).alias("med_c")
+    )
+    dev = ev.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("v_c").cast("double") - F.col("med_c"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_c")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type", "mad_c")
+        .agg(
+            F.round(F.min("med_c") / 100.0, 4).alias("median_value"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(MAD_K) * F.col("mad_c"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "median_value",
+            F.round(F.col("mad_c") / 100.0, 4).alias("mad_value"),
+            "n",
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+A16_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(CAST(v_c AS DOUBLE), 0.5) AS med_c
+  FROM ev GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, m.med_c,
+         abs(CAST(e.v_c AS DOUBLE) - m.med_c) AS adev
+  FROM ev e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad_c FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       ROUND(MIN(d.med_c) / 100.0, 4) AS median_value,
+       ROUND(m2.mad_c / 100.0, 4) AS mad_value,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN d.adev > {MAD_K} * m2.mad_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m2 USING (event_type)
+GROUP BY d.event_type, m2.mad_c
+ORDER BY d.event_type
+"""

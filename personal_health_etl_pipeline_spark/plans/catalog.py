@@ -161,6 +161,8 @@ register(
 )
 # NEW r5: day-of-week seasonal anomaly flags (ts2's missing axis)
 register("ts3_weekday_anomaly", ts.ts3_weekday_anomaly, ts.TS3_ORACLE)
+# NEW r5: robust median/MAD outlier audit (z-score's robust twin)
+register("a16_robust_outliers", an.a16_robust_outliers, an.A16_ORACLE)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -390,6 +392,7 @@ _HEAD = [
     "graph_triangles",
     "ann_ivf_external_lookup",
     "ts3_weekday_anomaly",
+    "a16_robust_outliers",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -431,7 +434,7 @@ _HEAD = [
     # (p5_exists_probe -> r6 head; p-family reps p1/p3/p4/p6 remain)
     "p6_new_dates_antijoin",
     # (a4_union_distinct_days -> r6 head; a-family rep = a15 in slot 1)
-    "st_session_window_agg",
+    # (st_session_window_agg -> r6 head; st_* keeps 4 head reps)
     "st_sliding_window_agg",
     "w1_rolling_7day_revenue",
     "w2_topk_per_group",
