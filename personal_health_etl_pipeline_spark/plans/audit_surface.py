@@ -313,3 +313,63 @@ SELECT
   (SELECT COUNT(*) FROM documents WHERE doc_id % 7 IN (0, 3))
       AS n_quarantine
 """
+
+
+# --- multi-format sink/source round-trip --------------------------------
+
+def src_format_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the events scalar columns through the OTHER columnar
+    and row formats the lake speaks — ORC and CSV — and certify the
+    read-back against the parquet source: per format, row count and
+    the exact integer-cents value sum. ORC exercises the second
+    columnar writer (schema + stats path distinct from parquet); CSV
+    exercises the text boundary (explicit schema on read — never
+    inferSchema — and Java's round-trip double rendering). A mismatch
+    in either the count or the sum means the sink or source mangled
+    values; the oracle computes both numbers straight off the source
+    table."""
+    import os
+    import tempfile
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    scratch = tempfile.mkdtemp(prefix="spark_format_audit_")
+    orc_path = os.path.join(scratch, "ev_orc")
+    csv_path = os.path.join(scratch, "ev_csv")
+    ev.write.mode("overwrite").orc(orc_path)
+    ev.write.mode("overwrite").option("header", "true").csv(csv_path)
+    back_orc = spark.read.orc(orc_path)
+    back_csv = (
+        spark.read.schema(ev.schema).option("header", "true").csv(csv_path)
+    )
+
+    def audit(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.lit(fmt).alias("format"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                "sum_value_cents"
+            ),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+
+    return (
+        audit(back_orc, "orc")
+        .unionByName(audit(back_csv, "csv"))
+        .orderBy("format")
+    )
+
+
+SRC_FORMAT_ROUNDTRIP_ORACLE = """
+WITH base AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
+         COUNT(DISTINCT event_type) AS n_types
+  FROM events
+)
+SELECT 'csv' AS format, n_rows, sum_value_cents, n_types FROM base
+UNION ALL
+SELECT 'orc' AS format, n_rows, sum_value_cents, n_types FROM base
+ORDER BY format
+"""

@@ -163,6 +163,12 @@ register(
 register("ts3_weekday_anomaly", ts.ts3_weekday_anomaly, ts.TS3_ORACLE)
 # NEW r5: robust median/MAD outlier audit (z-score's robust twin)
 register("a16_robust_outliers", an.a16_robust_outliers, an.A16_ORACLE)
+# NEW r5: ORC + CSV sink/source round-trip under the hash gate
+register(
+    "src_format_roundtrip_audit",
+    au.src_format_roundtrip_audit,
+    au.SRC_FORMAT_ROUNDTRIP_ORACLE,
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -393,6 +399,7 @@ _HEAD = [
     "ann_ivf_external_lookup",
     "ts3_weekday_anomaly",
     "a16_robust_outliers",
+    "src_format_roundtrip_audit",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -410,7 +417,7 @@ _HEAD = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q11_important_parts",
+    # (q11 -> r6 head, displaced by src_format_roundtrip_audit)
     # (q13/q14/q15 -> r6 head, displaced by the new r5 entries)
     "q18_large_volume_orders",
     "q21_blocking_suppliers",
