@@ -815,3 +815,92 @@ FROM dev d JOIN mad m2 USING (event_type)
 GROUP BY d.event_type, m2.mad_c
 ORDER BY d.event_type
 """
+
+
+# --- A17: market-basket association rules -------------------------------
+
+RULE_MIN_CO = 3  # minimum pair support (orders containing both parts)
+RULE_TOP = 50
+
+
+def a17_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: for part pairs co-bought
+    in >= {RULE_MIN_CO} orders, support / confidence / lift as exact
+    integer micro-units — the classic market-basket mining pass, and
+    the same co-occurrence machinery the engine's triangle/graph
+    entries build on. Rules are directed (a -> b and b -> a differ in
+    confidence); top-{RULE_TOP} by lift.
+
+    Scale: baskets explode to within-order pairs (bounded by basket
+    size squared — baskets are small by nature; a degenerate mega-
+    basket should be capped upstream like an LSH bucket), then ONE
+    pair groupBy + two bounded joins against the per-part order
+    counts. Exactness: support/confidence/lift are integer-division
+    micro-units — no float ratios to drift.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select("l_orderkey").distinct().count()  # ONE scalar
+    part_n = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a, b = op.alias("a"), op.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"),
+            F.col("b.l_partkey").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= RULE_MIN_CO)
+    )
+    pa = part_n.select(
+        F.col("l_partkey").alias("ante"), F.col("n_part").alias("n_ante")
+    )
+    pb = part_n.select(
+        F.col("l_partkey").alias("cons"), F.col("n_part").alias("n_cons")
+    )
+    return (
+        co.join(pa, "ante")
+        .join(pb, "cons")
+        .select(
+            "ante",
+            "cons",
+            "n_co",
+            F.expr(f"n_co * 1000000 div {n_orders}").alias("support_micro"),
+            F.expr("n_co * 1000000 div n_ante").alias("confidence_micro"),
+            F.expr(
+                f"(n_co * CAST({n_orders} AS BIGINT) * 1000000)"
+                " div (n_ante * n_cons)"
+            ).alias("lift_micro"),
+        )
+        .orderBy(F.col("lift_micro").desc(), "ante", "cons")
+        .limit(RULE_TOP)
+    )
+
+
+A17_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nn AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+part_n AS (
+  SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY l_partkey
+),
+co AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons, COUNT(*) AS n_co
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {RULE_MIN_CO}
+)
+SELECT ante, cons, n_co,
+       n_co * 1000000 // n_orders AS support_micro,
+       n_co * 1000000 // pa.n_part AS confidence_micro,
+       (n_co * CAST(n_orders AS BIGINT) * 1000000)
+           // (pa.n_part * pb.n_part) AS lift_micro
+FROM co
+JOIN part_n pa ON pa.l_partkey = co.ante
+JOIN part_n pb ON pb.l_partkey = co.cons
+CROSS JOIN nn
+ORDER BY lift_micro DESC, ante, cons LIMIT {RULE_TOP}
+"""

@@ -169,6 +169,10 @@ register(
     au.src_format_roundtrip_audit,
     au.SRC_FORMAT_ROUNDTRIP_ORACLE,
 )
+# NEW r5: market-basket association rules (support/confidence/lift)
+register(
+    "a17_association_rules", an.a17_association_rules, an.A17_ORACLE
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -400,6 +404,7 @@ _HEAD = [
     "ts3_weekday_anomaly",
     "a16_robust_outliers",
     "src_format_roundtrip_audit",
+    "a17_association_rules",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -416,7 +421,7 @@ _HEAD = [
     "q7_nation_trade_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
+    # (q10 -> r6 head, displaced by a17_association_rules)
     # (q11 -> r6 head, displaced by src_format_roundtrip_audit)
     # (q13/q14/q15 -> r6 head, displaced by the new r5 entries)
     "q18_large_volume_orders",
