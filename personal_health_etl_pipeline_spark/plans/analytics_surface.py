@@ -904,3 +904,44 @@ JOIN part_n pb ON pb.l_partkey = co.cons
 CROSS JOIN nn
 ORDER BY lift_micro DESC, ante, cons LIMIT {RULE_TOP}
 """
+
+
+# --- SQL1: the SQL front-end as a first-class entry ---------------------
+
+_SQL1 = """
+SELECT n.n_name AS nation,
+       year(o.o_orderdate) AS order_year,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS revenue
+FROM {orders} o
+JOIN {customer} c ON o.o_custkey = c.c_custkey
+JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, year(o.o_orderdate)
+HAVING COUNT(*) >= 5
+ORDER BY nation, order_year
+"""
+
+
+def sql1_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL FRONT-END driven end-to-end: tables registered
+    as temp views, the query authored as one ANSI-SQL string through
+    ``spark.sql`` — no DataFrame API in the query path. Everything the
+    DataFrame entries get (pushdown, broadcast of the bounded nation
+    dim, AQE) applies identically: both APIs build the same logical
+    plan for Catalyst. View names are suffixed per scale dir so
+    concurrent certifications at different scales never collide in the
+    session-global temp-view namespace. The oracle is the same SQL
+    modulo dialect (Spark ``year()`` / DuckDB ``year()`` agree)."""
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    names = {}
+    for t in ("orders", "customer", "nation"):
+        v = f"sql1_{t}_{tag}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(v)
+        names[t] = v
+    return spark.sql(_SQL1.format(**names))
+
+
+SQL1_ORACLE = _SQL1.format(orders="orders", customer="customer", nation="nation")

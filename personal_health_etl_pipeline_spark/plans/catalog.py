@@ -173,6 +173,12 @@ register(
 register(
     "a17_association_rules", an.a17_association_rules, an.A17_ORACLE
 )
+# NEW r5: the SQL front-end (spark.sql over temp views) as an entry
+register(
+    "sql1_nation_year_revenue",
+    an.sql1_nation_year_revenue,
+    an.SQL1_ORACLE,
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -405,6 +411,7 @@ _HEAD = [
     "a16_robust_outliers",
     "src_format_roundtrip_audit",
     "a17_association_rules",
+    "sql1_nation_year_revenue",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -420,7 +427,7 @@ _HEAD = [
     "q6_revenue_delta",
     "q7_nation_trade_volume",
     "q8_market_share",
-    "q9_product_profit",
+    # (q9 -> r6 head, displaced by sql1_nation_year_revenue)
     # (q10 -> r6 head, displaced by a17_association_rules)
     # (q11 -> r6 head, displaced by src_format_roundtrip_audit)
     # (q13/q14/q15 -> r6 head, displaced by the new r5 entries)

@@ -38,6 +38,8 @@ FAMILIES = {
     # r5: side-effectful operators under the hash gate via derived audits
     "layout audit": r"^layout_",
     "source audit": r"^src_",
+    # r5: the SQL front-end driven through spark.sql over temp views
+    "sql front-end": r"^sql\d",
 }
 
 
