@@ -160,6 +160,16 @@ def st_scd2_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     day's row iff its attr differs from the previous kept row,
     ``valid_to`` = the next kept row's day. Hash equality certifies
     the stream's micro-batch merge == one big sorted batch replay."""
+    table_dir = _run_scd2_stream(spark, sf_dir)
+    hist = read_current(spark, table_dir)
+    return hist.select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    ).orderBy("user_id", "valid_from")
+
+
+def _run_scd2_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Build the 3-day CDC fixture, run the upsert stream, return the
+    versioned ``table_dir`` (one committed version per day-batch)."""
     events = load_table(spark, sf_dir, "events")
     days = [
         r.d
@@ -213,10 +223,7 @@ def st_scd2_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    hist = read_current(spark, table_dir)
-    return hist.select(
-        "user_id", "event_type", "valid_from", "valid_to", "is_current"
-    ).orderBy("user_id", "valid_from")
+    return table_dir
 
 
 ST_SCD2_UPSERT_ORACLE = f"""
@@ -372,4 +379,75 @@ SELECT 'csv' AS format, n_rows, sum_value_cents, n_types FROM base
 UNION ALL
 SELECT 'orc' AS format, n_rows, sum_value_cents, n_types FROM base
 ORDER BY format
+"""
+
+
+def st_scd2_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the streamed SCD-2 table: run the same 3-day
+    upsert stream, read back the FIRST committed version (day 1's
+    bootstrap) via ``streaming/upsert.py:read_version`` — bypassing
+    the current pointer — and diff its current-state-per-user against
+    the final version with ``operators/merge.py:snapshot_diff``. The
+    classic "what changed since the day-1 snapshot" question, answered
+    from the table's own retained versions: users first seen on day
+    2/3 surface as ``added``, users whose latest event_type moved as
+    ``changed`` (``removed`` is impossible here — dimensions only
+    grow). The oracle re-derives both snapshots from the raw events,
+    so hash equality certifies the version retention, the time-travel
+    read AND the diff classification in one frame."""
+    from personal_health_etl_pipeline_spark.operators.merge import (
+        snapshot_diff,
+    )
+    from personal_health_etl_pipeline_spark.streaming.upsert import (
+        list_versions,
+        read_version,
+    )
+
+    table_dir = _run_scd2_stream(spark, sf_dir)
+    versions = list_versions(table_dir)
+    v0 = read_version(spark, table_dir, versions[0])
+    vn = read_version(spark, table_dir, versions[-1])
+    cur = lambda df: df.where(F.col("is_current")).select(  # noqa: E731
+        "user_id", "event_type"
+    )
+    return snapshot_diff(
+        cur(v0), cur(vn), key="user_id", compare=["event_type"]
+    ).orderBy("user_id")
+
+
+ST_SCD2_VERSION_DIFF_ORACLE = f"""
+WITH days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events ORDER BY d
+  LIMIT {SCD2_N_DAYS}
+),
+upd AS (
+  SELECT user_id, event_type, d AS eff_date FROM (
+    SELECT e.user_id, e.event_type, CAST(e.ts AS DATE) AS d,
+           row_number() OVER (PARTITION BY e.user_id, CAST(e.ts AS DATE)
+                              ORDER BY e.ts DESC, e.event_id DESC) AS rn
+    FROM events e JOIN days ON CAST(e.ts AS DATE) = days.d
+  ) WHERE rn = 1
+),
+v0 AS (
+  SELECT user_id, event_type FROM upd
+  WHERE eff_date = (SELECT MIN(d) FROM days)
+),
+fin AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY eff_date DESC) AS rn
+    FROM upd
+  ) WHERE rn = 1
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       o.event_type AS old_event_type,
+       n.event_type AS new_event_type
+FROM v0 o FULL OUTER JOIN fin n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL
+   OR o.event_type IS DISTINCT FROM n.event_type
+ORDER BY user_id
 """

@@ -179,6 +179,12 @@ register(
     an.sql1_nation_year_revenue,
     an.SQL1_ORACLE,
 )
+# NEW r5: time travel over the versioned SCD-2 table + snapshot diff
+register(
+    "st_scd2_version_diff",
+    au.st_scd2_version_diff,
+    au.ST_SCD2_VERSION_DIFF_ORACLE,
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -412,6 +418,7 @@ _HEAD = [
     "src_format_roundtrip_audit",
     "a17_association_rules",
     "sql1_nation_year_revenue",
+    "st_scd2_version_diff",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -426,7 +433,7 @@ _HEAD = [
     "q5_region_volume",
     "q6_revenue_delta",
     "q7_nation_trade_volume",
-    "q8_market_share",
+    # (q8 -> r6 head, displaced by st_scd2_version_diff)
     # (q9 -> r6 head, displaced by sql1_nation_year_revenue)
     # (q10 -> r6 head, displaced by a17_association_rules)
     # (q11 -> r6 head, displaced by src_format_roundtrip_audit)

@@ -44,6 +44,26 @@ def read_current(spark, table_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(table_dir, version))
 
 
+def list_versions(table_dir: str) -> list[str]:
+    """All committed version names, oldest first. Every ``_commit``
+    leaves its version directory in place (the pointer moves, nothing
+    is deleted), so the table is TIME-TRAVELABLE for free — the same
+    contract Delta/Iceberg sell, here as plain directories. A real
+    deployment adds a retention sweep for versions older than its
+    time-travel window."""
+    return sorted(
+        d
+        for d in os.listdir(table_dir)
+        if d.startswith("v") and os.path.isdir(os.path.join(table_dir, d))
+    )
+
+
+def read_version(spark, table_dir: str, version: str) -> DataFrame:
+    """Time travel: read a specific committed version (see
+    :func:`list_versions`), bypassing the current pointer."""
+    return spark.read.parquet(os.path.join(table_dir, version))
+
+
 def _commit(df: DataFrame, table_dir: str, version: str) -> None:
     out = os.path.join(table_dir, version)
     df.write.mode("overwrite").parquet(out)
