@@ -451,3 +451,159 @@ WHERE o.user_id IS NULL OR n.user_id IS NULL
    OR o.event_type IS DISTINCT FROM n.event_type
 ORDER BY user_id
 """
+
+
+# --- bucketed warehouse tables: exchange-free join under the gate -------
+
+def j14_bucketed_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-warehouse path END-TO-END under the hash gate:
+    orders and lineitem are WRITTEN bucketed+sorted on the order key
+    (``sources/bucketed.py`` — the layout that makes every later join
+    on that key exchange-free), read back through the catalog, joined
+    with broadcast disabled so the join MUST rely on the bucketing,
+    and aggregated to revenue per order-priority. The query asserts
+    its own plan invariant (zero exchanges below the join — physical
+    certification) and the value hash certifies the bucketed write+
+    read round trip (logical certification) against the plain-parquet
+    oracle."""
+    from personal_health_etl_pipeline_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        ).alias("price_c"),
+    )
+    write_bucketed(orders, "j14_orders", "o_orderkey", n_buckets=8)
+    write_bucketed(li, "j14_lineitem", "o_orderkey", n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_table(spark, "j14_orders").join(
+            read_table(spark, "j14_lineitem"), "o_orderkey"
+        )
+        out = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(
+                    F.sum("price_c").cast("double") / 100.0, 2
+                ).alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # physical contract: co-located buckets, no shuffle anywhere
+        # below the join (the groupBy above it may exchange)
+        join_below = plan.split("SortMergeJoin", 1)[-1]
+        if "Exchange" in join_below.split("HashAggregate")[0]:
+            raise AssertionError(
+                "bucketed join shuffled — bucketing contract broken:\n"
+                + plan
+            )
+        # materialize the ASSERTED plan before the conf is restored
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+J14_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       ROUND(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+# --- raw zone: range-partitioned land + pruned scan under the gate ------
+
+RAW_RANGES = [
+    ("2024-02-01", "2024-02-07"),
+    ("2024-02-08", "2024-02-14"),
+    ("2024-02-15", "2024-02-21"),
+]
+RAW_SCAN = ("2024-02-05", "2024-02-17")  # half-open, straddles 2 boundaries
+
+
+def s6_raw_zone_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's raw-zone storage contract (S5 land + S6 pruned
+    scan + P2 half-open filter) END-TO-END under the hash gate: three
+    weekly ``daily_activity`` ranges are extracted from the fixture
+    source and LANDED as range-partitioned JSON
+    (``data_type=…/range_start=…/range_end=…`` — the reference's path
+    scheme as Hive partitions, `load.py:51-57`/`constants.py:55`);
+    ``scan_raw`` then reads the half-open window {RAW_SCAN} — the
+    overlap predicate prunes partitions BEFORE any file opens (plan-
+    gated in tests), the day filter trims inside kept ranges. The
+    oracle regenerates exactly the surviving days from the fixture's
+    sha256 arithmetic, so hash equality certifies land + prune + trim
+    + the JSON round trip in one frame. ``sf_dir`` is unused (source-
+    layer certification, like ``j13_heartrate_chunked``)."""
+    import datetime as dt
+
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        RECORD_SCHEMA,
+        fetch_range_df,
+    )
+    from personal_health_etl_pipeline_spark.pipeline.raw_zone import (
+        scan_raw,
+        write_raw,
+    )
+
+    root = tempfile.mkdtemp(prefix="spark_rawzone_audit_")
+    for s, e in RAW_RANGES:
+        s_d, e_d = dt.date.fromisoformat(s), dt.date.fromisoformat(e)
+        write_raw(
+            fetch_range_df(spark, "daily_activity", s_d, e_d),
+            root,
+            "daily_activity",
+            s_d,
+            e_d,
+        )
+    lo, hi = (dt.date.fromisoformat(x) for x in RAW_SCAN)
+    raw = scan_raw(spark, root, "daily_activity", lo, hi, RECORD_SCHEMA)
+    return raw.select(
+        "id",
+        "day",
+        "score",
+        F.col("contributors.deep_sleep").alias("deep_sleep"),
+        F.col("contributors.efficiency").alias("efficiency"),
+        F.col("contributors.latency").alias("latency"),
+    ).orderBy("day")
+
+
+def _raw_zone_oracle() -> str:
+    lo, hi = RAW_SCAN
+    return f"""
+WITH days AS (
+  SELECT CAST(d AS DATE) AS day
+  FROM generate_series(DATE '{lo}', DATE '{hi}' - INTERVAL 1 DAY,
+                       INTERVAL 1 DAY) t(d)
+),
+h AS (
+  SELECT strftime(day, '%Y-%m-%d') AS day_s,
+         CAST(('0x' || substr(
+             sha256('daily_activity|' || strftime(day, '%Y-%m-%d')
+                    || '|rec'), 1, 16)) AS UBIGINT) AS h
+  FROM days
+)
+SELECT 'daily_activity-' || day_s AS id,
+       day_s AS day,
+       CAST(40 + h % 60 AS BIGINT) AS score,
+       CAST(h % 100 AS BIGINT) AS deep_sleep,
+       CAST((h // 100) % 100 AS BIGINT) AS efficiency,
+       CAST((h // 10000) % 100 AS BIGINT) AS latency
+FROM h ORDER BY day_s
+"""
+
+
+S6_RAW_ZONE_ORACLE = _raw_zone_oracle()

@@ -185,6 +185,18 @@ register(
     au.st_scd2_version_diff,
     au.ST_SCD2_VERSION_DIFF_ORACLE,
 )
+# NEW r5: bucketed warehouse write + exchange-free join under the gate
+register(
+    "j14_bucketed_join_audit",
+    au.j14_bucketed_join_audit,
+    au.J14_ORACLE,
+)
+# NEW r5: raw-zone land + partition-pruned scan under the gate
+register(
+    "s6_raw_zone_pruned_scan",
+    au.s6_raw_zone_pruned_scan,
+    au.S6_RAW_ZONE_ORACLE,
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -419,6 +431,8 @@ _HEAD = [
     "a17_association_rules",
     "sql1_nation_year_revenue",
     "st_scd2_version_diff",
+    "j14_bucketed_join_audit",
+    "s6_raw_zone_pruned_scan",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -432,14 +446,13 @@ _HEAD = [
     "q4_late_ship_priority",
     "q5_region_volume",
     "q6_revenue_delta",
-    "q7_nation_trade_volume",
-    # (q8 -> r6 head, displaced by st_scd2_version_diff)
+    # (q7/q8 -> r6 head, displaced by st_scd2_version_diff / j14)
     # (q9 -> r6 head, displaced by sql1_nation_year_revenue)
     # (q10 -> r6 head, displaced by a17_association_rules)
     # (q11 -> r6 head, displaced by src_format_roundtrip_audit)
     # (q13/q14/q15 -> r6 head, displaced by the new r5 entries)
     "q18_large_volume_orders",
-    "q21_blocking_suppliers",
+    # (q21 -> r6 head, displaced by s6_raw_zone_pruned_scan)
     # family-coverage guard: the head keeps >= 1 rep of EVERY family
     # (tests/test_catalog.py), so six of the stale TPC-H re-checks
     # (q12/q16/q17/q19/q20/q22 -> r6 head) yield to these family reps

@@ -40,6 +40,8 @@ FAMILIES = {
     "source audit": r"^src_",
     # r5: the SQL front-end driven through spark.sql over temp views
     "sql front-end": r"^sql\d",
+    # r5: raw-zone land/scan certification (S-family)
+    "raw zone": r"^s\d",
 }
 
 
