@@ -607,3 +607,64 @@ FROM h ORDER BY day_s
 
 
 S6_RAW_ZONE_ORACLE = _raw_zone_oracle()
+
+
+# --- streaming HLL register sink: live state vs batch sketch ------------
+
+def st_hll_sink_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the LIVE HLL register sink (``streaming/hll_sink.py``)
+    end-to-end: events split into three deterministic micro-batches
+    (``event_id % 3`` — order-irrelevant BY DESIGN, max-merge is
+    commutative), streamed through ``foreachBatch`` into the versioned
+    register table, then the FINAL committed registers are estimated
+    and joined with the exact counts. Because registers merge by max,
+    the streamed state must equal the one-shot batch sketch exactly —
+    so the oracle is ``sketch_hll_distinct``'s oracle VERBATIM, and a
+    hash match certifies the sink's merge/commit loop end-to-end."""
+    from personal_health_etl_pipeline_spark.plans.sketches import (
+        hll_estimate,
+    )
+    from personal_health_etl_pipeline_spark.streaming.hll_sink import (
+        read_registers,
+        run_hll_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_hllsink_audit_")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src)
+    base_mtime = 1_700_000_000
+    for i in range(3):
+        bdir = os.path.join(scratch, f"w{i}")
+        events.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            bdir
+        )
+        [part] = glob.glob(os.path.join(bdir, "part-*.parquet"))
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base_mtime + i, base_mtime + i))
+    table_dir = os.path.join(scratch, "table")
+    os.makedirs(table_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_hll_stream(
+        stream, table_dir, os.path.join(scratch, "ck")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    regs = read_registers(spark, table_dir)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_ndv")
+    )
+    return (
+        hll_estimate(regs)
+        .join(exact, "event_type")
+        .orderBy("event_type")
+    )

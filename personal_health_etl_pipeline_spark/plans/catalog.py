@@ -197,6 +197,8 @@ register(
     au.s6_raw_zone_pruned_scan,
     au.S6_RAW_ZONE_ORACLE,
 )
+# NEW r5: live HLL register sink, certified against the batch sketch
+register("st_hll_sink_state", au.st_hll_sink_state, sk.SKETCH_HLL_ORACLE)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -433,6 +435,7 @@ _HEAD = [
     "st_scd2_version_diff",
     "j14_bucketed_join_audit",
     "s6_raw_zone_pruned_scan",
+    "st_hll_sink_state",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -445,7 +448,8 @@ _HEAD = [
     "q3_shipping_priority",
     "q4_late_ship_priority",
     "q5_region_volume",
-    "q6_revenue_delta",
+    # (q6 -> r6 head, displaced by st_hll_sink_state; its pushdown
+    # plan gate still runs every session)
     # (q7/q8 -> r6 head, displaced by st_scd2_version_diff / j14)
     # (q9 -> r6 head, displaced by sql1_nation_year_revenue)
     # (q10 -> r6 head, displaced by a17_association_rules)
