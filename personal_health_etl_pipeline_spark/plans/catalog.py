@@ -199,6 +199,12 @@ register(
 )
 # NEW r5: live HLL register sink, certified against the batch sketch
 register("st_hll_sink_state", au.st_hll_sink_state, sk.SKETCH_HLL_ORACLE)
+# NEW r5: star-schema referential-integrity audit
+register(
+    "dq5_referential_integrity",
+    dq.dq5_referential_integrity,
+    dq.DQ5_ORACLE,
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -436,6 +442,7 @@ _HEAD = [
     "j14_bucketed_join_audit",
     "s6_raw_zone_pruned_scan",
     "st_hll_sink_state",
+    "dq5_referential_integrity",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -447,7 +454,7 @@ _HEAD = [
     "q2_min_price_line",
     "q3_shipping_priority",
     "q4_late_ship_priority",
-    "q5_region_volume",
+    # (q5 -> r6 head, displaced by dq5_referential_integrity)
     # (q6 -> r6 head, displaced by st_hll_sink_state; its pushdown
     # plan gate still runs every session)
     # (q7/q8 -> r6 head, displaced by st_scd2_version_diff / j14)

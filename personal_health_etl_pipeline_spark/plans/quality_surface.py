@@ -393,3 +393,95 @@ ORDER BY b.col_name
 
 
 DQ4_ORACLE = _dq4_oracle()
+
+
+# --- DQ5: referential-integrity audit -----------------------------------
+
+_FK_RELATIONS = [
+    ("orders.o_custkey -> customer.c_custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey -> orders.o_orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part.p_partkey", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier.s_suppkey", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("customer.c_nationkey -> nation.n_nationkey", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey -> nation.n_nationkey", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+
+
+def dq5_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit over the whole star schema: per
+    declared relationship — child row count, orphan rows (child keys
+    with no parent, incl. NULL keys: a NULL FK is a dangling edge for
+    workloads that join on it), distinct parents actually referenced,
+    and parent coverage in micro-units. The first pass any warehouse
+    runs on a new drop, and the input to join-strategy choices
+    (coverage ~1e6 means an inner join keeps everything; low coverage
+    flags pruning potential).
+
+    Scale: each relationship is one left-anti-shaped aggregate — child
+    keys groupBy'd FIRST (distinct-key frames, orders of magnitude
+    smaller than the fact tables), then one equi-join against parent
+    keys; per-relationship frames union into one audit. No row-level
+    joins of the fact tables anywhere."""
+    rows = []
+    for name, child_t, child_k, parent_t, parent_k in _FK_RELATIONS:
+        child = load_table(spark, sf_dir, child_t)
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(parent_k).alias("_pk")
+        ).distinct()
+        keys = child.groupBy(F.col(child_k).alias("_ck")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        joined = keys.join(parent, keys["_ck"] == parent["_pk"], "left")
+        n_parents = parent.count()  # bounded dim / distinct-key count
+        rows.append(
+            joined.agg(
+                F.lit(name).alias("relationship"),
+                F.sum("_n").cast("bigint").alias("n_child_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_pk").isNull(), F.col("_n"))),
+                    F.lit(0),
+                ).cast("bigint").alias("n_orphan_rows"),
+                F.count(F.when(F.col("_pk").isNotNull(), 1))
+                .cast("bigint")
+                .alias("n_parents_referenced"),
+                F.expr(
+                    f"CAST(count(CASE WHEN _pk IS NOT NULL THEN 1 END)"
+                    f" * 1000000 div {n_parents} AS BIGINT)"
+                ).alias("coverage_micro"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("relationship")
+
+
+def _dq5_oracle() -> str:
+    parts = []
+    for name, child_t, child_k, parent_t, parent_k in _FK_RELATIONS:
+        parts.append(f"""
+SELECT '{name}' AS relationship,
+       CAST(SUM(_n) AS BIGINT) AS n_child_rows,
+       CAST(COALESCE(SUM(CASE WHEN _pk IS NULL THEN _n END), 0) AS BIGINT)
+           AS n_orphan_rows,
+       CAST(COUNT(CASE WHEN _pk IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_parents_referenced,
+       CAST(COUNT(CASE WHEN _pk IS NOT NULL THEN 1 END) * 1000000
+            // (SELECT COUNT(DISTINCT {parent_k}) FROM {parent_t})
+            AS BIGINT) AS coverage_micro
+FROM (
+  SELECT c._ck, c._n, p._pk FROM
+    (SELECT {child_k} AS _ck, COUNT(*) AS _n FROM {child_t} GROUP BY 1) c
+  LEFT JOIN (SELECT DISTINCT {parent_k} AS _pk FROM {parent_t}) p
+    ON c._ck = p._pk
+)""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY relationship"
+
+
+DQ5_ORACLE = _dq5_oracle()
