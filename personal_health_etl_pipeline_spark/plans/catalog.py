@@ -205,6 +205,8 @@ register(
     dq.dq5_referential_integrity,
     dq.DQ5_ORACLE,
 )
+# NEW r5: late-data / watermark tuning audit
+register("st_late_data_audit", st.st_late_data_audit, st.ST_LATE_DATA_ORACLE)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -443,6 +445,7 @@ _HEAD = [
     "s6_raw_zone_pruned_scan",
     "st_hll_sink_state",
     "dq5_referential_integrity",
+    "st_late_data_audit",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -453,7 +456,7 @@ _HEAD = [
     # f-family coercions, p-family probes, a4, streaming windows, w1/w2
     "q2_min_price_line",
     "q3_shipping_priority",
-    "q4_late_ship_priority",
+    # (q4 -> r6 head, displaced by st_late_data_audit)
     # (q5 -> r6 head, displaced by dq5_referential_integrity)
     # (q6 -> r6 head, displaced by st_hll_sink_state; its pushdown
     # plan gate still runs every session)

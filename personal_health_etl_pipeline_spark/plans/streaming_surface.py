@@ -386,3 +386,76 @@ SELECT window_start, window_end, rank, user_id, sum_value, n_events
 FROM ranked WHERE rank <= {TRENDING_K}
 ORDER BY window_start, rank
 """
+
+
+# --- late-data / watermark audit ----------------------------------------
+
+WATERMARK_DELAY_US = 3_600_000_000  # 1 hour, in epoch microseconds
+
+
+def st_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIFY the watermark contract instead of just obeying it: per
+    event type, how many events would a 1-hour watermark drop, and how
+    far past it does the stream's tail reach? An event is late when
+    its timestamp is more than the delay behind the maximum timestamp
+    already seen on its stream — here per event type, with arrival
+    order = event_id (the fixture's ingestion counter; a real deploy
+    reads a Kafka offset). The number every pipeline needs BEFORE
+    picking a delay: this audit over yesterday's batch is how you tune
+    tomorrow's watermark.
+
+    One window pass (running max per type, arrival-ordered) + one
+    aggregate; integer microsecond arithmetic end-to-end, so the
+    lateness quantiles can't drift."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    lat = (
+        events.select(
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .withColumn("seen_max", F.max("ts_us").over(w))
+        .withColumn(
+            "late_us",
+            F.greatest(
+                F.coalesce(F.col("seen_max") - F.col("ts_us"), F.lit(0)),
+                F.lit(0),
+            ),
+        )
+    )
+    return (
+        lat.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("late_us") > WATERMARK_DELAY_US, 1).otherwise(0)
+            ).cast("bigint").alias("n_dropped_1h"),
+            F.max("late_us").alias("max_late_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ST_LATE_DATA_ORACLE = f"""
+WITH lat AS (
+  SELECT event_type, event_id,
+         GREATEST(COALESCE(
+             MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                                     ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+             - epoch_us(ts), 0), 0) AS late_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN late_us > {WATERMARK_DELAY_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped_1h,
+       CAST(MAX(late_us) AS BIGINT) AS max_late_us
+FROM lat GROUP BY event_type ORDER BY event_type
+"""
