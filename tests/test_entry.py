@@ -19,3 +19,13 @@ def test_queries_and_oracles_consistent():
     assert qs, "queries() must not be empty"
     # every oracle key must reference a declared query
     assert set(oracles) <= set(qs)
+
+
+class TestCli:
+    def test_list_and_unknown(self, capsys):
+        from personal_health_etl_pipeline_spark.__main__ import main
+
+        assert main(["list", "--filter", "q1_"]) == 0
+        out = capsys.readouterr().out
+        assert "q1_pricing_summary" in out
+        assert main(["run", "definitely_not_a_query"]) == 2
