@@ -207,6 +207,15 @@ register(
 )
 # NEW r5: late-data / watermark tuning audit
 register("st_late_data_audit", st.st_late_data_audit, st.ST_LATE_DATA_ORACLE)
+# NEW r5: scalar-function breadth sweeps (string/math + datetime)
+register(
+    "f9_string_function_sweep", rs.f9_string_function_sweep, rs.F9_ORACLE
+)
+register(
+    "f10_datetime_function_sweep",
+    rs.f10_datetime_function_sweep,
+    rs.F10_ORACLE,
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -446,6 +455,8 @@ _HEAD = [
     "st_hll_sink_state",
     "dq5_referential_integrity",
     "st_late_data_audit",
+    "f9_string_function_sweep",
+    "f10_datetime_function_sweep",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -454,9 +465,8 @@ _HEAD = [
     "graph_pagerank",
     # (c) stalest certifications (last green r1/r2): the TPC-H sweep,
     # f-family coercions, p-family probes, a4, streaming windows, w1/w2
-    "q2_min_price_line",
-    "q3_shipping_priority",
-    # (q4 -> r6 head, displaced by st_late_data_audit)
+    # (q2/q3/q4 -> r6 head, displaced by the f9/f10 sweeps and
+    # st_late_data_audit; q18/q21-era reps keep the q-family guard)
     # (q5 -> r6 head, displaced by dq5_referential_integrity)
     # (q6 -> r6 head, displaced by st_hll_sink_state; its pushdown
     # plan gate still runs every session)

@@ -833,3 +833,95 @@ SELECT 'heartrate-' || day_s AS id,
            || '+00:00' AS wire_ts
 FROM h ORDER BY day_s
 """
+
+
+# --- F9/F10: scalar-function sweeps (string / datetime breadth) ---------
+
+def f9_string_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One certified pass over the string/math scalar surface the
+    engines share: length, case, substring, reverse, lpad, concat_ws,
+    Levenshtein distance, sqrt/ceil and sign — each column a function
+    family, all hash-checked at once. Breadth certification for §2.6:
+    any engine-vs-oracle divergence in these scalars (collation, edit
+    distance definition, rounding) surfaces as a value mismatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.length("text").alias("text_len"),
+            F.upper(F.substring("text", 1, 3)).alias("up3"),
+            F.reverse("lang").alias("rev_lang"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+            F.levenshtein("lang", "source").alias("lev_lang_source"),
+            F.concat_ws("|", "lang", "source").alias("tagged"),
+            F.ceil(F.sqrt(F.col("n_chars").cast("double")))
+            .cast("bigint")
+            .alias("sqrt_ceil_chars"),
+            F.signum(F.col("n_chars").cast("double") - 500.0)
+            .cast("bigint")
+            .alias("sign_vs_500"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+F9_ORACLE = """
+SELECT doc_id,
+       length(text) AS text_len,
+       upper(substring(text, 1, 3)) AS up3,
+       reverse(lang) AS rev_lang,
+       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+       levenshtein(lang, source) AS lev_lang_source,
+       concat_ws('|', lang, source) AS tagged,
+       CAST(ceil(sqrt(CAST(n_chars AS DOUBLE))) AS BIGINT)
+           AS sqrt_ceil_chars,
+       CAST(sign(CAST(n_chars AS DOUBLE) - 500.0) AS BIGINT) AS sign_vs_500
+FROM documents WHERE doc_id % 7 = 0
+ORDER BY doc_id
+"""
+
+
+def f10_datetime_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datetime scalar surface, certified: ISO week fields, quarter,
+    week truncation (Monday-aligned in both engines), month-end,
+    month arithmetic, day difference from a fixed epoch, and the
+    hour/minute accessors. The calendar is where engines silently
+    disagree (week-of-year conventions, truncation anchors, DST
+    handling — moot here, sessions run UTC); a hash match pins every
+    convention at once."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(F.col("event_id") % 37 == 0)
+        .select(
+            "event_id",
+            F.dayofyear("ts").alias("doy"),
+            F.weekofyear("ts").cast("int").alias("iso_week"),
+            F.quarter("ts").alias("qtr"),
+            F.date_trunc("week", "ts").cast("date").alias("week_start"),
+            F.last_day(F.to_date("ts")).alias("month_end"),
+            F.add_months(F.to_date("ts"), 2).alias("plus2m"),
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast(
+                "int"
+            ).alias("days_since_y24"),
+            F.hour("ts").alias("hh"),
+            F.minute("ts").alias("mm"),
+        )
+        .orderBy("event_id")
+    )
+
+
+F10_ORACLE = """
+SELECT event_id,
+       CAST(dayofyear(ts) AS INT) AS doy,
+       CAST(weekofyear(ts) AS INT) AS iso_week,
+       CAST(quarter(ts) AS INT) AS qtr,
+       CAST(date_trunc('week', ts) AS DATE) AS week_start,
+       last_day(CAST(ts AS DATE)) AS month_end,
+       CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+       CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INT) AS days_since_y24,
+       CAST(hour(ts) AS INT) AS hh,
+       CAST(minute(ts) AS INT) AS mm
+FROM events WHERE event_id % 37 = 0
+ORDER BY event_id
+"""
