@@ -945,3 +945,48 @@ def sql1_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL1_ORACLE = _SQL1.format(orders="orders", customer="customer", nation="nation")
+
+
+# --- A18: aggregate-function breadth sweep ------------------------------
+
+def a18_aggregate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining aggregate surface, certified in one pass per event
+    type: conditional counting (``count_if``), boolean aggregation
+    (``bool_and``/``bool_or``) and ordered-argument selection
+    (``min_by``/``max_by``, DuckDB ``arg_min``/``arg_max``). The
+    selection ordinal is ``round(value*100)*1e7 + event_id`` — cents
+    disambiguated by the unique event id — so arg-selection is
+    TIE-FREE and therefore engine-deterministic (bare ``max_by`` on a
+    column with duplicate values is not)."""
+    events = load_table(spark, sf_dir, "events")
+    ord_ = F.expr(
+        "CAST(round(value * 100) AS BIGINT) * 10000000 + event_id"
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("value") > 500.0).alias("n_gt500"),
+            F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 990.0).alias("any_gt990"),
+            F.max_by("event_id", ord_).alias("ev_of_max_value"),
+            F.min_by("event_id", ord_).alias("ev_of_min_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+A18_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(count_if(value > 500.0) AS BIGINT) AS n_gt500,
+       bool_and(value >= 0.0) AS all_nonneg,
+       bool_or(value > 990.0) AS any_gt990,
+       arg_max(event_id,
+               CAST(round(value * 100) AS BIGINT) * 10000000 + event_id)
+           AS ev_of_max_value,
+       arg_min(event_id,
+               CAST(round(value * 100) AS BIGINT) * 10000000 + event_id)
+           AS ev_of_min_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""

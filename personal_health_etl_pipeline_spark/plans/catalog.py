@@ -216,6 +216,8 @@ register(
     rs.f10_datetime_function_sweep,
     rs.F10_ORACLE,
 )
+# NEW r5: aggregate-function breadth sweep
+register("a18_aggregate_sweep", an.a18_aggregate_sweep, an.A18_ORACLE)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -457,6 +459,7 @@ _HEAD = [
     "st_late_data_audit",
     "f9_string_function_sweep",
     "f10_datetime_function_sweep",
+    "a18_aggregate_sweep",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -486,8 +489,7 @@ _HEAD = [
     "mm_byte_stats",
     "emb_centroids",
     "corpus_pack_sequences",
-    "f3_timestamp_coerce",
-    # (f4_array_to_json -> r6 head; f-family reps f3/f5/f6/f8 remain)
+    # (f3/f4 -> r6 head; f-family reps f5/f6/f8 + the new sweeps remain)
     "f5_date_range_explode",
     "f6_path_roundtrip",
     "f8_json_extract",
