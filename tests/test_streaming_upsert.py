@@ -125,3 +125,38 @@ def test_pointer_repoints_per_batch(spark, tmp_path):
     assert len(versions) == 2  # one committed version per micro-batch
     with open(os.path.join(table_dir, "_CURRENT"), encoding="utf-8") as f:
         assert f.read().strip() == versions[-1]
+
+
+def test_time_travel_reads_each_retained_version(spark, tmp_path):
+    """list_versions/read_version: every commit stays readable past the
+    pointer — version 0 must still show the pre-merge state after later
+    batches have moved the current pointer."""
+    from personal_health_etl_pipeline_spark.streaming.upsert import (
+        list_versions,
+        read_version,
+    )
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    table_dir = str(tmp_path / "dim")
+    os.makedirs(table_dir)
+    _write_updates(str(src), BATCH1, "b0", seq=0)
+    _write_updates(str(src), BATCH2, "b1", seq=1)
+    q = run_upsert_stream(
+        _read_stream(spark, str(src)),
+        table_dir,
+        str(tmp_path / "ck"),
+        key="cust_id",
+        attrs=["bal"],
+    )
+    q.processAllAvailable()
+    q.stop()
+    versions = list_versions(table_dir)
+    assert len(versions) == 2
+    v0 = read_version(spark, table_dir, versions[0])
+    # version 0 = batch-1 bootstrap: every row open, untouched by batch 2
+    assert v0.where(~v0.is_current).count() == 0
+    assert v0.count() == len(BATCH1)
+    # ...while the current version reflects the later merge
+    vn = read_version(spark, table_dir, versions[-1])
+    assert vn.count() > v0.count() or vn.where(~vn.is_current).count() > 0
