@@ -693,22 +693,37 @@ def pq_topk(
     ws = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id")
     )
-    shortlisted = (
-        codes.join(F.broadcast(query_side), F.col("_id") != F.col("query_id"))
+    # NARROW the ADC stream before the shortlist shuffle: only
+    # (query_id, neighbor_id, adist) rides the window — the full
+    # vectors and distance tables (~150 longs per row) would otherwise
+    # shuffle N x Q times. Survivors re-fetch their exact vectors via
+    # the dedup-verify pattern (broadcast the tiny shortlist against
+    # the quantized base). At sf0.1 this measures NEUTRAL (the
+    # interpreted ADC lambda dominates both shapes); it is kept
+    # because the shuffle-volume term it removes is the one that
+    # grows as N x Q at cluster scale.
+    shortlisted_n = (
+        codes.select("_id", "codes")
+        .join(
+            F.broadcast(query_side.select("query_id", "dtab")),
+            F.col("_id") != F.col("query_id"),
+        )
         .select(
             "query_id",
             F.col("_id").alias("neighbor_id"),
             F.expr(_PQ_ADC_EXPR).alias("adist"),
-            # exact re-rank inputs ride along; the shortlist keeps only
-            # Q x shortlist of them
-            F.col("_qn"),
-            F.col("_n2n"),
-            F.col("_qq"),
-            F.col("_qn2"),
         )
         .withColumn("srank", F.row_number().over(ws))
         .where(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id")
     )
+    neigh = base.select(
+        F.col("_id").alias("neighbor_id"), "_qn", "_n2n"
+    )
+    qvec = query_side.select("query_id", "_qq", "_qn2")
+    shortlisted = neigh.join(
+        F.broadcast(shortlisted_n), "neighbor_id"
+    ).join(F.broadcast(qvec), "query_id")
     sim = cosine_pre(F.col("_qq"), F.col("_qn"), F.col("_qn2"), F.col("_n2n"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
