@@ -698,11 +698,17 @@ def pq_topk(
     # vectors and distance tables (~150 longs per row) would otherwise
     # shuffle N x Q times. Survivors re-fetch their exact vectors via
     # the dedup-verify pattern (broadcast the tiny shortlist against
-    # the quantized base). At sf0.1 this measures NEUTRAL (the
-    # interpreted ADC lambda dominates both shapes); it is kept
-    # because the shuffle-volume term it removes is the one that
-    # grows as N x Q at cluster scale.
-    shortlisted_n = (
+    # the quantized base). At sf0.1 this measures NEUTRAL (the ADC
+    # scoring dominates both shapes); it is kept because the
+    # shuffle-volume term it removes is the one that grows as
+    # N x Q x vector-width at cluster scale.
+    # (r5 measurement note: an Arrow/numpy ADC scorer was prototyped
+    # and REJECTED — the builtin scorer measures 0.3-0.5s at sf0.1
+    # while the Python-worker round trip costs ~1.5s; the entry's
+    # residual gap vs the in-process oracle is the shortlist window's
+    # global shuffle, which any engine doing a distributed per-query
+    # top-k must pay.)
+    adc = (
         codes.select("_id", "codes")
         .join(
             F.broadcast(query_side.select("query_id", "dtab")),
@@ -713,7 +719,9 @@ def pq_topk(
             F.col("_id").alias("neighbor_id"),
             F.expr(_PQ_ADC_EXPR).alias("adist"),
         )
-        .withColumn("srank", F.row_number().over(ws))
+    )
+    shortlisted_n = (
+        adc.withColumn("srank", F.row_number().over(ws))
         .where(F.col("srank") <= shortlist)
         .select("query_id", "neighbor_id")
     )
