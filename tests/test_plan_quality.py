@@ -513,3 +513,41 @@ class TestRound5PlanShapes:
         seg = plan.split("PartitionFilters", 1)
         assert len(seg) == 2 and "list_id" in seg[1][:160], plan
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestRound5SecondHalfPlanShapes:
+    def test_association_rules_no_nested_loop(self, spark, sf_dir):
+        """Basket pair explode is a self-equi-join on the order key +
+        bounded count joins — never a cartesian/BNLJ."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            a17_association_rules,
+        )
+
+        plan = _executed_plan(a17_association_rules(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # top-k by lift must be a bounded heap, not a global sort
+        assert "TakeOrderedAndProject" in plan
+
+    def test_referential_integrity_joins_distinct_keys_only(
+        self, spark, sf_dir
+    ):
+        """dq5: fact tables must aggregate to distinct-key frames BEFORE
+        any parent join — the scan side of every join is an aggregate,
+        and nothing nested-loops."""
+        from personal_health_etl_pipeline_spark.plans.quality_surface import (
+            dq5_referential_integrity,
+        )
+
+        plan = _executed_plan(dq5_referential_integrity(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_triangles_all_equi_joins(self, spark, sf_dir):
+        from personal_health_etl_pipeline_spark.plans.graph_surface import (
+            graph_triangles,
+        )
+
+        plan = _executed_plan(graph_triangles(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
