@@ -551,3 +551,50 @@ class TestRound5SecondHalfPlanShapes:
         plan = _executed_plan(graph_triangles(spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_aqe_skew_join_splits_hot_partition(self, spark):
+        """The engine's third skew tool (after salting and capped
+        buckets): AQE's runtime skew-join split. A 'skew=true' marker
+        on the sort-merge join proves the session config actually
+        engages — the hot key's oversized shuffle partition is split
+        into parallel sub-reads instead of serializing on one task."""
+        from pyspark.sql import functions as F
+
+        conf = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        }
+        old = {k: spark.conf.get(k, None) for k in conf}
+        try:
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+            # 95% of fact rows share key 0; dim is uniform
+            fact = spark.range(0, 200_000).select(
+                F.when(F.col("id") % 20 != 0, 0)
+                .otherwise(F.col("id"))
+                .alias("k"),
+                F.concat(F.lit("p" * 40), F.col("id").cast("string")).alias(
+                    "payload"
+                ),
+            )
+            dim = spark.range(0, 20_000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+            # global aggregate on purpose: a groupBy on the join key
+            # would REQUIRE the join's hash partitioning downstream,
+            # and AQE (correctly) refuses to split a skewed partition
+            # when that would force an extra shuffle
+            joined = fact.join(dim, "k").agg(F.count(F.lit(1)))
+            joined.collect()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            final = plan.split("== Initial Plan ==")[0]
+            assert "skew=true" in final, final
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
