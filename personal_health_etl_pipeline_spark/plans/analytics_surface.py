@@ -990,3 +990,61 @@ SELECT event_type,
            AS ev_of_min_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- W7: time-RANGE window frames ---------------------------------------
+
+W7_TRAIL_US = 600_000_000  # 10 minutes
+
+
+def w7_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windows — the time-interval sibling of the ROWS
+    frames used everywhere else: for each event, the count and exact
+    value sum of the SAME USER's events in the trailing 10 minutes BY
+    TIMESTAMP (``rangeBetween`` over epoch-microseconds), not by row
+    position. RANGE frames are also the tie-safe choice: rows sharing
+    an order value all join the frame together, so simultaneous events
+    cannot produce order-dependent results the way a ROWS frame would.
+    One window partitioning per user; integer cents keep the sum
+    engine-exact."""
+    from personal_health_etl_pipeline_spark.plans.exact import cents
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-W7_TRAIL_US, 0)
+    )
+    return (
+        events.where(F.col("user_id") % 11 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            cents("value").alias("v_c"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("trail_n"),
+            F.round(F.sum("v_c").over(w).cast("double") / 100.0, 2).alias(
+                "trail_value"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+W7_ORACLE = f"""
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS trail_n,
+       ROUND(CAST(SUM(v_c) OVER w AS DOUBLE) / 100.0, 2) AS trail_value
+FROM (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events WHERE user_id % 11 = 0
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {W7_TRAIL_US} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""

@@ -218,6 +218,8 @@ register(
 )
 # NEW r5: aggregate-function breadth sweep
 register("a18_aggregate_sweep", an.a18_aggregate_sweep, an.A18_ORACLE)
+# NEW r5: time-RANGE window frames (tie-safe interval windows)
+register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -460,6 +462,7 @@ _HEAD = [
     "f9_string_function_sweep",
     "f10_datetime_function_sweep",
     "a18_aggregate_sweep",
+    "w7_time_range_window",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -502,7 +505,7 @@ _HEAD = [
     # (st_session_window_agg -> r6 head; st_* keeps 4 head reps)
     "st_sliding_window_agg",
     "w1_rolling_7day_revenue",
-    "w2_topk_per_group",
+    # (w2 -> r6 head, displaced by w7_time_range_window)
 ]
 # next-stalest after these (rotate into the r6 head): a5-a10, a1/a3,
 # w3/w4, f2, st_dedup/interval/enrich, j2/j3
