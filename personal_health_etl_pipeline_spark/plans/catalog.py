@@ -220,6 +220,12 @@ register(
 register("a18_aggregate_sweep", an.a18_aggregate_sweep, an.A18_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
+# NEW r5: NULL-semantics conventions sweep
+register(
+    "f11_null_semantics_sweep",
+    rs.f11_null_semantics_sweep,
+    rs.F11_ORACLE,
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -463,6 +469,7 @@ _HEAD = [
     "f10_datetime_function_sweep",
     "a18_aggregate_sweep",
     "w7_time_range_window",
+    "f11_null_semantics_sweep",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -504,8 +511,7 @@ _HEAD = [
     # (a4_union_distinct_days -> r6 head; a-family rep = a15 in slot 1)
     # (st_session_window_agg -> r6 head; st_* keeps 4 head reps)
     "st_sliding_window_agg",
-    "w1_rolling_7day_revenue",
-    # (w2 -> r6 head, displaced by w7_time_range_window)
+    # (w1/w2 -> r6 head, displaced by w7 / f11; w6/w7 keep the family)
 ]
 # next-stalest after these (rotate into the r6 head): a5-a10, a1/a3,
 # w3/w4, f2, st_dedup/interval/enrich, j2/j3

@@ -925,3 +925,49 @@ SELECT event_id,
 FROM events WHERE event_id % 37 = 0
 ORDER BY event_id
 """
+
+
+# --- F11: NULL-semantics sweep ------------------------------------------
+
+def f11_null_semantics_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL conventions, certified: ``nullif``/``coalesce`` round
+    trips, null-safe equality (Spark ``<=>`` vs SQL ``IS NOT DISTINCT
+    FROM``), ``COUNT(col)`` vs ``COUNT(*)`` under injected NULLs,
+    NULL-propagating concatenation, and aggregate NULL-skipping.
+    NULL handling is where engines silently diverge (three-valued
+    logic in filters, concat conventions, count semantics); this pins
+    the engine's behavior to the oracle's per language group."""
+    docs = load_table(spark, sf_dir, "documents")
+    nl = F.nullif(F.col("lang"), F.lit("en"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(nl).alias("n_lang_not_en"),
+            F.sum(
+                F.when(nl.eqNullSafe(F.nullif(F.col("source"), F.lit("web"))), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_nullsafe_eq"),
+            F.min(F.coalesce(nl, F.lit("~was-en"))).alias("min_coalesced"),
+            F.sum(
+                F.when(F.concat(nl, F.col("source")).isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_null_concat"),
+            F.sum(F.length(nl)).cast("bigint").alias("sum_len_skipnull"),
+        )
+        .orderBy("lang")
+    )
+
+
+F11_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_rows,
+       COUNT(nullif(lang, 'en')) AS n_lang_not_en,
+       CAST(SUM(CASE WHEN nullif(lang, 'en') IS NOT DISTINCT FROM
+                          nullif(source, 'web') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nullsafe_eq,
+       MIN(COALESCE(nullif(lang, 'en'), '~was-en')) AS min_coalesced,
+       CAST(SUM(CASE WHEN nullif(lang, 'en') || source IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_concat,
+       CAST(SUM(length(nullif(lang, 'en'))) AS BIGINT) AS sum_len_skipnull
+FROM documents GROUP BY lang ORDER BY lang
+"""
