@@ -668,3 +668,78 @@ def st_hll_sink_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "event_type")
         .orderBy("event_type")
     )
+
+
+# --- custom stateful operator: final state vs batch aggregate -----------
+
+def st_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ``applyInPandasWithState`` custom operator
+    (``streaming/stateful.py``) through a REAL multi-batch stream and
+    certify its accumulated per-user counters against the batch
+    ``groupBy``: events split into three deterministic micro-batches,
+    each batch's emissions captured with their batch id via
+    ``foreachBatch``, and each user's LAST emission — the final
+    running state — must equal the one-shot aggregate. Only the
+    integer counters enter the hash (the operator's float running sum
+    is per-batch-rounded, so its exact bits depend on batch
+    boundaries by design — counters don't)."""
+    from personal_health_etl_pipeline_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_stateful_audit_")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src)
+    base_mtime = 1_700_000_000
+    for i in range(3):
+        bdir = os.path.join(scratch, f"w{i}")
+        events.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            bdir
+        )
+        [part] = glob.glob(os.path.join(bdir, "part-*.parquet"))
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base_mtime + i, base_mtime + i))
+    out_dir = os.path.join(scratch, "emissions")
+
+    def capture(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .drop("event_id")
+    )
+    q = (
+        running_user_stats(stream, high_threshold=50.0)
+        .writeStream.foreachBatch(capture)
+        .option("checkpointLocation", os.path.join(scratch, "ck"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.read.parquet(out_dir)
+    last = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "n_high")
+        .orderBy("user_id")
+    )
+
+
+ST_STATEFUL_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(count_if(value > 50.0) AS BIGINT) AS n_high
+FROM events GROUP BY user_id ORDER BY user_id
+"""

@@ -226,6 +226,12 @@ register(
     rs.f11_null_semantics_sweep,
     rs.F11_ORACLE,
 )
+# NEW r5: applyInPandasWithState custom operator, final state certified
+register(
+    "st_stateful_running_stats",
+    au.st_stateful_running_stats,
+    au.ST_STATEFUL_ORACLE,
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -470,6 +476,7 @@ _HEAD = [
     "a18_aggregate_sweep",
     "w7_time_range_window",
     "f11_null_semantics_sweep",
+    "st_stateful_running_stats",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -509,8 +516,8 @@ _HEAD = [
     # (p5_exists_probe -> r6 head; p-family reps p1/p3/p4/p6 remain)
     "p6_new_dates_antijoin",
     # (a4_union_distinct_days -> r6 head; a-family rep = a15 in slot 1)
-    # (st_session_window_agg -> r6 head; st_* keeps 4 head reps)
-    "st_sliding_window_agg",
+    # (st_session/st_sliding -> r6 head; st_* keeps 5 head reps incl.
+    # the new stateful entry)
     # (w1/w2 -> r6 head, displaced by w7 / f11; w6/w7 keep the family)
 ]
 # next-stalest after these (rotate into the r6 head): a5-a10, a1/a3,
