@@ -743,3 +743,108 @@ SELECT user_id,
        CAST(count_if(value > 50.0) AS BIGINT) AS n_high
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+# --- compaction: small-file mess -> one file, under the gate ------------
+
+COMPACT_APPENDS = 12
+
+
+def layout_compact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-file compaction pass END-TO-END under the hash gate:
+    events are deliberately landed as {COMPACT_APPENDS} single-file
+    appends (the daily-incremental drizzle the reference's append mode
+    produces), compacted into ONE file (explicit target so the count
+    is data-independent), and the read-back certified: file counts
+    before/after, row count and the exact value sum must match the
+    oracle's arithmetic — proving the shuffle-free coalesce rewrite
+    loses nothing."""
+    from personal_health_etl_pipeline_spark.operators.layout import (
+        compact,
+        parquet_file_count,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_compact_audit_")
+    drizzle = os.path.join(scratch, "drizzle")
+    for i in range(COMPACT_APPENDS):
+        events.where(F.col("event_id") % COMPACT_APPENDS == i).coalesce(
+            1
+        ).write.mode("append").parquet(drizzle)
+    n_before = parquet_file_count(drizzle)
+    out = os.path.join(scratch, "compacted")
+    # target larger than the data -> exactly one output file
+    n_after = compact(spark, drizzle, out, target_bytes=1 << 40)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.lit(n_before).cast("bigint").alias("n_files_before"),
+        F.lit(n_after).cast("bigint").alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+            "sum_value_cents"
+        ),
+    )
+
+
+LAYOUT_COMPACT_ORACLE = f"""
+SELECT CAST({COMPACT_APPENDS} AS BIGINT) AS n_files_before,
+       CAST(1 AS BIGINT) AS n_files_after,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events
+"""
+
+
+# --- dynamic partition overwrite: surgical partition replace ------------
+
+def s7_dynamic_overwrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the warehouse write mode that
+    replaces ONLY the partitions present in the incoming batch —
+    certified end-to-end: events land partitioned by ``event_type``;
+    a corrected batch containing ONLY the 'click' partition (clicks
+    with even event_id) overwrites in dynamic mode; the read-back per-
+    type accounting must show clicks halved-ish and every other
+    partition byte-identical. With the default STATIC mode the same
+    write would have ERASED the other partitions — the footgun this
+    entry pins the engine against."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_dynover_audit_")
+    table = os.path.join(scratch, "by_type")
+    events.write.partitionBy("event_type").parquet(table)
+    corrected = events.where(
+        (F.col("event_type") == "click") & (F.col("event_id") % 2 == 0)
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        corrected.write.mode("overwrite").partitionBy("event_type").parquet(
+            table
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    back = spark.read.parquet(table)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+S7_DYNAMIC_OVERWRITE_ORACLE = """
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events
+WHERE event_type <> 'click' OR event_id % 2 = 0
+GROUP BY event_type ORDER BY event_type
+"""

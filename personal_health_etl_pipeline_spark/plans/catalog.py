@@ -232,6 +232,17 @@ register(
     au.st_stateful_running_stats,
     au.ST_STATEFUL_ORACLE,
 )
+# NEW r5: compaction + dynamic partition overwrite under the gate
+register(
+    "layout_compact_audit",
+    au.layout_compact_audit,
+    au.LAYOUT_COMPACT_ORACLE,
+)
+register(
+    "s7_dynamic_overwrite_audit",
+    au.s7_dynamic_overwrite_audit,
+    au.S7_DYNAMIC_OVERWRITE_ORACLE,
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -477,6 +488,8 @@ _HEAD = [
     "w7_time_range_window",
     "f11_null_semantics_sweep",
     "st_stateful_running_stats",
+    "layout_compact_audit",
+    "s7_dynamic_overwrite_audit",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -506,14 +519,12 @@ _HEAD = [
     "mm_byte_stats",
     "emb_centroids",
     "corpus_pack_sequences",
-    # (f3/f4 -> r6 head; f-family reps f5/f6/f8 + the new sweeps remain)
-    "f5_date_range_explode",
+    # (f3/f4/f5 -> r6 head; f-family reps f6/f8 + the sweeps remain)
     "f6_path_roundtrip",
     "f8_json_extract",
     "p1_required_filter",
     "p3_prefix_columns",
-    "p4_distinct_days",
-    # (p5_exists_probe -> r6 head; p-family reps p1/p3/p4/p6 remain)
+    # (p4/p5 -> r6 head; p-family reps p1/p3/p6 remain)
     "p6_new_dates_antijoin",
     # (a4_union_distinct_days -> r6 head; a-family rep = a15 in slot 1)
     # (st_session/st_sliding -> r6 head; st_* keeps 5 head reps incl.
