@@ -243,6 +243,10 @@ register(
     au.s7_dynamic_overwrite_audit,
     au.S7_DYNAMIC_OVERWRITE_ORACLE,
 )
+# NEW r5: exact content dedup over the binary media column
+register(
+    "mm_content_dedup", llm.mm_content_dedup, llm.MM_CONTENT_DEDUP_ORACLE
+)
 register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
@@ -490,6 +494,7 @@ _HEAD = [
     "st_stateful_running_stats",
     "layout_compact_audit",
     "s7_dynamic_overwrite_audit",
+    "mm_content_dedup",
     # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
     # persist attribution, pagerank checkpoint refactor)
     "sketch_hll_distinct",
@@ -516,7 +521,7 @@ _HEAD = [
     "c3_schema_align",
     "m1_scd2_merge",
     "ts1_gap_fill_ffill",
-    "mm_byte_stats",
+    # (mm_byte_stats -> r6 head; mm_content_dedup keeps the family)
     "emb_centroids",
     "corpus_pack_sequences",
     # (f3/f4/f5 -> r6 head; f-family reps f6/f8 + the sweeps remain)

@@ -1359,3 +1359,46 @@ def _ivf_external_oracle() -> str:
 
 ANN_IVF_EXTERNAL_ORACLE = _ivf_external_oracle()
 assert "LIMIT 64" in ANN_IVF_EXTERNAL_ORACLE  # the replace must have hit
+
+
+# --- exact content dedup over binary media ------------------------------
+
+def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection over the BINARY media column: the
+    md5-of-content groupBy that every media ingest runs before paying
+    for decode/feature work twice. The fixture plants known duplicates
+    (every blob re-ingested under a shifted id, even-id blobs twice),
+    so the oracle knows the expected group structure from arithmetic
+    alone — hash equality certifies that hashing/grouping binary
+    content finds exactly the planted groups with the right keepers.
+    Scale shape: the digest is computed MAP-SIDE and only
+    (digest, media_id) enters the shuffle — content bytes never leave
+    their partition (the multimodal module's standing rule)."""
+    from personal_health_etl_pipeline_spark.operators import multimodal as MM
+
+    base = MM.synth_media_df(spark, n=100)
+    copy1 = base.select(
+        (F.col("media_id") + 100).alias("media_id"), "content", "meta"
+    )
+    copy2 = base.where(F.col("media_id") % 2 == 0).select(
+        (F.col("media_id") + 200).alias("media_id"), "content", "meta"
+    )
+    media = base.unionByName(copy1).unionByName(copy2)
+    return (
+        media.select("media_id", F.md5("content").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("media_id").alias("keeper_media_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select("keeper_media_id", "group_size")
+        .orderBy("keeper_media_id")
+    )
+
+
+MM_CONTENT_DEDUP_ORACLE = """
+SELECT CAST(i AS BIGINT) AS keeper_media_id,
+       CAST(CASE WHEN i % 2 = 0 THEN 3 ELSE 2 END AS BIGINT) AS group_size
+FROM range(0, 100) t(i)
+ORDER BY keeper_media_id
+"""
