@@ -137,69 +137,83 @@ def main() -> None:
     # DuckDB-oracle wall-clock over the SAME headline set and parquet:
     # the measured baseline (the reference publishes no numbers), so
     # bench_vs_baseline is a recorded ratio instead of a README estimate.
-    import duckdb
+    # Best-effort: a baseline failure (duckdb missing, an oracle that
+    # needs non-view setup) must not discard the Spark timings already
+    # collected — emit them with the oracle fields null instead.
+    oracle_medians: dict[str, float] = {}
+    oracle_median_total = 0.0
+    try:
+        import duckdb
 
-    con = duckdb.connect()
-    for t in (
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    ):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    oracle_set = [n for n in HEADLINE if CATALOG[n][1] is not None]
-    for name in oracle_set:  # warm pass (catalog/IO caches)
-        con.execute(CATALOG[name][1]).fetchall()
-    o_trials: dict[str, list[float]] = {n: [] for n in oracle_set}
-    for _ in range(3):
-        for name in oracle_set:
-            start = time.perf_counter()
+        con = duckdb.connect()
+        for t in (
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        oracle_set = [n for n in HEADLINE if CATALOG[n][1] is not None]
+        for name in oracle_set:  # warm pass (catalog/IO caches)
             con.execute(CATALOG[name][1]).fetchall()
-            o_trials[name].append(time.perf_counter() - start)
-    con.close()
-    oracle_medians = {
-        n: round(sorted(ts)[1], 3) for n, ts in o_trials.items()
-    }
-    oracle_median_total = round(sum(oracle_medians.values()), 3)
+        o_trials: dict[str, list[float]] = {n: [] for n in oracle_set}
+        for _ in range(3):
+            for name in oracle_set:
+                start = time.perf_counter()
+                con.execute(CATALOG[name][1]).fetchall()
+                o_trials[name].append(time.perf_counter() - start)
+        con.close()
+        oracle_medians = {
+            n: round(sorted(ts)[1], 3) for n, ts in o_trials.items()
+        }
+        oracle_median_total = round(sum(oracle_medians.values()), 3)
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        print(f"oracle baseline skipped: {exc!r}", file=sys.stderr)
     median_total = round(sum(medians.values()), 3)
     # data-weighted subset: queries where the BASELINE does >= 1 s of
     # real work. The naive total is dominated by sub-50 ms oracle
     # queries where Spark pays its fixed scheduling floor; this subset
     # is the comparison that scales with data volume (see README
     # "Benchmarking notes").
-    heavy = [n for n in oracle_set if oracle_medians[n] >= 1.0]
+    heavy = [n for n in oracle_medians if oracle_medians[n] >= 1.0]
     heavy_spark = round(sum(medians[n] for n in heavy), 3)
     heavy_oracle = round(sum(oracle_medians[n] for n in heavy), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "median_total": median_total,
-                "oracle_median_total": oracle_median_total,
-                "oracle_queries_median": oracle_medians,
-                "bench_vs_baseline": round(
-                    median_total / oracle_median_total, 3
-                )
-                if oracle_median_total
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_median": medians,
+            "median_total": median_total,
+            "oracle_median_total": oracle_median_total or None,
+            "oracle_queries_median": oracle_medians or None,
+            "bench_vs_baseline": round(median_total / oracle_median_total, 3)
+            if oracle_median_total
+            else None,
+            "heavy_subset": {
+                "queries": heavy,
+                "spark_total": heavy_spark,
+                "oracle_total": heavy_oracle,
+                "ratio": round(heavy_spark / heavy_oracle, 3)
+                if heavy_oracle
                 else None,
-                "heavy_subset": {
-                    "queries": heavy,
-                    "spark_total": heavy_spark,
-                    "oracle_total": heavy_oracle,
-                    "ratio": round(heavy_spark / heavy_oracle, 3)
-                    if heavy_oracle
-                    else None,
-                },
-                "sf": sf,
-            }
-        )
+            },
+            "sf": sf,
+        }
     )
+    # stdout is the driver's capture, but its tail window can truncate
+    # (BENCH_r0* `parsed: null`); the sibling file is the durable copy
+    # for round-over-round per-query comparison.
+    print(payload)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LAST.json"),
+        "w",
+    ) as fh:
+        fh.write(payload + "\n")
     spark.stop()
 
 

@@ -78,7 +78,19 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         import importlib
 
-        parity = importlib.import_module("tests.parity")
+        try:
+            parity = importlib.import_module("tests.parity")
+        except ImportError:
+            print(
+                "verify needs the repo's tests/ tree on sys.path "
+                "(tests.parity holds the DuckDB oracle compare). "
+                "Run from the repository root, e.g.:\n"
+                "  cd <repo> && python -m "
+                "personal_health_etl_pipeline_spark verify "
+                f"{args.name}",
+                file=sys.stderr,
+            )
+            return 2
         cols, rows, types = parity.run_oracle(oracle, args.sf)
         try:
             parity.compare(df, cols, rows, types)

@@ -22,14 +22,20 @@ value-hash gate as everything else:
   reader, returns the (good, quarantined) accounting. Oracle = the
   corruption rule's arithmetic.
 
-Scratch lifecycle: each call uses a fresh ``tempfile.mkdtemp`` dir the
-RETURNED FRAME READS FROM — the dirs live until process exit (the
-certification harness is short-lived; production deployments point the
-sinks at real table paths instead).
+Scratch lifecycle: one per-session scratch ROOT (removed at process
+exit via ``atexit``), with one subdirectory PER ENTRY that is wiped and
+recreated on every invocation — so a long-lived session (REPL,
+repeated CLI ``verify``) holds at most one copy of each entry's
+scratch, never an unbounded accumulation. The returned frame lazily
+reads from its entry's subdir, so re-invoking the SAME entry
+invalidates frames returned by its earlier calls (materialize before
+re-calling); production deployments point the sinks at real table
+paths instead.
 """
 
 from __future__ import annotations
 
+import atexit
 import glob
 import os
 import shutil
@@ -52,6 +58,28 @@ from personal_health_etl_pipeline_spark.streaming.upsert import (
     run_upsert_stream,
 )
 
+# --- scratch lifecycle -------------------------------------------------
+
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(entry: str) -> str:
+    """Per-session scratch dir keyed by entry name (wiped per call).
+
+    Bounds disk for repeated invocation in one process and removes
+    everything at interpreter exit — see the module docstring.
+    """
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_audit_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    d = os.path.join(_SCRATCH_ROOT, entry)
+    if os.path.exists(d):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 # --- layout: static-grid z-order audit --------------------------------
 
 ZORDER_COLS = ["user_id", "event_id"]
@@ -71,7 +99,7 @@ def layout_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     round trip, the interleave arithmetic, and the layout invariant
     in one frame."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
-    scratch = tempfile.mkdtemp(prefix="spark_zorder_audit_")
+    scratch = _scratch("zorder_audit")
     out = os.path.join(scratch, "events_z")
     shift = zorder_bucket_by(
         ev, out, ZORDER_COLS, n_buckets=ZORDER_BUCKETS, bits=ZORDER_BITS
@@ -189,7 +217,7 @@ def _run_scd2_stream(spark: SparkSession, sf_dir: str) -> str:
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", F.col("d").alias("eff_date"))
     )
-    scratch = tempfile.mkdtemp(prefix="spark_scd2_audit_")
+    scratch = _scratch("scd2_audit")
     src = os.path.join(scratch, "src")
     os.makedirs(src)
     base_mtime = 1_700_000_000
@@ -275,7 +303,7 @@ def src_jsonl_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the quarantined-line count. Oracle = the same modular
     arithmetic straight off the table."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    scratch = tempfile.mkdtemp(prefix="spark_jsonl_audit_")
+    scratch = _scratch("jsonl_audit")
     landing = os.path.join(scratch, "landing")
     line = (
         F.when(
@@ -340,7 +368,7 @@ def src_format_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ["event_id", "user_id", "event_type", "value"]
     ev = load_table(spark, sf_dir, "events").select(*cols)
-    scratch = tempfile.mkdtemp(prefix="spark_format_audit_")
+    scratch = _scratch("format_audit")
     orc_path = os.path.join(scratch, "ev_orc")
     csv_path = os.path.join(scratch, "ev_csv")
     ev.write.mode("overwrite").orc(orc_path)
@@ -559,7 +587,7 @@ def s6_raw_zone_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_raw,
     )
 
-    root = tempfile.mkdtemp(prefix="spark_rawzone_audit_")
+    root = _scratch("rawzone_audit")
     for s, e in RAW_RANGES:
         s_d, e_d = dt.date.fromisoformat(s), dt.date.fromisoformat(e)
         write_raw(
@@ -632,7 +660,7 @@ def st_hll_sink_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id"
     )
-    scratch = tempfile.mkdtemp(prefix="spark_hllsink_audit_")
+    scratch = _scratch("hllsink_audit")
     src = os.path.join(scratch, "src")
     os.makedirs(src)
     base_mtime = 1_700_000_000
@@ -690,7 +718,7 @@ def st_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value"
     )
-    scratch = tempfile.mkdtemp(prefix="spark_stateful_audit_")
+    scratch = _scratch("stateful_audit")
     src = os.path.join(scratch, "src")
     os.makedirs(src)
     base_mtime = 1_700_000_000
@@ -767,7 +795,7 @@ def layout_compact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    scratch = tempfile.mkdtemp(prefix="spark_compact_audit_")
+    scratch = _scratch("compact_audit")
     drizzle = os.path.join(scratch, "drizzle")
     for i in range(COMPACT_APPENDS):
         events.where(F.col("event_id") % COMPACT_APPENDS == i).coalesce(
@@ -813,7 +841,7 @@ def s7_dynamic_overwrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    scratch = tempfile.mkdtemp(prefix="spark_dynover_audit_")
+    scratch = _scratch("dynover_audit")
     table = os.path.join(scratch, "by_type")
     events.write.partitionBy("event_type").parquet(table)
     corrected = events.where(

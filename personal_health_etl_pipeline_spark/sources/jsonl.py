@@ -69,6 +69,16 @@ def read_jsonl_quarantine(
     # rebased off the JSON relation at once (which is what satisfies
     # the corrupt-column analysis check), but materialization — and a
     # FAILFAST parse abort — happens at the caller's first action.
+    # Recoverability trade-off vs cache(): localCheckpoint TRUNCATES
+    # lineage, so on a multi-executor cluster losing an executor that
+    # holds checkpoint blocks fails any later job over the splits
+    # (a lost cached block would have been recomputed from the JSON
+    # scan). Landing reads are short-lived one-batch jobs, so we take
+    # the bounded-memory side of that trade; a deployment that must
+    # survive executor loss mid-read should configure
+    # spark.sparkContext.setCheckpointDir and use reliable
+    # .checkpoint() here instead (same guidance as
+    # operators/pagerank.py's localCheckpoint-vs-checkpoint note).
     df = df.localCheckpoint(eager=False)
     good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = df.where(F.col(CORRUPT_COL).isNotNull()).select(

@@ -57,3 +57,18 @@ def test_clean_file_quarantines_nothing(spark, tmp_path):
     good, quarantine = read_jsonl_quarantine(spark, str(p), SCHEMA)
     assert quarantine.count() == 0
     assert good.count() == 1
+
+
+def test_read_registers_nothing_in_cache_manager(spark, landing):
+    """Regression for the round-4 cache leak: the reader's one-shot
+    materialization must NOT register in the session CacheManager
+    (a cache() there lives until an unpersist the caller can never
+    issue — it is localCheckpoint now). Repeated landing reads in a
+    long-lived session must leave the cache empty."""
+    jvm_cm = spark._jsparkSession.sharedState().cacheManager()
+    assert jvm_cm.isEmpty(), "cache not empty before the read"
+    for _ in range(3):
+        good, quarantine = read_jsonl_quarantine(spark, landing, SCHEMA)
+        good.count()
+        quarantine.count()
+    assert jvm_cm.isEmpty(), "quarantine read leaked a CacheManager entry"
