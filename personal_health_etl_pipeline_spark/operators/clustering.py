@@ -148,6 +148,48 @@ def _centroids_from(
     return cents
 
 
+def train_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_updates: int = 2,
+    persist: bool = False,
+) -> list[tuple[int, list[int]]]:
+    """Run Lloyd's training alone and return the final centroid set as
+    a plain Python list (k x dims integers — bounded driver state).
+
+    This is the SHAREABLE model artifact: every consumer
+    (:func:`kmeans_assign`, :func:`semantic_near_dup_pairs`, an IVF
+    index build) accepts it via their ``centroids=`` parameter, so one
+    training pass can serve many probe/assign passes — at real scale
+    the list would be persisted alongside the index it quantizes.
+
+    ``persist=True`` caches the quantized base across the training
+    collects (ONE source scan instead of ``n_updates + 1``); the cache
+    is released before returning.
+    """
+    base = _quantized_base(embeddings, id_col, vec_col)
+    if persist:
+        base = base.persist()
+    try:
+        return _centroids_from(base, k, n_updates)
+    finally:
+        if persist:
+            base.unpersist()
+
+
+def centroids_frame(
+    spark, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """A trained centroid list as the ``(cid, cvec)`` frame shape
+    :func:`similarity.ivf_topk` takes via ``centroids=``."""
+    return spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in cents],
+        "cid int, cvec array<bigint>",
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -159,24 +201,13 @@ def kmeans_centroids(
     """The trained quantizer alone: ``(cid, cvec)`` on the integer
     grid — e.g. as the coarse quantizer for an IVF index
     (:func:`similarity.ivf_topk` accepts it via ``centroids=``).
-
-    ``persist=True`` caches the quantized base across the training
-    collects (ONE source scan instead of ``n_updates + 1``); the cache
-    is released before returning — the result is a literal frame with
-    no lineage into the base, so nothing pins it.
     """
-    spark = embeddings.sparkSession
-    base = _quantized_base(embeddings, id_col, vec_col)
-    if persist:
-        base = base.persist()
-    try:
-        cents = _centroids_from(base, k, n_updates)
-    finally:
-        if persist:
-            base.unpersist()
-    return spark.createDataFrame(
-        [(cid, cvec) for cid, cvec in cents],
-        "cid int, cvec array<bigint>",
+    return centroids_frame(
+        embeddings.sparkSession,
+        train_centroids(
+            embeddings, id_col=id_col, vec_col=vec_col, k=k,
+            n_updates=n_updates, persist=persist,
+        ),
     )
 
 
@@ -187,6 +218,7 @@ def kmeans_assignments(
     k: int = 8,
     n_updates: int = 2,
     persist: bool = False,
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """Lloyd's k-means; returns the final assignment frame
     ``(_id, _q, _n2, cid, d2)`` (internal shape — see
@@ -213,8 +245,14 @@ def kmeans_assignments(
     run, independent of ``n_updates``, and no cached storage survives
     the call (the returned frame does not pin the cache — after
     ``unpersist`` its execution simply recomputes).
+
+    ``centroids``: a pre-trained list from :func:`train_centroids`;
+    when given, training (and ``persist``) is skipped entirely and the
+    call is a single map-side assignment pass.
     """
     base = _quantized_base(embeddings, id_col, vec_col)
+    if centroids is not None:
+        return _assign_lit(base, centroids)
     if persist:
         base = base.persist()
     try:
@@ -232,12 +270,13 @@ def kmeans_assign(
     k: int = 8,
     n_updates: int = 2,
     persist: bool = False,
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """Public k-means assignment: ``(vec_id, cluster_id, d2)`` — the
     exact squared grid distance to the vector's final centroid."""
     return kmeans_assignments(
         embeddings, id_col=id_col, vec_col=vec_col, k=k,
-        n_updates=n_updates, persist=persist,
+        n_updates=n_updates, persist=persist, centroids=centroids,
     ).select(
         F.col("_id").alias(id_col),
         F.col("cid").alias("cluster_id"),
@@ -254,6 +293,7 @@ def semantic_near_dup_pairs(
     threshold: float = 0.4,
     cluster_cap: int = LSH_BUCKET_CAP,
     persist: bool = False,
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style near-dup pairs: ``(id_a, id_b, sim)``,
     ``id_a < id_b``, cosine >= ``threshold``, both in the same k-means
@@ -263,11 +303,12 @@ def semantic_near_dup_pairs(
     across tables), so no cross-bucket pair dedup shuffle is needed:
     the pipeline is k-means, one groupBy(cid) with carried payloads,
     and an inline pair explode + cosine — capped per cluster by
-    ``cluster_cap`` chain emission.
+    ``cluster_cap`` chain emission. ``centroids`` skips training —
+    see :func:`kmeans_assignments`.
     """
     assigned = kmeans_assignments(
         embeddings, id_col=id_col, vec_col=vec_col, k=k,
-        n_updates=n_updates, persist=persist,
+        n_updates=n_updates, persist=persist, centroids=centroids,
     )
     grouped = (
         # zero-norm vectors have no defined cosine — they cluster fine

@@ -227,7 +227,10 @@ def dedup_groups(
 
 
 def triangle_counts(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation over an undirected edge list:
     ``(node, n_triangles)`` for every node in >= 1 triangle.
@@ -242,19 +245,25 @@ def triangle_counts(
     power-law graphs — a celebrity node with 10M followers generates
     wedges from its sqrt-bounded out-list, never its full neighborhood.
     Three equi-joins + one explode + one groupBy; no driver state.
+
+    ``assume_canonical=True`` declares the input already deduplicated
+    with ``src < dst`` per row (e.g. the output of a pair-grouping
+    aggregation) and skips the canonicalize+distinct shuffle.
     """
-    e = (
-        pairs.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not assume_canonical:
+        e = (
+            e.select(
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        # consumed by the degree count, the orientation join and the
-        # wedge-closing join — materialize once (tree-shaped plans
-        # would recompute the upstream edge construction per branch)
-        .localCheckpoint(eager=True)
-    )
+    # consumed by the degree count, the orientation join and the
+    # wedge-closing join — materialize once (tree-shaped plans
+    # would recompute the upstream edge construction per branch)
+    e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -273,6 +282,10 @@ def triangle_counts(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
+        # BOTH sides of the wedge self-join scan this frame; without
+        # materialization each side re-runs the two degree joins
+        # (2x the orientation cost, observed as the r5 perf gap)
+        .localCheckpoint(eager=True)
     )
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst"))).select(

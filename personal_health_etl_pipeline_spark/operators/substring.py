@@ -194,34 +194,33 @@ def cut_repeated_spans(
         )
         .distinct()
     )
-    kept = toks.join(cut_pos, ["doc_id", "tp"], "left_anti")
-    # totals drive the output (LEFT join from totals): a document whose
-    # tokens are ALL cut has zero kept rows but must still appear, with
-    # n_cut = n_tokens and an empty cleaned_text.
+    # ONE aggregation pass over the marked token stream (r6; was two
+    # groupBys — totals over toks, survivors over an anti-join — glued
+    # by a join): the cut positions ride in as a LEFT-join mark, and
+    # totals, cut count and the kept-token re-assembly are computed
+    # together. collect_list skips NULLs, so the CASE emits only
+    # surviving tokens; a document whose tokens are ALL cut still
+    # appears (every token row survives the left join) with an empty
+    # cleaned_text.
+    marked = toks.join(
+        cut_pos.withColumn("cut", F.lit(1)), ["doc_id", "tp"], "left"
+    )
     return (
-        toks.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"))
-        .join(
-            kept.groupBy("doc_id").agg(
-                F.count(F.lit(1)).alias("n_kept"),
-                F.array_join(
-                    F.expr(
-                        "transform(array_sort(collect_list(struct(tp, tok))),"
-                        " s -> s.tok)"
-                    ),
-                    " ",
-                ).alias("cleaned_text"),
-            ),
-            "doc_id",
-            "left",
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("cut").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_cut"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "CASE WHEN cut IS NULL THEN struct(tp, tok) END)),"
+                    " s -> s.tok)"
+                ),
+                " ",
+            ).alias("cleaned_text"),
         )
-        .select(
-            "doc_id",
-            "n_tokens",
-            (
-                F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
-            ).alias("n_cut"),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
-        )
+        .select("doc_id", "n_tokens", "n_cut", "cleaned_text")
         .orderBy("doc_id")
     )

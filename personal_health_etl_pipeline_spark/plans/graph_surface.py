@@ -130,23 +130,32 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
+    # co-occurrence edges as a BASKET aggregation (r6; was a self-join
+    # on l_orderkey): collect each order's distinct sorted part set and
+    # emit its pairs inline — two shuffles (by order, then by pair)
+    # instead of distinct + self-join + groupBy, with fan-out bounded
+    # by basket size squared (TPC-H baskets are <= 7 lines; a retail
+    # basket is dozens — never the self-join's quadratic-in-matches
+    # shuffle). Same semantics: DISTINCT parts per order, a < b pairs.
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= TRI_MIN_ORDERS)
         .select("id_a", "id_b")
     )
-    return triangle_counts(edges)
+    # the pair groupBy already emits deduplicated id_a < id_b edges
+    return triangle_counts(edges, assume_canonical=True)
 
 
 GRAPH_TRIANGLES_ORACLE = f"""
