@@ -83,6 +83,8 @@ HEADLINE = (
     "text_bpe_apply_corpus",
     "graph_triangles",
     "dq4_column_profile_hll",
+    # round-6 additions
+    "ann_pq_persisted_probe",
 )
 
 

@@ -276,6 +276,11 @@ register(
     llm.ANN_PQ_EXTERNAL_ORACLE,
 )
 register("ann_ivfpq_topk", llm.ann_ivfpq_topk, llm.ANN_IVFPQ_ORACLE)
+register(
+    "ann_pq_persisted_probe",
+    llm.ann_pq_persisted_probe,
+    llm.ANN_PQ_PERSISTED_ORACLE,
+)
 register("mm_byte_stats", llm.mm_byte_stats, llm.MM_BYTE_STATS_ORACLE)
 
 # -- block 1d: family representatives (streaming / analytics / text) --

@@ -514,6 +514,35 @@ class TestRound5PlanShapes:
         assert len(seg) == 2 and "list_id" in seg[1][:160], plan
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
+    def test_pq_persisted_probe_reads_codes_only_then_pruned_vectors(
+        self, spark, sf_dir
+    ):
+        """ann_pq_persisted_probe: the ADC scan can only ever read the
+        8-byte code column because the persisted codes table PHYSICALLY
+        carries nothing else (never the 64-dim vectors — that asymmetry
+        is PQ's entire memory story), and the exact re-rank's vectors
+        read must reach the scan as a bucket partition filter. No
+        cartesian product (the non-equi ADC join rides a bounded
+        broadcast). The ADC phase itself runs eagerly inside the entry
+        (the shortlist is checkpointed for the bucket prune), so the
+        returned frame's plan is the re-rank read."""
+        import os
+
+        from personal_health_etl_pipeline_spark.plans.llm_surface import (
+            _pq_index_root,
+            ann_pq_persisted_probe,
+        )
+
+        plan = _executed_plan(ann_pq_persisted_probe(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        seg = plan.split("PartitionFilters", 1)
+        assert len(seg) == 2 and "bucket" in seg[1][:160], plan
+        # structural codes-only guarantee: the ADC-scanned table holds
+        # exactly (_id, codes)
+        root, _ = _pq_index_root(spark, sf_dir)
+        codes_cols = spark.read.parquet(os.path.join(root, "codes")).columns
+        assert codes_cols == ["_id", "codes"], codes_cols
+
 
 class TestRound5SecondHalfPlanShapes:
     def test_association_rules_no_nested_loop(self, spark, sf_dir):
