@@ -90,3 +90,283 @@ def fetch_range_df(
 ) -> DataFrame:
     """The fixture source as a typed DataFrame (what S1-S3 hand on)."""
     return spark.createDataFrame(fetch_range(data_type, start, end), RECORD_SCHEMA)
+
+
+# --- FULL-WIDTH daily fixtures: every field of every DAILY type -------
+#
+# The reference's combined warehouse table (schemas/oura/oura_day.json,
+# 66 columns) is the union of six DAILY types' flattened fields. This
+# spec drives BOTH the fixture records below and the DuckDB oracle
+# (plans/oura_wide.py) from one definition: per type, the raw record's
+# (dotted nested path, value kind). Kinds share one derivation rule —
+# h = first-16-hex of sha256("{type}|{day}|{path}") as uint64 — so the
+# oracle recomputes every cell independently.
+
+OURA_DAILY_FULL: dict[str, list[tuple[str, str]]] = {
+    "daily_activity": [
+        ("id", "id"),
+        ("class_5_min", "class5"),
+        ("score", "metric"),
+        ("active_calories", "metric"),
+        ("average_met_minutes", "metric"),
+        ("equivalent_walking_distance", "metric"),
+        ("steps", "metric"),
+        ("timestamp", "ts"),
+        ("high_activity_met_minutes", "metric"),
+        ("high_activity_time", "metric"),
+        ("inactivity_alerts", "metric"),
+        ("low_activity_met_minutes", "metric"),
+        ("low_activity_time", "metric"),
+        ("medium_activity_met_minutes", "metric"),
+        ("medium_activity_time", "metric"),
+        ("meters_to_target", "metric"),
+        ("non_wear_time", "metric"),
+        ("resting_time", "metric"),
+        ("sedentary_met_minutes", "metric"),
+        ("sedentary_time", "metric"),
+        ("target_calories", "metric"),
+        ("target_meters", "metric"),
+        ("total_calories", "metric"),
+        ("contributors.meet_daily_targets", "metric"),
+        ("contributors.move_every_hour", "metric"),
+        ("contributors.recovery_time", "metric"),
+        ("contributors.stay_active", "metric"),
+        ("contributors.training_frequency", "metric"),
+        ("contributors.training_volume", "metric"),
+        ("met.interval", "metric"),
+        ("met.items", "int_list"),
+        ("met.timestamp", "ts_str"),
+    ],
+    "daily_readiness": [
+        ("id", "id"),
+        ("score", "metric"),
+        ("temperature_deviation", "metric"),
+        ("temperature_trend_deviation", "metric"),
+        ("timestamp", "ts"),
+        ("contributors.activity_balance", "metric"),
+        ("contributors.body_temperature", "metric"),
+        ("contributors.hrv_balance", "metric"),
+        ("contributors.previous_day_activity", "metric"),
+        ("contributors.previous_night", "metric"),
+        ("contributors.recovery_index", "metric"),
+        ("contributors.resting_heart_rate", "metric"),
+        ("contributors.sleep_balance", "metric"),
+    ],
+    "daily_stress": [
+        ("id", "id"),
+        ("stress_high", "metric"),
+        ("recovery_high", "metric"),
+        ("day_summary", "summary"),
+    ],
+    "daily_resilience": [
+        ("id", "id"),
+        ("level", "level"),
+        ("contributors.daytime_recovery", "metric"),
+        ("contributors.sleep_recovery", "metric"),
+        ("contributors.stress", "metric"),
+    ],
+    "daily_cardiovascular_age": [
+        ("vascular_age", "metric"),
+    ],
+    "daily_sleep": [
+        ("score", "metric"),
+        ("timestamp", "ts"),
+        ("id", "id"),
+        ("contributors.deep_sleep", "metric"),
+        ("contributors.efficiency", "metric"),
+        ("contributors.latency", "metric"),
+        ("contributors.rem_sleep", "metric"),
+        ("contributors.restfulness", "metric"),
+        ("contributors.timing", "metric"),
+        ("contributors.total_sleep", "metric"),
+    ],
+}
+
+SUMMARY_WORDS = ("restored", "normal", "stressful")
+LEVEL_WORDS = ("limited", "adequate", "solid")
+
+
+def field_hash(data_type: str, ds: str, path: str) -> int:
+    """uint64 from sha256 — the shared fixture/oracle derivation."""
+    digest = hashlib.sha256(f"{data_type}|{ds}|{path}".encode()).hexdigest()
+    return int(digest[:16], 16)
+
+
+def day_present(data_type: str, ds: str) -> bool:
+    """~10% of (type, day) cells are MISSING (no record fetched), so
+    the full-outer combine's null-fill is exercised on real gaps."""
+    return field_hash(data_type, ds, "presence") % 10 > 0
+
+
+def _wire_ts(ds: str, h: int) -> str:
+    return f"{ds}T04:00:00.{h % 1000000:06d}+00:00"
+
+
+def _full_value(kind: str, data_type: str, ds: str, path: str):
+    h = field_hash(data_type, ds, path)
+    if kind == "id":
+        return f"{data_type}-{ds}"
+    if kind == "metric":
+        return (h % 10000) / 100.0
+    if kind in ("ts", "ts_str"):
+        return _wire_ts(ds, h)
+    if kind == "class5":
+        return f"{h % 10**12:012d}"
+    if kind == "summary":
+        return SUMMARY_WORDS[h % 3]
+    if kind == "level":
+        return LEVEL_WORDS[h % 3]
+    if kind == "int_list":
+        return [h % 97, (h // 97) % 97, (h // 9409) % 97]
+    raise ValueError(f"unknown kind {kind!r}")
+
+
+def _nest(flat: dict[str, object]) -> dict:
+    out: dict = {}
+    for path, v in flat.items():
+        parts = path.split(".")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def fetch_daily_full(data_type: str, start: dt.date, end: dt.date) -> list[dict]:
+    """Full-width DAILY fetch: one nested record per PRESENT day with
+    every field of ``OURA_DAILY_FULL[data_type]``."""
+    spec = OURA_DAILY_FULL[data_type]
+    out = []
+    day = start
+    while day <= end:
+        ds = day.isoformat()
+        if day_present(data_type, ds):
+            rec = {"day": ds}
+            rec.update(
+                _nest(
+                    {
+                        path: _full_value(kind, data_type, ds, path)
+                        for path, kind in spec
+                    }
+                )
+            )
+            out.append(rec)
+        day += dt.timedelta(days=1)
+    return out
+
+
+def _full_schema(data_type: str) -> StructType:
+    """Nested wire StructType matching :data:`OURA_DAILY_FULL`."""
+    leaf = {
+        "id": StringType(),
+        "metric": DoubleType(),
+        "ts": StringType(),
+        "ts_str": StringType(),
+        "class5": StringType(),
+        "summary": StringType(),
+        "level": StringType(),
+        "int_list": ArrayType(LongType()),
+    }
+    root: dict = {}
+    for path, kind in OURA_DAILY_FULL[data_type]:
+        parts = path.split(".")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf[kind]
+
+    def build(d: dict) -> StructType:
+        fields = []
+        for name, v in d.items():
+            fields.append(
+                StructField(name, build(v) if isinstance(v, dict) else v)
+            )
+        return StructType(fields)
+
+    return StructType([StructField("day", StringType())] + build(root).fields)
+
+
+def fetch_daily_full_df(
+    spark: SparkSession, data_type: str, start: dt.date, end: dt.date
+) -> DataFrame:
+    """Full-width fixture source as a typed nested DataFrame."""
+    return spark.createDataFrame(
+        fetch_daily_full(data_type, start, end), _full_schema(data_type)
+    )
+
+
+# --- DETAILED fixtures: multi-row-per-day (workout) -------------------
+#
+# The reference's DETAILED category (constants.py:29-37) is fetched by
+# the same date-range source but left TODO in the transform
+# (transform.py:120-128); its draft warehouse schema is t.json. The
+# workout fixture emits h%4 records per day (0..3 — some days absent,
+# most days multi-row), each field sha256-derived from
+# (type, day, seq, field) so the oracle regenerates every row.
+
+ACTIVITY_WORDS = ("running", "cycling", "swimming", "walking", "rowing")
+INTENSITY_WORDS = ("easy", "moderate", "hard")
+SOURCE_WORDS = ("manual", "wearable")
+
+
+def workout_count(ds: str) -> int:
+    return field_hash("workout", ds, "n") % 4
+
+
+def _workout_h(ds: str, seq: int, field: str) -> int:
+    return field_hash("workout", ds, f"{seq}|{field}")
+
+
+def fetch_detailed_workout(start: dt.date, end: dt.date) -> list[dict]:
+    out = []
+    day = start
+    while day <= end:
+        ds = day.isoformat()
+        for s in range(workout_count(ds)):
+            def h(field: str) -> int:
+                return _workout_h(ds, s, field)
+
+            out.append(
+                {
+                    "id": f"workout-{ds}-{s}",
+                    "activity": ACTIVITY_WORDS[h("activity") % 5],
+                    "calories": (h("calories") % 90000) / 100.0,
+                    "distance": (h("distance") % 2000000) / 100.0,
+                    "start_datetime": (
+                        f"{ds}T{6 + s * 4:02d}:30:00."
+                        f"{h('start_datetime') % 1000000:06d}+00:00"
+                    ),
+                    "end_datetime": (
+                        f"{ds}T{6 + s * 4:02d}:59:00."
+                        f"{h('end_datetime') % 1000000:06d}+00:00"
+                    ),
+                    "intensity": INTENSITY_WORDS[h("intensity") % 3],
+                    "label": f"session-{h('label') % 1000}",
+                    "source": SOURCE_WORDS[h("source") % 2],
+                }
+            )
+        day += dt.timedelta(days=1)
+    return out
+
+
+WORKOUT_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("activity", StringType()),
+        StructField("calories", DoubleType()),
+        StructField("distance", DoubleType()),
+        StructField("start_datetime", StringType()),  # wire ts (F3)
+        StructField("end_datetime", StringType()),
+        StructField("intensity", StringType()),
+        StructField("label", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def fetch_detailed_workout_df(
+    spark: SparkSession, start: dt.date, end: dt.date
+) -> DataFrame:
+    return spark.createDataFrame(
+        fetch_detailed_workout(start, end), WORKOUT_SCHEMA
+    )

@@ -25,6 +25,7 @@ from personal_health_etl_pipeline_spark.plans import graph_surface as gr
 from personal_health_etl_pipeline_spark.plans import llm_surface as llm
 from personal_health_etl_pipeline_spark.plans import llm_surface2 as llm2
 from personal_health_etl_pipeline_spark.plans import llm_surface3 as llm3
+from personal_health_etl_pipeline_spark.plans import oura_wide as ow
 from personal_health_etl_pipeline_spark.plans import quality_surface as dq
 from personal_health_etl_pipeline_spark.plans import sketches as sk
 from personal_health_etl_pipeline_spark.plans import reference_surface as rs
@@ -137,6 +138,12 @@ register(
 )
 # NEW r5: heartrate SPECIAL 7-day-chunked source path, hash-certified
 register("j13_heartrate_chunked", rs.j13_heartrate_chunked, rs.J13_ORACLE)
+register(
+    "j15_oura_day_full_width", ow.j15_oura_day_full_width, ow.J15_ORACLE
+)
+register(
+    "j16_detailed_transform", ow.j16_detailed_transform, ow.J16_ORACLE
+)
 # NEW r5: learned-BPE train -> corpus-wide apply composition
 register(
     "text_bpe_apply_corpus",

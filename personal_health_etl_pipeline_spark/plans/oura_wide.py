@@ -1,0 +1,257 @@
+"""The reference's FULL-WIDTH combined daily table, end-to-end.
+
+``j15_oura_day_full_width`` materializes the actual 66-column
+``oura_day`` warehouse schema (shipped at
+``personal_health_etl_pipeline_spark/schemas/oura/oura_day.json`` —
+the reference's public field list, reference
+``schemas/oura/oura_day.json:2-332``): all six DAILY types fetched
+full-width from the deterministic fixture, flattened (F1), array
+columns serialized to JSON strings (C4), prefixed per type (P3),
+full-outer combined on ``day`` (J1, reference ``transform.py:130-140``)
+and aligned to the declared schema with type coercion (C5, reference
+``load.py:105-181``) — the whole converter at its real width, under
+the value-hash gate.
+
+The oracle regenerates every cell independently in DuckDB from the
+shared sha256 derivation (``pipeline/fixtures.py:OURA_DAILY_FULL``),
+including which (type, day) cells are MISSING — so hash equality
+certifies flatten naming, array serialization, the 6-way outer join's
+null pattern, and the STRING->TIMESTAMP/DATE coercions for all 66
+columns at once.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from personal_health_etl_pipeline_spark.functions.flatten import (
+    flatten,
+    prefix_columns,
+)
+from personal_health_etl_pipeline_spark.operators.combine import combine_on_key
+from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+    LEVEL_WORDS,
+    OURA_DAILY_FULL,
+    SUMMARY_WORDS,
+    fetch_daily_full_df,
+)
+from personal_health_etl_pipeline_spark.schema import load_json_schema
+
+OURA_DAY_SCHEMA_PATH = (
+    Path(__file__).resolve().parent.parent / "schemas" / "oura" / "oura_day.json"
+)
+
+J15_START = dt.date(2024, 2, 1)
+J15_END = dt.date(2024, 3, 31)  # 60 days
+
+
+def oura_day_target_schema():
+    """The declared 66-column warehouse StructType (S9 + SURVEY §1.2)."""
+    return load_json_schema(OURA_DAY_SCHEMA_PATH)
+
+
+def j15_oura_day_full_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring. ``sf_dir`` is unused — this certifies the
+    SOURCE+TRANSFORM layers, whose fixture is synthesized from
+    ``(data_type, day, field)`` alone (the ``j13`` precedent)."""
+    frames = []
+    for data_type in OURA_DAILY_FULL:
+        raw = fetch_daily_full_df(spark, data_type, J15_START, J15_END)
+        flat = flatten(raw, arrays="json")  # F1 + C4
+        frames.append(prefix_columns(flat, data_type, exclude=("day",)))  # P3
+    wide = combine_on_key(frames, key="day")  # J1
+    from personal_health_etl_pipeline_spark.schema import align_to_schema
+
+    return align_to_schema(wide, oura_day_target_schema()).orderBy("day")  # C5
+
+
+# --- oracle generation -------------------------------------------------
+
+def _h_sql(data_type: str, path: str) -> str:
+    return (
+        f"CAST(('0x' || substr(sha256('{data_type}|' || ds || '|{path}'),"
+        f" 1, 16)) AS UBIGINT)"
+    )
+
+
+def _case_words(h: str, words: tuple[str, ...]) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN '{w}'" for i, w in enumerate(words[:-1])
+    )
+    return f"CASE CAST({h} % 3 AS INT) {arms} ELSE '{words[-1]}' END"
+
+
+def _val_sql(kind: str, data_type: str, path: str) -> str:
+    h = _h_sql(data_type, path)
+    if kind == "id":
+        return f"'{data_type}-' || ds"
+    if kind == "metric":
+        return f"CAST({h} % 10000 AS DOUBLE) / 100"
+    if kind == "ts":
+        return (
+            f"CAST(ds || 'T04:00:00.' || lpad(CAST({h} % 1000000 AS VARCHAR),"
+            f" 6, '0') || '+00:00' AS TIMESTAMP)"
+        )
+    if kind == "ts_str":
+        return (
+            f"ds || 'T04:00:00.' || lpad(CAST({h} % 1000000 AS VARCHAR),"
+            f" 6, '0') || '+00:00'"
+        )
+    if kind == "class5":
+        return f"lpad(CAST({h} % 1000000000000 AS VARCHAR), 12, '0')"
+    if kind == "summary":
+        return _case_words(h, SUMMARY_WORDS)
+    if kind == "level":
+        return _case_words(h, LEVEL_WORDS)
+    if kind == "int_list":
+        return (
+            f"'[' || CAST({h} % 97 AS VARCHAR)"
+            f" || ',' || CAST(({h} // 97) % 97 AS VARCHAR)"
+            f" || ',' || CAST(({h} // 9409) % 97 AS VARCHAR) || ']'"
+        )
+    raise ValueError(kind)
+
+
+def _oura_wide_oracle() -> str:
+    pres_cols = ", ".join(
+        f"({_h_sql(t, 'presence')} % 10 > 0) AS p_{t}" for t in OURA_DAILY_FULL
+    )
+    val_cols = []
+    for t, spec in OURA_DAILY_FULL.items():
+        for path, kind in spec:
+            col = f"{t}__{path.replace('.', '__')}"
+            val_cols.append(
+                f"CASE WHEN p_{t} THEN {_val_sql(kind, t, path)} END"
+                f' AS "{col}"'
+            )
+    any_present = " OR ".join(f"p_{t}" for t in OURA_DAILY_FULL)
+    vals = ",\n       ".join(val_cols)
+    return f"""
+WITH days AS (
+  SELECT CAST(d AS DATE) AS day
+  FROM generate_series(DATE '{J15_START.isoformat()}',
+                       DATE '{J15_END.isoformat()}', INTERVAL 1 DAY) t(d)
+),
+base AS (SELECT day, strftime(day, '%Y-%m-%d') AS ds FROM days),
+pres AS (SELECT day, ds, {pres_cols} FROM base)
+SELECT day,
+       {vals}
+FROM pres WHERE {any_present} ORDER BY day
+"""
+
+
+J15_ORACLE = _oura_wide_oracle()
+
+
+# --- DETAILED transform: workout -> its own warehouse table ------------
+
+WORKOUT_SCHEMA_PATH = (
+    Path(__file__).resolve().parent.parent
+    / "schemas"
+    / "oura"
+    / "oura_workout.json"
+)
+
+
+def j16_detailed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETAILED-category transform path the reference drafts but
+    leaves TODO (reference ``transform.py:120-128``; draft schema
+    ``t.json``): a multi-row-per-day type (``workout``) fetched from
+    the range source, prefixed (P3), given its incremental-load date
+    key (``day`` derived from ``start_datetime`` — the added column the
+    shipped ``oura_workout.json`` documents), coerced to the declared
+    types (C5: wire strings -> TIMESTAMP), and LANDED in a second
+    warehouse table — written partitioned by ``day`` (the S5/S7 range
+    layout) and read BACK, so the certified frame is what a consumer of
+    the detailed table sees. Unlike the DAILY path there is no combine:
+    days repeat, one row per workout."""
+    from pyspark.sql import functions as F
+
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        fetch_detailed_workout_df,
+    )
+    from personal_health_etl_pipeline_spark.plans.audit_surface import (
+        _scratch,
+    )
+    from personal_health_etl_pipeline_spark.schema import align_to_schema
+
+    import os
+
+    raw = fetch_detailed_workout_df(spark, J15_START, J15_END)
+    flat = prefix_columns(raw, "workout", exclude=())  # P3 (no day yet)
+    keyed = flat.withColumn(
+        "day", F.to_date(F.substring("workout__start_datetime", 1, 10))
+    )
+    aligned = align_to_schema(keyed, load_json_schema(WORKOUT_SCHEMA_PATH))
+    table = os.path.join(_scratch("oura_workout"), "oura_workout")
+    aligned.write.partitionBy("day").parquet(table)
+    back = spark.read.parquet(table)
+    # partition-column readback infers day as DATE; project back to
+    # declared order and sort for display stability
+    return back.select(
+        [f.name for f in load_json_schema(WORKOUT_SCHEMA_PATH).fields]
+    ).orderBy("day", "workout__id")
+
+
+def _workout_oracle() -> str:
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        ACTIVITY_WORDS,
+        INTENSITY_WORDS,
+        SOURCE_WORDS,
+    )
+
+    def h(field: str) -> str:
+        return (
+            f"CAST(('0x' || substr(sha256('workout|' || ds || '|' ||"
+            f" CAST(s AS VARCHAR) || '|{field}'), 1, 16)) AS UBIGINT)"
+        )
+
+    def words(field: str, ws: tuple[str, ...]) -> str:
+        arms = " ".join(
+            f"WHEN {i} THEN '{w}'" for i, w in enumerate(ws[:-1])
+        )
+        return (
+            f"CASE CAST({h(field)} % {len(ws)} AS INT) {arms}"
+            f" ELSE '{ws[-1]}' END"
+        )
+
+    def wire(field: str, minute: str) -> str:
+        return (
+            f"ds || 'T' || lpad(CAST(6 + s * 4 AS VARCHAR), 2, '0')"
+            f" || ':{minute}:00.'"
+            f" || lpad(CAST({h(field)} % 1000000 AS VARCHAR), 6, '0')"
+            f" || '+00:00'"
+        )
+
+    return f"""
+WITH days AS (
+  SELECT CAST(d AS DATE) AS day
+  FROM generate_series(DATE '{J15_START.isoformat()}',
+                       DATE '{J15_END.isoformat()}', INTERVAL 1 DAY) t(d)
+),
+base AS (
+  SELECT day, strftime(day, '%Y-%m-%d') AS ds, CAST(s AS BIGINT) AS s
+  FROM days, range(0, 4) r(s)
+  WHERE s < CAST(('0x' || substr(sha256('workout|' || ds || '|n'), 1, 16))
+                 AS UBIGINT) % 4
+)
+SELECT day,
+       'workout-' || ds || '-' || CAST(s AS VARCHAR) AS workout__id,
+       {words("activity", ACTIVITY_WORDS)} AS workout__activity,
+       CAST({h("calories")} % 90000 AS DOUBLE) / 100 AS workout__calories,
+       CAST({h("distance")} % 2000000 AS DOUBLE) / 100 AS workout__distance,
+       CAST({wire("end_datetime", "59")} AS TIMESTAMP)
+           AS workout__end_datetime,
+       {words("intensity", INTENSITY_WORDS)} AS workout__intensity,
+       'session-' || CAST({h("label")} % 1000 AS VARCHAR) AS workout__label,
+       {words("source", SOURCE_WORDS)} AS workout__source,
+       CAST({wire("start_datetime", "30")} AS TIMESTAMP)
+           AS workout__start_datetime
+FROM base ORDER BY day, workout__id
+"""
+
+
+J16_ORACLE = _workout_oracle()

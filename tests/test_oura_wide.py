@@ -1,0 +1,115 @@
+"""Full-width oura_day + DETAILED workout surface (plans/oura_wide.py).
+
+The hash gate certifies values; these tests pin the SCHEMA contract:
+the converter's output StructType must equal the shipped declared
+schema files column-for-column (VERDICT r5 item 5's schema-equality
+assert), and the fixture layer's shape invariants hold.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+    OURA_DAILY_FULL,
+    day_present,
+    fetch_daily_full,
+    fetch_detailed_workout,
+    workout_count,
+)
+from personal_health_etl_pipeline_spark.plans.oura_wide import (
+    J15_END,
+    J15_START,
+    OURA_DAY_SCHEMA_PATH,
+    WORKOUT_SCHEMA_PATH,
+    j15_oura_day_full_width,
+    j16_detailed_transform,
+    oura_day_target_schema,
+)
+
+
+def test_declared_schema_file_has_66_fields():
+    fields = json.loads(OURA_DAY_SCHEMA_PATH.read_text())
+    assert len(fields) == 66
+    assert fields[0] == {"name": "day", "type": "DATE", "mode": "REQUIRED"}
+    # every non-day column belongs to exactly one DAILY type namespace
+    types = set(OURA_DAILY_FULL)
+    for f in fields[1:]:
+        assert f["name"].split("__")[0] in types, f["name"]
+
+
+def test_j15_output_schema_equals_declared_schema(spark, sf_dir):
+    """The converter's StructType IS the declared 66-column warehouse
+    schema — name and type, in declared order. (Nullability is not
+    compared: align's cast projection yields nullable columns; the
+    REQUIRED mode is a load-time constraint, not a projection type.)"""
+    df = j15_oura_day_full_width(spark, sf_dir)
+    got = [(f.name, f.dataType) for f in df.schema.fields]
+    want = [(f.name, f.dataType) for f in oura_day_target_schema().fields]
+    assert got == want
+    assert len(got) == 66
+
+
+def test_j15_gap_days_are_null_per_type(spark, sf_dir):
+    """A (type, day) the presence rule withholds must surface as NULLs
+    in that type's columns while other types' columns stay populated."""
+    rows = {r["day"].isoformat(): r for r in j15_oura_day_full_width(spark, sf_dir).collect()}
+    checked = 0
+    day = J15_START
+    while day <= J15_END:
+        ds = day.isoformat()
+        if ds in rows:
+            for t in OURA_DAILY_FULL:
+                first_col = f"{t}__{OURA_DAILY_FULL[t][0][0].replace('.', '__')}"
+                if day_present(t, ds):
+                    assert rows[ds][first_col] is not None, (t, ds)
+                else:
+                    assert rows[ds][first_col] is None, (t, ds)
+                    checked += 1
+        day += dt.timedelta(days=1)
+    assert checked > 0  # the 60-day window must contain real gaps
+
+
+def test_workout_fixture_is_multirow_and_gappy():
+    recs = fetch_detailed_workout(J15_START, J15_END)
+    by_day: dict[str, int] = {}
+    for r in recs:
+        by_day[r["id"].rsplit("-", 1)[0]] = by_day.get(r["id"].rsplit("-", 1)[0], 0) + 1
+    counts = sorted(set(by_day.values()))
+    assert max(counts) > 1  # multi-row days exist
+    n_days = (J15_END - J15_START).days + 1
+    assert len(by_day) < n_days  # zero-workout days exist
+    day = J15_START
+    while day <= J15_START + dt.timedelta(days=9):
+        ds = day.isoformat()
+        assert by_day.get(f"workout-{ds}", 0) == workout_count(ds)
+        day += dt.timedelta(days=1)
+
+
+def test_j16_schema_and_day_derivation(spark, sf_dir):
+    df = j16_detailed_transform(spark, sf_dir)
+    declared = json.loads(WORKOUT_SCHEMA_PATH.read_text())
+    assert [f.name for f in df.schema.fields] == [f["name"] for f in declared]
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows[:20]:
+        # day is derived from start_datetime's date (UTC session)
+        assert r["day"] == r["workout__start_datetime"].date()
+
+
+def test_daily_full_records_cover_spec():
+    for t, spec in OURA_DAILY_FULL.items():
+        recs = fetch_daily_full(t, J15_START, J15_START + dt.timedelta(days=14))
+        assert recs, t
+        flat_keys = set()
+
+        def walk(d, prefix=""):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    walk(v, f"{prefix}{k}.")
+                else:
+                    flat_keys.add(f"{prefix}{k}")
+
+        walk(recs[0])
+        assert flat_keys == {"day"} | {p for p, _ in spec}
