@@ -407,6 +407,8 @@ register(
 register("corpus_shard_plan", llm2.corpus_shard_plan, llm2.CORPUS_SHARD_ORACLE)
 register("mm_decode_features", llm.mm_decode_features, llm.MM_DECODE_ORACLE)
 register("mm_frame_sample", llm.mm_frame_sample, llm.MM_FRAME_SAMPLE_ORACLE)
+# NEW r6: the resize transform composed with decode, hash-certified
+register("mm_resize_decode", llm.mm_resize_decode, llm.MM_RESIZE_ORACLE)
 register(
     "sketch_sample_quantiles",
     sk.sketch_sample_quantiles,
@@ -462,94 +464,84 @@ register("f3_timestamp_coerce", rs.f3_timestamp_coerce, rs.F3_ORACLE)
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
 
 
-# --- r5 head-window rotation -----------------------------------------
+# --- r6 head-window rotation -----------------------------------------
 # The rotation rule (adopted r4) as an EXPLICIT list instead of
 # registration-order surgery: external harnesses certify the FIRST ~50
 # entries in dict order, so the head must hold (a) every entry that has
 # NEVER had a driver certification, (b) every entry whose implementation
-# changed this round, (c) backfill from the stalest certifications.
-# Everything not listed keeps its registration order after the head.
+# changed this round, (c) backfill from the stalest certifications,
+# while the family guard (tests/test_catalog.py) keeps >= 1 rep of
+# every family in the head. Everything not listed keeps its
+# registration order after the head.
 _HEAD = [
-    # (a) never driver-certified (added after the r4 head filled)
-    "a15_incremental_rollup",
-    "dq2_column_profile",
-    "text_bpe_learned_segment",  # also r5-changed: literal escaping fix
-    "dq3_key_skew_report",
-    "st_topk_trending",
-    # (b) new in r5
-    "text_bpe_apply_corpus",
-    "dedup_substring_cut",
-    "layout_zorder_audit",
-    "st_scd2_upsert_state",
-    "src_jsonl_quarantine_audit",
-    "j13_heartrate_chunked",
-    "dq4_column_profile_hll",
-    "w6_value_distribution",
+    # (a) new in r6 — never driver-certified (mm_resize_decode also
+    # serves as the head's mm-family rep)
+    "j15_oura_day_full_width",
+    "j16_detailed_transform",
+    "ann_pq_persisted_probe",
+    "mm_resize_decode",
+    # (b) implementation changed in r6: sparse NB scoring + memoized
+    # TF/model, shared k-means centroid artifact, basket-built
+    # triangle edges + oriented checkpoint, single-pass span cut
+    "text_nb_langid",
+    "corpus_dsir_weights",
     "graph_triangles",
-    "ann_ivf_external_lookup",
-    "ts3_weekday_anomaly",
-    "a16_robust_outliers",
-    "src_format_roundtrip_audit",
-    "a17_association_rules",
-    "sql1_nation_year_revenue",
-    "st_scd2_version_diff",
-    "j14_bucketed_join_audit",
-    "s6_raw_zone_pruned_scan",
-    "st_hll_sink_state",
-    "dq5_referential_integrity",
-    "st_late_data_audit",
-    "f9_string_function_sweep",
-    "f10_datetime_function_sweep",
-    "a18_aggregate_sweep",
-    "w7_time_range_window",
-    "f11_null_semantics_sweep",
-    "st_stateful_running_stats",
-    "layout_compact_audit",
-    "s7_dynamic_overwrite_audit",
-    "mm_content_dedup",
-    # (b) implementation changed in r5 (HLL harmonic-sum rescale, IVF
-    # persist attribution, pagerank checkpoint refactor)
-    "sketch_hll_distinct",
-    "st_hll_window",
+    "dedup_substring_cut",
+    "emb_kmeans_assign",
+    "dedup_semantic",
     "ann_ivf_kmeans_topk",
-    "graph_pagerank",
-    # (c) stalest certifications (last green r1/r2): the TPC-H sweep,
-    # f-family coercions, p-family probes, a4, streaming windows, w1/w2
-    # (q2/q3/q4 -> r6 head, displaced by the f9/f10 sweeps and
-    # st_late_data_audit; q18/q21-era reps keep the q-family guard)
-    # (q5 -> r6 head, displaced by dq5_referential_integrity)
-    # (q6 -> r6 head, displaced by st_hll_sink_state; its pushdown
-    # plan gate still runs every session)
-    # (q7/q8 -> r6 head, displaced by st_scd2_version_diff / j14)
-    # (q9 -> r6 head, displaced by sql1_nation_year_revenue)
-    # (q10 -> r6 head, displaced by a17_association_rules)
-    # (q11 -> r6 head, displaced by src_format_roundtrip_audit)
-    # (q13/q14/q15 -> r6 head, displaced by the new r5 entries)
-    "q18_large_volume_orders",
-    # (q21 -> r6 head, displaced by s6_raw_zone_pruned_scan)
-    # family-coverage guard: the head keeps >= 1 rep of EVERY family
-    # (tests/test_catalog.py), so six of the stale TPC-H re-checks
-    # (q12/q16/q17/q19/q20/q22 -> r6 head) yield to these family reps
+    "text_bpe_apply_corpus",
+    # (c) stalest certifications: the ENTIRE last-green-r1 set (the
+    # TPC-H sweep + f/w/p/a reps) ...
+    "q2_min_price_line",
+    "q3_shipping_priority",
+    "q4_late_ship_priority",
+    "q5_region_volume",
+    "q6_revenue_delta",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q14_conditional_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_suppliers",
+    "q21_blocking_suppliers",
+    "q22_idle_rich_customers",
+    "f3_timestamp_coerce",
+    "f5_date_range_explode",
+    "w1_rolling_7day_revenue",
+    "w2_topk_per_group",
+    "p4_distinct_days",
+    "p5_exists_probe",
+    "a1_watermark",
+    "a4_union_distinct_days",
+    # ... plus the last-green-r2 entries that fit: the streaming-window
+    # twins (also the head's st-family reps)
+    "st_sliding_window_agg",
+    "st_session_window_agg",
+    # family-coverage reps for the 10 families (b)/(c) leave uncovered
+    # — freshest certifications chosen so no stale slot is wasted;
+    # layout_zorder/src_jsonl/s6 double as re-checks of the r6 shared
+    # audit-scratch change
     "c3_schema_align",
+    "sketch_hll_distinct",
     "m1_scd2_merge",
     "ts1_gap_fill_ffill",
-    # (mm_byte_stats -> r6 head; mm_content_dedup keeps the family)
-    "emb_centroids",
-    "corpus_pack_sequences",
-    # (f3/f4/f5 -> r6 head; f-family reps f6/f8 + the sweeps remain)
-    "f6_path_roundtrip",
-    "f8_json_extract",
-    "p1_required_filter",
-    "p3_prefix_columns",
-    # (p4/p5 -> r6 head; p-family reps p1/p3/p6 remain)
-    "p6_new_dates_antijoin",
-    # (a4_union_distinct_days -> r6 head; a-family rep = a15 in slot 1)
-    # (st_session/st_sliding -> r6 head; st_* keeps 5 head reps incl.
-    # the new stateful entry)
-    # (w1/w2 -> r6 head, displaced by w7 / f11; w6/w7 keep the family)
+    "dq5_referential_integrity",
+    "layout_zorder_audit",
+    "src_jsonl_quarantine_audit",
+    "sql1_nation_year_revenue",
+    "s6_raw_zone_pruned_scan",
 ]
-# next-stalest after these (rotate into the r6 head): a5-a10, a1/a3,
-# w3/w4, f2, st_dedup/interval/enrich, j2/j3
+# next-stalest after these (rotate into the r7 head): j2, j3, j5,
+# a5-a8, a10, f4 (last green r2), then the r3 band (st_tumbling, j1,
+# dedup_minhash_lsh, so1, ann_lsh/brute/ivf, w3, f2, st_dedup/
+# interval/enrich, ...)
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50

@@ -781,6 +781,57 @@ ORDER BY media_id, bucket
 """
 
 
+MM_RESIZE_N = 200
+MM_RESIZE_W = 24
+MM_RESIZE_H = 20
+
+
+def mm_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE transform under the hash gate: re-encode every item
+    at ({MM_RESIZE_W} x {MM_RESIZE_H}) through the mapInPandas resize
+    (``operators/multimodal.py:resize_media`` — header rewritten,
+    payload preserved; real codecs plug into ``decode_real``), then
+    decode the RESIZED blobs. Hash equality certifies the compose
+    contract: dimensions become the target, while media_type, frame
+    count, payload length and payload digest survive the rewrite
+    byte-for-byte — the oracle derives all of it from media_id
+    arithmetic, never seeing the blobs."""
+    from personal_health_etl_pipeline_spark.operators import multimodal as MM
+
+    media = MM.synth_media_df(spark, n=MM_RESIZE_N)
+    resized = MM.resize_media(media, MM_RESIZE_W, MM_RESIZE_H)
+    return MM.decode_media(resized).orderBy("media_id")
+
+
+MM_RESIZE_ORACLE = f"""
+WITH ids AS (SELECT unnest(range({MM_RESIZE_N})) AS media_id),
+base AS (
+  SELECT media_id,
+         CAST(media_id % 3 AS INTEGER) AS kind_i,
+         CAST(CASE WHEN media_id % 3 = 0 THEN 1
+                   ELSE 4 + media_id % 5 END AS INTEGER) AS n_frames
+  FROM ids
+),
+payloads AS (
+  SELECT base.*,
+         list_reduce(
+           list_transform(range(0, CAST(n_frames AS BIGINT)),
+             f -> unhex(md5('media|' || media_id || chr(CAST(f AS INTEGER))))),
+           (a, b) -> a || b
+         ) AS payload
+  FROM base
+)
+SELECT media_id,
+       (['image','audio','video'])[kind_i + 1] AS media_type,
+       CAST({MM_RESIZE_W} AS INTEGER) AS width,
+       CAST({MM_RESIZE_H} AS INTEGER) AS height,
+       n_frames,
+       CAST(octet_length(payload) AS BIGINT) AS payload_bytes,
+       md5(lower(hex(payload))) AS payload_digest
+FROM payloads ORDER BY media_id
+"""
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-2nd-frame sampling over the synthetic media table — the
     certificate for the ONE-TO-MANY mapInPandas shape (a generator
