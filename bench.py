@@ -85,6 +85,7 @@ HEADLINE = (
     "dq4_column_profile_hll",
     # round-6 additions
     "ann_pq_persisted_probe",
+    "text_bm25_topk",
 )
 
 

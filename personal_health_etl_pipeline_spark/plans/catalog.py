@@ -258,6 +258,8 @@ register(
     "corpus_dsir_weights", llm3.corpus_dsir_weights, llm3.CORPUS_DSIR_ORACLE
 )
 register("text_nb_langid", llm3.text_nb_langid, llm3.TEXT_NB_ORACLE)
+# NEW r6: BM25 ranked retrieval over the memoized TF artifact
+register("text_bm25_topk", llm3.text_bm25_topk, llm3.TEXT_BM25_ORACLE)
 register(
     "corpus_sample_weighted",
     llm3.corpus_sample_weighted,
@@ -480,6 +482,7 @@ _HEAD = [
     "j16_detailed_transform",
     "ann_pq_persisted_probe",
     "mm_resize_decode",
+    "text_bm25_topk",
     # (b) implementation changed in r6: sparse NB scoring + memoized
     # TF/model, shared k-means centroid artifact, basket-built
     # triangle edges + oriented checkpoint, single-pass span cut
@@ -504,7 +507,6 @@ _HEAD = [
     "q10_returned_items",
     "q11_important_parts",
     "q13_order_count_distribution",
-    "q14_conditional_revenue",
     "q15_top_supplier",
     "q16_supplier_part_distribution",
     "q17_small_quantity_revenue",
@@ -539,9 +541,9 @@ _HEAD = [
     "s6_raw_zone_pruned_scan",
 ]
 # next-stalest after these (rotate into the r7 head): j2, j3, j5,
-# a5-a8, a10, f4 (last green r2), then the r3 band (st_tumbling, j1,
-# dedup_minhash_lsh, so1, ann_lsh/brute/ivf, w3, f2, st_dedup/
-# interval/enrich, ...)
+# a5-a8, a10, f4 (last green r2), q14 (r1, displaced by text_bm25),
+# then the r3 band (st_tumbling, j1, dedup_minhash_lsh, so1,
+# ann_lsh/brute/ivf, w3, f2, st_dedup/interval/enrich, ...)
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50

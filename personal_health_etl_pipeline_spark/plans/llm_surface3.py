@@ -530,6 +530,125 @@ WHERE p.rn = 1 ORDER BY p.doc_id
 """
 
 
+# --- BM25 ranked retrieval ---------------------------------------------
+
+BM25_QUERIES = 8  # top-df terms double as the query workload
+BM25_TOPK = 10
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-{BM25_TOPK} ranked retrieval per
+    query term — the relevance primitive behind retrieval-based
+    curation (dedup against a reference set, quality-by-relevance
+    filtering, RAG corpus selection). The query workload is the
+    {BM25_QUERIES} highest-df terms (ties on term asc): bounded,
+    data-derived, oracle-reproducible.
+
+    Exactness: idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the
+    Lucene/BM25+ always-positive form) is micro-quantized; the tf
+    saturation is then EXACT INTEGER arithmetic — with T = total
+    tokens, N = docs, dl = doc length, multiplying the classic
+    denominator through by 10*T gives
+        score = idf_micro * 22 * tf * T / (10*T*tf + 3*T + 9*dl*N)
+    (k1 = 12/10, b = 3/4), an integer-over-integer single IEEE
+    division both engines compute identically, rounded to 6dp.
+
+    Scale shape: one bounded query-term table broadcast against the
+    session-memoized TF artifact (:func:`_corpus_tf`) — the scored
+    stream is |postings of the query terms|, never corpus x queries —
+    then a per-term top-k window over that bounded stream. int64
+    headroom: idf_micro*22*tf*T needs ~log2(idf*22*tf*T) bits — at
+    corpus sizes where it would overflow, reduce the rational by T
+    first (score is invariant); the certified formula keeps the
+    un-reduced form because both engines must round the SAME integers.
+    """
+    tfl = _corpus_tf(spark, sf_dir)
+    dl = tfl.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tot = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    )
+    df_t = tfl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        df_t.orderBy(F.col("df").desc(), "term")
+        .limit(BM25_QUERIES)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("idf_micro"),
+            "n",
+            "t",
+        )
+    )
+    scored = (
+        tfl.select("doc_id", "term", "tf")
+        .join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            F.round(
+                (
+                    F.col("idf_micro") * 22 * F.col("tf") * F.col("t")
+                ).cast("double")
+                / (
+                    10 * F.col("t") * F.col("tf")
+                    + 3 * F.col("t")
+                    + 9 * F.col("dl") * F.col("n")
+                ).cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select("term", "rank", "doc_id", "score")
+        .orderBy("term", "rank")
+    )
+
+
+TEXT_BM25_ORACLE = rf"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT COUNT(*) AS n, SUM(dl) AS t FROM dl),
+df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+qterms AS (
+  SELECT term,
+         CAST(round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                    * 1000000, 0) AS BIGINT) AS idf_micro,
+         n, t
+  FROM df_t CROSS JOIN tot
+  ORDER BY df DESC, term LIMIT {BM25_QUERIES}
+),
+scored AS (
+  SELECT q.term, tf.doc_id,
+         ROUND(CAST(q.idf_micro * 22 * tf.tf * q.t AS DOUBLE)
+               / CAST(10 * q.t * tf.tf + 3 * q.t + 9 * dl.dl * q.n
+                      AS DOUBLE), 6) AS score
+  FROM tf JOIN qterms q USING (term) JOIN dl USING (doc_id)
+)
+SELECT term, rank, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {BM25_TOPK} ORDER BY term, rank
+"""
+
+
 # --- weighted reservoir sampling (Efraimidis-Spirakis A-ES) ------------
 
 WEIGHTED_SAMPLE_K = 20
