@@ -138,6 +138,8 @@ register(
 )
 # NEW r5: heartrate SPECIAL 7-day-chunked source path, hash-certified
 register("j13_heartrate_chunked", rs.j13_heartrate_chunked, rs.J13_ORACLE)
+# NEW r6: the same chunked extraction through the Python DataSource API
+register("src_datasource_scan", rs.src_datasource_scan, rs.J13_ORACLE)
 register(
     "j15_oura_day_full_width", ow.j15_oura_day_full_width, ow.J15_ORACLE
 )
@@ -483,6 +485,7 @@ _HEAD = [
     "ann_pq_persisted_probe",
     "mm_resize_decode",
     "text_bm25_topk",
+    "src_datasource_scan",
     # (b) implementation changed in r6: sparse NB scoring + memoized
     # TF/model, shared k-means centroid artifact, basket-built
     # triangle edges + oriented checkpoint, single-pass span cut
@@ -506,7 +509,6 @@ _HEAD = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_parts",
-    "q13_order_count_distribution",
     "q15_top_supplier",
     "q16_supplier_part_distribution",
     "q17_small_quantity_revenue",
@@ -541,7 +543,8 @@ _HEAD = [
     "s6_raw_zone_pruned_scan",
 ]
 # next-stalest after these (rotate into the r7 head): j2, j3, j5,
-# a5-a8, a10, f4 (last green r2), q14 (r1, displaced by text_bm25),
+# a5-a8, a10, f4 (last green r2), q13/q14 (r1, displaced by
+# text_bm25 / src_datasource_scan),
 # then the r3 band (st_tumbling, j1, dedup_minhash_lsh, so1,
 # ann_lsh/brute/ivf, w3, f2, st_dedup/interval/enrich, ...)
 

@@ -809,6 +809,41 @@ def j13_heartrate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def src_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunked heartrate extraction as ``j13``, but planned
+    through the Python DataSource API (``sources/datasource.py``):
+    ``spark.read.format("oura_fixture")`` with one input partition per
+    7-day chunk, records synthesized executor-side inside the scan —
+    no driver materialization, no union-of-frames plan. Hash equality
+    against j13's oracle certifies that the DataSource planning path
+    (partitions() tiling + per-partition read()) produces exactly the
+    chunked-extract semantics; a plan test asserts the scan really
+    carries one partition per chunk. ``sf_dir`` unused (source-layer
+    certification)."""
+    from personal_health_etl_pipeline_spark.sources.datasource import (
+        register,
+    )
+
+    register(spark)
+    raw = (
+        spark.read.format("oura_fixture")
+        .option("data_type", "heartrate")
+        .option("start", J13_START.isoformat())
+        .option("end", J13_END.isoformat())
+        .option("chunk_days", "7")
+        .load()
+    )
+    return raw.select(
+        "id",
+        "day",
+        "score",
+        F.col("contributors.deep_sleep").alias("deep_sleep"),
+        F.col("contributors.efficiency").alias("efficiency"),
+        F.col("contributors.latency").alias("latency"),
+        F.col("timestamp").alias("wire_ts"),
+    ).orderBy("day")
+
+
 J13_ORACLE = f"""
 WITH days AS (
   SELECT CAST(d AS DATE) AS day

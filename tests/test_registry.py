@@ -68,3 +68,51 @@ class TestOrchestration:
         assert out["extracted"] == {t: 5 for t in cfg.data_types}
         assert out["new_rows"] == 5
         assert spark.read.parquet(cfg.warehouse_path).count() == 5
+
+
+class TestPythonDataSource:
+    """sources/datasource.py: the Python DataSource API front-end."""
+
+    def _load(self, spark, start, end, chunk_days="7"):
+        from personal_health_etl_pipeline_spark.sources.datasource import (
+            register,
+        )
+
+        register(spark)
+        return (
+            spark.read.format("oura_fixture")
+            .option("data_type", "heartrate")
+            .option("start", start)
+            .option("end", end)
+            .option("chunk_days", chunk_days)
+            .load()
+        )
+
+    def test_one_partition_per_chunk(self, spark):
+        df = self._load(spark, "2024-01-01", "2024-01-30")
+        assert df.rdd.getNumPartitions() == 5  # ceil(30 / 7)
+
+    def test_values_equal_driver_side_fixture(self, spark):
+        import datetime as dt
+
+        from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+            fetch_range_df,
+        )
+
+        ds = self._load(spark, "2024-01-01", "2024-01-10", chunk_days="3")
+        drv = fetch_range_df(
+            spark, "heartrate", dt.date(2024, 1, 1), dt.date(2024, 1, 10)
+        )
+        a = sorted(map(tuple, ds.collect()))
+        b = sorted(map(tuple, drv.collect()))
+        assert a == b  # executor-side synthesis == driver-side fixture
+
+    def test_inverted_range_is_empty(self, spark):
+        df = self._load(spark, "2024-01-10", "2024-01-01")
+        assert df.count() == 0
+
+    def test_bad_chunk_days_raises(self, spark):
+        import pytest
+
+        with pytest.raises(Exception, match="chunk_days"):
+            self._load(spark, "2024-01-01", "2024-01-05", chunk_days="0").count()
