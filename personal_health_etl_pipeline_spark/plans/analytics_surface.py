@@ -1048,3 +1048,67 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
              RANGE BETWEEN {W7_TRAIL_US} PRECEDING AND CURRENT ROW)
 ORDER BY user_id, event_id
 """
+
+
+# --- A19: grouped applyInPandas under the hash gate ---------------------
+
+def a19_grouped_apply_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one Arrow UDF shape not yet hash-certified: GROUPED
+    ``applyInPandas`` (stateless groupBy-apply; the multimodal family
+    covers ``mapInPandas``, the streaming family
+    ``applyInPandasWithState``). Per language, each document's length
+    is centered on the group's LOWER MEDIAN and flagged against the
+    group's exact integer IQR-ish band — work that is awkward as a SQL
+    window (whole-group sort feeding per-row arithmetic) and natural
+    as a per-group pandas frame.
+
+    Exactness contract: everything INTEGER inside the UDF — the lower
+    median is ``sorted[(n-1)//2]`` (no even-count float averaging),
+    deltas and quartile bounds are int64 subtractions — so the Arrow
+    round trip is bit-exact vs DuckDB's ``quantile_disc``. Scale: one
+    shuffle by group key; per-group state is the group's rows
+    (languages are few and bounded here — for billion-row groups use
+    the window/aggregate formulations instead, which this entry's
+    oracle doubles as)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["n_chars"].sort_values().to_numpy()
+        n = len(v)
+        med = int(v[(n - 1) // 2])
+        lo = int(v[(n - 1) // 4])
+        hi = int(v[(3 * (n - 1)) // 4])
+        out = pdf[["doc_id", "lang"]].copy()
+        out["delta_med"] = (pdf["n_chars"] - med).astype("int64")
+        out["in_band"] = (pdf["n_chars"] >= lo) & (pdf["n_chars"] <= hi)
+        return out
+
+    return docs.groupBy("lang").applyInPandas(
+        center, "doc_id long, lang string, delta_med long, in_band boolean"
+    ).orderBy("doc_id")
+
+
+A19_ORACLE = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+cuts AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN n_chars END) AS med,
+         MAX(CASE WHEN rn = (n - 1) // 4 + 1 THEN n_chars END) AS lo,
+         MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN n_chars END) AS hi
+  FROM ranked GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+       CAST(d.n_chars - c.med AS BIGINT) AS delta_med,
+       d.n_chars >= c.lo AND d.n_chars <= c.hi AS in_band
+FROM documents d JOIN cuts c USING (lang)
+ORDER BY d.doc_id
+"""

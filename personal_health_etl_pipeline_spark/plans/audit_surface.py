@@ -876,3 +876,59 @@ FROM events
 WHERE event_type <> 'click' OR event_id % 2 = 0
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- streaming Python DataSource: incremental range backfill -----------
+
+def st_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The range source consumed as a Structured Streaming SOURCE
+    through the Python DataSource API's simple stream reader
+    (``sources/datasource.py:OuraFixtureStreamReader``): each
+    micro-batch advances the date cursor by 7 days, the parquet sink
+    commits per batch through a real checkpoint, and the stream drains
+    when the cursor passes the end date. The returned frame is the
+    sink read BACK; hash equality against the chunked-extract oracle
+    (same window as ``j13``) certifies that the offset protocol tiles
+    the range exactly — no day fetched twice across commits, none
+    dropped at batch boundaries. ``sf_dir`` unused (source-layer
+    certification)."""
+    from personal_health_etl_pipeline_spark.plans.reference_surface import (
+        J13_END,
+        J13_START,
+    )
+    from personal_health_etl_pipeline_spark.sources.datasource import (
+        register,
+    )
+
+    register(spark)
+    scratch = _scratch("dsstream_audit")
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    stream = (
+        spark.readStream.format("oura_fixture")
+        .option("data_type", "heartrate")
+        .option("start", J13_START.isoformat())
+        .option("end", J13_END.isoformat())
+        .option("days_per_batch", "7")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(out)
+    return back.select(
+        "id",
+        "day",
+        "score",
+        F.col("contributors.deep_sleep").alias("deep_sleep"),
+        F.col("contributors.efficiency").alias("efficiency"),
+        F.col("contributors.latency").alias("latency"),
+        F.col("timestamp").alias("wire_ts"),
+    ).orderBy("day")

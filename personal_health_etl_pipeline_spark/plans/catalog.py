@@ -140,6 +140,9 @@ register(
 register("j13_heartrate_chunked", rs.j13_heartrate_chunked, rs.J13_ORACLE)
 # NEW r6: the same chunked extraction through the Python DataSource API
 register("src_datasource_scan", rs.src_datasource_scan, rs.J13_ORACLE)
+# NEW r6: ...and as a Structured Streaming SOURCE (simple stream
+# reader; offset protocol certified by the same oracle)
+register("st_datasource_stream", au.st_datasource_stream, rs.J13_ORACLE)
 register(
     "j15_oura_day_full_width", ow.j15_oura_day_full_width, ow.J15_ORACLE
 )
@@ -227,6 +230,12 @@ register(
 )
 # NEW r5: aggregate-function breadth sweep
 register("a18_aggregate_sweep", an.a18_aggregate_sweep, an.A18_ORACLE)
+# NEW r6: grouped applyInPandas (the last uncertified Arrow UDF shape)
+register(
+    "a19_grouped_apply_center",
+    an.a19_grouped_apply_center,
+    an.A19_ORACLE,
+)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep
@@ -486,6 +495,8 @@ _HEAD = [
     "mm_resize_decode",
     "text_bm25_topk",
     "src_datasource_scan",
+    "a19_grouped_apply_center",
+    "st_datasource_stream",
     # (b) implementation changed in r6: sparse NB scoring + memoized
     # TF/model, shared k-means centroid artifact, basket-built
     # triangle edges + oriented checkpoint, single-pass span cut
@@ -508,10 +519,8 @@ _HEAD = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q11_important_parts",
     "q15_top_supplier",
     "q16_supplier_part_distribution",
-    "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q20_heavy_suppliers",
     "q21_blocking_suppliers",
@@ -543,8 +552,8 @@ _HEAD = [
     "s6_raw_zone_pruned_scan",
 ]
 # next-stalest after these (rotate into the r7 head): j2, j3, j5,
-# a5-a8, a10, f4 (last green r2), q13/q14 (r1, displaced by
-# text_bm25 / src_datasource_scan),
+# a5-a8, a10, f4 (last green r2), q11/q13/q14/q17 (r1, displaced by
+# the five r6 additions beyond the first three),
 # then the r3 band (st_tumbling, j1, dedup_minhash_lsh, so1,
 # ann_lsh/brute/ivf, w3, f2, st_dedup/interval/enrich, ...)
 

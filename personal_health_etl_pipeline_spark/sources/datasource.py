@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -82,31 +83,78 @@ class OuraFixtureReader(DataSourceReader):
     def read(self, partition: OuraChunkPartition):
         # EXECUTOR-side: synthesize (or, in production, HTTP-fetch)
         # this partition's window only
-        from personal_health_etl_pipeline_spark.pipeline.fixtures import (
-            fetch_range,
-        )
-
-        records = fetch_range(
+        return _record_rows(
             partition.data_type,
             dt.date.fromisoformat(partition.start_iso),
             dt.date.fromisoformat(partition.end_iso),
         )
-        for r in records:
-            c = r["contributors"]
-            yield (
-                r["id"],
-                r["day"],
-                r["score"],
-                r["temperature_deviation"],
-                r["timestamp"],
-                (c["deep_sleep"], c["efficiency"], c["latency"]),
-                r["met_items"],
-            )
+
+
+def _record_rows(data_type: str, lo: dt.date, hi: dt.date):
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        fetch_range,
+    )
+
+    for r in fetch_range(data_type, lo, hi):
+        c = r["contributors"]
+        yield (
+            r["id"],
+            r["day"],
+            r["score"],
+            r["temperature_deviation"],
+            r["timestamp"],
+            (c["deep_sleep"], c["efficiency"], c["latency"]),
+            r["met_items"],
+        )
+
+
+class OuraFixtureStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("oura_fixture")`` — each micro-batch
+    advances the date cursor by ``days_per_batch`` (the reference's
+    incremental daily backfill, as a STREAM: offset = next unread
+    day). Bounded by ``end``: once the cursor passes it the reader
+    reports no new data, so ``processAllAvailable`` / available-now
+    triggers drain and stop. Offsets are the replay contract —
+    ``readBetweenOffsets`` regenerates any committed window
+    deterministically (the fixture is a pure function of (type, day)),
+    which is exactly the property a real REST reader needs for
+    exactly-once recovery."""
+
+    def __init__(self, options: dict):
+        self.data_type = options.get("data_type", "heartrate")
+        self.start = dt.date.fromisoformat(options["start"])
+        self.end = dt.date.fromisoformat(options["end"])
+        self.days_per_batch = int(options.get("days_per_batch", "7"))
+        if self.days_per_batch < 1:
+            raise ValueError("days_per_batch must be >= 1")
+
+    def initialOffset(self) -> dict:
+        return {"next_day": self.start.isoformat()}
+
+    def read(self, start: dict):
+        # rows go back as a LIST ITERATOR: the runner requires an
+        # iterator, and its prefetch cache copy.copy()s it — a
+        # list_iterator survives both (a generator is not copyable, a
+        # bare list is not an iterator); a batch is bounded
+        # (days_per_batch of records)
+        lo = dt.date.fromisoformat(start["next_day"])
+        if lo > self.end:
+            return iter([]), start  # drained: no progress, no rows
+        hi = min(lo + dt.timedelta(days=self.days_per_batch - 1), self.end)
+        nxt = {"next_day": (hi + dt.timedelta(days=1)).isoformat()}
+        return iter(list(_record_rows(self.data_type, lo, hi))), nxt
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo = dt.date.fromisoformat(start["next_day"])
+        hi = dt.date.fromisoformat(end["next_day"]) - dt.timedelta(days=1)
+        return iter(list(_record_rows(self.data_type, lo, hi)))
 
 
 class OuraFixtureDataSource(DataSource):
-    """``spark.read.format("oura_fixture")`` — options: ``data_type``,
-    ``start``/``end`` (ISO dates, inclusive), ``chunk_days``."""
+    """``spark.read.format("oura_fixture")`` (batch) and
+    ``spark.readStream.format("oura_fixture")`` (incremental stream) —
+    options: ``data_type``, ``start``/``end`` (ISO dates, inclusive),
+    ``chunk_days`` (batch) / ``days_per_batch`` (stream)."""
 
     @classmethod
     def name(cls) -> str:
@@ -117,6 +165,11 @@ class OuraFixtureDataSource(DataSource):
 
     def reader(self, schema: StructType) -> OuraFixtureReader:
         return OuraFixtureReader(self.options)
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> OuraFixtureStreamReader:
+        return OuraFixtureStreamReader(self.options)
 
 
 def register(spark) -> None:
