@@ -86,6 +86,7 @@ HEADLINE = (
     # round-6 additions
     "ann_pq_persisted_probe",
     "text_bm25_topk",
+    "dedup_setsim_prefix",
 )
 
 

@@ -699,3 +699,107 @@ def ngram_containment_pairs(
         ),
     )
     return fwd.unionByName(rev).where(F.col("containment") >= threshold)
+
+
+# --- exact set-similarity self-join via prefix filtering ---------------
+#
+# The AllPairs / PPJoin family (Bayardo et al. 2007, Xiao et al. 2008):
+# unlike the MinHash/LSH paths above, this join is EXACT — no false
+# negatives at any threshold, no probabilistic recall argument. The
+# filter theorem: order every set by one GLOBAL token order; two sets
+# with Jaccard >= t = p/q must share a token within each set's PREFIX
+# of length n - ceil(t*n) + 1, so candidate generation is an equi-join
+# on prefix tokens only. Rarest-first ordering (ascending document
+# frequency) makes prefixes fall in the sparse tail of the token
+# distribution — candidate volume tracks genuinely-similar pairs, not
+# hot-token fan-out.
+
+
+def setsim_prefix_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Exact Jaccard >= ``threshold_num/threshold_den`` pairs over
+    distinct word-shingle sets: ``(id_a, id_b, jaccard_sim)``,
+    ``id_a < id_b``.
+
+    Every comparison is INTEGER: the prefix length uses the exact
+    rational ceil ``(num*n + den - 1) div den`` (never IEEE ``0.8*n``,
+    whose representation error can flip a ceil at exact multiples) and
+    the accept test is ``den*shared >= num*(union)``. The reported
+    similarity is the one rounded double at the end.
+
+    Scale: one shuffle to rank tokens rarest-first (window per doc),
+    an equi-join on prefix tokens for candidates, and an
+    ``array_intersect`` verify against the carried sets — never an
+    all-pairs product. Verification volume = candidate pairs, which
+    prefix filtering bounds by actual similarity structure.
+    """
+    base = spread(
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col))
+    ).select("_id", distinct_shingles(F.col(text_col), shingle_n).alias("s"))
+    sets = (
+        base.where(F.size("s") > 0)
+        .select("_id", "s", F.size("s").alias("n"))
+        # four plan branches scan this frame (inv -> df + rank, and the
+        # two verify sides) — shingle once, not once per branch
+        .localCheckpoint(eager=True)
+    )
+    inv = sets.select("_id", "n", F.explode("s").alias("tok"))
+    dfreq = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("_id").orderBy("df", "tok")
+    prefix = (
+        inv.join(dfreq, "tok")
+        .withColumn("rk", F.row_number().over(w))
+        .where(
+            F.col("rk")
+            <= F.col("n")
+            - F.expr(
+                f"({threshold_num} * n + {threshold_den - 1})"
+                f" div {threshold_den}"
+            )
+            + 1
+        )
+        .select("_id", "tok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("_id").alias("id_a"), F.col("s").alias("s_a"), F.col("n").alias("n_a")
+    )
+    sb = sets.select(
+        F.col("_id").alias("id_b"), F.col("s").alias("s_b"), F.col("n").alias("n_b")
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("shared", F.size(F.array_intersect("s_a", "s_b")))
+        .where(
+            F.lit(threshold_den) * F.col("shared")
+            >= F.lit(threshold_num)
+            * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+            4,
+        ).alias("jaccard_sim"),
+    )

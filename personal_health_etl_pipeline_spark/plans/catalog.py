@@ -379,6 +379,8 @@ register("w3_sessionize", rs.w3_sessionize, rs.W3_ORACLE)
 register("text_bpe_token_count", llm.text_bpe_token_count, llm.TEXT_BPE_ORACLE)
 register("dedup_exact_groups", llm.dedup_exact_groups, llm.DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_ORACLE)
+# NEW r6: EXACT set-similarity join (prefix filter, no false negatives)
+register("dedup_setsim_prefix", llm.dedup_setsim_prefix, llm.DEDUP_SETSIM_ORACLE)
 register("dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_ORACLE)
 register("ann_brute_force_topk", llm.ann_brute_force_topk, llm.ANN_BRUTE_FORCE_ORACLE)
 register("emb_centroids", llm.emb_centroids, llm.EMB_CENTROIDS_ORACLE)
@@ -497,6 +499,7 @@ _HEAD = [
     "src_datasource_scan",
     "a19_grouped_apply_center",
     "st_datasource_stream",
+    "dedup_setsim_prefix",
     # (b) implementation changed in r6: sparse NB scoring + memoized
     # TF/model, shared k-means centroid artifact, basket-built
     # triangle edges + oriented checkpoint, single-pass span cut
@@ -520,7 +523,6 @@ _HEAD = [
     "q9_product_profit",
     "q10_returned_items",
     "q15_top_supplier",
-    "q16_supplier_part_distribution",
     "q19_disjunctive_revenue",
     "q20_heavy_suppliers",
     "q21_blocking_suppliers",
@@ -552,8 +554,8 @@ _HEAD = [
     "s6_raw_zone_pruned_scan",
 ]
 # next-stalest after these (rotate into the r7 head): j2, j3, j5,
-# a5-a8, a10, f4 (last green r2), q11/q13/q14/q17 (r1, displaced by
-# the five r6 additions beyond the first three),
+# a5-a8, a10, f4 (last green r2), q11/q13/q14/q16/q17 (r1, displaced
+# by the r6 additions beyond the first three),
 # then the r3 band (st_tumbling, j1, dedup_minhash_lsh, so1,
 # ann_lsh/brute/ivf, w3, f2, st_dedup/interval/enrich, ...)
 

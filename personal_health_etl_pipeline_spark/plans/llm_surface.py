@@ -172,6 +172,44 @@ jac AS (
 SELECT * FROM jac WHERE jaccard_sim >= 0.8
 """
 
+def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (AllPairs/PPJoin prefix filter,
+    Bayardo 2007): every pair of documents whose distinct 3-shingle
+    sets have Jaccard >= 4/5 — same threshold and shingling as
+    ``dedup_ngram_jaccard``, but with a zero-false-negative guarantee
+    instead of LSH recall: candidates come from an equi-join on each
+    set's rarest-first PREFIX (length n - ceil(t*n) + 1), verification
+    is an integer-exact ``den*shared >= num*union`` test. The oracle
+    is the brute-force shared-token join with the identical integer
+    accept test, so hash equality IS the exactness proof on this
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.setsim_prefix_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold_num=4, threshold_den=5
+    )
+
+
+DEDUP_SETSIM_ORACLE = rf"""
+WITH {_TOKS_CTE},
+nonempty AS (SELECT doc_id, sh AS s FROM sh WHERE len(sh) > 0),
+inv AS (SELECT doc_id, unnest(s) AS tok FROM nonempty),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shr
+  FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT id_a, id_b, shr, len(sa.s) AS n_a, len(sb.s) AS n_b
+  FROM shared
+  JOIN nonempty sa ON sa.doc_id = id_a
+  JOIN nonempty sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b,
+       ROUND(CAST(shr AS DOUBLE) / (n_a + n_b - shr), 4) AS jaccard_sim
+FROM jac WHERE 5 * shr >= 4 * (n_a + n_b - shr)
+"""
+
+
 MINHASH_N_HASHES = 32
 MINHASH_BANDS = 8
 
