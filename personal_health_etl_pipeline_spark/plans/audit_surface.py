@@ -195,9 +195,13 @@ def st_scd2_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from")
 
 
-def _run_scd2_stream(spark: SparkSession, sf_dir: str) -> str:
+def _run_scd2_stream(
+    spark: SparkSession, sf_dir: str, scratch_key: str = "scd2_audit"
+) -> str:
     """Build the 3-day CDC fixture, run the upsert stream, return the
-    versioned ``table_dir`` (one committed version per day-batch)."""
+    versioned ``table_dir`` (one committed version per day-batch).
+    ``scratch_key`` isolates callers that go on to MUTATE the table
+    (the vacuum audit) from the read-only certification entries."""
     events = load_table(spark, sf_dir, "events")
     days = [
         r.d
@@ -217,7 +221,7 @@ def _run_scd2_stream(spark: SparkSession, sf_dir: str) -> str:
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", F.col("d").alias("eff_date"))
     )
-    scratch = _scratch("scd2_audit")
+    scratch = _scratch(scratch_key)
     src = os.path.join(scratch, "src")
     os.makedirs(src)
     base_mtime = 1_700_000_000
@@ -932,3 +936,80 @@ def st_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("contributors.latency").alias("latency"),
         F.col("timestamp").alias("wire_ts"),
     ).orderBy("day")
+
+
+# --- version retention sweep (the table format's VACUUM) ----------------
+
+def layout_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention sweep over the versioned SCD-2 table
+    (``streaming/upsert.py:expire_versions``): run the 3-batch upsert
+    stream (3 committed versions), expire to ``keep_last=1``, and
+    return one accounting row — versions before/removed/kept, whether
+    the pointer target survived, and the post-vacuum CURRENT state's
+    row/current/user counts. The counts come from ``read_current``
+    AFTER the sweep, so hash equality certifies both the retention
+    arithmetic and that vacuuming old versions cannot perturb what a
+    pointer-following reader sees (the oracle recomputes the state
+    from the CDC fold alone)."""
+    from personal_health_etl_pipeline_spark.streaming.upsert import (
+        expire_versions,
+        list_versions,
+    )
+
+    table_dir = _run_scd2_stream(spark, sf_dir, scratch_key="vacuum_audit")
+    before = list_versions(table_dir)
+    removed, kept = expire_versions(table_dir, keep_last=1)
+    current = read_current(spark, table_dir)
+    counts = current.agg(
+        F.count(F.lit(1)).alias("n_history_rows"),
+        F.sum(F.when(F.col("is_current"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_current_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return counts.select(
+        F.lit(len(before)).cast("int").alias("versions_before"),
+        F.lit(len(removed)).cast("int").alias("versions_removed"),
+        F.lit(len(kept)).cast("int").alias("versions_kept"),
+        F.lit(len(list_versions(table_dir)) == 1)
+        .alias("only_current_remains"),
+        "n_history_rows",
+        "n_current_rows",
+        "n_users",
+    )
+
+
+LAYOUT_VACUUM_ORACLE = f"""
+WITH days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events ORDER BY d
+  LIMIT {SCD2_N_DAYS}
+),
+upd AS (
+  SELECT user_id, event_type, d AS eff_date FROM (
+    SELECT e.user_id, e.event_type, CAST(e.ts AS DATE) AS d,
+           row_number() OVER (PARTITION BY e.user_id, CAST(e.ts AS DATE)
+                              ORDER BY e.ts DESC, e.event_id DESC) AS rn
+    FROM events e JOIN days ON CAST(e.ts AS DATE) = days.d
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT user_id, event_type, eff_date,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY eff_date)
+             AS prev_et
+  FROM upd
+),
+hist AS (
+  SELECT user_id, event_type, eff_date AS valid_from,
+         lead(eff_date) OVER (PARTITION BY user_id ORDER BY eff_date)
+             AS valid_to
+  FROM kept WHERE prev_et IS NULL OR event_type <> prev_et
+)
+SELECT CAST({SCD2_N_DAYS} AS INT) AS versions_before,
+       CAST({SCD2_N_DAYS - 1} AS INT) AS versions_removed,
+       CAST(1 AS INT) AS versions_kept,
+       TRUE AS only_current_remains,
+       (SELECT COUNT(*) FROM hist) AS n_history_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hist WHERE valid_to IS NULL)
+           AS n_current_rows,
+       (SELECT COUNT(DISTINCT user_id) FROM hist) AS n_users
+"""

@@ -261,6 +261,12 @@ register(
     au.s7_dynamic_overwrite_audit,
     au.S7_DYNAMIC_OVERWRITE_ORACLE,
 )
+# NEW r6: version retention sweep (the table format's VACUUM)
+register(
+    "layout_vacuum_audit",
+    au.layout_vacuum_audit,
+    au.LAYOUT_VACUUM_ORACLE,
+)
 # NEW r5: exact content dedup over the binary media column
 register(
     "mm_content_dedup", llm.mm_content_dedup, llm.MM_CONTENT_DEDUP_ORACLE
@@ -500,6 +506,7 @@ _HEAD = [
     "a19_grouped_apply_center",
     "st_datasource_stream",
     "dedup_setsim_prefix",
+    "layout_vacuum_audit",
     # (b) implementation changed in r6: sparse NB scoring + memoized
     # TF/model, shared k-means centroid artifact, basket-built
     # triangle edges + oriented checkpoint, single-pass span cut
@@ -522,7 +529,6 @@ _HEAD = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q15_top_supplier",
     "q19_disjunctive_revenue",
     "q20_heavy_suppliers",
     "q21_blocking_suppliers",
@@ -554,8 +560,8 @@ _HEAD = [
     "s6_raw_zone_pruned_scan",
 ]
 # next-stalest after these (rotate into the r7 head): j2, j3, j5,
-# a5-a8, a10, f4 (last green r2), q11/q13/q14/q16/q17 (r1, displaced
-# by the r6 additions beyond the first three),
+# a5-a8, a10, f4 (last green r2), q11/q13/q14/q15/q16/q17 (r1,
+# displaced by the r6 additions beyond the first three),
 # then the r3 band (st_tumbling, j1, dedup_minhash_lsh, so1,
 # ann_lsh/brute/ivf, w3, f2, st_dedup/interval/enrich, ...)
 

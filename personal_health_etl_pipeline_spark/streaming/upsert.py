@@ -64,6 +64,35 @@ def read_version(spark, table_dir: str, version: str) -> DataFrame:
     return spark.read.parquet(os.path.join(table_dir, version))
 
 
+def expire_versions(
+    table_dir: str, keep_last: int = 1
+) -> tuple[list[str], list[str]]:
+    """Retention sweep (the VACUUM of this plain-parquet table format):
+    delete every committed version directory except the newest
+    ``keep_last`` — and NEVER the pointer target, even if the pointer
+    lags behind ``keep_last`` (a reader following the pointer must
+    always succeed). Returns ``(removed, kept)``, oldest first.
+
+    Time travel to an expired version is gone by design — this is the
+    same trade Delta's ``VACUUM`` / Iceberg's ``expire_snapshots``
+    make; choose ``keep_last`` from the time-travel window.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    import shutil
+
+    versions = list_versions(table_dir)
+    ptr = os.path.join(table_dir, _POINTER)
+    keep = set(versions[-keep_last:])
+    if os.path.exists(ptr):
+        with open(ptr, encoding="utf-8") as f:
+            keep.add(f.read().strip())
+    removed = [v for v in versions if v not in keep]
+    for v in removed:
+        shutil.rmtree(os.path.join(table_dir, v))
+    return removed, [v for v in versions if v in keep]
+
+
 def _commit(df: DataFrame, table_dir: str, version: str) -> None:
     out = os.path.join(table_dir, version)
     df.write.mode("overwrite").parquet(out)

@@ -160,3 +160,62 @@ def test_time_travel_reads_each_retained_version(spark, tmp_path):
     # ...while the current version reflects the later merge
     vn = read_version(spark, table_dir, versions[-1])
     assert vn.count() > v0.count() or vn.where(~vn.is_current).count() > 0
+
+
+class TestExpireVersions:
+    """expire_versions: retention arithmetic + pointer protection."""
+
+    def _table(self, spark, tmp_path, n_versions=3, pointer_at=None):
+        import os
+
+        from personal_health_etl_pipeline_spark.streaming.upsert import (
+            _commit,
+        )
+
+        table = str(tmp_path / "t")
+        os.makedirs(table)
+        for i in range(n_versions):
+            df = spark.createDataFrame([(i,)], "v bigint")
+            _commit(df, table, f"v{i:06d}")
+        if pointer_at is not None:
+            with open(os.path.join(table, "_CURRENT"), "w") as f:
+                f.write(f"v{pointer_at:06d}")
+        return table
+
+    def test_keeps_newest_and_current_read_survives(self, spark, tmp_path):
+        from personal_health_etl_pipeline_spark.streaming.upsert import (
+            expire_versions,
+            list_versions,
+            read_current,
+        )
+
+        table = self._table(spark, tmp_path, n_versions=4)
+        removed, kept = expire_versions(table, keep_last=2)
+        assert removed == ["v000000", "v000001"]
+        assert kept == ["v000002", "v000003"]
+        assert list_versions(table) == kept
+        assert read_current(spark, table).collect()[0].v == 3
+
+    def test_never_removes_pointer_target_even_if_old(self, spark, tmp_path):
+        from personal_health_etl_pipeline_spark.streaming.upsert import (
+            expire_versions,
+            read_current,
+        )
+
+        # pointer deliberately lags at the OLDEST version
+        table = self._table(spark, tmp_path, n_versions=3, pointer_at=0)
+        removed, kept = expire_versions(table, keep_last=1)
+        assert "v000000" in kept  # pointer target protected
+        assert removed == ["v000001"]
+        assert read_current(spark, table).collect()[0].v == 0
+
+    def test_keep_last_must_be_positive(self, spark, tmp_path):
+        import pytest
+
+        from personal_health_etl_pipeline_spark.streaming.upsert import (
+            expire_versions,
+        )
+
+        table = self._table(spark, tmp_path, n_versions=1)
+        with pytest.raises(ValueError, match="keep_last"):
+            expire_versions(table, keep_last=0)
