@@ -106,6 +106,65 @@ def scd2_merge(
     )
 
 
+def scd2_merge_cdc(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    op_col: str = "op",
+    eff_col: str = "eff_date",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """SCD-2 merge for a FULL CDC batch: ``updates`` carries an
+    ``op_col`` of ``'upsert'`` or ``'delete'`` (at most one row per key
+    per batch, like :func:`scd2_merge`).
+
+    * ``upsert`` rows behave exactly as :func:`scd2_merge`;
+    * ``delete`` rows CLOSE the key's open row (``to_col`` = effective
+      date, current False) without opening a successor — the dimension
+      remembers the row existed and when it ended, which is what SCD-2
+      deletion means (physical removal would falsify history);
+    * a delete for an absent/already-closed key is a no-op (idempotent
+      re-delivery);
+    * a LATER batch upserting a deleted key re-opens it via the
+      insert path (its open row is gone, so change-detect sees a new
+      key) — tested tombstone->rebirth round trip.
+
+    Scale: one extra equi-join on the (small) delete key set on top of
+    :func:`scd2_merge`'s plan; same single hash-partitioning by key.
+    """
+    ups = updates.filter(F.col(op_col) == "upsert").drop(op_col)
+    dels = updates.filter(F.col(op_col) == "delete").select(key, eff_col)
+    merged = scd2_merge(
+        dim, ups, key, attrs,
+        eff_col=eff_col, from_col=from_col, to_col=to_col,
+        current_col=current_col,
+    )
+    d = dels.withColumnRenamed(eff_col, "_del_eff")
+    return (
+        merged.join(d, on=key, how="left")
+        .select(
+            *[
+                c
+                for c in merged.columns
+                if c not in (to_col, current_col)
+            ],
+            F.when(
+                F.col(current_col) & F.col("_del_eff").isNotNull(),
+                F.col("_del_eff"),
+            )
+            .otherwise(F.col(to_col))
+            .alias(to_col),
+            (
+                F.col(current_col) & F.col("_del_eff").isNull()
+            ).alias(current_col),
+        )
+        .select(dim.columns)
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

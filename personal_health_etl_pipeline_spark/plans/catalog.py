@@ -68,6 +68,8 @@ register("j9_oura_end_to_end", rs.j9_oura_end_to_end, rs.J9_ORACLE)
 # enters the head; j1/a3 (r3-green, unchanged) rotate to block 2.
 register("m1_scd2_merge", cdc.m1_scd2_merge, cdc.M1_ORACLE)
 register("m2_snapshot_diff", cdc.m2_snapshot_diff, cdc.M2_ORACLE)
+# NEW r6: the full CDC op-code path (upsert + delete tombstones)
+register("m3_scd2_delete_merge", cdc.m3_scd2_delete_merge, cdc.M3_ORACLE)
 # NEW r4: Bloom runtime-filter semi-join; w3 (r3-green, unchanged)
 # rotates to block 2 (w5 keeps the window family in the head).
 register("j10_bloom_semi_join", rs.j10_bloom_semi_join, rs.J10_ORACLE)
@@ -507,6 +509,7 @@ _HEAD = [
     "st_datasource_stream",
     "dedup_setsim_prefix",
     "layout_vacuum_audit",
+    "m3_scd2_delete_merge",
     # (b) implementation changed in r6: sparse NB scoring + memoized
     # TF/model, shared k-means centroid artifact, basket-built
     # triangle edges + oriented checkpoint, single-pass span cut
@@ -528,7 +531,6 @@ _HEAD = [
     "q7_nation_trade_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
     "q19_disjunctive_revenue",
     "q20_heavy_suppliers",
     "q21_blocking_suppliers",
@@ -560,8 +562,8 @@ _HEAD = [
     "s6_raw_zone_pruned_scan",
 ]
 # next-stalest after these (rotate into the r7 head): j2, j3, j5,
-# a5-a8, a10, f4 (last green r2), q11/q13/q14/q15/q16/q17 (r1,
-# displaced by the r6 additions beyond the first three),
+# a5-a8, a10, f4 (last green r2), q10/q11/q13-q17 (r1, displaced
+# by the r6 additions beyond the first three),
 # then the r3 band (st_tumbling, j1, dedup_minhash_lsh, so1,
 # ann_lsh/brute/ivf, w3, f2, st_dedup/interval/enrich, ...)
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.operators.merge import (
     scd2_merge,
+    scd2_merge_cdc,
     snapshot_diff,
 )
 from personal_health_etl_pipeline_spark.plans.exact import d2
@@ -204,4 +205,94 @@ JOIN ({M1_ORACLE}) h
   ON o.o_custkey = h.cust_id
  AND h.valid_from <= CAST(o.o_orderdate AS DATE)
  AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+"""
+
+
+# --- M3: CDC merge with DELETES ----------------------------------------
+
+def m3_scd2_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC op-code path (``operators/merge.py:scd2_merge_cdc``):
+    each customer's latest order either RESTATES their balance
+    (``op='upsert'``) or CLOSES their account (``op='delete'``, every
+    5th order key) — deletes end the open row at the effective date
+    without a successor, so the dimension keeps the row's full
+    lifespan instead of physically forgetting it. Same single
+    key-partitioned join plan as ``m1`` plus one equi-join on the
+    bounded delete key set."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        d2("c_acctbal").cast("double").alias("acctbal"),
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    upd = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("cust_id"),
+            d2("o_totalprice").cast("double").alias("acctbal"),
+            F.col("o_orderdate").cast("date").alias("eff_date"),
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+        )
+    )
+    return scd2_merge_cdc(dim, upd, key="cust_id", attrs=["acctbal"])
+
+
+M3_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey AS cust_id,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+         DATE '1992-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to,
+         TRUE AS is_current
+  FROM customer
+), upd AS (
+  SELECT o_custkey AS cust_id,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+         CAST(o_orderdate AS DATE) AS eff_date,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+), ups AS (SELECT cust_id, acctbal, eff_date FROM upd WHERE op = 'upsert'),
+dels AS (SELECT cust_id, eff_date FROM upd WHERE op = 'delete'),
+changed AS (
+  SELECT u.* FROM ups u
+  LEFT JOIN dim d ON u.cust_id = d.cust_id AND d.is_current
+  WHERE d.cust_id IS NULL OR u.acctbal IS DISTINCT FROM d.acctbal
+)
+-- closed by change
+SELECT d.cust_id, d.acctbal, d.valid_from,
+       c.eff_date AS valid_to, FALSE AS is_current
+FROM dim d JOIN changed c ON d.cust_id = c.cust_id
+WHERE d.is_current
+UNION ALL
+-- closed by delete (open rows only; change-closed keys can't also be
+-- deleted in the same batch: one op per key)
+SELECT d.cust_id, d.acctbal, d.valid_from,
+       x.eff_date AS valid_to, FALSE AS is_current
+FROM dim d JOIN dels x ON d.cust_id = x.cust_id
+WHERE d.is_current
+UNION ALL
+-- untouched opens
+SELECT d.* FROM dim d
+WHERE d.is_current
+  AND NOT EXISTS (SELECT 1 FROM changed c WHERE c.cust_id = d.cust_id)
+  AND NOT EXISTS (SELECT 1 FROM dels x WHERE x.cust_id = d.cust_id)
+UNION ALL
+-- reopened by upsert
+SELECT c.cust_id, c.acctbal, c.eff_date AS valid_from,
+       CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+FROM changed c
 """

@@ -106,3 +106,77 @@ class TestSnapshotDiff:
     def test_empty_delta(self, spark):
         old = self._snap(spark, [(1, "a", 1.0)])
         assert snapshot_diff(old, old, key="k", compare=["v", "n"]).count() == 0
+
+
+class TestScd2MergeCdc:
+    """scd2_merge_cdc: delete tombstones + rebirth across batches."""
+
+    def _dim(self, spark):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [
+                (1, 10.0, dt.date(2024, 1, 1), None, True),
+                (2, 20.0, dt.date(2024, 1, 1), None, True),
+            ],
+            "cust_id bigint, bal double, valid_from date, valid_to date,"
+            " is_current boolean",
+        )
+
+    def _upd(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "cust_id bigint, bal double, eff_date date, op string"
+        )
+
+    def test_delete_closes_without_successor(self, spark):
+        import datetime as dt
+
+        from personal_health_etl_pipeline_spark.operators.merge import (
+            scd2_merge_cdc,
+        )
+
+        upd = self._upd(
+            spark, [(1, None, dt.date(2024, 2, 1), "delete")]
+        )
+        out = {
+            (r.cust_id, r.is_current): r
+            for r in scd2_merge_cdc(
+                self._dim(spark), upd, key="cust_id", attrs=["bal"]
+            ).collect()
+        }
+        closed = out[(1, False)]
+        assert closed.valid_to == dt.date(2024, 2, 1)
+        assert (1, True) not in out  # no successor row
+        assert out[(2, True)].valid_to is None  # untouched
+
+    def test_tombstone_then_rebirth(self, spark):
+        import datetime as dt
+
+        from personal_health_etl_pipeline_spark.operators.merge import (
+            scd2_merge_cdc,
+        )
+
+        b1 = self._upd(spark, [(1, None, dt.date(2024, 2, 1), "delete")])
+        b2 = self._upd(spark, [(1, 99.0, dt.date(2024, 3, 1), "upsert")])
+        hist = scd2_merge_cdc(self._dim(spark), b1, "cust_id", ["bal"])
+        hist = scd2_merge_cdc(hist, b2, "cust_id", ["bal"])
+        rows = sorted(
+            (r.valid_from, r.valid_to, r.is_current, r.bal)
+            for r in hist.where("cust_id = 1").collect()
+        )
+        assert rows == [
+            (dt.date(2024, 1, 1), dt.date(2024, 2, 1), False, 10.0),
+            (dt.date(2024, 3, 1), None, True, 99.0),
+        ]
+
+    def test_delete_absent_key_is_noop(self, spark):
+        import datetime as dt
+
+        from personal_health_etl_pipeline_spark.operators.merge import (
+            scd2_merge_cdc,
+        )
+
+        upd = self._upd(spark, [(9, None, dt.date(2024, 2, 1), "delete")])
+        out = scd2_merge_cdc(self._dim(spark), upd, "cust_id", ["bal"])
+        assert out.count() == 2
+        assert out.where("is_current").count() == 2
