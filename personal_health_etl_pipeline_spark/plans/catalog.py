@@ -219,6 +219,8 @@ register(
     dq.dq5_referential_integrity,
     dq.DQ5_ORACLE,
 )
+# NEW r6: distribution drift monitor (PSI between corpus versions)
+register("dq6_psi_drift", dq.dq6_psi_drift, dq.DQ6_ORACLE)
 # NEW r5: late-data / watermark tuning audit
 register("st_late_data_audit", st.st_late_data_audit, st.ST_LATE_DATA_ORACLE)
 # NEW r5: scalar-function breadth sweeps (string/math + datetime)
@@ -510,6 +512,7 @@ _HEAD = [
     "dedup_setsim_prefix",
     "layout_vacuum_audit",
     "m3_scd2_delete_merge",
+    "dq6_psi_drift",
     # (b) implementation changed in r6: sparse NB scoring + memoized
     # TF/model, shared k-means centroid artifact, basket-built
     # triangle edges + oriented checkpoint, single-pass span cut
@@ -555,7 +558,6 @@ _HEAD = [
     "sketch_hll_distinct",
     "m1_scd2_merge",
     "ts1_gap_fill_ffill",
-    "dq5_referential_integrity",
     "layout_zorder_audit",
     "src_jsonl_quarantine_audit",
     "sql1_nation_year_revenue",

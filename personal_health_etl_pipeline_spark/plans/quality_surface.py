@@ -485,3 +485,117 @@ FROM (
 
 
 DQ5_ORACLE = _dq5_oracle()
+
+
+# --- DQ6: distribution drift (population stability index) ---------------
+
+PSI_BUCKET_W = 100
+PSI_N_BUCKETS = 10
+PSI_SMOOTH = 1  # add-1 per bucket: empty buckets never hit ln(0)
+
+
+def dq6_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus versions — THE
+    standard production drift monitor (feature/score drift between
+    yesterday's and today's batch). Versions are deterministic slices
+    of ``documents``: A drops every 97th doc; B drops every 101st AND
+    shifts ``n_chars`` by ``25 * (doc_id % 13)`` for every 3rd doc (a planted
+    distribution shift the report must surface). ``n_chars`` is
+    bucketed into {PSI_N_BUCKETS} fixed-width bins (width
+    {PSI_BUCKET_W}, last bin open-ended), counts are add-1 smoothed so
+    empty bins contribute finitely, and each bin's contribution
+    ``(pA - pB) * ln(pA/pB)`` is ONE identical double expression in
+    both engines over exact integer counts (single IEEE evaluation,
+    rounded to 9dp) — no float aggregation order in sight since the
+    per-bin rows ARE the output. Scale: two scans, one groupBy(bucket)
+    each, a {PSI_N_BUCKETS}-row join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    va = (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .select(
+            F.least(
+                F.expr(f"n_chars div {PSI_BUCKET_W}"),
+                F.lit(PSI_N_BUCKETS - 1),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    vb = (
+        docs.where(F.col("doc_id") % 101 != 0)
+        .select(
+            F.least(
+                F.expr(
+                    f"(n_chars + CASE WHEN doc_id % 3 = 0"
+                    f" THEN 25 * (doc_id % 13) ELSE 0 END) div {PSI_BUCKET_W}"
+                ),
+                F.lit(PSI_N_BUCKETS - 1),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    grid = spark.range(PSI_N_BUCKETS).select(F.col("id").alias("bucket"))
+    joined = (
+        grid.join(va, "bucket", "left")
+        .join(vb, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    k = PSI_N_BUCKETS * PSI_SMOOTH
+    pa = (F.col("n_a") + PSI_SMOOTH).cast("double") / (
+        F.col("t_a") + k
+    ).cast("double")
+    pb = (F.col("n_b") + PSI_SMOOTH).cast("double") / (
+        F.col("t_b") + k
+    ).cast("double")
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.round((pa - pb) * F.log(pa / pb), 9).alias("psi_contrib"),
+        )
+        .orderBy("bucket")
+    )
+
+
+DQ6_ORACLE = f"""
+WITH a AS (
+  SELECT LEAST(n_chars // {PSI_BUCKET_W}, {PSI_N_BUCKETS - 1}) AS bucket,
+         COUNT(*) AS n_a
+  FROM documents WHERE doc_id % 97 <> 0 GROUP BY 1
+),
+b AS (
+  SELECT LEAST((n_chars + CASE WHEN doc_id % 3 = 0
+                               THEN 25 * (doc_id % 13) ELSE 0 END)
+               // {PSI_BUCKET_W}, {PSI_N_BUCKETS - 1}) AS bucket,
+         COUNT(*) AS n_b
+  FROM documents WHERE doc_id % 101 <> 0 GROUP BY 1
+),
+grid AS (SELECT unnest(range({PSI_N_BUCKETS})) AS bucket),
+j AS (
+  SELECT grid.bucket,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM grid LEFT JOIN a USING (bucket) LEFT JOIN b USING (bucket)
+),
+tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM j)
+SELECT bucket, n_a, n_b,
+       ROUND((CAST(n_a + {PSI_SMOOTH} AS DOUBLE)
+                  / CAST(t_a + {PSI_N_BUCKETS * PSI_SMOOTH} AS DOUBLE)
+              - CAST(n_b + {PSI_SMOOTH} AS DOUBLE)
+                  / CAST(t_b + {PSI_N_BUCKETS * PSI_SMOOTH} AS DOUBLE))
+             * ln((CAST(n_a + {PSI_SMOOTH} AS DOUBLE)
+                       / CAST(t_a + {PSI_N_BUCKETS * PSI_SMOOTH} AS DOUBLE))
+                  / (CAST(n_b + {PSI_SMOOTH} AS DOUBLE)
+                       / CAST(t_b + {PSI_N_BUCKETS * PSI_SMOOTH} AS DOUBLE))),
+             9) AS psi_contrib
+FROM j CROSS JOIN tot ORDER BY bucket
+"""
