@@ -486,6 +486,12 @@ register("p3_prefix_columns", rs.p3_prefix_columns, rs.P3_ORACLE)
 register("p5_exists_probe", rs.p5_exists_probe, rs.P5_ORACLE)
 register("p6_new_dates_antijoin", rs.p6_new_dates_antijoin, rs.P6_ORACLE)
 register("f3_timestamp_coerce", rs.f3_timestamp_coerce, rs.F3_ORACLE)
+# NEW r6: collection-function breadth sweep
+register(
+    "f12_collection_function_sweep",
+    rs.f12_collection_function_sweep,
+    rs.F12_ORACLE,
+)
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
 
 
@@ -513,6 +519,7 @@ _HEAD = [
     "layout_vacuum_audit",
     "m3_scd2_delete_merge",
     "dq6_psi_drift",
+    "f12_collection_function_sweep",
     # (b) implementation changed in r6: sparse NB scoring + memoized
     # TF/model, shared k-means centroid artifact, basket-built
     # triangle edges + oriented checkpoint, single-pass span cut
@@ -538,7 +545,6 @@ _HEAD = [
     "q20_heavy_suppliers",
     "q21_blocking_suppliers",
     "q22_idle_rich_customers",
-    "f3_timestamp_coerce",
     "f5_date_range_explode",
     "w1_rolling_7day_revenue",
     "w2_topk_per_group",
@@ -564,8 +570,8 @@ _HEAD = [
     "s6_raw_zone_pruned_scan",
 ]
 # next-stalest after these (rotate into the r7 head): j2, j3, j5,
-# a5-a8, a10, f4 (last green r2), q10/q11/q13-q17 (r1, displaced
-# by the r6 additions beyond the first three),
+# a5-a8, a10, f4 (last green r2), q10/q11/q13-q17, f3 (r1,
+# displaced by the r6 additions beyond the first three),
 # then the r3 band (st_tumbling, j1, dedup_minhash_lsh, so1,
 # ann_lsh/brute/ivf, w3, f2, st_dedup/interval/enrich, ...)
 

@@ -1006,3 +1006,63 @@ SELECT lang,
        CAST(SUM(length(nullif(lang, 'en'))) AS BIGINT) AS sum_len_skipnull
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# --- F12: collection-function breadth sweep -----------------------------
+
+def f12_collection_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array/collection scalar surface, certified in one pass over
+    the tokenized documents (sibling of the f9/f10/f11 sweeps): size,
+    order-sensitive first/last access, array_sort + element access,
+    reverse, slice + array_join, array_contains, array_position
+    (1-based in BOTH engines), array_distinct cardinality, and an
+    aggregate-over-array fold (total characters via ``aggregate``).
+    Collection functions are where engines quietly diverge (0- vs
+    1-based indexing, NULL-vs-empty slices, sort stability); one value
+    hash pins every convention at once. Scalar-only output (parity
+    gate forbids top-level arrays)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr(r"filter(split(text, '\\s+'), x -> x <> '')")
+    return (
+        docs.where(F.col("doc_id") % 13 == 0)
+        .select("doc_id", t.alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.size("t").alias("n_toks"),
+            F.element_at("t", 1).alias("first_tok"),
+            F.element_at("t", -1).alias("last_tok"),
+            F.element_at(F.array_sort("t"), 1).alias("min_tok"),
+            F.element_at(F.reverse(F.array_sort("t")), 1).alias("max_tok"),
+            F.array_join(F.slice("t", 1, 3), "|").alias("head3"),
+            F.array_contains("t", "the").alias("has_the"),
+            F.expr("array_position(t, t[0])").cast("int").alias("pos_of_first"),
+            F.size(F.array_distinct("t")).alias("n_distinct"),
+            F.expr(
+                "aggregate(t, 0L, (acc, x) -> acc + length(x))"
+            ).alias("total_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+F12_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT doc_id,
+       len(t) AS n_toks,
+       t[1] AS first_tok,
+       t[-1] AS last_tok,
+       list_sort(t)[1] AS min_tok,
+       list_reverse(list_sort(t))[1] AS max_tok,
+       array_to_string(t[1:3], '|') AS head3,
+       list_contains(t, 'the') AS has_the,
+       CAST(list_indexof(t, t[1]) AS INTEGER) AS pos_of_first,
+       len(list_distinct(t)) AS n_distinct,
+       CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+           AS total_chars
+FROM toks WHERE len(t) >= 3 ORDER BY doc_id
+"""
