@@ -531,6 +531,8 @@ _HEAD = [
     "dedup_semantic",
     "ann_ivf_kmeans_topk",
     "text_bpe_apply_corpus",
+    "dedup_connected_groups",
+    "corpus_split_groupsafe",
     # (c) stalest certifications: the ENTIRE last-green-r1 set (the
     # TPC-H sweep + f/w/p/a reps) ...
     "q2_min_price_line",
@@ -562,9 +564,7 @@ _HEAD = [
     # audit-scratch change
     "c3_schema_align",
     "sketch_hll_distinct",
-    "m1_scd2_merge",
     "ts1_gap_fill_ffill",
-    "layout_zorder_audit",
     "src_jsonl_quarantine_audit",
     "sql1_nation_year_revenue",
     "s6_raw_zone_pruned_scan",

@@ -366,25 +366,46 @@ SELECT * FROM jac WHERE jaccard_sim >= 0.8
 DEDUP_INCREMENTAL_ORACLE = _incremental_oracle()
 
 
+_GROUPS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized near-dup GROUP table (minhash pairs -> hash-min
+    connected components) — the resolution artifact both
+    ``dedup_connected_groups`` and ``corpus_split_groupsafe`` consume.
+    At real scale this is a persisted table refreshed per corpus
+    version (the incremental minhash index's sibling); memoizing per
+    (application, corpus dir) gives a session the same one-build
+    many-consumers shape. Bounded: (doc_id, group_id, is_keeper,
+    group_size) for grouped docs only, eagerly checkpointed."""
+    from personal_health_etl_pipeline_spark.operators.graph import dedup_groups
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    g = _GROUPS_MEMO.get(key)
+    if g is None:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = D.minhash_lsh_pairs(
+            docs,
+            "doc_id",
+            "text",
+            n_hashes=MINHASH_N_HASHES,
+            bands=MINHASH_BANDS,
+            shingle_n=3,
+            threshold=0.8,
+        )
+        g = dedup_groups(pairs).localCheckpoint(eager=True)
+        _GROUPS_MEMO[key] = g
+    return g
+
+
 def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> GROUPS: connected components over the verified minhash
     pair graph, with the component-minimum doc as the keeper — the
     keep-one resolution step every dedup pipeline ends with. The Spark
     side is iterative (hash-min + pointer jumping, operators/graph.py);
-    the oracle is the same closure as a DuckDB recursive CTE."""
-    from personal_health_etl_pipeline_spark.operators.graph import dedup_groups
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(
-        docs,
-        "doc_id",
-        "text",
-        n_hashes=MINHASH_N_HASHES,
-        bands=MINHASH_BANDS,
-        shingle_n=3,
-        threshold=0.8,
-    )
-    return dedup_groups(pairs)
+    the oracle is the same closure as a DuckDB recursive CTE. Served
+    from the session group artifact (:func:`_neardup_groups`)."""
+    return _neardup_groups(spark, sf_dir)
 
 
 def _groups_oracle() -> str:
@@ -1446,22 +1467,14 @@ def corpus_split_groupsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py; singletons represent themselves) and the split
     bin hashes the representative — so near-duplicates can never
     straddle train and eval, the leakage mode a per-doc split invites.
-    Same LSH parameters as ``dedup_connected_groups``; one extra
-    left join + a map-side hash, no new shuffle family."""
+    Same LSH parameters as ``dedup_connected_groups`` — in fact the
+    SAME session group artifact (:func:`_neardup_groups`): one group
+    build serves resolution and splitting; this entry adds one left
+    join + a map-side hash."""
     from personal_health_etl_pipeline_spark.functions.hashing import md5_long
-    from personal_health_etl_pipeline_spark.operators.graph import dedup_groups
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(
-        docs,
-        "doc_id",
-        "text",
-        n_hashes=MINHASH_N_HASHES,
-        bands=MINHASH_BANDS,
-        shingle_n=3,
-        threshold=0.8,
-    )
-    groups = dedup_groups(pairs).select("doc_id", "group_id")
+    groups = _neardup_groups(spark, sf_dir).select("doc_id", "group_id")
     rep = (
         docs.select("doc_id")
         .join(groups, on="doc_id", how="left")
