@@ -505,8 +505,9 @@ register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
 # every family in the head. Everything not listed keeps its
 # registration order after the head.
 _HEAD = [
-    # (a) new in r6 — never driver-certified (mm_resize_decode also
-    # serves as the head's mm-family rep)
+    # (a) new in r6 — never driver-certified; several double as their
+    # family's head rep (mm_resize_decode -> mm, src_datasource_scan
+    # -> src, layout_vacuum_audit -> layout, m3 -> m, dq6 -> dq)
     "j15_oura_day_full_width",
     "j16_detailed_transform",
     "ann_pq_persisted_probe",
@@ -522,7 +523,9 @@ _HEAD = [
     "f12_collection_function_sweep",
     # (b) implementation changed in r6: sparse NB scoring + memoized
     # TF/model, shared k-means centroid artifact, basket-built
-    # triangle edges + oriented checkpoint, single-pass span cut
+    # triangle edges + oriented checkpoint, single-pass span cut,
+    # memoized BPE apply, shared near-dup group artifact, memoized
+    # minhash band index
     "text_nb_langid",
     "corpus_dsir_weights",
     "graph_triangles",
@@ -533,6 +536,7 @@ _HEAD = [
     "text_bpe_apply_corpus",
     "dedup_connected_groups",
     "corpus_split_groupsafe",
+    "dedup_incremental_lookup",
     # (c) stalest certifications: the ENTIRE last-green-r1 set (the
     # TPC-H sweep + f/w/p/a reps) ...
     "q2_min_price_line",
@@ -558,14 +562,13 @@ _HEAD = [
     # twins (also the head's st-family reps)
     "st_sliding_window_agg",
     "st_session_window_agg",
-    # family-coverage reps for the 10 families (b)/(c) leave uncovered
-    # — freshest certifications chosen so no stale slot is wasted;
-    # layout_zorder/src_jsonl/s6 double as re-checks of the r6 shared
-    # audit-scratch change
+    # family-coverage reps for the families (a)-(c) leave uncovered —
+    # freshest certifications chosen so no stale slot is wasted; s6
+    # also re-checks the r6 shared audit-scratch change (the other
+    # audit entries were r5-certified and locally re-verified)
     "c3_schema_align",
     "sketch_hll_distinct",
     "ts1_gap_fill_ffill",
-    "src_jsonl_quarantine_audit",
     "sql1_nation_year_revenue",
     "s6_raw_zone_pruned_scan",
 ]
