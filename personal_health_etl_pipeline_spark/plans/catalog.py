@@ -537,6 +537,7 @@ _HEAD = [
     "dedup_connected_groups",
     "corpus_split_groupsafe",
     "dedup_incremental_lookup",
+    "graph_pagerank",
     # (c) stalest certifications: the ENTIRE last-green-r1 set (the
     # TPC-H sweep + f/w/p/a reps) ...
     "q2_min_price_line",
@@ -547,7 +548,6 @@ _HEAD = [
     "q7_nation_trade_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q19_disjunctive_revenue",
     "q20_heavy_suppliers",
     "q21_blocking_suppliers",
     "q22_idle_rich_customers",
@@ -573,8 +573,8 @@ _HEAD = [
     "s6_raw_zone_pruned_scan",
 ]
 # next-stalest after these (rotate into the r7 head): j2, j3, j5,
-# a5-a8, a10, f4 (last green r2), q10/q11/q13-q17, f3 (r1,
-# displaced by the r6 additions beyond the first three),
+# a5-a8, a10, f4 (last green r2), q10/q11/q13-q17/q19, f3 (r1,
+# displaced by the r6 additions and changed-entry set),
 # then the r3 band (st_tumbling, j1, dedup_minhash_lsh, so1,
 # ann_lsh/brute/ivf, w3, f2, st_dedup/interval/enrich, ...)
 

@@ -64,6 +64,9 @@ def _pr_ctes(n_iters: int) -> str:
     return ",\n".join(parts)
 
 
+_PR_GRAPH_MEMO: dict = {}
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite customer-supplier graph (an edge
     per distinct trading relationship, both directions): which
@@ -87,8 +90,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
     # edges are distinct by construction: `pairs` is deduped and the two
-    # directions live in disjoint (odd->even / even->odd) key spaces
-    ranked = pagerank(edges, n_iters=PR_ITERS, dedup_edges=False)
+    # directions live in disjoint (odd->even / even->odd) key spaces.
+    # The graph STRUCTURE (edges/degrees/nodes/dangling) is the static
+    # per-corpus artifact — memoized per session; iterations (the
+    # actual computation) run per call against it.
+    from personal_health_etl_pipeline_spark.operators.pagerank import (
+        prepare_graph,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    g = _PR_GRAPH_MEMO.get(key)
+    if g is None:
+        g = prepare_graph(edges, dedup_edges=False)
+        _PR_GRAPH_MEMO[key] = g
+    ranked = pagerank(edges, n_iters=PR_ITERS, dedup_edges=False, prepared=g)
     return ranked.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier"))
         .otherwise(F.lit("customer"))
