@@ -77,6 +77,10 @@ register("j10_bloom_semi_join", rs.j10_bloom_semi_join, rs.J10_ORACLE)
 # unchanged) rotate to block 2 (both families keep other head reps).
 register("ts1_gap_fill_ffill", ts.ts1_gap_fill_ffill, ts.TS1_ORACLE)
 register("ts2_rolling_zscore", ts.ts2_rolling_zscore, ts.TS2_ORACLE)
+# NEW r6: division-free seasonal decomposition
+register(
+    "ts4_seasonal_decompose", ts.ts4_seasonal_decompose, ts.TS4_ORACLE
+)
 # NEW r4: leakage-safe split + temperature mixing; dedup_ngram /
 # dedup_simhash (r3-green, unchanged) rotate to block 2.
 register(
@@ -538,6 +542,7 @@ _HEAD = [
     "corpus_split_groupsafe",
     "dedup_incremental_lookup",
     "graph_pagerank",
+    "ts4_seasonal_decompose",
     # (c) stalest certifications: the ENTIRE last-green-r1 set (the
     # TPC-H sweep + f/w/p/a reps) ...
     "q2_min_price_line",
@@ -568,7 +573,6 @@ _HEAD = [
     # audit entries were r5-certified and locally re-verified)
     "c3_schema_align",
     "sketch_hll_distinct",
-    "ts1_gap_fill_ffill",
     "sql1_nation_year_revenue",
     "s6_raw_zone_pruned_scan",
 ]

@@ -309,3 +309,104 @@ SELECT r.event_type, r.day, r.dow,
 FROM resid r JOIN ss s USING (event_type, dow)
 ORDER BY r.event_type, r.day
 """
+
+
+# --- TS4: seasonal decomposition (trend / weekday seasonal / residual) --
+
+def ts4_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series —
+    trend (centered 7-day moving window), weekday seasonal, residual —
+    with EVERY quantity exact-integer and DIVISION-FREE: instead of
+    ``avg`` (whose integer division floors/truncates differently
+    across engines for negatives), each component carries its scale
+    factor: ``detrended7 = 7*rev - sum7`` (7x the classical detrended
+    value), ``residual_scaled = n_w*detrended7 - seas_sum`` (n_w*7x
+    the classical residual). Scaled integers order/threshold exactly
+    like their rational counterparts, which is all a downstream
+    anomaly rule needs — and they make the decomposition
+    hash-certifiable. Edge days without a full 7-day window decompose
+    to NULL (and are excluded from the weekday means). One window
+    pass + one 7-row weekday aggregate; completes the time-series
+    family (gap-fill, rolling z-score, weekday anomaly, decompose).
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "rev_cents",
+        F.count(F.lit(1)).over(w7).alias("n7"),
+        F.sum("rev_cents").over(w7).alias("sum7"),
+    ).select(
+        "day",
+        "rev_cents",
+        F.when(F.col("n7") == 7, 7 * F.col("rev_cents") - F.col("sum7"))
+        .alias("detrended7"),
+    )
+    seas = (
+        trended.where(F.col("detrended7").isNotNull())
+        .groupBy(F.expr("weekday(day)").cast("int").alias("dow"))
+        .agg(
+            F.sum("detrended7").alias("seas_sum"),
+            F.count(F.lit(1)).alias("n_w"),
+        )
+    )
+    return (
+        trended.withColumn("dow", F.expr("weekday(day)").cast("int"))
+        .join(F.broadcast(seas), "dow", "left")
+        .select(
+            "day",
+            "dow",
+            "rev_cents",
+            "detrended7",
+            F.when(F.col("detrended7").isNotNull(), F.col("seas_sum"))
+            .alias("seas_sum"),
+            F.when(F.col("detrended7").isNotNull(), F.col("n_w"))
+            .alias("n_w"),
+            F.when(
+                F.col("detrended7").isNotNull(),
+                F.col("n_w") * F.col("detrended7") - F.col("seas_sum"),
+            ).alias("residual_scaled"),
+        )
+        .orderBy("day")
+    )
+
+
+TS4_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM events GROUP BY 1
+),
+trended AS (
+  SELECT day, rev_cents,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN 7 * rev_cents - SUM(rev_cents) OVER w END AS detrended7
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas AS (
+  SELECT CAST(isodow(day) - 1 AS INT) AS dow,
+         CAST(SUM(detrended7) AS BIGINT) AS seas_sum,
+         COUNT(*) AS n_w
+  FROM trended WHERE detrended7 IS NOT NULL GROUP BY 1
+)
+SELECT t.day, CAST(isodow(t.day) - 1 AS INT) AS dow, t.rev_cents,
+       CAST(t.detrended7 AS BIGINT) AS detrended7,
+       CASE WHEN t.detrended7 IS NOT NULL THEN s.seas_sum END AS seas_sum,
+       CASE WHEN t.detrended7 IS NOT NULL THEN s.n_w END AS n_w,
+       CAST(CASE WHEN t.detrended7 IS NOT NULL
+            THEN s.n_w * t.detrended7 - s.seas_sum END AS BIGINT)
+           AS residual_scaled
+FROM trended t LEFT JOIN seas s ON s.dow = isodow(t.day) - 1
+ORDER BY t.day
+"""
