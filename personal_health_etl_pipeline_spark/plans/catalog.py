@@ -93,6 +93,12 @@ register(
 # (r3-green, simple aggregates, locally re-checked) rotate to block 2.
 register("text_pmi_top_pairs", llm2.text_pmi_top_pairs, llm2.TEXT_PMI_ORACLE)
 register("text_zipf_slope", llm2.text_zipf_slope, llm2.TEXT_ZIPF_ORACLE)
+# NEW r6: eval-set integrity report (per-eval-doc train overlap)
+register(
+    "corpus_eval_overlap",
+    llm2.corpus_eval_overlap,
+    llm2.CORPUS_EVAL_OVERLAP_ORACLE,
+)
 # NEW r4: distributed covariance (PCA precursor); text_repetition_stats
 # (r3-green, unchanged) rotates to block 2.
 register("emb_covariance", sk.emb_covariance, sk.EMB_COVARIANCE_ORACLE)
@@ -543,6 +549,7 @@ _HEAD = [
     "dedup_incremental_lookup",
     "graph_pagerank",
     "ts4_seasonal_decompose",
+    "corpus_eval_overlap",
     # (c) stalest certifications: the ENTIRE last-green-r1 set (the
     # TPC-H sweep + f/w/p/a reps) ...
     "q2_min_price_line",
@@ -553,7 +560,6 @@ _HEAD = [
     "q7_nation_trade_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q20_heavy_suppliers",
     "q21_blocking_suppliers",
     "q22_idle_rich_customers",
     "f5_date_range_explode",
@@ -577,7 +583,7 @@ _HEAD = [
     "s6_raw_zone_pruned_scan",
 ]
 # next-stalest after these (rotate into the r7 head): j2, j3, j5,
-# a5-a8, a10, f4 (last green r2), q10/q11/q13-q17/q19, f3 (r1,
+# a5-a8, a10, f4 (last green r2), q10/q11/q13-q17/q19/q20, f3 (r1,
 # displaced by the r6 additions and changed-entry set),
 # then the r3 band (st_tumbling, j1, dedup_minhash_lsh, so1,
 # ann_lsh/brute/ivf, w3, f2, st_dedup/interval/enrich, ...)

@@ -173,6 +173,89 @@ ORDER BY i.doc_id
 """
 
 
+def corpus_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INVERSE contamination metric to ``decontaminate_ngram``:
+    for every EVAL document, the fraction of its distinct 3-gram
+    shingles that appear ANYWHERE in the training split — the
+    eval-set-integrity number a release report quotes (GPT-3-style
+    overlap statistics). ``contam_milli`` is the exact non-negative
+    integer ``(1000 * n_matched) div n_shingles`` (identical
+    floor/truncate for non-negatives in both engines).
+
+    Scale shape: the bounded EVAL shingle-hash set broadcasts to the
+    training scan (the corpus streams map-only, as in decontaminate);
+    the distinct MATCHED hash set is bounded by the eval set, so the
+    join back to per-eval-doc shingles is broadcast too — corpus data
+    never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def hashed(side) -> DataFrame:
+        shingled = side.select(
+            "doc_id", T.distinct_shingles("text", _SHINGLE_N).alias("_sh")
+        ).where(F.size("_sh") > 0)
+        return shingled.select("doc_id", F.explode("_sh").alias("s")).select(
+            "doc_id", md5_long("s").alias("h")
+        )
+
+    eval_sh = hashed(docs.where(F.col("doc_id") % _EVAL_MOD == 0))
+    train_h = hashed(docs.where(F.col("doc_id") % _EVAL_MOD != 0)).select("h")
+    eval_hashes = eval_sh.select("h").distinct()
+    matched = (
+        train_h.join(F.broadcast(eval_hashes), "h", "left_semi").distinct()
+    )
+    per_doc = eval_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    n_matched = (
+        eval_sh.join(F.broadcast(matched), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        per_doc.join(n_matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.expr(
+                "(1000 * coalesce(n_matched, 0)) div n_shingles"
+            ).alias("contam_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_EVAL_OVERLAP_ORACLE = rf"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) >= {_SHINGLE_N}
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM toks
+),
+inv AS (
+  SELECT doc_id, {duckdb_md5_long("unnest(sh)")} AS h
+  FROM sh WHERE len(sh) > 0
+),
+train_h AS (SELECT DISTINCT h FROM inv WHERE doc_id % {_EVAL_MOD} <> 0),
+ev AS (SELECT doc_id, h FROM inv WHERE doc_id % {_EVAL_MOD} = 0),
+per AS (
+  SELECT ev.doc_id,
+         COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched
+  FROM ev LEFT JOIN train_h t ON t.h = ev.h
+  GROUP BY ev.doc_id
+)
+SELECT doc_id, n_shingles, n_matched,
+       (1000 * n_matched) // n_shingles AS contam_milli
+FROM per ORDER BY doc_id
+"""
+
+
 # --- bigram language-model quality score ------------------------------
 
 
