@@ -42,7 +42,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.operators.dedup import (
