@@ -1013,3 +1013,96 @@ SELECT CAST({SCD2_N_DAYS} AS INT) AS versions_before,
            AS n_current_rows,
        (SELECT COUNT(DISTINCT user_id) FROM hist) AS n_users
 """
+
+
+# --- streaming DataSource -> watermarked window agg -> sink ------------
+
+DSW_START = "2024-01-01"
+DSW_END = "2024-02-06"     # stream horizon
+DSW_CERT_END = "2024-02-04"  # last window the 1-day watermark closes
+
+
+def st_datasource_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming COMPOSITION over the Python DataSource: a
+    custom source micro-batching the date range -> event-time parse ->
+    1-day watermark -> tumbling daily window aggregate -> append-mode
+    parquet sink. Append mode only emits a window once the watermark
+    passes it, so the stream horizon runs TWO days past the certified
+    range: after the final batch the watermark sits 1 day behind the
+    last event time ({DSW_END}T04:00), which closes exactly the
+    windows through {DSW_CERT_END} — the returned frame must contain
+    precisely those days, certifying the watermark's close/emit
+    arithmetic (not just the pass-through transport
+    ``st_datasource_stream`` already proves). Deterministic because
+    micro-batch boundaries ARE deterministic here (the reader's date
+    cursor), so watermark advancement replays identically.
+    ``sf_dir`` unused (source-layer certification)."""
+    from personal_health_etl_pipeline_spark.sources.datasource import (
+        register,
+    )
+
+    register(spark)
+    scratch = _scratch("dswindow_audit")
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    stream = (
+        spark.readStream.format("oura_fixture")
+        .option("data_type", "heartrate")
+        .option("start", DSW_START)
+        .option("end", DSW_END)
+        .option("days_per_batch", "7")
+        .load()
+    )
+    agg = (
+        stream.select(
+            F.to_timestamp("timestamp").alias("event_ts"),
+            "score",
+            F.col("contributors.latency").alias("latency"),
+        )
+        .withWatermark("event_ts", "1 day")
+        .groupBy(F.window("event_ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score").alias("sum_score"),
+            F.max("latency").alias("max_latency"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("day"),
+            "n",
+            "sum_score",
+            "max_latency",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).orderBy("day")
+
+
+ST_DSW_ORACLE = f"""
+WITH days AS (
+  SELECT CAST(d AS DATE) AS day
+  FROM generate_series(DATE '{DSW_START}', DATE '{DSW_CERT_END}',
+                       INTERVAL 1 DAY) t(d)
+),
+h AS (
+  SELECT day,
+         CAST(('0x' || substr(
+             sha256('heartrate|' || strftime(day, '%Y-%m-%d') || '|rec'),
+             1, 16)) AS UBIGINT) AS h
+  FROM days
+)
+SELECT day,
+       CAST(1 AS BIGINT) AS n,
+       CAST(40 + h % 60 AS BIGINT) AS sum_score,
+       CAST((h // 10000) % 100 AS BIGINT) AS max_latency
+FROM h ORDER BY day
+"""

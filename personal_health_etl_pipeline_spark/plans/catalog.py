@@ -155,6 +155,12 @@ register("src_datasource_scan", rs.src_datasource_scan, rs.J13_ORACLE)
 # NEW r6: ...and as a Structured Streaming SOURCE (simple stream
 # reader; offset protocol certified by the same oracle)
 register("st_datasource_stream", au.st_datasource_stream, rs.J13_ORACLE)
+# NEW r6: the stream COMPOSED with watermark + tumbling window + sink
+register(
+    "st_datasource_window_agg",
+    au.st_datasource_window_agg,
+    au.ST_DSW_ORACLE,
+)
 register(
     "j15_oura_day_full_width", ow.j15_oura_day_full_width, ow.J15_ORACLE
 )
@@ -550,6 +556,7 @@ _HEAD = [
     "graph_pagerank",
     "ts4_seasonal_decompose",
     "corpus_eval_overlap",
+    "st_datasource_window_agg",
     # (c) stalest certifications: the ENTIRE last-green-r1 set (the
     # TPC-H sweep + f/w/p/a reps) ...
     "q2_min_price_line",
@@ -560,7 +567,6 @@ _HEAD = [
     "q7_nation_trade_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q21_blocking_suppliers",
     "q22_idle_rich_customers",
     "f5_date_range_explode",
     "w1_rolling_7day_revenue",
@@ -583,7 +589,7 @@ _HEAD = [
     "s6_raw_zone_pruned_scan",
 ]
 # next-stalest after these (rotate into the r7 head): j2, j3, j5,
-# a5-a8, a10, f4 (last green r2), q10/q11/q13-q17/q19/q20, f3 (r1,
+# a5-a8, a10, f4 (last green r2), q10/q11/q13-q17/q19-q21, f3 (r1,
 # displaced by the r6 additions and changed-entry set),
 # then the r3 band (st_tumbling, j1, dedup_minhash_lsh, so1,
 # ann_lsh/brute/ivf, w3, f2, st_dedup/interval/enrich, ...)

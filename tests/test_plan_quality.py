@@ -627,3 +627,49 @@ class TestRound5SecondHalfPlanShapes:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestRound6PlanShapes:
+    def test_bm25_broadcasts_query_terms_no_cartesian(self, spark, sf_dir):
+        """BM25's scored stream must be the postings of the broadcast
+        query-term table — an equi-join, never a cartesian of corpus x
+        queries."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            text_bm25_topk,
+        )
+
+        plan = _executed_plan(text_bm25_topk(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    def test_a19_grouped_apply_is_one_arrow_stage(self, spark, sf_dir):
+        """The grouped applyInPandas must appear as a single
+        FlatMapGroupsInPandas over one hash partitioning by the group
+        key — no extra shuffle, no row-at-a-time Python."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            a19_grouped_apply_center,
+        )
+
+        plan = _executed_plan(a19_grouped_apply_center(spark, sf_dir))
+        assert plan.count("FlatMapGroupsInPandas") == 1
+        assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+    def test_j15_wide_combine_stays_equi_joins(self, spark, sf_dir):
+        """The 6-way full-width combine must be outer EQUI-joins on
+        day — no cartesian/BNLJ anywhere in the 66-column plan."""
+        from personal_health_etl_pipeline_spark.plans.oura_wide import (
+            j15_oura_day_full_width,
+        )
+
+        plan = _executed_plan(j15_oura_day_full_width(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_setsim_candidate_join_is_equi(self, spark, sf_dir):
+        from personal_health_etl_pipeline_spark.plans.llm_surface import (
+            dedup_setsim_prefix,
+        )
+
+        plan = _executed_plan(dedup_setsim_prefix(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
