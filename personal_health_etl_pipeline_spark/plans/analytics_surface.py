@@ -1112,3 +1112,57 @@ SELECT d.doc_id, d.lang,
 FROM documents d JOIN cuts c USING (lang)
 ORDER BY d.doc_id
 """
+
+
+# --- A20: exact per-group mode -----------------------------------------
+
+def a20_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent value) of the cents-rounded event
+    value per event type, with a fully deterministic tie order
+    (count desc, then smallest value) — the argmax is one
+    ``min(struct(-count, value))`` hash aggregate over the bounded
+    (type, value) count table, no window sort. Mode is the one basic
+    descriptive statistic the a8-a10 percentile/corr family did not
+    yet certify; ties are where engines silently diverge, so the tie
+    rule is the point of the hash check. Registered in the catalog
+    TAIL (r7 certification window)."""
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.groupBy(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = counts.groupBy("event_type").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("neg"), F.col("cents").alias("cents")
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n_distinct_values"),
+    )
+    return best.select(
+        "event_type",
+        F.col("b.cents").alias("mode_cents"),
+        (-F.col("b.neg")).alias("mode_count"),
+        "n_distinct_values",
+    ).orderBy("event_type")
+
+
+A20_ORACLE = """
+WITH counts AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cnt DESC, cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_distinct_values
+  FROM counts
+)
+SELECT event_type, cents AS mode_cents, cnt AS mode_count,
+       n_distinct_values
+FROM ranked WHERE rn = 1 ORDER BY event_type
+"""

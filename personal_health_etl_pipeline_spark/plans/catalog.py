@@ -256,6 +256,14 @@ register(
     an.a19_grouped_apply_center,
     an.A19_ORACLE,
 )
+# NEW r6 TAIL (r7 certification window): exact per-group mode +
+# bitwise-function breadth sweep
+register("a20_exact_mode", an.a20_exact_mode, an.A20_ORACLE)
+register(
+    "f13_bitwise_function_sweep",
+    rs.f13_bitwise_function_sweep,
+    rs.F13_ORACLE,
+)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

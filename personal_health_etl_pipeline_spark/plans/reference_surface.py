@@ -1066,3 +1066,69 @@ SELECT doc_id,
            AS total_chars
 FROM toks WHERE len(t) >= 3 ORDER BY doc_id
 """
+
+
+# --- F13: bitwise-function breadth sweep --------------------------------
+
+def f13_bitwise_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitwise scalar + aggregate surface in one pass over events:
+    shifts, AND/OR/XOR, popcount, and the ``bit_or``/``bit_and``
+    aggregates (the machinery under Bloom filters, HLL registers and
+    the z-order interleave — certified directly here, not only through
+    those composites). Registered in the catalog TAIL (r7 window)."""
+    events = load_table(spark, sf_dir, "events")
+    masked = events.where(F.col("event_id") % 17 == 0).select(
+        "event_type",
+        "event_id",
+        F.col("user_id").cast("bigint").alias("u"),
+    )
+    return (
+        masked.select(
+            "event_type",
+            "event_id",
+            F.shiftleft(F.col("u"), 3).alias("shl3"),
+            F.shiftright(F.col("event_id"), 2).alias("shr2"),
+            (F.col("u").bitwiseAND(F.lit(255))).alias("low8"),
+            (F.col("u").bitwiseOR(F.col("event_id"))).alias("ored"),
+            (F.col("u").bitwiseXOR(F.col("event_id"))).alias("xored"),
+            F.bit_count(F.col("u")).cast("int").alias("popcount"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("shl3").alias("sum_shl3"),
+            F.sum("shr2").alias("sum_shr2"),
+            F.bit_or("low8").alias("or_low8"),
+            F.bit_and("ored").alias("and_ored"),
+            F.sum("xored").alias("sum_xored"),
+            F.sum("popcount").cast("bigint").alias("sum_popcount"),
+        )
+        .orderBy("event_type")
+    )
+
+
+F13_ORACLE = """
+WITH m AS (
+  SELECT event_type, event_id, CAST(user_id AS BIGINT) AS u
+  FROM events WHERE event_id % 17 = 0
+),
+b AS (
+  SELECT event_type,
+         u << 3 AS shl3,
+         event_id >> 2 AS shr2,
+         u & 255 AS low8,
+         u | event_id AS ored,
+         xor(u, event_id) AS xored,
+         CAST(bit_count(u) AS INTEGER) AS popcount
+  FROM m
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(shl3) AS BIGINT) AS sum_shl3,
+       CAST(SUM(shr2) AS BIGINT) AS sum_shr2,
+       CAST(bit_or(low8) AS BIGINT) AS or_low8,
+       CAST(bit_and(ored) AS BIGINT) AS and_ored,
+       CAST(SUM(xored) AS BIGINT) AS sum_xored,
+       CAST(SUM(popcount) AS BIGINT) AS sum_popcount
+FROM b GROUP BY event_type ORDER BY event_type
+"""
