@@ -349,6 +349,61 @@ def fetch_detailed_workout(start: dt.date, end: dt.date) -> list[dict]:
     return out
 
 
+# --- SPECIAL fixture: daily_spo2 (id_day) -----------------------------
+#
+# The reference registers daily_spo2 as SPECIAL with
+# ``special_params={'id_day': True}`` (constants.py:44-48) and leaves
+# the extraction logic a FIXME (extract.py:128): unlike the DAILY
+# types, the wire record carries NO ``day`` column — the date key must
+# be DERIVED from the record ``id``. The fixture therefore emits
+# ``{id, spo2_percentage: {average}, breathing_disturbance_index}``
+# with the day embedded only in the id, matching the draft warehouse
+# columns in t.json (daily_spo2__id / __spo2_percentage /
+# __breathing_disturbance_index / __spo2_percentage__average).
+
+
+def fetch_spo2(start: dt.date, end: dt.date) -> list[dict]:
+    """daily_spo2 fetch: one id-keyed record per PRESENT day, no
+    ``day`` field (id_day). Shares the sha256 presence/value derivation
+    with the DAILY fixtures so the oracle regenerates every cell."""
+    out = []
+    day = start
+    while day <= end:
+        ds = day.isoformat()
+        if day_present("daily_spo2", ds):
+            out.append(
+                {
+                    "id": f"daily_spo2-{ds}",
+                    "spo2_percentage": {
+                        "average": _full_value(
+                            "metric", "daily_spo2", ds, "spo2_percentage.average"
+                        )
+                    },
+                    "breathing_disturbance_index": _full_value(
+                        "metric", "daily_spo2", ds, "breathing_disturbance_index"
+                    ),
+                }
+            )
+        day += dt.timedelta(days=1)
+    return out
+
+
+SPO2_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField(
+            "spo2_percentage",
+            StructType([StructField("average", DoubleType())]),
+        ),
+        StructField("breathing_disturbance_index", DoubleType()),
+    ]
+)
+
+
+def fetch_spo2_df(spark: SparkSession, start: dt.date, end: dt.date) -> DataFrame:
+    return spark.createDataFrame(fetch_spo2(start, end), SPO2_SCHEMA)
+
+
 WORKOUT_SCHEMA = StructType(
     [
         StructField("id", StringType()),

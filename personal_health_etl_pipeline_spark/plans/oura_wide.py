@@ -255,3 +255,85 @@ FROM base ORDER BY day, workout__id
 
 
 J16_ORACLE = _workout_oracle()
+
+
+# --- SPECIAL transform: daily_spo2 (id_day) ----------------------------
+
+SPO2_SCHEMA_PATH = (
+    Path(__file__).resolve().parent.parent / "schemas" / "oura" / "oura_spo2.json"
+)
+
+
+def j17_spo2_id_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``id_day`` SPECIAL path the reference declares but leaves
+    FIXME (reference ``constants.py:44-48`` registers ``daily_spo2``
+    with ``special_params={'id_day': True}``; ``extract.py:128`` is the
+    TODO): the wire record has NO ``day`` column, so the incremental
+    date key is DERIVED from the record id (F6 regex-extract + F2
+    cast). The warehouse columns follow the reference's draft
+    ``t.json`` exactly — it keeps BOTH the C4-stringified
+    ``spo2_percentage`` object (STRING) and the F1-flattened
+    ``__average`` leaf (FLOAT64), so this entry produces both from the
+    one nested struct. Aligned to the shipped declared schema (C5) and
+    certified under the value hash, including which days are MISSING
+    from the source."""
+    from pyspark.sql import functions as F
+
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        fetch_spo2_df,
+    )
+    from personal_health_etl_pipeline_spark.schema import align_to_schema
+
+    raw = fetch_spo2_df(spark, J15_START, J15_END)
+    keyed = raw.withColumn(
+        "day",
+        F.to_date(F.regexp_extract("id", r"(\d{4}-\d{2}-\d{2})$", 1)),
+    )
+    proj = keyed.select(
+        "day",
+        F.col("id").alias("daily_spo2__id"),
+        # C4: the residual object stringified with a FIXED numeric
+        # format (two decimals — the fixture's metric granularity) so
+        # the serialization is engine-portable byte-for-byte
+        F.format_string(
+            '{"average":%.2f}', F.col("spo2_percentage.average")
+        ).alias("daily_spo2__spo2_percentage"),
+        F.col("breathing_disturbance_index").alias(
+            "daily_spo2__breathing_disturbance_index"
+        ),
+        F.col("spo2_percentage.average").alias(
+            "daily_spo2__spo2_percentage__average"
+        ),
+    )
+    return align_to_schema(proj, load_json_schema(SPO2_SCHEMA_PATH)).orderBy(
+        "day"
+    )
+
+
+def _spo2_oracle() -> str:
+    avg = _h_sql("daily_spo2", "spo2_percentage.average")
+    bdi = _h_sql("daily_spo2", "breathing_disturbance_index")
+    return f"""
+WITH days AS (
+  SELECT CAST(d AS DATE) AS day,
+         strftime(CAST(d AS DATE), '%Y-%m-%d') AS ds
+  FROM generate_series(DATE '{J15_START.isoformat()}',
+                       DATE '{J15_END.isoformat()}', INTERVAL 1 DAY) t(d)
+),
+base AS (
+  SELECT day, ds FROM days
+  WHERE {_h_sql("daily_spo2", "presence")} % 10 > 0
+)
+SELECT day,
+       'daily_spo2-' || ds AS daily_spo2__id,
+       printf('{{"average":%.2f}}', CAST({avg} % 10000 AS DOUBLE) / 100)
+           AS daily_spo2__spo2_percentage,
+       CAST({bdi} % 10000 AS DOUBLE) / 100
+           AS daily_spo2__breathing_disturbance_index,
+       CAST({avg} % 10000 AS DOUBLE) / 100
+           AS daily_spo2__spo2_percentage__average
+FROM base ORDER BY day
+"""
+
+
+J17_ORACLE = _spo2_oracle()

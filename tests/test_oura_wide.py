@@ -98,6 +98,32 @@ def test_j16_schema_and_day_derivation(spark, sf_dir):
         assert r["day"] == r["workout__start_datetime"].date()
 
 
+def test_j17_day_derived_from_id_only(spark, sf_dir):
+    """id_day semantics (ref constants.py:44-48): the wire record has
+    no day column; the date key comes from the id."""
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import fetch_spo2
+    from personal_health_etl_pipeline_spark.plans.oura_wide import (
+        SPO2_SCHEMA_PATH,
+        j17_spo2_id_day,
+    )
+
+    recs = fetch_spo2(J15_START, J15_START + dt.timedelta(days=9))
+    assert recs and all("day" not in r for r in recs)  # wire has no day
+
+    df = j17_spo2_id_day(spark, sf_dir)
+    declared = json.loads(SPO2_SCHEMA_PATH.read_text())
+    assert [f.name for f in df.schema.fields] == [f["name"] for f in declared]
+    rows = df.collect()
+    assert rows
+    for r in rows[:20]:
+        assert r["daily_spo2__id"] == f"daily_spo2-{r['day'].isoformat()}"
+        # draft t.json keeps both the stringified object and the leaf
+        assert (
+            r["daily_spo2__spo2_percentage"]
+            == '{"average":%.2f}' % r["daily_spo2__spo2_percentage__average"]
+        )
+
+
 def test_daily_full_records_cover_spec():
     for t, spec in OURA_DAILY_FULL.items():
         recs = fetch_daily_full(t, J15_START, J15_START + dt.timedelta(days=14))
