@@ -577,7 +577,10 @@ _HEAD = [
     "q6_revenue_delta",
     "q7_nation_trade_volume",
     "q8_market_share",
-    "q9_product_profit",
+    # (b, late-r6) ann_pq_external_topk now probes the shared persisted
+    # index (impl changed -> head, displacing one of the nine stale
+    # q-entries; q9 rotates into the r7 head instead)
+    "ann_pq_external_topk",
     "q22_idle_rich_customers",
     "f5_date_range_explode",
     "w1_rolling_7day_revenue",
