@@ -226,6 +226,50 @@ def dedup_groups(
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: ``(node, dist)`` with the MINIMUM hop count
+    from any seed, bounded at ``max_hops`` levels.
+
+    Frontier-expansion shape (the Pregel iteration as DataFrame ops):
+    each round equi-joins the CURRENT frontier to the edge list, strips
+    already-visited nodes with an anti-join against the accumulated
+    distance table, and checkpoints the (bounded, shrinking) frontier so
+    lineage stays linear — the same per-round materialization discipline
+    as :func:`operators.pagerank.pagerank`. Work per round is one
+    shuffle join on the edge key + one anti-join on node; the frontier
+    monotonically shrinks once the reachable set saturates (an empty
+    frontier short-circuits the remaining rounds). Nothing driver-side
+    but the loop counter and the per-round empty-check — distances never
+    leave the cluster.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    frontier = (
+        seeds.select(F.col(node).alias("_n")).distinct().localCheckpoint(eager=True)
+    )
+    dist = frontier.withColumn("_dist", F.lit(0))
+    for level in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["_n"] == e["_s"])
+            .select(F.col("_d").alias("_n"))
+            .distinct()
+        )
+        fresh = reached.join(
+            dist.select("_n"), "_n", "left_anti"
+        ).localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            break
+        dist = dist.unionByName(fresh.withColumn("_dist", F.lit(level)))
+        frontier = fresh
+    return dist.select(F.col("_n").alias(node), F.col("_dist").alias("dist"))
+
+
 def triangle_counts(
     pairs: DataFrame,
     src: str = "id_a",

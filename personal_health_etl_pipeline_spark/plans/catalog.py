@@ -267,6 +267,9 @@ register(
 # NEW r6 TAIL (r7 certification window): the id_day SPECIAL transform
 # the reference leaves FIXME (constants.py:44-48, extract.py:128)
 register("j17_spo2_id_day", ow.j17_spo2_id_day, ow.J17_ORACLE)
+# NEW r6 TAIL: multi-source BFS reachability (frontier expansion with
+# anti-join visited set; depth-bounded recursive-CTE oracle)
+register("graph_bfs_hops", gr.graph_bfs_hops, gr.GRAPH_BFS_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

@@ -124,6 +124,75 @@ ORDER BY rank_micro DESC, node_type, key
 """
 
 
+# --- multi-source BFS over the transaction graph -----------------------
+
+BFS_MAX_HOPS = 3
+BFS_SEED_MOD = 25
+BFS_SEED_RES = 3
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop distance from a seed set of suppliers
+    (``s_suppkey % 25 == 3``) to every node of the bipartite
+    customer-supplier graph, bounded at 3 hops — the reachability /
+    blast-radius primitive (``operators/graph.py:bfs_hops``). BFS
+    level IS the minimum distance, so the oracle can recompute it as a
+    depth-bounded recursive traversal and take MIN per node: hash
+    equality certifies the frontier/anti-join bookkeeping loses no
+    node and never revisits one at a longer distance."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    seeds = supp.where(
+        F.col("s_suppkey") % BFS_SEED_MOD == BFS_SEED_RES
+    ).select((F.col("s_suppkey") * 2).alias("node"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2 + 1).alias("c_node"),
+            (F.col("l_suppkey") * 2).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+    from personal_health_etl_pipeline_spark.operators.graph import bfs_hops
+
+    d = bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS)
+    return d.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("key"),
+        "dist",
+    ).orderBy("dist", "node_type", "key")
+
+
+# UNION (not UNION ALL) in the recursive CTE: DuckDB's recursive UNION
+# feeds each iteration only the rows NOT seen before, so the working
+# set is bounded by (nodes x levels) pairs, never path enumeration —
+# the dense transaction graph would make UNION ALL combinatorial.
+GRAPH_BFS_ORACLE = rf"""
+WITH RECURSIVE {_EDGES_CTE},
+walk(node, dist) AS (
+  SELECT DISTINCT s_suppkey * 2 AS node, 0 AS dist
+  FROM supplier WHERE s_suppkey % {BFS_SEED_MOD} = {BFS_SEED_RES}
+  UNION
+  SELECT e.dst AS node, w.dist + 1 AS dist
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {BFS_MAX_HOPS}
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+       node // 2 AS key,
+       MIN(dist) AS dist
+FROM walk GROUP BY node
+ORDER BY dist, node_type, key
+"""
+
+
 # --- triangle counting over the part co-occurrence graph ---------------
 
 TRI_MIN_ORDERS = 2

@@ -224,3 +224,34 @@ class TestTriangleCounts:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestBfsHops:
+    def test_min_distance_and_unreached_excluded(self, spark):
+        from personal_health_etl_pipeline_spark.operators.graph import bfs_hops
+
+        # directed: 1->2->3->4->5 chain plus shortcut 1->4; island 99
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (98, 99)],
+            "src long, dst long",
+        )
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {
+            r.node: r.dist
+            for r in bfs_hops(edges, seeds, max_hops=3).collect()
+        }
+        # 4 is reached at dist 1 via the shortcut, NOT dist 3; 5 at 2;
+        # the island never appears
+        assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}
+
+    def test_frontier_short_circuits_on_saturation(self, spark):
+        from personal_health_etl_pipeline_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        seeds = spark.createDataFrame([(1,)], "node long")
+        # max_hops far beyond the graph diameter: loop must stop early
+        got = {
+            r.node: r.dist
+            for r in bfs_hops(edges, seeds, max_hops=50).collect()
+        }
+        assert got == {1: 0, 2: 1}
