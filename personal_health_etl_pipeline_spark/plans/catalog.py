@@ -270,6 +270,9 @@ register("j17_spo2_id_day", ow.j17_spo2_id_day, ow.J17_ORACLE)
 # NEW r6 TAIL: multi-source BFS reachability (frontier expansion with
 # anti-join visited set; depth-bounded recursive-CTE oracle)
 register("graph_bfs_hops", gr.graph_bfs_hops, gr.GRAPH_BFS_ORACLE)
+# NEW r6 TAIL: exponential smoothing under the hash gate (exact-by-
+# construction float math: integer cents, 1/2 decay, Horner frames)
+register("ts5_ewma_halflife", ts.ts5_ewma_halflife, ts.TS5_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

@@ -410,3 +410,75 @@ SELECT t.day, CAST(isodow(t.day) - 1 AS INT) AS dow, t.rev_cents,
 FROM trended t LEFT JOIN seas s ON s.dow = isodow(t.day) - 1
 ORDER BY t.day
 """
+
+
+# --- ts5: exponentially weighted moving average ------------------------
+
+EWMA_WINDOW = 20  # decay 1/2 per step, truncated at 20 observations
+
+
+def ts5_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values, decay 1/2 per observation,
+    truncated at the trailing ``EWMA_WINDOW`` rows — exponential
+    smoothing as a pure window expression, no recursion and no UDF.
+
+    Why it is HASH-certifiable despite being float math: values are
+    first fixed to integer cents, the decay is exactly 1/2, and the
+    smoothing sum is evaluated by Horner's rule (``acc/2 + x``) whose
+    intermediates are all multiples of 2^-19 bounded well under 2^53 —
+    every step is EXACT in IEEE double, in any engine, in any
+    evaluation order the frame imposes. The only rounding op is the
+    final normalization divide (one IEEE division with identical
+    operands on both sides). Truncation is what buys exactness: an
+    unbounded EWMA's 2^-1000 tails underflow and round.
+
+    Scale shape: one shuffle on user_id; the frame materializes at most
+    20 doubles per row. The window order (ts, event_id) is total, so
+    the collect_list frame content is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    vs = F.collect_list(
+        F.expr("CAST(CAST(round(value * 100, 0) AS BIGINT) AS DOUBLE)")
+    ).over(w)
+    base = ev.select("event_id", "user_id", vs.alias("vs"))
+    num = F.expr("aggregate(vs, CAST(0 AS DOUBLE), (acc, x) -> acc / 2 + x)")
+    wsum = F.lit(2.0) - F.lit(1.0) / F.pow(
+        F.lit(2.0), (F.size("vs") - F.lit(1)).cast("double")
+    )
+    return (
+        base.select(
+            "event_id",
+            "user_id",
+            F.size("vs").alias("n_obs"),
+            (num / wsum).alias("ewma_cents"),
+        )
+        .orderBy("event_id")
+    )
+
+
+TS5_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS cents
+  FROM events
+),
+win AS (
+  SELECT event_id, user_id,
+         list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS vs
+  FROM base
+)
+SELECT event_id, user_id,
+       CAST(len(vs) AS INT) AS n_obs,
+       list_reduce(vs, (acc, x) -> acc / 2 + x)
+         / (2 - 1 / power(2, CAST(len(vs) - 1 AS DOUBLE))) AS ewma_cents
+FROM win ORDER BY event_id
+"""

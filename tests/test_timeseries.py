@@ -91,3 +91,28 @@ class TestRollingZscore:
         by = {(r.k, r.day): r.roll_mean for r in out}
         assert by[("a", D(2024, 1, 2))] == round(150 / 100.0, 6)
         assert by[("b", D(2024, 1, 2))] == round(1.5 / 100.0, 6)
+
+
+def test_ts5_ewma_hand_computed(spark, sf_dir):
+    """EWMA with decay 1/2: [100, 200, 400] cents -> last row
+    (100/4 + 200/2 + 400) / (1 + 1/2 + 1/4)."""
+    from personal_health_etl_pipeline_spark.plans.temporal_surface import (
+        ts5_ewma_halflife,
+    )
+    import datetime as dt
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="ts5_")
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), 7, "view", v, "{}")
+        for i, v in ((0, 1.00), (1, 2.00), (2, 4.00))
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{root}/events.parquet")
+    got = {r.event_id: r for r in ts5_ewma_halflife(spark, root).collect()}
+    assert got[0].n_obs == 1 and got[0].ewma_cents == 100.0
+    assert got[1].ewma_cents == (100 / 2 + 200) / 1.5
+    assert got[2].ewma_cents == (100 / 4 + 200 / 2 + 400) / 1.75
