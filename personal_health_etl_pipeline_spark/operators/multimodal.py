@@ -265,6 +265,72 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_frames, FRAMES_SCHEMA)
 
 
+# --- audio analysis windows ------------------------------------------
+
+AUDIO_WINDOW = 16  # samples per analysis window (== one payload block)
+
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("window_index", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def audio_window_energy(
+    media: DataFrame, window: int = AUDIO_WINDOW
+) -> DataFrame:
+    """Per-window energy/peak over audio payloads — the windowed
+    feature-extraction shape (RMS/VAD front ends) as a one-to-many
+    mapInPandas: samples are the payload's unsigned bytes, each window
+    emits (sum of squares, max) as EXACT integers, so the output is
+    hash-certifiable with no float formatting concerns.
+
+    The audio filter runs on the typed ``meta`` column BEFORE the UDF,
+    so non-audio binary never crosses the Arrow boundary — at 100 TB
+    the predicate prunes the transfer, not just the compute. Inside the
+    batch the per-window reduction is vectorized numpy (a reshape +
+    axis-sum), not a Python loop over samples."""
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+                _, _, _, _, payload = _parse_fake(bytes(blob))
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n_win = (len(arr) + window - 1) // window
+                # zero-pad the ragged tail and reduce per-row: pads are
+                # 0, so energy and (unsigned) peak are unaffected
+                m = np.pad(arr, (0, n_win * window - len(arr))).reshape(
+                    n_win, window
+                )
+                lens = np.full(n_win, window, dtype=np.int64)
+                lens[-1] = len(arr) - (n_win - 1) * window
+                energies = (m * m).sum(axis=1)
+                peaks = m.max(axis=1)
+                for wi in range(n_win):
+                    out.append(
+                        (
+                            media_id,
+                            wi,
+                            int(lens[wi]),
+                            int(energies[wi]),
+                            int(peaks[wi]),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_ENERGY_SCHEMA.fields]
+            )
+
+    audio = media.where(F.col("meta.media_type") == "audio")
+    return audio.select("media_id", "content").mapInPandas(
+        _energy, AUDIO_ENERGY_SCHEMA
+    )
+
+
 # --- oracle-checkable byte stats over text-derived binary -------------
 
 BYTE_STATS_SCHEMA = StructType(

@@ -273,6 +273,9 @@ register("graph_bfs_hops", gr.graph_bfs_hops, gr.GRAPH_BFS_ORACLE)
 # NEW r6 TAIL: exponential smoothing under the hash gate (exact-by-
 # construction float math: integer cents, 1/2 decay, Horner frames)
 register("ts5_ewma_halflife", ts.ts5_ewma_halflife, ts.TS5_ORACLE)
+# NEW r6 TAIL: windowed audio feature extraction (typed-meta predicate
+# prunes the Arrow transfer; exact-integer energy/peak per window)
+register("mm_audio_energy", llm.mm_audio_energy, llm.MM_AUDIO_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

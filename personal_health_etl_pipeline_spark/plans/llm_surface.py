@@ -930,6 +930,53 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MM_AUDIO_N = 300
+
+
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio analysis over the binary column: audio items
+    only (the typed-meta predicate prunes the Arrow transfer BEFORE
+    bytes reach Python), payload bytes as unsigned samples, one row
+    per 16-sample window carrying exact-integer energy (sum of
+    squares) and peak (``operators/multimodal.py:audio_window_energy``
+    — vectorized one-to-many mapInPandas). The oracle re-derives every
+    window from the md5 payload chain: the hex pair at offset i IS
+    sample i, so energy and peak are recomputable in pure SQL."""
+    from personal_health_etl_pipeline_spark.operators import multimodal as MM
+
+    media = MM.synth_media_df(spark, n=MM_AUDIO_N)
+    return MM.audio_window_energy(media).orderBy("media_id", "window_index")
+
+
+# audio items are media_id % 3 == 1 with n_frames = 4 + id % 5 frames of
+# 16 bytes; AUDIO_WINDOW == 16 means window w covers exactly frame w's
+# digest, so the oracle walks (media_id, frame) pairs and parses hex
+MM_AUDIO_ORACLE = f"""
+WITH ids AS (SELECT unnest(range({MM_AUDIO_N})) AS media_id),
+aud AS (
+  SELECT media_id, 4 + media_id % 5 AS n_frames
+  FROM ids WHERE media_id % 3 = 1
+),
+wins AS (
+  SELECT media_id, CAST(f AS BIGINT) AS window_index,
+         md5('media|' || media_id || chr(CAST(f AS INTEGER))) AS hx
+  FROM aud, range(0, 9) r(f) WHERE f < n_frames
+),
+samples AS (
+  SELECT media_id, window_index,
+         list_transform(range(0, 16), i ->
+           CAST(('0x' || substr(hx, CAST(2 * i + 1 AS INTEGER), 2))
+                AS BIGINT)) AS bs
+  FROM wins
+)
+SELECT media_id, window_index,
+       CAST(16 AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(bs, b -> b * b)) AS BIGINT) AS energy,
+       CAST(list_max(bs) AS BIGINT) AS peak
+FROM samples ORDER BY media_id, window_index
+"""
+
+
 # n_frames <= 8 (image: 1, audio/video: 4 + id % 5), so a constant
 # range(0, 9) + "f < n_frames" replaces the lateral range DuckDB lacks
 MM_FRAME_SAMPLE_ORACLE = """

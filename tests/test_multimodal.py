@@ -107,3 +107,28 @@ class TestByteStats:
             assert (r.n_bytes, r.byte_sum, r.distinct_bytes) == (
                 len(b), sum(b), len(set(b))
             )
+
+
+def test_audio_window_energy_ragged_and_filtered(spark):
+    from personal_health_etl_pipeline_spark.operators.multimodal import (
+        audio_window_energy,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=12)
+    # window=24 does not divide the 16-byte frames: tails are ragged
+    rows = audio_window_energy(media, window=24).collect()
+    assert rows
+    # only audio ids (media_id % 3 == 1) appear
+    assert {r.media_id % 3 for r in rows} == {1}
+    for r in rows:
+        assert 1 <= r.n_samples <= 24
+        assert 0 <= r.peak <= 255
+        # energy is bounded by n_samples * 255^2 and >= peak^2
+        assert r.peak * r.peak <= r.energy <= r.n_samples * 255 * 255
+    # per-item sample counts must add back up to the payload length
+    by_item = {}
+    for r in rows:
+        by_item[r.media_id] = by_item.get(r.media_id, 0) + r.n_samples
+    for mid, total in by_item.items():
+        assert total == (4 + mid % 5) * 16
