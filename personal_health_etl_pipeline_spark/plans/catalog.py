@@ -276,6 +276,9 @@ register("ts5_ewma_halflife", ts.ts5_ewma_halflife, ts.TS5_ORACLE)
 # NEW r6 TAIL: windowed audio feature extraction (typed-meta predicate
 # prunes the Arrow transfer; exact-integer energy/peak per window)
 register("mm_audio_energy", llm.mm_audio_energy, llm.MM_AUDIO_ORACLE)
+# NEW r6 TAIL: mergeable-sketch set algebra (KMV union merge +
+# Jaccard-scaled intersection, exact audit columns alongside)
+register("sketch_kmv_set_ops", sk.sketch_kmv_set_ops, sk.SKETCH_KMV_SET_OPS_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

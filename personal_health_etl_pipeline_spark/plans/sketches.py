@@ -641,3 +641,136 @@ FROM ndv n JOIN (
 ) x USING (event_type)
 ORDER BY n.event_type
 """
+
+
+# --- KMV set operations: union / intersection estimates ----------------
+
+SETOPS_K = 64  # small enough that the estimator path engages at sf0.01
+
+
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user UNION and INTERSECTION estimates for every pair of
+    event types, from merged KMV sketches — the mergeable-sketch
+    algebra (theta-sketch style) that lets 1000 executors each keep
+    O(k) state and still answer audience-overlap queries: union = the
+    k smallest hashes of the combined streams (KMV merge is just
+    re-min-ing), intersection = the Jaccard fraction OF THE UNION
+    SKETCH scaled by the union estimate. Exact counts ride along so
+    the output audits its own error.
+
+    One distinct pass per (type, user), one broadcast of the tiny type-
+    pair table, one shuffle on (pair, hash), one rank window, one
+    groupBy — nothing driver-side. Estimate arithmetic is the same
+    integer->double->floor recipe as ``sketch_kmv_distinct``, so every
+    value hash-matches DuckDB."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(
+        "event_type", md5_long("user_id").alias("h")
+    ).distinct()
+    types = d.select("event_type").distinct()
+    pairs = (
+        types.alias("x")
+        .join(
+            types.alias("y"),
+            F.col("x.event_type") < F.col("y.event_type"),
+        )
+        .select(
+            F.col("x.event_type").alias("ta"),
+            F.col("y.event_type").alias("tb"),
+        )
+    )
+    sides = (
+        F.broadcast(pairs)
+        .join(d, F.col("event_type") == F.col("ta"))
+        .select("ta", "tb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            F.broadcast(pairs)
+            .join(d, F.col("event_type") == F.col("tb"))
+            .select(
+                "ta", "tb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+    )
+    grp = sides.groupBy("ta", "tb", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("h")
+    ranked = grp.withColumn("rn", F.row_number().over(w))
+    sk = F.col("rn") <= SETOPS_K
+    agg = ranked.groupBy("ta", "tb").agg(
+        F.sum(F.when(sk, 1).otherwise(0)).alias("n_mins"),
+        F.max(F.when(sk, F.col("h"))).alias("kth_min"),
+        F.sum(F.when(sk & (F.col("in_a") + F.col("in_b") == 2), 1).otherwise(0)).alias("n_both_sk"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum((F.col("in_a") + F.col("in_b") == 2).cast("int")).alias(
+            "exact_inter"
+        ),
+    )
+    est_union_d = (F.lit(SETOPS_K - 1) * F.lit(_H_DOMAIN)) / F.col(
+        "kth_min"
+    ).cast("double")
+    full = F.col("n_mins") < SETOPS_K  # sketch holds the whole union
+    return agg.select(
+        "ta",
+        "tb",
+        F.when(full, F.col("n_mins"))
+        .otherwise(F.floor(est_union_d).cast("bigint"))
+        .alias("est_union"),
+        F.when(full, F.col("n_both_sk"))
+        .otherwise(
+            F.floor(
+                F.col("n_both_sk").cast("double")
+                * est_union_d
+                / F.lit(float(SETOPS_K))
+            ).cast("bigint")
+        )
+        .alias("est_inter"),
+        "exact_union",
+        F.col("exact_inter").cast("bigint").alias("exact_inter"),
+    ).orderBy("ta", "tb")
+
+
+SKETCH_KMV_SET_OPS_ORACLE = rf"""
+WITH d AS (
+  SELECT DISTINCT event_type, {duckdb_md5_long("user_id")} AS h FROM events
+),
+types AS (SELECT DISTINCT event_type FROM d),
+pairs AS (
+  SELECT x.event_type AS ta, y.event_type AS tb
+  FROM types x JOIN types y ON x.event_type < y.event_type
+),
+grp AS (
+  SELECT p.ta, p.tb, d.h,
+         MAX(CASE WHEN d.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN d.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN d ON d.event_type IN (p.ta, p.tb)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+  FROM grp
+),
+agg AS (
+  SELECT ta, tb,
+         SUM(CASE WHEN rn <= {SETOPS_K} THEN 1 ELSE 0 END) AS n_mins,
+         MAX(CASE WHEN rn <= {SETOPS_K} THEN h END) AS kth_min,
+         SUM(CASE WHEN rn <= {SETOPS_K} AND in_a + in_b = 2 THEN 1
+                  ELSE 0 END) AS n_both_sk,
+         COUNT(*) AS exact_union,
+         SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) AS exact_inter
+  FROM ranked GROUP BY 1, 2
+)
+SELECT ta, tb,
+       CAST(CASE WHEN n_mins < {SETOPS_K} THEN n_mins
+            ELSE FLOOR({SETOPS_K - 1} * {_H_DOMAIN!r} / CAST(kth_min AS DOUBLE))
+            END AS BIGINT) AS est_union,
+       CAST(CASE WHEN n_mins < {SETOPS_K} THEN n_both_sk
+            ELSE FLOOR(CAST(n_both_sk AS DOUBLE)
+                       * ({SETOPS_K - 1} * {_H_DOMAIN!r}
+                          / CAST(kth_min AS DOUBLE))
+                       / {float(SETOPS_K)!r})
+            END AS BIGINT) AS est_inter,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       CAST(exact_inter AS BIGINT) AS exact_inter
+FROM agg ORDER BY ta, tb
+"""

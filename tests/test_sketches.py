@@ -79,3 +79,35 @@ class TestBigramLogprob:
         }
         fluent = sum(v for k, v in out.items() if k != 99) / 20
         assert out[99] < fluent, (out[99], fluent)
+
+
+def test_kmv_set_ops_partial_overlap(spark):
+    """A=users 0..99, B=users 50..149: union 150, intersection 50.
+    With k=64 the estimator path engages; estimates must land within
+    the KMV error envelope (~1/sqrt(k) ~ 12.5%, allow 3x)."""
+    import datetime as dt
+    import tempfile
+
+    from personal_health_etl_pipeline_spark.plans.sketches import (
+        sketch_kmv_set_ops,
+    )
+
+    root = tempfile.mkdtemp(prefix="kmvso_")
+    rows = []
+    eid = 0
+    for u in range(100):
+        rows.append((eid, dt.datetime(2024, 1, 1), u, "a", 1.0, "{}")); eid += 1
+    for u in range(50, 150):
+        rows.append((eid, dt.datetime(2024, 1, 1), u, "b", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{root}/events.parquet")
+    out = sketch_kmv_set_ops(spark, root).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.ta, r.tb) == ("a", "b")
+    assert r.exact_union == 150 and r.exact_inter == 50
+    assert abs(r.est_union - 150) <= 0.375 * 150
+    assert abs(r.est_inter - 50) <= 0.375 * 150  # error scales with union
