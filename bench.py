@@ -87,6 +87,11 @@ HEADLINE = (
     "ann_pq_persisted_probe",
     "text_bm25_topk",
     "dedup_setsim_prefix",
+    # round-6 tail: the new operator families of the r7 window
+    "graph_bfs_hops",
+    "ts5_ewma_halflife",
+    "sketch_kmv_set_ops",
+    "mm_audio_energy",
 )
 
 
