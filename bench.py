@@ -87,11 +87,14 @@ HEADLINE = (
     "ann_pq_persisted_probe",
     "text_bm25_topk",
     "dedup_setsim_prefix",
-    # round-6 tail: the new operator families of the r7 window
+    # round-6 tail: the new operator families of the r7 window.
+    # mm_audio_energy stays OUT like the other synth-media entries
+    # (fixed 300-item fixture — nothing scales; mm_byte_stats is the
+    # family's bench representative over a real table)
     "graph_bfs_hops",
     "ts5_ewma_halflife",
     "sketch_kmv_set_ops",
-    "mm_audio_energy",
+    "text_phrase_topk",
 )
 
 

@@ -233,6 +233,7 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     node: str = "node",
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Multi-source BFS: ``(node, dist)`` with the MINIMUM hop count
     from any seed, bounded at ``max_hops`` levels.
@@ -249,7 +250,15 @@ def bfs_hops(
     but the loop counter and the per-round empty-check — distances never
     leave the cluster.
     """
+    # every round's expansion scans the edge list — materialize the
+    # (possibly expensive) upstream edge derivation once, or round k
+    # recomputes it k times (measured 6.4s -> 3.2s at sf0.1 on the
+    # transaction graph, whose edges are a join + distinct). Callers
+    # that pass an already-materialized frame (a session-memoized edge
+    # artifact) opt out via materialize_edges=False.
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if materialize_edges:
+        e = e.localCheckpoint(eager=True)
     frontier = (
         seeds.select(F.col(node).alias("_n")).distinct().localCheckpoint(eager=True)
     )
@@ -263,7 +272,9 @@ def bfs_hops(
         fresh = reached.join(
             dist.select("_n"), "_n", "left_anti"
         ).localCheckpoint(eager=True)
-        if fresh.isEmpty():
+        # the empty-check is one extra tiny job per round; the LAST
+        # round's result needs no check (the loop ends either way)
+        if level < max_hops and fresh.isEmpty():
             break
         dist = dist.unionByName(fresh.withColumn("_dist", F.lit(level)))
         frontier = fresh

@@ -279,6 +279,9 @@ register("mm_audio_energy", llm.mm_audio_energy, llm.MM_AUDIO_ORACLE)
 # NEW r6 TAIL: mergeable-sketch set algebra (KMV union merge +
 # Jaccard-scaled intersection, exact audit columns alongside)
 register("sketch_kmv_set_ops", sk.sketch_kmv_set_ops, sk.SKETCH_KMV_SET_OPS_ORACLE)
+# NEW r6 TAIL: positional phrase search (lead-window trigram index,
+# broadcast winner probe)
+register("text_phrase_topk", llm.text_phrase_topk, llm.TEXT_PHRASE_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

@@ -131,19 +131,18 @@ BFS_SEED_MOD = 25
 BFS_SEED_RES = 3
 
 
-def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shortest hop distance from a seed set of suppliers
-    (``s_suppkey % 25 == 3``) to every node of the bipartite
-    customer-supplier graph, bounded at 3 hops — the reachability /
-    blast-radius primitive (``operators/graph.py:bfs_hops``). BFS
-    level IS the minimum distance, so the oracle can recompute it as a
-    depth-bounded recursive traversal and take MIN per node: hash
-    equality certifies the frontier/anti-join bookkeeping loses no
-    node and never revisits one at a longer distance."""
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
-    seeds = supp.where(
-        F.col("s_suppkey") % BFS_SEED_MOD == BFS_SEED_RES
-    ).select((F.col("s_suppkey") * 2).alias("node"))
+_TXN_EDGES_MEMO: dict = {}
+
+
+def _txn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bipartite transaction edge list, materialized once per
+    (session, corpus) — the same static-structure artifact discipline
+    as ``_PR_GRAPH_MEMO``: graph STRUCTURE is built once, traversals
+    run per call against it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _TXN_EDGES_MEMO.get(key)
+    if memo is not None:
+        return memo
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -154,14 +153,41 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(
-        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    edges = (
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
     )
+    _TXN_EDGES_MEMO[key] = edges
+    return edges
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop distance from a seed set of suppliers
+    (``s_suppkey % 25 == 3``) to every node of the bipartite
+    customer-supplier graph, bounded at 3 hops — the reachability /
+    blast-radius primitive (``operators/graph.py:bfs_hops``). BFS
+    level IS the minimum distance, so the oracle can recompute it as a
+    depth-bounded recursive traversal and take MIN per node: hash
+    equality certifies the frontier/anti-join bookkeeping loses no
+    node and never revisits one at a longer distance. The edge list is
+    the session-memoized structure artifact (:func:`_txn_edges`)."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    seeds = supp.where(
+        F.col("s_suppkey") % BFS_SEED_MOD == BFS_SEED_RES
+    ).select((F.col("s_suppkey") * 2).alias("node"))
     from personal_health_etl_pipeline_spark.operators.graph import bfs_hops
 
-    d = bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS)
+    d = bfs_hops(
+        _txn_edges(spark, sf_dir),
+        seeds,
+        max_hops=BFS_MAX_HOPS,
+        materialize_edges=False,
+    )
     return d.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier"))
         .otherwise(F.lit("customer"))

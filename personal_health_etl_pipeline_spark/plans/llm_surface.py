@@ -1787,3 +1787,77 @@ SELECT CAST(i AS BIGINT) AS keeper_media_id,
 FROM range(0, 100) t(i)
 ORDER BY keeper_media_id
 """
+
+
+# --- positional phrase search -----------------------------------------
+
+def text_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positional-index phrase query: find the corpus's most
+    frequent word trigram and EVERY (doc, position) it occurs at —
+    phrase search as pure DataFrame ops, no index library.
+
+    Shape: posexplode to (doc, pos, word), lead(1)/lead(2) over the
+    per-doc position window to materialize trigram occurrences (ONE
+    doc_id shuffle — the window variant of a positional self-join,
+    which would shuffle three times), checkpoint that occurrence frame
+    (both the count and the position fetch read it), aggregate to pick
+    the winner with a total tie order, broadcast the 1-row winner back
+    against the occurrences. At 100 TB the occurrence frame is the
+    persisted positional index; the probe stays a broadcast equi-join.
+    """
+    from pyspark.sql import Window
+
+    from personal_health_etl_pipeline_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        toks.withColumn("w2", F.lead("w", 1).over(win))
+        .withColumn("w3", F.lead("w", 2).over(win))
+        .where(F.col("w3").isNotNull())
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.concat_ws(" ", "w", "w2", "w3").alias("g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    top = (
+        tri.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .orderBy(F.col("n_total").desc(), "g")
+        .limit(1)
+    )
+    return (
+        tri.join(F.broadcast(top), "g")
+        .select(
+            F.col("g").alias("trigram"), "n_total", "doc_id", "pos"
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+TEXT_PHRASE_ORACLE = rf"""
+WITH {_TOKS_CTE},
+tris AS (
+  SELECT doc_id, CAST(p.i AS BIGINT) AS pos, p.g
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+             i -> struct_pack(i := i,
+                    g := t[CAST(i + 1 AS INT)] || ' ' ||
+                         t[CAST(i + 2 AS INT)] || ' ' ||
+                         t[CAST(i + 3 AS INT)]))) AS p
+    FROM toks) s
+),
+top AS (
+  SELECT g, COUNT(*) AS n_total FROM tris
+  GROUP BY g ORDER BY n_total DESC, g LIMIT 1
+)
+SELECT t.g AS trigram, top.n_total, t.doc_id, t.pos
+FROM tris t JOIN top ON t.g = top.g
+ORDER BY t.doc_id, t.pos
+"""

@@ -110,3 +110,28 @@ class TestZipfSlope:
         assert abs(row.zipf_slope - (-1.0)) < 0.05, row.zipf_slope
         # intercept_ln ~= ln(1200)
         assert abs(row.intercept_ln - math.log(1200)) < 0.1
+
+
+class TestPhraseTopk:
+    def test_planted_winner_and_all_positions(self, spark):
+        """Plant 'x y z' three times (twice in doc 0 — including at
+        position 0 — once in doc 1); every other trigram occurs once."""
+        import tempfile
+
+        from personal_health_etl_pipeline_spark.plans.llm_surface import (
+            text_phrase_topk,
+        )
+
+        root = tempfile.mkdtemp(prefix="phrase_")
+        docs = [
+            (0, "x y z a b x y z", "en", "s", 0),
+            (1, "c d x y z e", "en", "s", 0),
+            (2, "f g h i", "en", "s", 0),
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+        rows = text_phrase_topk(spark, root).collect()
+        assert [(r.doc_id, r.pos) for r in rows] == [(0, 0), (0, 5), (1, 2)]
+        assert all(r.trigram == "x y z" and r.n_total == 3 for r in rows)
