@@ -286,6 +286,7 @@ def triangle_counts(
     src: str = "id_a",
     dst: str = "id_b",
     assume_canonical: bool = False,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Per-node triangle participation over an undirected edge list:
     ``(node, n_triangles)`` for every node in >= 1 triangle.
@@ -317,8 +318,11 @@ def triangle_counts(
         )
     # consumed by the degree count, the orientation join and the
     # wedge-closing join — materialize once (tree-shaped plans
-    # would recompute the upstream edge construction per branch)
-    e = e.localCheckpoint(eager=True)
+    # would recompute the upstream edge construction per branch);
+    # callers holding an already-materialized edge artifact skip the
+    # second copy via materialize_edges=False
+    if materialize_edges:
+        e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))

@@ -1166,3 +1166,41 @@ SELECT event_type, cents AS mode_cents, cnt AS mode_count,
        n_distinct_values
 FROM ranked WHERE rn = 1 ORDER BY event_type
 """
+
+
+def w8_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISTINCT-count over a trailing ROWS window (the variety
+    signal behind session anomaly detection): per user, how many
+    distinct event types the last 10 events span. Spark has no
+    count_distinct window aggregate — the composition is
+    ``size(array_distinct(collect_list(...) over frame))``, one
+    user_id shuffle with a bounded 10-element frame per row.
+    Registered in the catalog TAIL (r7 window)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.size(
+                F.array_distinct(F.collect_list("event_type").over(w))
+            ).cast("bigint").alias("n_types_10"),
+        )
+        .orderBy("event_id")
+    )
+
+
+W8_ORACLE = """
+SELECT event_id, user_id,
+       CAST(len(list_distinct(list(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT)
+           AS n_types_10
+FROM events ORDER BY event_id
+"""

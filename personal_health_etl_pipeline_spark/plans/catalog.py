@@ -282,6 +282,14 @@ register("sketch_kmv_set_ops", sk.sketch_kmv_set_ops, sk.SKETCH_KMV_SET_OPS_ORAC
 # NEW r6 TAIL: positional phrase search (lead-window trigram index,
 # broadcast winner probe)
 register("text_phrase_topk", llm.text_phrase_topk, llm.TEXT_PHRASE_ORACLE)
+# NEW r6 TAIL: higher-order-lambda conventions sweep + exact windowed
+# distinct count
+register(
+    "f14_lambda_function_sweep",
+    rs.f14_lambda_function_sweep,
+    rs.F14_ORACLE,
+)
+register("w8_windowed_distinct", an.w8_windowed_distinct, an.W8_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

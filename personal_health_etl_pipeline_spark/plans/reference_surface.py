@@ -1132,3 +1132,95 @@ SELECT event_type,
        CAST(SUM(popcount) AS BIGINT) AS sum_popcount
 FROM b GROUP BY event_type ORDER BY event_type
 """
+
+
+def f14_lambda_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order-function surface in one pass over events:
+    ``exists`` / ``forall`` / ``filter`` / ``zip_with`` / indexed
+    ``transform`` / ``aggregate`` over per-row arrays — the lambda
+    machinery the dedup shingles, PQ distance tables and audio windows
+    are built from, certified directly (f12 covered the collection
+    accessors; this pins the LAMBDA evaluation conventions: 0-based
+    transform index, boolean exists/forall semantics, fold order).
+    Registered in the catalog TAIL (r7 window)."""
+    events = load_table(spark, sf_dir, "events")
+    m = events.where(F.col("event_id") % 13 == 0).select(
+        "event_type",
+        F.col("event_id").alias("eid"),
+        F.col("user_id").cast("bigint").alias("u"),
+    )
+    a = F.array(
+        F.col("u") % 10,
+        (F.col("u") / F.lit(10)).cast("bigint") % 10,
+        F.col("eid") % 10,
+        (F.col("eid") / F.lit(10)).cast("bigint") % 10,
+    )
+    b = F.array(
+        F.col("eid") % 7,
+        F.col("u") % 7,
+        (F.col("u") + F.col("eid")) % 7,
+        F.lit(3).cast("bigint"),
+    )
+    per_row = m.select(
+        "event_type",
+        F.exists(a, lambda x: x > 5).cast("int").alias("has_gt5"),
+        F.forall(a, lambda x: x < 8).cast("int").alias("all_lt8"),
+        F.size(F.filter(a, lambda x: x % 2 == 0)).alias("n_even"),
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+        F.aggregate(
+            F.transform(a, lambda x, i: x * (i + 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("wsum"),
+    )
+    return (
+        per_row.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("has_gt5").alias("n_has_gt5"),
+            F.sum("all_lt8").alias("n_all_lt8"),
+            F.sum("n_even").alias("sum_n_even"),
+            F.sum("dot").alias("sum_dot"),
+            F.sum("wsum").alias("sum_wsum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+F14_ORACLE = """
+WITH m AS (
+  SELECT event_type, event_id AS eid, CAST(user_id AS BIGINT) AS u
+  FROM events WHERE event_id % 13 = 0
+),
+arrs AS (
+  SELECT event_type,
+         [u % 10, (u // 10) % 10, eid % 10, (eid // 10) % 10] AS a,
+         [eid % 7, u % 7, (u + eid) % 7, CAST(3 AS BIGINT)] AS b
+  FROM m
+),
+per_row AS (
+  SELECT event_type,
+         CASE WHEN len(list_filter(a, x -> x > 5)) > 0 THEN 1 ELSE 0 END
+             AS has_gt5,
+         CASE WHEN len(list_filter(a, x -> NOT (x < 8))) = 0 THEN 1 ELSE 0 END
+             AS all_lt8,
+         len(list_filter(a, x -> x % 2 = 0)) AS n_even,
+         list_sum(list_transform(range(1, 5),
+             i -> a[CAST(i AS INT)] * b[CAST(i AS INT)])) AS dot,
+         list_sum(list_transform(range(1, 5),
+             i -> a[CAST(i AS INT)] * i)) AS wsum
+  FROM arrs
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(has_gt5) AS BIGINT) AS n_has_gt5,
+       CAST(SUM(all_lt8) AS BIGINT) AS n_all_lt8,
+       CAST(SUM(n_even) AS BIGINT) AS sum_n_even,
+       CAST(SUM(dot) AS BIGINT) AS sum_dot,
+       CAST(SUM(wsum) AS BIGINT) AS sum_wsum
+FROM per_row GROUP BY event_type ORDER BY event_type
+"""
