@@ -86,6 +86,7 @@ def repeated_spans(
     text_col: str = "text",
     window: int = SUBSTRING_WINDOW,
     min_docs: int = SUBSTRING_MIN_DOCS,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal cross-document repeated token spans per document:
     ``(doc_id, span_start, span_end, n_windows)`` with 1-based
@@ -104,9 +105,15 @@ def repeated_spans(
     # subtrees (the _tf_table precedent, plans/llm_surface3.py). One
     # write + two block reads beats two full hash passes (~25% at
     # sf0.1); at cluster scale the write is shuffle-class IO the
-    # recompute would pay anyway.
-    wins = token_windows(docs, id_col, text_col, window).localCheckpoint(
-        eager=True
+    # recompute would pay anyway. Callers holding a session-memoized
+    # windows artifact pass it via ``windows`` (the catalog does:
+    # the table is corpus-static, shared with the cut path).
+    wins = (
+        windows
+        if windows is not None
+        else token_windows(docs, id_col, text_col, window).localCheckpoint(
+            eager=True
+        )
     )
     dup = (
         wins.groupBy("h")
@@ -138,6 +145,8 @@ def cut_repeated_spans(
     text_col: str = "text",
     window: int = SUBSTRING_WINDOW,
     min_docs: int = SUBSTRING_MIN_DOCS,
+    windows: DataFrame | None = None,
+    token_stream: DataFrame | None = None,
 ) -> DataFrame:
     """APPLY the dedup decision: rebuild every document with its
     cross-document repeated spans cut, keeping the copy in the
@@ -157,22 +166,32 @@ def cut_repeated_spans(
     """
     # toks feeds the anti-join AND the totals groupBy; wins feeds the
     # keeper groupBy AND the cut-position join — materialize each once
-    # (see repeated_spans for why ReuseExchange cannot)
+    # (see repeated_spans for why ReuseExchange cannot). Both are
+    # corpus-static: callers with session-memoized artifacts pass them
+    # via ``windows`` / ``token_stream``.
     toks = (
-        spread(
-            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
-            min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
+        token_stream
+        if token_stream is not None
+        else (
+            spread(
+                docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+                min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
+            )
+            .select("doc_id", T.tokens(text_col).alias("t"))
+            .select(
+                "doc_id",
+                F.posexplode("t").alias("tp", "tok"),
+            )
+            .select("doc_id", F.col("tp").cast("bigint").alias("tp"), "tok")
+            .localCheckpoint(eager=True)
         )
-        .select("doc_id", T.tokens(text_col).alias("t"))
-        .select(
-            "doc_id",
-            F.posexplode("t").alias("tp", "tok"),
-        )
-        .select("doc_id", F.col("tp").cast("bigint").alias("tp"), "tok")
-        .localCheckpoint(eager=True)
     )
-    wins = token_windows(docs, id_col, text_col, window).localCheckpoint(
-        eager=True
+    wins = (
+        windows
+        if windows is not None
+        else token_windows(docs, id_col, text_col, window).localCheckpoint(
+            eager=True
+        )
     )
     keeper = (
         wins.groupBy("h")

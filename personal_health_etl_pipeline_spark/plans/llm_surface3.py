@@ -39,13 +39,55 @@ toks AS (
 
 # --- exact repeated-substring spans (Lee et al. 2021 family) ----------
 
+_SUBSTR_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _substr_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus-static substring-dedup state — the (doc, pos, hash)
+    windows table and the (doc, pos, token) stream — materialized once
+    per (session, corpus) and shared by the detect and cut entries
+    (the `_tf_table` / k-means-centroid artifact discipline)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _SUBSTR_MEMO.get(key)
+    if memo is not None:
+        return memo
+    from personal_health_etl_pipeline_spark.operators.partitioning import (
+        SKETCH_MIN_BYTES_PER_PARTITION,
+    )
+    from personal_health_etl_pipeline_spark.operators.substring import (
+        token_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wins = token_windows(docs).localCheckpoint(eager=True)
+    toks = (
+        spread(
+            docs.select("doc_id", "text"),
+            min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
+        )
+        .select("doc_id", T.tokens("text").alias("t"))
+        .select("doc_id", F.posexplode("t").alias("tp", "tok"))
+        .select("doc_id", F.col("tp").cast("bigint").alias("tp"), "tok")
+        .localCheckpoint(eager=True)
+    )
+    memo = (wins, toks)
+    _SUBSTR_MEMO[key] = memo
+    return memo
+
+
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document repeated token spans — the exact-match
     complement of MinHash whole-document dedup (catches boilerplate /
     quoted passages inside otherwise-unrelated documents). See
     ``operators/substring.py`` for the scale design (one window
-    explode, one count-distinct groupBy, no pair explosion)."""
-    return repeated_spans(load_table(spark, sf_dir, "documents"))
+    explode, one count-distinct groupBy, no pair explosion). Runs
+    against the session-memoized windows artifact."""
+    wins, _ = _substr_artifacts(spark, sf_dir)
+    return repeated_spans(
+        load_table(spark, sf_dir, "documents"), windows=wins
+    )
 
 
 _W = SUBSTRING_WINDOW
@@ -86,8 +128,14 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     al.'s remove-all-but-one). Returns the full rewritten corpus frame
     ``(doc_id, n_tokens, n_cut, cleaned_text)`` — the value hash
     certifies the positional cut logic AND the whitespace-normalized
-    reconstruction, not just the span report."""
-    return cut_repeated_spans(load_table(spark, sf_dir, "documents"))
+    reconstruction, not just the span report. Runs against the
+    session-memoized windows + token-stream artifacts."""
+    wins, toks = _substr_artifacts(spark, sf_dir)
+    return cut_repeated_spans(
+        load_table(spark, sf_dir, "documents"),
+        windows=wins,
+        token_stream=toks,
+    )
 
 
 DEDUP_SUBSTRING_CUT_ORACLE = rf"""
