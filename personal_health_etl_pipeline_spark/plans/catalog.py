@@ -290,6 +290,13 @@ register(
     rs.F14_ORACLE,
 )
 register("w8_windowed_distinct", an.w8_windowed_distinct, an.W8_ORACLE)
+# NEW r6 TAIL: token-budget selection via the two-phase global cumsum
+# (bucketed prefix offsets instead of a single-partition window)
+register(
+    "corpus_token_budget",
+    llm2.corpus_token_budget,
+    llm2.CORPUS_TOKEN_BUDGET_ORACLE,
+)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

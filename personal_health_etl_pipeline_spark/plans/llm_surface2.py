@@ -1115,3 +1115,79 @@ SELECT r AS n_terms,
              / CAST(r AS DOUBLE) / {ZIPF_SCALE}, 6) AS intercept_ln
 FROM sums
 """
+
+
+# --- token-budget-constrained selection --------------------------------
+
+TOKEN_BUDGET = 10_000  # binds at sf0.01 (~27k corpus tokens): ~180 of 500 docs kept
+_BUDGET_BUCKETS = 10
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a fixed token budget with the highest-quality documents:
+    order the corpus by quality (ties by doc_id), take documents while
+    the running token total stays within ``TOKEN_BUDGET`` — the
+    training-data budgeting op every pretraining mix ends with.
+
+    The running total is a GLOBAL cumulative sum, which naively is a
+    single-partition window (the classic scale trap — one task sorts
+    the corpus). This uses the two-phase shape instead: bucket by the
+    quality score's fixed-width decile (bucket order IS quality order,
+    so the global sort order never crosses buckets out of sequence),
+    compute per-bucket token totals (a 10-row frame), turn them into
+    per-bucket prefix OFFSETS with a window over that tiny frame, then
+    broadcast the offsets back and run the cumsum per bucket —
+    ``offset + intra-bucket running sum`` equals the global cumsum,
+    with the only global-ordered structure being 10 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        T.quality_score("text").alias("q"),
+        F.size(T.tokens("text")).cast("bigint").alias("n_tok"),
+    ).withColumn(
+        "bkt",
+        F.least(
+            F.lit(_BUDGET_BUCKETS - 1),
+            F.floor(F.col("q") * _BUDGET_BUCKETS),
+        ).cast("int"),
+    )
+    btot = scored.groupBy("bkt").agg(F.sum("n_tok").alias("btok"))
+    wb = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = btot.withColumn(
+        "offset", F.coalesce(F.sum("btok").over(wb), F.lit(0))
+    ).select("bkt", "offset")
+    w = Window.partitionBy("bkt").orderBy(F.col("q").desc(), "doc_id")
+    cum = scored.join(F.broadcast(offs), "bkt").withColumn(
+        "cum_tok", F.col("offset") + F.sum("n_tok").over(w)
+    )
+    return (
+        cum.where(F.col("cum_tok") <= TOKEN_BUDGET)
+        .select("doc_id", "n_tok", "cum_tok")
+        .orderBy("cum_tok")
+    )
+
+
+# same quality expression as TEXT_QUALITY_ORACLE (llm_surface.py)
+_Q_SQL = """ROUND(
+  0.3 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+  + 0.4 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+  + 0.3 * least((CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                 / CAST(len(t) AS DOUBLE)) / 8.0, 1.0),
+  6)"""
+
+CORPUS_TOKEN_BUDGET_ORACLE = rf"""
+WITH {_TOKS_CTE},
+scored AS (
+  SELECT doc_id, {_Q_SQL} AS q, CAST(len(t) AS BIGINT) AS n_tok FROM toks
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY q DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM scored
+)
+SELECT doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+FROM cum WHERE cum_tok <= {TOKEN_BUDGET} ORDER BY cum_tok
+"""

@@ -728,3 +728,23 @@ class TestRound6TailPlanShapes:
         )
         assert i_map < i_filter  # child (filter) prints below the UDF node
         assert "meta" not in lines[i_map]  # pruned before the transfer
+
+    def test_token_budget_cumsum_is_bucket_partitioned(self, spark, sf_dir):
+        """The global running total must come from the two-phase shape:
+        the corpus-side window partitions by the quality bucket (the
+        only unpartitioned window may be the 10-row offset frame), and
+        the offsets ride in as a broadcast."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface2 import (
+            corpus_token_budget,
+        )
+
+        df = corpus_token_budget(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        corpus_windows = [
+            l for l in plan.splitlines()
+            if "windowspecdefinition" in l and "n_tok" in l
+        ]
+        assert corpus_windows, plan
+        assert all("bkt" in l for l in corpus_windows), corpus_windows
+        assert "BroadcastHashJoin" in plan
