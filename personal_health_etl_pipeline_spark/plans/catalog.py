@@ -632,9 +632,17 @@ _HEAD = [
     "sql1_nation_year_revenue",
     "s6_raw_zone_pruned_scan",
 ]
-# next-stalest after these (rotate into the r7 head): j2, j3, j5,
-# a5-a8, a10, f4 (last green r2), q10/q11/q13-q17/q19-q21, f3 (r1,
-# displaced by the r6 additions and changed-entry set),
+# r7 head plan (rotate at round-7 start): (a) the never-certified r6
+# TAIL — a20_exact_mode, f13_bitwise_function_sweep, j17_spo2_id_day,
+# graph_bfs_hops, ts5_ewma_halflife, mm_audio_energy,
+# sketch_kmv_set_ops, text_phrase_topk, f14_lambda_function_sweep,
+# w8_windowed_distinct, corpus_token_budget (11 entries); (b) entries
+# whose impl changed late-r6 if not already in this head —
+# dedup_substring_spans/cut (shared windows artifact),
+# graph_triangles (memoized co-occurrence edges; both were r5/r6-head
+# certified with identical hashes since the oracles are unchanged);
+# (c) backfill from the stalest: j2, j3, j5, a5-a8, a10, f4 (last
+# green r2), q9 (displaced late-r6), q10/q11/q13-q17/q19-q21, f3 (r1),
 # then the r3 band (st_tumbling, j1, dedup_minhash_lsh, so1,
 # ann_lsh/brute/ivf, w3, f2, st_dedup/interval/enrich, ...)
 
