@@ -88,18 +88,30 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
     query_mod: int = 50,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the query subset
     (id % query_mod == 0) against the full table.
 
     The query side is broadcast; the big side streams — no shuffle of
     the candidate table. Rank ties break on neighbor id (total order).
-    """
-    base = (
-        spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
-        .select("_id", quantize(F.col(vec_col)).alias("_q"))
-        .withColumn("_n2", norm2_int(F.col("_q")))
-    )
+
+    ``candidates``: optional pre-filtered subset (same schema) to rank
+    against — FILTERED vector search with PRE-filter semantics (always
+    k results if k matches exist, unlike post-filtering a plain top-k).
+    Queries still come from the full table. The filter lands on the
+    streaming side BEFORE any distance arithmetic, so at scale it
+    prunes the scan, not the scoring."""
+
+    def _prep(df: DataFrame) -> DataFrame:
+        return (
+            spread(df.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+            .select("_id", quantize(F.col(vec_col)).alias("_q"))
+            .withColumn("_n2", norm2_int(F.col("_q")))
+        )
+
+    base = _prep(embeddings)
+    cands = base if candidates is None else _prep(candidates)
     queries = base.where(F.col("_id") % query_mod == 0).select(
         F.col("_id").alias("query_id"),
         F.col("_q").alias("_qq"),
@@ -110,7 +122,7 @@ def brute_force_topk(
         F.col("sim").desc(), F.col("neighbor_id")
     )
     return (
-        base.join(F.broadcast(queries), F.col("_id") != F.col("query_id"))
+        cands.join(F.broadcast(queries), F.col("_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("_id").alias("neighbor_id"),

@@ -297,6 +297,9 @@ register(
     llm2.corpus_token_budget,
     llm2.CORPUS_TOKEN_BUDGET_ORACLE,
 )
+# NEW r6 TAIL: filtered vector search (metadata predicate before the
+# distance arithmetic — pre-filter semantics)
+register("ann_filtered_topk", llm.ann_filtered_topk, llm.ANN_FILTERED_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

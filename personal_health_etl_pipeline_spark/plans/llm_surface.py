@@ -530,6 +530,28 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, k=10, query_mod=50)
 
 
+ANN_FILTER_MOD = 3
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the production pattern modern vector
+    stores ship as first-class (metadata predicate + top-k): exact
+    top-10 cosine neighbors among only the vectors whose ``label`` is
+    divisible by 3, for the standard bounded query set. PRE-filter
+    semantics: the predicate restricts the candidate stream before any
+    distance arithmetic (plan: Filter under the scan side of the
+    broadcast join), so every query still gets k results if k matches
+    exist — unlike post-filtering a plain top-k, which silently
+    returns fewer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(
+        emb,
+        k=10,
+        query_mod=50,
+        candidates=emb.where(F.col("label") % ANN_FILTER_MOD == 0),
+    )
+
+
 ANN_BRUTE_FORCE_ORACLE = rf"""
 WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
 queries AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id % 50 = 0),
@@ -539,6 +561,24 @@ scored AS (
                / (sqrt({_DOT.format(a='qq', b='qq')})
                   * sqrt({_DOT.format(a='qv', b='qv')})), 6) AS sim
   FROM q JOIN queries ON q.vec_id <> queries.query_id
+)
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+ANN_FILTERED_ORACLE = rf"""
+WITH q AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings),
+queries AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id % 50 = 0),
+cands AS (SELECT * FROM q WHERE label % {ANN_FILTER_MOD} = 0),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         ROUND({_DOT.format(a='qq', b='qv')}
+               / (sqrt({_DOT.format(a='qq', b='qq')})
+                  * sqrt({_DOT.format(a='qv', b='qv')})), 6) AS sim
+  FROM cands c JOIN queries ON c.vec_id <> queries.query_id
 )
 SELECT query_id, rank, neighbor_id, sim FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

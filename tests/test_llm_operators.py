@@ -682,3 +682,37 @@ class TestInt8Quantize:
             .first()
         )
         assert out.l2_err == 0
+
+
+class TestFilteredAnn:
+    def test_prefilter_semantics(self, spark, sf_dir):
+        """Every neighbor satisfies the predicate; every query still
+        gets a full k (pre-filter, not post-filter), and the result
+        genuinely differs from the unfiltered top-k."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface import (
+            ANN_FILTER_MOD,
+            ann_brute_force_topk,
+            ann_filtered_topk,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        filt = ann_filtered_topk(spark, sf_dir).collect()
+        labels = {
+            r.vec_id: r.label
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "label")
+            .collect()
+        }
+        assert filt
+        assert all(labels[r.neighbor_id] % ANN_FILTER_MOD == 0 for r in filt)
+        per_query = {}
+        for r in filt:
+            per_query.setdefault(r.query_id, []).append(r.rank)
+        assert all(sorted(v) == list(range(1, 11)) for v in per_query.values())
+        plain = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in ann_brute_force_topk(spark, sf_dir).collect()
+        }
+        assert any(
+            plain[(r.query_id, r.rank)] != r.neighbor_id for r in filt
+        )
