@@ -52,6 +52,7 @@ from personal_health_etl_pipeline_spark.operators.layout import (
 from personal_health_etl_pipeline_spark.sources.jsonl import (
     read_jsonl_quarantine,
 )
+from personal_health_etl_pipeline_spark.functions.hashing import duckdb_md5_long
 from personal_health_etl_pipeline_spark.sources.tables import load_table
 from personal_health_etl_pipeline_spark.streaming.upsert import (
     read_current,
@@ -1105,4 +1106,83 @@ SELECT day,
        CAST(40 + h % 60 AS BIGINT) AS sum_score,
        CAST((h // 10000) % 100 AS BIGINT) AS max_latency
 FROM h ORDER BY day
+"""
+
+
+# --- universe sampling: join-consistent hash samples -------------------
+
+UNIV_PCT = 10  # sample 10% of the orderkey universe
+
+
+def j18_universe_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIVERSE sampling (BlinkDB/Quickstep family): hash-threshold the
+    JOIN KEY's value universe instead of Bernoulli-sampling rows, so
+    the same orderkeys survive on BOTH sides and
+    ``sample(orders) JOIN sample(lineitem)`` IS a 10% keyspace sample
+    of the full join — independent row sampling at p on each side
+    would keep only p^2 of join results and break correlations. The
+    audit row reports both sides' kept counts, the sampled-join and
+    full-join sizes, and the join rate in exact integer micro-units:
+    certification pins that the sampled-join rate tracks UNIV_PCT
+    (keyspace fraction), not UNIV_PCT^2.
+
+    Scale shape: the threshold predicate is a scan-side filter on each
+    table (no coordination, no sampling state), and the sampled join
+    keys are co-partitioned exactly like the full join's."""
+    from personal_health_etl_pipeline_spark.functions.hashing import md5_long
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    keep_o = md5_long("o_orderkey") % 100 < UNIV_PCT
+    keep_l = md5_long("l_orderkey") % 100 < UNIV_PCT
+    so = orders.where(keep_o)
+    sl = li.where(keep_l)
+    a = orders.agg(F.count(F.lit(1)).alias("n_orders"))
+    b = so.agg(F.count(F.lit(1)).alias("n_orders_kept"))
+    c = li.agg(F.count(F.lit(1)).alias("n_lineitem"))
+    d = sl.agg(F.count(F.lit(1)).alias("n_lineitem_kept"))
+    e = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).agg(
+        F.count(F.lit(1)).alias("n_join_full")
+    )
+    f = sl.join(so, sl["l_orderkey"] == so["o_orderkey"]).agg(
+        F.count(F.lit(1)).alias("n_join_sampled")
+    )
+    row = (
+        a.crossJoin(b).crossJoin(c).crossJoin(d).crossJoin(e).crossJoin(f)
+    )
+    return row.select(
+        "n_orders",
+        "n_orders_kept",
+        "n_lineitem",
+        "n_lineitem_kept",
+        "n_join_full",
+        "n_join_sampled",
+        # exact integer micro-rate: sampled join rows per million full
+        F.expr("n_join_sampled * 1000000 div n_join_full").alias(
+            "join_rate_micro"
+        ),
+    )
+
+
+J18_ORACLE = f"""
+WITH so AS (
+  SELECT o_orderkey FROM orders
+  WHERE {duckdb_md5_long('o_orderkey')} % 100 < {UNIV_PCT}
+),
+sl AS (
+  SELECT l_orderkey FROM lineitem
+  WHERE {duckdb_md5_long('l_orderkey')} % 100 < {UNIV_PCT}
+)
+SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+       (SELECT COUNT(*) FROM so) AS n_orders_kept,
+       (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+       (SELECT COUNT(*) FROM sl) AS n_lineitem_kept,
+       (SELECT COUNT(*) FROM lineitem l JOIN orders o
+          ON l.l_orderkey = o.o_orderkey) AS n_join_full,
+       (SELECT COUNT(*) FROM sl JOIN so
+          ON sl.l_orderkey = so.o_orderkey) AS n_join_sampled,
+       (SELECT COUNT(*) FROM sl JOIN so ON sl.l_orderkey = so.o_orderkey)
+         * 1000000
+         // (SELECT COUNT(*) FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey) AS join_rate_micro
 """

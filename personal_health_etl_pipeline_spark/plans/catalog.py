@@ -300,6 +300,10 @@ register(
 # NEW r6 TAIL: filtered vector search (metadata predicate before the
 # distance arithmetic — pre-filter semantics)
 register("ann_filtered_topk", llm.ann_filtered_topk, llm.ANN_FILTERED_ORACLE)
+# NEW r6 TAIL: universe sampling (join-consistent keyspace samples)
+register(
+    "j18_universe_sample_join", au.j18_universe_sample_join, au.J18_ORACLE
+)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

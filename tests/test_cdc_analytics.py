@@ -72,3 +72,16 @@ class TestDecileBuckets:
             # sketch cuts from 1024 samples: each decile within ~2x of ideal
             assert c > n / (BUCKET_N * 3)
             assert c < n * 3 / BUCKET_N
+
+
+def test_j18_universe_sample_rate_is_p_not_p_squared(spark, sf_dir):
+    from personal_health_etl_pipeline_spark.plans.audit_surface import (
+        UNIV_PCT,
+        j18_universe_sample_join,
+    )
+
+    [r] = j18_universe_sample_join(spark, sf_dir).collect()
+    # keyspace-consistent sampling: the join keeps ~p of results, not p^2
+    assert abs(r.join_rate_micro / 1e6 - UNIV_PCT / 100) < 0.04
+    # FK integrity makes every surviving lineitem find its order
+    assert r.n_join_sampled == r.n_lineitem_kept
