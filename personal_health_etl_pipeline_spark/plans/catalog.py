@@ -304,6 +304,9 @@ register("ann_filtered_topk", llm.ann_filtered_topk, llm.ANN_FILTERED_ORACLE)
 register(
     "j18_universe_sample_join", au.j18_universe_sample_join, au.J18_ORACLE
 )
+# NEW r6 TAIL: URL parsing + domain rollup (parse_url conventions
+# pinned against a regexp re-derivation)
+register("f15_url_parse_sweep", rs.f15_url_parse_sweep, rs.F15_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

@@ -1224,3 +1224,63 @@ SELECT event_type,
        CAST(SUM(wsum) AS BIGINT) AS sum_wsum
 FROM per_row GROUP BY event_type ORDER BY event_type
 """
+
+
+def f15_url_parse_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + domain-level curation rollup — the web-corpus ops
+    (host extraction, per-domain doc counts, query-param reads) over
+    deterministically constructed URLs, so Spark's ``parse_url``
+    conventions (HOST / PATH / QUERY key lookup) are pinned against a
+    regexp re-derivation. Per source-host: docs, distinct langs seen in
+    the ``lang`` query param, and total path length — the shape of a
+    domain blocklist / quota pass in a crawl pipeline. Registered in
+    the catalog TAIL (r7 window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.format_string(
+        "https://%s.example.com/docs/%d?lang=%s&v=2",
+        F.col("source"),
+        F.col("doc_id"),
+        F.col("lang"),
+    )
+    parsed = docs.select(
+        F.col("doc_id"),
+        url.alias("url"),
+    ).select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("q_lang").alias("n_langs"),
+            F.sum(F.length("path")).alias("sum_path_len"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("host")
+    )
+
+
+F15_ORACLE = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+           || '?lang=' || lang || '&v=2' AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id,
+         regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+         regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+         regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang
+  FROM u
+)
+SELECT host,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT q_lang) AS n_langs,
+       CAST(SUM(length(path)) AS BIGINT) AS sum_path_len,
+       MIN(doc_id) AS min_doc_id
+FROM parsed GROUP BY host ORDER BY host
+"""
