@@ -253,3 +253,88 @@ class TestSubstringCutProperties:
             assert all(any(t == x for x in it) for t in cleaned)
         total_cut = sum(r.n_cut for r in out.values())
         assert (total_cut > 0) == (len(spans) > 0)
+
+
+class TestBfsHopsProperty:
+    @PROP
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)),
+            min_size=1,
+            max_size=30,
+        ),
+        seeds=st.sets(st.integers(0, 12), min_size=1, max_size=3),
+    )
+    def test_matches_python_bfs(self, spark, edges, seeds):
+        from personal_health_etl_pipeline_spark.operators.graph import bfs_hops
+
+        max_hops = 4
+        # pure-Python reference: level-synchronous BFS over the digraph
+        adj: dict[int, set[int]] = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+        want = {n: 0 for n in seeds}
+        frontier = set(seeds)
+        for level in range(1, max_hops + 1):
+            nxt = set()
+            for n in frontier:
+                nxt |= adj.get(n, set())
+            nxt -= want.keys()
+            if not nxt:
+                break
+            for n in nxt:
+                want[n] = level
+            frontier = nxt
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        sd = spark.createDataFrame([(s,) for s in seeds], "node long")
+        got = {
+            r.node: r.dist
+            for r in bfs_hops(e, sd, max_hops=max_hops).collect()
+        }
+        assert got == want
+
+
+class TestEwmaProperty:
+    @PROP
+    @given(
+        vals=st.lists(
+            st.integers(0, 10_000).map(lambda c: c / 100.0),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_matches_python_horner_exactly(self, spark, vals, tmp_path_factory):
+        """The engine's EWMA must equal the Python float computation
+        BIT-FOR-BIT (that is the exactness claim the oracle hash rests
+        on), including across the 20-row truncation boundary."""
+        import datetime as dt
+
+        from personal_health_etl_pipeline_spark.plans.temporal_surface import (
+            EWMA_WINDOW,
+            ts5_ewma_halflife,
+        )
+
+        root = str(tmp_path_factory.mktemp("ewma_prop"))
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), 1, "view",
+             v, "{}")
+            for i, v in enumerate(vals)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(f"{root}/events.parquet")
+        got = {
+            r.event_id: r.ewma_cents
+            for r in ts5_ewma_halflife(spark, root).collect()
+        }
+        for t in range(len(vals)):
+            lo = max(0, t - EWMA_WINDOW + 1)
+            num = 0.0
+            for i in range(lo, t + 1):  # oldest -> newest, Horner
+                num = num / 2 + float(round(vals[i] * 100))
+            n = t + 1 - lo
+            wsum = 2.0 - 1.0 / (2.0 ** (n - 1))
+            assert got[t] == num / wsum  # exact equality, no tolerance
