@@ -95,6 +95,9 @@ HEADLINE = (
     "ts5_ewma_halflife",
     "sketch_kmv_set_ops",
     "text_phrase_topk",
+    "w8_windowed_distinct",
+    "corpus_token_budget",
+    "ann_filtered_topk",
 )
 
 
