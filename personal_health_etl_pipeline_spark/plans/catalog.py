@@ -307,6 +307,13 @@ register(
 # NEW r6 TAIL: URL parsing + domain rollup (parse_url conventions
 # pinned against a regexp re-derivation)
 register("f15_url_parse_sweep", rs.f15_url_parse_sweep, rs.F15_ORACLE)
+# NEW r6 TAIL: forward as-of with a 30-min tolerance (the attribution
+# window join; certifies the asof_join modes j4 leaves uncovered)
+register(
+    "j19_asof_forward_tolerance",
+    ts.j19_asof_forward_tolerance,
+    ts.J19_ORACLE,
+)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

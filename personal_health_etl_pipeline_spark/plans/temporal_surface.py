@@ -482,3 +482,60 @@ SELECT event_id, user_id,
          / (2 - 1 / power(2, CAST(len(vs) - 1 AS DOUBLE))) AS ewma_cents
 FROM win ORDER BY event_id
 """
+
+
+# --- j19: forward as-of with a match tolerance -------------------------
+
+ASOF_TOL_SECONDS = 1800  # match only within 30 minutes
+
+
+def j19_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, the user's NEXT purchase — but only if it lands
+    within 30 minutes (forward as-of + tolerance, the attribution-
+    window join). Certifies the two ``asof_join`` modes j4 leaves
+    uncovered: ``direction="forward"`` (earliest right row with
+    ``right_ts >= left_ts``, equality matching) and
+    ``tolerance_seconds`` (match nulled when the gap exceeds the
+    window; the left row survives with NULLs — left-join semantics
+    throughout). Same one-shuffle union+window implementation; the
+    oracle is DuckDB's native ASOF with the inequality flipped plus a
+    CASE for the tolerance."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        direction="forward",
+        tolerance_seconds=ASOF_TOL_SECONDS,
+        right_prefix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "p_event_id",
+        F.round("p_value", 2).alias("p_value"),
+    ).orderBy("event_id")
+
+
+J19_ORACLE = f"""
+SELECT c.event_id, c.user_id,
+       CASE WHEN abs(epoch(c.ts) - epoch(p.ts)) <= {float(ASOF_TOL_SECONDS)!r}
+            THEN p.event_id END AS p_event_id,
+       CASE WHEN abs(epoch(c.ts) - epoch(p.ts)) <= {float(ASOF_TOL_SECONDS)!r}
+            THEN ROUND(p.value, 2) END AS p_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+ORDER BY c.event_id
+"""
