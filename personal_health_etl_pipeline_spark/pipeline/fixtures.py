@@ -425,3 +425,154 @@ def fetch_detailed_workout_df(
     return spark.createDataFrame(
         fetch_detailed_workout(start, end), WORKOUT_SCHEMA
     )
+
+
+# --- DETAILED fixture #2: sleep (the largest draft schema) -------------
+#
+# t.json's sleep draft is the reference's widest DETAILED type: 41
+# fields including a BOOLEAN (low_battery_alert), wire-string
+# timestamps, nested heart_rate / hrv objects whose ``items`` arrays
+# become C4 JSON strings, and a doubly-nested readiness.contributors
+# object (depth-2 F1 flatten). h%3 records per day (0..2 sleep
+# periods) — multi-row and gappy like the workout fixture.
+
+SLEEP_TYPE_WORDS = ("long_sleep", "late_nap", "rest")
+SLEEP_VERSION_WORDS = ("v1", "v2")
+
+# (dotted wire path, value kind); flattens to the t.json draft columns
+SLEEP_FIELDS: list[tuple[str, str]] = [
+    ("id", "id"),
+    ("average_breath", "metric"),
+    ("average_heart_rate", "metric"),
+    ("average_hrv", "metric"),
+    ("awake_time", "metric"),
+    ("bedtime_end", "ts_end"),
+    ("bedtime_start", "ts_start"),
+    ("deep_sleep_duration", "metric"),
+    ("efficiency", "metric"),
+    ("latency", "metric"),
+    ("light_sleep_duration", "metric"),
+    ("low_battery_alert", "bool"),
+    ("lowest_heart_rate", "metric"),
+    ("movement_30_sec", "digits"),
+    ("period", "metric"),
+    ("readiness_score_delta", "metric"),
+    ("rem_sleep_duration", "metric"),
+    ("restless_periods", "metric"),
+    ("sleep_phase_5_min", "digits"),
+    ("sleep_score_delta", "metric"),
+    ("sleep_algorithm_version", "version"),
+    ("time_in_bed", "metric"),
+    ("total_sleep_duration", "metric"),
+    ("type", "sleep_type"),
+    ("heart_rate.interval", "metric"),
+    ("heart_rate.items", "int_list"),
+    ("heart_rate.timestamp", "ts_str"),
+    ("hrv.interval", "metric"),
+    ("hrv.items", "int_list"),
+    ("hrv.timestamp", "ts_str"),
+    ("readiness.contributors.activity_balance", "metric"),
+    ("readiness.contributors.body_temperature", "metric"),
+    ("readiness.contributors.hrv_balance", "metric"),
+    ("readiness.contributors.previous_day_activity", "metric"),
+    ("readiness.contributors.previous_night", "metric"),
+    ("readiness.contributors.recovery_index", "metric"),
+    ("readiness.contributors.resting_heart_rate", "metric"),
+    ("readiness.contributors.sleep_balance", "metric"),
+    ("readiness.score", "metric"),
+    ("readiness.temperature_deviation", "metric"),
+    ("readiness.temperature_trend_deviation", "metric"),
+]
+
+
+def sleep_count(ds: str) -> int:
+    return field_hash("sleep", ds, "n") % 3
+
+
+def _sleep_h(ds: str, seq: int, field: str) -> int:
+    return field_hash("sleep", ds, f"{seq}|{field}")
+
+
+def _sleep_value(kind: str, ds: str, s: int, path: str):
+    h = _sleep_h(ds, s, path)
+    if kind == "id":
+        return f"sleep-{ds}-{s}"
+    if kind == "metric":
+        return (h % 10000) / 100.0
+    if kind == "ts_start":
+        return f"{ds}T2{s}:00:00.{h % 1000000:06d}+00:00"
+    if kind == "ts_end":
+        return f"{ds}T23:{30 + s * 5}:00.{h % 1000000:06d}+00:00"
+    if kind == "ts_str":
+        return f"{ds}T2{s}:05:00.{h % 1000000:06d}+00:00"
+    if kind == "bool":
+        return h % 2 == 0
+    if kind == "digits":
+        return f"{h % 10**12:012d}"
+    if kind == "sleep_type":
+        return SLEEP_TYPE_WORDS[h % 3]
+    if kind == "version":
+        return SLEEP_VERSION_WORDS[h % 2]
+    if kind == "int_list":
+        return [h % 97, (h // 97) % 97, (h // 9409) % 97]
+    raise ValueError(f"unknown kind {kind!r}")
+
+
+def fetch_detailed_sleep(start: dt.date, end: dt.date) -> list[dict]:
+    out = []
+    day = start
+    while day <= end:
+        ds = day.isoformat()
+        for s in range(sleep_count(ds)):
+            out.append(
+                _nest(
+                    {
+                        path: _sleep_value(kind, ds, s, path)
+                        for path, kind in SLEEP_FIELDS
+                    }
+                )
+            )
+        day += dt.timedelta(days=1)
+    return out
+
+
+def _sleep_schema() -> StructType:
+    from pyspark.sql.types import BooleanType
+
+    leaf = {
+        "id": StringType(),
+        "metric": DoubleType(),
+        "ts_start": StringType(),
+        "ts_end": StringType(),
+        "ts_str": StringType(),
+        "bool": BooleanType(),
+        "digits": StringType(),
+        "sleep_type": StringType(),
+        "version": StringType(),
+        "int_list": ArrayType(LongType()),
+    }
+    root: dict = {}
+    for path, kind in SLEEP_FIELDS:
+        parts = path.split(".")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf[kind]
+
+    def build(d: dict) -> StructType:
+        return StructType(
+            [
+                StructField(n, build(v) if isinstance(v, dict) else v)
+                for n, v in d.items()
+            ]
+        )
+
+    return build(root)
+
+
+def fetch_detailed_sleep_df(
+    spark: SparkSession, start: dt.date, end: dt.date
+) -> DataFrame:
+    return spark.createDataFrame(
+        fetch_detailed_sleep(start, end), _sleep_schema()
+    )

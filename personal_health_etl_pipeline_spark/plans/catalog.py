@@ -314,6 +314,9 @@ register(
     ts.j19_asof_forward_tolerance,
     ts.J19_ORACLE,
 )
+# NEW r6 TAIL: the widest DETAILED draft (t.json sleep, 41 fields
+# incl. BOOLEAN + depth-2 flatten + C4 arrays) end-to-end
+register("j20_detailed_sleep", ow.j20_detailed_sleep, ow.J20_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

@@ -337,3 +337,125 @@ FROM base ORDER BY day
 
 
 J17_ORACLE = _spo2_oracle()
+
+
+# --- DETAILED transform #2: sleep (widest draft schema) ----------------
+
+SLEEP_SCHEMA_PATH = (
+    Path(__file__).resolve().parent.parent / "schemas" / "oura" / "oura_sleep.json"
+)
+
+
+def j20_detailed_sleep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WIDEST DETAILED draft (``t.json``'s 41 sleep
+    fields) end-to-end: multi-row-per-day records with a BOOLEAN
+    (``low_battery_alert`` — the one t.json type no other certified
+    schema exercises), wire-string timestamps coerced to TIMESTAMP
+    (C5), nested ``heart_rate``/``hrv`` objects whose ``items`` arrays
+    serialize to C4 JSON strings, and the doubly-nested
+    ``readiness.contributors`` object (depth-2 F1 flatten). ``day`` is
+    derived from ``bedtime_start``'s date like j16; the oracle
+    regenerates all 41 columns from the shared sha256 spec
+    (``pipeline/fixtures.py:SLEEP_FIELDS``)."""
+    from pyspark.sql import functions as F
+
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        fetch_detailed_sleep_df,
+    )
+    from personal_health_etl_pipeline_spark.schema import align_to_schema
+
+    raw = fetch_detailed_sleep_df(spark, J15_START, J15_END)
+    flat = flatten(raw, arrays="json")  # F1 depth-2 + C4
+    pre = prefix_columns(flat, "sleep", exclude=())
+    keyed = pre.withColumn(
+        "day", F.to_date(F.substring("sleep__bedtime_start", 1, 10))
+    )
+    return align_to_schema(keyed, load_json_schema(SLEEP_SCHEMA_PATH)).orderBy(
+        "day", "sleep__id"
+    )
+
+
+def _sleep_oracle() -> str:
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        SLEEP_FIELDS,
+        SLEEP_TYPE_WORDS,
+        SLEEP_VERSION_WORDS,
+    )
+
+    def h(path: str) -> str:
+        return (
+            f"CAST(('0x' || substr(sha256('sleep|' || ds || '|' ||"
+            f" CAST(s AS VARCHAR) || '|{path}'), 1, 16)) AS UBIGINT)"
+        )
+
+    def micros(path: str) -> str:
+        return f"lpad(CAST({h(path)} % 1000000 AS VARCHAR), 6, '0')"
+
+    def words(path: str, ws: tuple[str, ...]) -> str:
+        arms = " ".join(f"WHEN {i} THEN '{w}'" for i, w in enumerate(ws[:-1]))
+        return (
+            f"CASE CAST({h(path)} % {len(ws)} AS INT) {arms}"
+            f" ELSE '{ws[-1]}' END"
+        )
+
+    def expr(path: str, kind: str) -> str:
+        hp = h(path)
+        if kind == "id":
+            return "'sleep-' || ds || '-' || CAST(s AS VARCHAR)"
+        if kind == "metric":
+            return f"CAST({hp} % 10000 AS DOUBLE) / 100"
+        if kind == "ts_start":
+            return (
+                f"CAST(ds || 'T2' || CAST(s AS VARCHAR) || ':00:00.'"
+                f" || {micros(path)} || '+00:00' AS TIMESTAMP)"
+            )
+        if kind == "ts_end":
+            return (
+                f"CAST(ds || 'T23:' || CAST(30 + s * 5 AS VARCHAR) || ':00.'"
+                f" || {micros(path)} || '+00:00' AS TIMESTAMP)"
+            )
+        if kind == "ts_str":
+            return (
+                f"ds || 'T2' || CAST(s AS VARCHAR) || ':05:00.'"
+                f" || {micros(path)} || '+00:00'"
+            )
+        if kind == "bool":
+            return f"({hp} % 2 = 0)"
+        if kind == "digits":
+            return f"lpad(CAST({hp} % 1000000000000 AS VARCHAR), 12, '0')"
+        if kind == "sleep_type":
+            return words(path, SLEEP_TYPE_WORDS)
+        if kind == "version":
+            return words(path, SLEEP_VERSION_WORDS)
+        if kind == "int_list":
+            return (
+                f"'[' || CAST({hp} % 97 AS VARCHAR)"
+                f" || ',' || CAST(({hp} // 97) % 97 AS VARCHAR)"
+                f" || ',' || CAST(({hp} // 9409) % 97 AS VARCHAR) || ']'"
+            )
+        raise ValueError(kind)
+
+    cols = ",\n       ".join(
+        f'{expr(path, kind)} AS "sleep__{path.replace(".", "__")}"'
+        for path, kind in SLEEP_FIELDS
+    )
+    return f"""
+WITH days AS (
+  SELECT CAST(d AS DATE) AS day,
+         strftime(CAST(d AS DATE), '%Y-%m-%d') AS ds
+  FROM generate_series(DATE '{J15_START.isoformat()}',
+                       DATE '{J15_END.isoformat()}', INTERVAL 1 DAY) t(d)
+),
+base AS (
+  SELECT day, ds, CAST(s AS BIGINT) AS s
+  FROM days, range(0, 3) r(s)
+  WHERE s < CAST(('0x' || substr(sha256('sleep|' || ds || '|n'), 1, 16))
+                 AS UBIGINT) % 3
+)
+SELECT day,
+       {cols}
+FROM base ORDER BY day, "sleep__id"
+"""
+
+
+J20_ORACLE = _sleep_oracle()

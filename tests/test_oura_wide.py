@@ -139,3 +139,30 @@ def test_daily_full_records_cover_spec():
 
         walk(recs[0])
         assert flat_keys == {"day"} | {p for p, _ in spec}
+
+
+def test_j20_sleep_boolean_and_depth2_flatten(spark, sf_dir):
+    """The sleep draft's distinctive shapes: a real BOOLEAN column, the
+    doubly-nested readiness.contributors flatten, and the C4 JSON
+    serialization of the heart_rate.items array."""
+    from personal_health_etl_pipeline_spark.plans.oura_wide import (
+        SLEEP_SCHEMA_PATH,
+        j20_detailed_sleep,
+    )
+
+    df = j20_detailed_sleep(spark, sf_dir)
+    declared = json.loads(SLEEP_SCHEMA_PATH.read_text())
+    assert [f.name for f in df.schema.fields] == [f["name"] for f in declared]
+    assert dict(df.dtypes)["sleep__low_battery_alert"] == "boolean"
+    assert (
+        dict(df.dtypes)["sleep__readiness__contributors__hrv_balance"]
+        == "double"
+    )
+    rows = df.collect()
+    assert rows
+    seen_bools = {r["sleep__low_battery_alert"] for r in rows}
+    assert seen_bools == {True, False}  # both values actually occur
+    for r in rows[:10]:
+        assert r["day"] == r["sleep__bedtime_start"].date()
+        items = json.loads(r["sleep__heart_rate__items"])
+        assert isinstance(items, list) and len(items) == 3
