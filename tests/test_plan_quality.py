@@ -748,3 +748,18 @@ class TestRound6TailPlanShapes:
         assert corpus_windows, plan
         assert all("bkt" in l for l in corpus_windows), corpus_windows
         assert "BroadcastHashJoin" in plan
+
+    def test_asof_forward_tolerance_single_shuffle(self, spark, sf_dir):
+        """j19's forward+tolerance mode must keep j4's plan shape: one
+        union + keyed window, no BNLJ/cartesian, at most one hash
+        exchange (the tolerance is a post-window projection, not a
+        join)."""
+        from personal_health_etl_pipeline_spark.plans.temporal_surface import (
+            j19_asof_forward_tolerance,
+        )
+
+        plan = _executed_plan(j19_asof_forward_tolerance(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "Window" in plan
