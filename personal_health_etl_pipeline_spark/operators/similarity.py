@@ -912,3 +912,41 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )
+
+
+def range_search(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_sim: float = 0.8,
+    query_mod: int = 50,
+) -> DataFrame:
+    """RADIUS search: every neighbor with cosine >= ``min_sim`` for
+    the query subset — the variable-result-size complement of top-k
+    (the dedup-threshold / recall-sweep query shape). Same broadcast
+    structure as :func:`brute_force_topk` but no window: the output is
+    a plain filter on the scored stream, so there is NO per-query
+    shuffle at all — scan, broadcast join, filter. Returns
+    (query_id, neighbor_id, sim) ordered by (query_id, sim desc,
+    neighbor_id)."""
+    base = (
+        spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+        .select("_id", quantize(F.col(vec_col)).alias("_q"))
+        .withColumn("_n2", norm2_int(F.col("_q")))
+    )
+    queries = base.where(F.col("_id") % query_mod == 0).select(
+        F.col("_id").alias("query_id"),
+        F.col("_q").alias("_qq"),
+        F.col("_n2").alias("_qn2"),
+    )
+    sim = cosine_pre(F.col("_qq"), F.col("_q"), F.col("_qn2"), F.col("_n2"))
+    return (
+        base.join(F.broadcast(queries), F.col("_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(float(min_sim)))
+        .orderBy("query_id", F.col("sim").desc(), "neighbor_id")
+    )

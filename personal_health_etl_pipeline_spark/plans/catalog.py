@@ -317,6 +317,9 @@ register(
 # NEW r6 TAIL: the widest DETAILED draft (t.json sleep, 41 fields
 # incl. BOOLEAN + depth-2 flatten + C4 arrays) end-to-end
 register("j20_detailed_sleep", ow.j20_detailed_sleep, ow.J20_ORACLE)
+# NEW r6 TAIL: radius (threshold) search — variable result size, no
+# per-query shuffle
+register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

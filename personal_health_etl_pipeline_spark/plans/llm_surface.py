@@ -1901,3 +1901,33 @@ SELECT t.g AS trigram, top.n_total, t.doc_id, t.pos
 FROM tris t JOIN top ON t.g = top.g
 ORDER BY t.doc_id, t.pos
 """
+
+
+RANGE_MIN_SIM = 0.4  # sparse but non-empty at certification scale (6 pairs at sf0.01)
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (threshold) search: all neighbors with cosine >=
+    RANGE_MIN_SIM for the bounded query set — no top-k window, no
+    per-query shuffle; the result size varies per query and some
+    queries legitimately return nothing (``operators/similarity.py:
+    range_search``). The dedup-threshold query shape, certified with
+    the exact rounded-cosine arithmetic the top-k family shares."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.range_search(emb, min_sim=RANGE_MIN_SIM, query_mod=50)
+
+
+ANN_RANGE_ORACLE = rf"""
+WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+queries AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT query_id, q.vec_id AS neighbor_id,
+         ROUND({_DOT.format(a='qq', b='qv')}
+               / (sqrt({_DOT.format(a='qq', b='qq')})
+                  * sqrt({_DOT.format(a='qv', b='qv')})), 6) AS sim
+  FROM q JOIN queries ON q.vec_id <> queries.query_id
+)
+SELECT query_id, neighbor_id, sim FROM scored
+WHERE sim >= {RANGE_MIN_SIM!r}
+ORDER BY query_id, sim DESC, neighbor_id
+"""
