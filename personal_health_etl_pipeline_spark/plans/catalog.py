@@ -320,6 +320,9 @@ register("j20_detailed_sleep", ow.j20_detailed_sleep, ow.J20_ORACLE)
 # NEW r6 TAIL: radius (threshold) search — variable result size, no
 # per-query shuffle
 register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)
+# NEW r6 TAIL: exact trailing-window median (sorted-frame element
+# access; the robust smoother next to ts2's z-score)
+register("ts6_moving_median", ts.ts6_moving_median, ts.TS6_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

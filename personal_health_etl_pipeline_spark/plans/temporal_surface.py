@@ -539,3 +539,60 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND c.ts <= p.ts
 ORDER BY c.event_id
 """
+
+
+# --- ts6: moving median (robust trailing smoother) ---------------------
+
+MOVMED_WINDOW = 9
+
+
+def ts6_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 9-row EXACT median per user — the robust smoother
+    (50% breakdown point) next to ts2's mean/z-score family. Spark has
+    no median window aggregate; the composition is sorted-frame
+    element access: ``array_sort(collect_list over frame)`` then the
+    middle element (odd frames) or the midpoint of the two middle
+    elements (even frames — integer cents make the midpoint an exact
+    .5 double). One user_id shuffle, bounded 9-element frames; DuckDB's
+    native windowed ``median`` uses the same lower/upper-midpoint
+    definition, so values hash-match bit-for-bit."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MOVMED_WINDOW - 1), 0)
+    )
+    vs = F.array_sort(
+        F.collect_list(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).over(w)
+    )
+    base = ev.select("event_id", "user_id", vs.alias("vs"))
+    n = F.size("vs")
+    med = F.when(
+        n % 2 == 1,
+        F.element_at("vs", ((n + F.lit(1)) / F.lit(2)).cast("int")).cast(
+            "double"
+        ),
+    ).otherwise(
+        (
+            F.element_at("vs", (n / F.lit(2)).cast("int"))
+            + F.element_at("vs", (n / F.lit(2)).cast("int") + F.lit(1))
+        ).cast("double")
+        / F.lit(2.0)
+    )
+    return base.select(
+        "event_id", "user_id", med.alias("med_cents")
+    ).orderBy("event_id")
+
+
+TS6_ORACLE = f"""
+SELECT event_id, user_id,
+       CAST(median(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {MOVMED_WINDOW - 1} PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS med_cents
+FROM events ORDER BY event_id
+"""
