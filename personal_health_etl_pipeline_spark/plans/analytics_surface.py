@@ -1204,3 +1204,157 @@ SELECT event_id, user_id,
            AS n_types_10
 FROM events ORDER BY event_id
 """
+
+
+def w9_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per calendar day via the classic
+    sweep-line: each event opens a 30-minute half-open session
+    ``[ts, ts+30m)``; the interval explodes into +1/-1 boundary rows
+    (clipped at midnight so a session crossing days re-opens on the
+    second day), then ONE day-partitioned window computes the running
+    open count and its per-day max. This is the scalable shape for
+    interval aggregation at 100 TB — the partition key is the day, the
+    running sum never crosses partitions, and no interval self-join
+    exists. Tie semantics are explicit: a session ending exactly when
+    another starts does NOT overlap it (boundaries order by
+    ``(ts, delta)`` so -1 sorts before +1; both engines use the default
+    RANGE frame, so peer groups sum identically). Registered in the
+    catalog TAIL (r7 certification window)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    # ONE scan: each interval emits its boundary structs as an inline
+    # array (start/open, clipped close, and — only when the session
+    # crosses midnight — the next-day re-open + true close), filtered
+    # of the non-crossing placeholders and exploded. A UNION of four
+    # branches would re-scan the fact table four times.
+    day_end = F.date_add(F.to_date("start_ts"), 1).cast("timestamp")
+    crosses = F.to_date("end_ts") > F.to_date("start_ts")
+
+    def b(day, bts, delta, is_start, keep=None):
+        cond = F.lit(True) if keep is None else keep
+        return F.when(
+            cond,
+            F.struct(
+                day.alias("day"),
+                bts.alias("bts"),
+                F.lit(delta).alias("delta"),
+                F.lit(is_start).alias("is_start"),
+            ),
+        )
+
+    boundaries = F.array(
+        b(F.to_date("start_ts"), F.col("start_ts"), 1, 1),
+        b(F.to_date("start_ts"), F.least("end_ts", day_end), -1, 0),
+        b(F.to_date("end_ts"), F.to_date("end_ts").cast("timestamp"), 1, 0,
+          keep=crosses),
+        b(F.to_date("end_ts"), F.col("end_ts"), -1, 0, keep=crosses),
+    )
+    bounds = ev.select(
+        F.explode(F.filter(boundaries, lambda s: s.isNotNull())).alias("s")
+    ).select("s.day", "s.bts", "s.delta", "s.is_start")
+    w = Window.partitionBy("day").orderBy("bts", "delta")
+    running = bounds.select(
+        "day", "is_start", F.sum("delta").over(w).alias("open_now")
+    )
+    return (
+        running.groupBy("day")
+        .agg(
+            F.max("open_now").cast("bigint").alias("max_concurrent"),
+            F.sum("is_start").cast("bigint").alias("n_starts"),
+        )
+        .orderBy("day")
+    )
+
+
+W9_ORACLE = """
+WITH iv AS (
+  SELECT ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts FROM events
+),
+bounds AS (
+  SELECT CAST(start_ts AS DATE) AS day, start_ts AS bts,
+         1 AS delta, 1 AS is_start FROM iv
+  UNION ALL
+  SELECT CAST(start_ts AS DATE) AS day,
+         least(end_ts, CAST(CAST(start_ts AS DATE) + 1 AS TIMESTAMP)),
+         -1, 0 FROM iv
+  UNION ALL
+  SELECT CAST(end_ts AS DATE), CAST(CAST(end_ts AS DATE) AS TIMESTAMP),
+         1, 0 FROM iv
+  WHERE CAST(end_ts AS DATE) > CAST(start_ts AS DATE)
+  UNION ALL
+  SELECT CAST(end_ts AS DATE), end_ts, -1, 0 FROM iv
+  WHERE CAST(end_ts AS DATE) > CAST(start_ts AS DATE)
+),
+running AS (
+  SELECT day, is_start,
+         SUM(delta) OVER (PARTITION BY day ORDER BY bts, delta)
+             AS open_now
+  FROM bounds
+)
+SELECT day, CAST(MAX(open_now) AS BIGINT) AS max_concurrent,
+       CAST(SUM(is_start) AS BIGINT) AS n_starts
+FROM running GROUP BY day ORDER BY day
+"""
+
+
+def a21_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: ``lead(event_type)`` inside one user-partitioned window
+    pairs each event with its successor, then a hash aggregate counts
+    (from_type, to_type) cells and a window over that bounded cell
+    table normalises rows into transition probabilities. The
+    probability is the single
+    IEEE division of two exact BIGINTs, so it hash-matches bit-for-bit.
+    Sequence mining at scale is window+groupBy, never a self-join —
+    the 25-cell output is independent of corpus size. Registered in
+    the catalog TAIL (r7 certification window)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    cells = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    # Row totals via a window over the bounded cell table (|types|^2
+    # rows) rather than a groupBy+join back, which would re-run the
+    # lead() window a second time for the totals branch.
+    wt = Window.partitionBy("from_type")
+    return (
+        cells.withColumn("n_from_total", F.sum("n_transitions").over(wt))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            "n_from_total",
+            (
+                F.col("n_transitions").cast("double")
+                / F.col("n_from_total").cast("double")
+            ).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+A21_ORACLE = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+cells AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+           AS n_from_total,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                AS DOUBLE) AS p_transition
+FROM cells ORDER BY from_type, to_type
+"""

@@ -323,6 +323,18 @@ register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)
 # NEW r6 TAIL: exact trailing-window median (sorted-frame element
 # access; the robust smoother next to ts2's z-score)
 register("ts6_moving_median", ts.ts6_moving_median, ts.TS6_ORACLE)
+# NEW r6 TAIL: sweep-line interval concurrency (boundary explode +
+# day-partitioned running sum — no interval self-join)
+register("w9_interval_concurrency", an.w9_interval_concurrency, an.W9_ORACLE)
+# NEW r6 TAIL: first-order Markov transition matrix (lead window +
+# hash aggregate; sequence mining without a self-join)
+register("a21_event_transitions", an.a21_event_transitions, an.A21_ORACLE)
+# NEW r6 TAIL: integer-exact CUSUM change-point statistic (prefix-sum
+# deviation multiplied through by N — BIGINT end-to-end)
+register("ts7_cusum_changepoint", ts.ts7_cusum_changepoint, ts.TS7_ORACLE)
+# NEW r6 TAIL: hourly OHLC bars via min_by/max_by composite ordering
+# (tick downsampling as one hash aggregate, no full-stream sort)
+register("ts8_ohlc_bars", ts.ts8_ohlc_bars, ts.TS8_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

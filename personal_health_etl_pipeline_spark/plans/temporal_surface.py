@@ -596,3 +596,158 @@ SELECT event_id, user_id,
             AS DOUBLE) AS med_cents
 FROM events ORDER BY event_id
 """
+
+
+# --- ts7: CUSUM change-point statistic ---------------------------------
+
+def ts7_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CUSUM-style change-point statistic per user: the maximum
+    deviation of the running prefix sum from the straight line through
+    the series total. With ``S_i`` = prefix sum of integer cents,
+    ``N`` = the user's row count and ``T`` = the user's total, the
+    statistic at row i is ``|N*S_i - i*T|`` — the standard CUSUM
+    ``|S_i - (i/N)*T|`` multiplied through by N so every intermediate
+    stays an exact BIGINT (no division until never). The argmax row is
+    the estimated change point; ties break to the EARLIEST row, made
+    deterministic with one ``min(struct(-stat, i))`` hash aggregate —
+    no second window pass and no self-join. Two window frames over one
+    user_id shuffle (running sum + full-partition N/T), then a single
+    hash aggregate; magnitudes bound at ~n²·max_cents ≈ 2^47 at sf1,
+    well inside BIGINT. Registered in the catalog TAIL (r7 window)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("user_id")
+    rows = ev.select(
+        "user_id",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("i"),
+        F.sum("cents").over(wrun).alias("s_i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("t"),
+    )
+    stat = F.abs(F.col("n") * F.col("s_i") - F.col("i") * F.col("t"))
+    best = (
+        rows.select(
+            "user_id",
+            "n",
+            "t",
+            stat.alias("stat"),
+            F.col("i").alias("i"),
+        )
+        .groupBy("user_id", "n", "t")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("stat")).alias("neg_stat"),
+                    F.col("i").alias("i"),
+                )
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("t").alias("total_cents"),
+        F.col("b.i").alias("cp_index"),
+        (-F.col("b.neg_stat")).alias("cusum_stat"),
+    ).orderBy("user_id")
+
+
+TS7_ORACLE = """
+WITH base AS (
+  SELECT user_id,
+         row_number() OVER w AS i,
+         SUM(CAST(round(value * 100) AS BIGINT))
+             OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS s_i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id) AS BIGINT) AS t
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+scored AS (
+  SELECT user_id, n, t, i,
+         abs(n * CAST(s_i AS BIGINT) - i * t) AS stat
+  FROM base
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY stat DESC, i) AS rn
+  FROM scored
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, t AS total_cents,
+       CAST(i AS BIGINT) AS cp_index, CAST(stat AS BIGINT) AS cusum_stat
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# --- ts8: OHLC bars ------------------------------------------------------
+
+def ts8_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars over purchase values —
+    the canonical downsampling shape for tick data. Open and close are
+    ``min_by``/``max_by`` with a composite ``struct(ts, event_id)``
+    ordering key (total order, so ties are impossible by
+    construction); high/low/volume are plain min/max/count — ONE hash
+    aggregate on the hour bucket, no window sort of the full stream.
+    Values are integer cents so the hash gate is bit-exact. The oracle
+    re-derives open/close with a row_number window, pinning Spark's
+    min_by struct-ordering semantics against an independent
+    formulation. Registered in the catalog TAIL (r7 window)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("hour", "ts").alias("bar_ts"),
+            "ts",
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
+    return (
+        ev.groupBy("bar_ts")
+        .agg(
+            F.min_by("cents", key).alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", key).alias("close_cents"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("cents").alias("volume_cents"),
+        )
+        .orderBy("bar_ts")
+    )
+
+
+TS8_ORACLE = """
+WITH ticks AS (
+  SELECT date_trunc('hour', ts) AS bar_ts, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_asc,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_desc
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT bar_ts,
+       MAX(CASE WHEN rn_asc = 1 THEN cents END) AS open_cents,
+       MAX(cents) AS high_cents,
+       MIN(cents) AS low_cents,
+       MAX(CASE WHEN rn_desc = 1 THEN cents END) AS close_cents,
+       COUNT(*) AS n_ticks,
+       CAST(SUM(cents) AS BIGINT) AS volume_cents
+FROM ticks GROUP BY bar_ts ORDER BY bar_ts
+"""

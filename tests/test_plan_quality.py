@@ -763,3 +763,68 @@ class TestRound6TailPlanShapes:
         assert "CartesianProduct" not in plan
         assert plan.count("Exchange hashpartitioning") <= 1
         assert "Window" in plan
+
+    def test_interval_concurrency_one_scan_one_hash_shuffle(
+        self, spark, sf_dir
+    ):
+        """w9's sweep-line must be ONE fact scan (boundary structs are
+        an inline array explode, not a 4-branch union) and one day
+        hashpartitioning that both the running-sum window and the
+        per-day max reuse. No join anywhere."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            w9_interval_concurrency,
+        )
+
+        df = w9_interval_concurrency(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert plan.count("Scan parquet") == 1, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Join" not in plan
+        assert "Union" not in plan
+
+    def test_event_transitions_no_second_window_pass(self, spark, sf_dir):
+        """a21's row totals come from a window over the bounded cell
+        table, not a groupBy+join back through the lead() window: one
+        fact scan, no join, and exactly one window over event_type
+        cells plus the user_id lead window."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            a21_event_transitions,
+        )
+
+        df = a21_event_transitions(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert plan.count("Scan parquet") == 1, plan
+        assert "Join" not in plan
+
+    def test_cusum_single_user_shuffle_then_hash_agg(self, spark, sf_dir):
+        """ts7: the running sum, the full-partition N/T frames and the
+        row_number all share ONE user_id exchange; the argmax is a hash
+        aggregate (min(struct)) with a map-side partial, not a second
+        window sort."""
+        from personal_health_etl_pipeline_spark.plans.temporal_surface import (
+            ts7_cusum_changepoint,
+        )
+
+        df = ts7_cusum_changepoint(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "partial_min" in plan, plan
+        assert "Join" not in plan
+
+    def test_ohlc_is_one_hash_aggregate(self, spark, sf_dir):
+        """ts8: min_by/max_by keep OHLC a pure hash aggregate — the
+        purchase filter reaches the scan, there is no window sort of
+        the tick stream, and the agg has a map-side partial."""
+        from personal_health_etl_pipeline_spark.plans.temporal_surface import (
+            ts8_ohlc_bars,
+        )
+
+        df = ts8_ohlc_bars(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "Window" not in plan, plan
+        assert "partial_min_by" in plan or "partial_min" in plan, plan
+        assert "PushedFilters" in _formatted(df)
