@@ -335,6 +335,13 @@ register("ts7_cusum_changepoint", ts.ts7_cusum_changepoint, ts.TS7_ORACLE)
 # NEW r6 TAIL: hourly OHLC bars via min_by/max_by composite ordering
 # (tick downsampling as one hash aggregate, no full-stream sort)
 register("ts8_ohlc_bars", ts.ts8_ohlc_bars, ts.TS8_ORACLE)
+# NEW r6 TAIL: common-neighbor Jaccard node similarity (basket-shape
+# wedge counting over the memoized co-occurrence artifact)
+register(
+    "graph_jaccard_similarity",
+    gr.graph_jaccard_similarity,
+    gr.GRAPH_JACCARD_ORACLE,
+)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

@@ -313,3 +313,96 @@ SELECT node, COUNT(*) AS n_triangles
 FROM corners GROUP BY node
 ORDER BY n_triangles DESC, node
 """
+
+
+# --- common-neighbor (Jaccard) node similarity --------------------------
+
+JACC_MIN_COMMON = 2
+
+
+def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-pair similarity by shared neighborhood over the part
+    co-occurrence graph: Jaccard(u, v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
+    — the link-prediction / substitute-detection primitive next to
+    ``graph_triangles``' cohesion motif. Reuses the memoized
+    ``_cooc_edges`` artifact, then counts common neighbors with the
+    same basket shape as the edge build itself: collect each center's
+    sorted neighbor set, emit its (u < v) pairs inline, ONE pair
+    groupBy — never an adjacency self-join whose shuffle is quadratic
+    in matches. Hub fan-out is quadratic in degree, which is inherent
+    to exact common-neighbor counting; the support threshold on the
+    edge artifact is what bounds degrees here (a production corpus
+    would raise it, not switch shapes). The Jaccard double is one IEEE
+    division of two exact BIGINTs. Registered in the catalog TAIL
+    (r7 certification window)."""
+    edges = _cooc_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
+    )
+    nbr_sets = adj.groupBy("node").agg(
+        F.array_sort(F.collect_list("nbr")).alias("ns")
+    )
+    pair_expr = (
+        "flatten(transform(ns, (x, i) -> "
+        "transform(slice(ns, i + 2, size(ns) - i - 1), "
+        "y -> struct(x AS u, y AS v))))"
+    )
+    common = (
+        nbr_sets.where(F.size("ns") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= JACC_MIN_COMMON)
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        common.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "deg_u")
+        .join(deg.withColumnRenamed("node", "v"), "v")
+        .withColumnRenamed("deg", "deg_v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            "deg_u",
+            "deg_v",
+            (
+                F.col("n_common").cast("double")
+                / (
+                    F.col("deg_u") + F.col("deg_v") - F.col("n_common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("u", "v")
+    )
+
+
+GRAPH_JACCARD_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_ORDERS}
+),
+adj AS (
+  SELECT a AS node, b AS nbr FROM edges
+  UNION ALL SELECT b, a FROM edges
+),
+common AS (
+  SELECT x.nbr AS u, y.nbr AS v, COUNT(*) AS n_common
+  FROM adj x JOIN adj y ON x.node = y.node AND x.nbr < y.nbr
+  GROUP BY 1, 2 HAVING COUNT(*) >= {JACC_MIN_COMMON}
+),
+deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY 1)
+SELECT c.u, c.v, c.n_common,
+       du.deg AS deg_u, dv.deg AS deg_v,
+       CAST(c.n_common AS DOUBLE)
+         / CAST(du.deg + dv.deg - c.n_common AS DOUBLE) AS jaccard
+FROM common c
+JOIN deg du ON du.node = c.u
+JOIN deg dv ON dv.node = c.v
+ORDER BY c.u, c.v
+"""

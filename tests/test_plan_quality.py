@@ -828,3 +828,27 @@ class TestRound6TailPlanShapes:
         assert "Window" not in plan, plan
         assert "partial_min_by" in plan or "partial_min" in plan, plan
         assert "PushedFilters" in _formatted(df)
+
+    def test_jaccard_wedges_are_generated_not_self_joined(
+        self, spark, sf_dir
+    ):
+        """graph_jaccard_similarity must count common neighbors via the
+        basket shape (explode of inline neighbor pairs — a Generate
+        node), never an adjacency self-join; the only joins are the two
+        bounded degree lookups, and nothing degenerates to a nested
+        loop."""
+        from personal_health_etl_pipeline_spark.plans.graph_surface import (
+            graph_jaccard_similarity,
+        )
+
+        df = graph_jaccard_similarity(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "Generate explode" in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        n_joins = sum(
+            plan.count(j)
+            for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        )
+        assert n_joins <= 2, plan
