@@ -883,6 +883,74 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- source: schema evolution across parquet batches -------------------
+
+def s8_schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on READ, certified end-to-end: two event
+    batches land in one dataset with DIFFERENT schemas — the legacy
+    batch (even event_id) carries a ``legacy_note`` string the new
+    batch dropped; the new batch (odd event_id) adds a
+    ``quality_flag`` BIGINT the legacy batch predates — and the scan
+    unions them with ``mergeSchema=true``. The audit aggregate pins
+    the two null-fill directions (old rows null in added columns, new
+    rows null in dropped columns) and that no values bleed across
+    batches. This is the footgun surface of long-lived 100 TB
+    datasets: schemas drift per ingestion epoch and the reader, not a
+    rewrite of petabytes, must reconcile them. Oracle = the same
+    accounting derived from ``events`` by the parity rule alone."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_cents"),
+    )
+    scratch = _scratch("schema_evo_audit")
+    table = os.path.join(scratch, "evolving")
+    legacy = events.where(F.col("event_id") % 2 == 0).withColumn(
+        "legacy_note", F.concat(F.lit("v1:"), F.col("event_type"))
+    )
+    modern = events.where(F.col("event_id") % 2 == 1).withColumn(
+        "quality_flag", F.col("event_id") % 3
+    )
+    legacy.write.parquet(os.path.join(table, "epoch=legacy"))
+    modern.write.parquet(os.path.join(table, "epoch=modern"))
+    back = spark.read.option("mergeSchema", "true").parquet(table)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.col("quality_flag").isNull().cast("bigint")
+            ).alias("n_null_quality"),
+            F.sum(
+                F.col("legacy_note").isNull().cast("bigint")
+            ).alias("n_null_legacy"),
+            F.sum(F.coalesce("quality_flag", F.lit(0))).alias(
+                "sum_quality_flag"
+            ),
+            F.count("legacy_note").alias("n_legacy_notes"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+S8_SCHEMA_EVOLUTION_ORACLE = """
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_quality,
+       CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_legacy,
+       CAST(SUM(CASE WHEN event_id % 2 = 1 THEN event_id % 3 ELSE 0 END)
+            AS BIGINT) AS sum_quality_flag,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_legacy_notes,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --- streaming Python DataSource: incremental range backfill -----------
 
 def st_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

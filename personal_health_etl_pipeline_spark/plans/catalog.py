@@ -342,6 +342,13 @@ register(
     gr.graph_jaccard_similarity,
     gr.GRAPH_JACCARD_ORACLE,
 )
+# NEW r6 TAIL: schema evolution on read (mergeSchema across ingestion
+# epochs; both null-fill directions under the hash gate)
+register(
+    "s8_schema_evolution_audit",
+    au.s8_schema_evolution_audit,
+    au.S8_SCHEMA_EVOLUTION_ORACLE,
+)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep
