@@ -1358,3 +1358,66 @@ SELECT from_type, to_type, n_transitions,
                 AS DOUBLE) AS p_transition
 FROM cells ORDER BY from_type, to_type
 """
+
+
+def j21_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality JOIN (``<=>`` as the join key): per-user
+    signup and error rollups join on a key where one user's id is
+    masked to NULL on both sides — standard equality would silently
+    drop that row (NULL = NULL is NULL), the null-safe key matches it.
+    Catalyst compiles ``eqNullSafe`` join keys into a plain equi-join
+    (hash/sort-merge capable — the plan gate pins that it never
+    degenerates to a nested loop), which is exactly why it is the safe
+    default for joining nullable dimension keys at 100 TB. The outer
+    mode also certifies the no-match null-fill alongside the
+    null-KEY match — the two NULL roles this join must keep distinct.
+    f11 certifies ``<=>`` as a scalar expression; this certifies it as
+    a join KEY, which exercises a different planner path. Registered
+    in the catalog TAIL (r7 certification window)."""
+    events = load_table(spark, sf_dir, "events")
+    masked = F.nullif(F.col("user_id"), F.lit(7))
+    signups = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy(masked.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_signups"))
+    )
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .groupBy(masked.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    joined = signups.alias("s").join(
+        errors.alias("e"),
+        F.col("s.k").eqNullSafe(F.col("e.k")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(
+            F.col("s.k"),
+            F.col("e.k"),
+            F.lit(-1),
+        ).alias("key_or_sentinel"),
+        (F.col("s.k").isNull() & F.col("e.k").isNull()).alias(
+            "is_masked_row"
+        ),
+        F.coalesce("s.n_signups", F.lit(0)).alias("n_signups"),
+        F.coalesce("e.n_errors", F.lit(0)).alias("n_errors"),
+    ).orderBy("key_or_sentinel")
+
+
+J21_ORACLE = """
+WITH signups AS (
+  SELECT nullif(user_id, 7) AS k, COUNT(*) AS n_signups
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+errors AS (
+  SELECT nullif(user_id, 7) AS k, COUNT(*) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT COALESCE(s.k, e.k, -1) AS key_or_sentinel,
+       (s.k IS NULL AND e.k IS NULL) AS is_masked_row,
+       COALESCE(s.n_signups, 0) AS n_signups,
+       COALESCE(e.n_errors, 0) AS n_errors
+FROM signups s FULL OUTER JOIN errors e ON s.k IS NOT DISTINCT FROM e.k
+ORDER BY key_or_sentinel
+"""

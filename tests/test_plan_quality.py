@@ -852,3 +852,22 @@ class TestRound6TailPlanShapes:
             for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
         )
         assert n_joins <= 2, plan
+
+    def test_nullsafe_join_key_stays_equi(self, spark, sf_dir):
+        """j21: an eqNullSafe join key must compile to a hash/sort-merge
+        equi-join — never BroadcastNestedLoopJoin, which is what a
+        naive `ON a = b OR (a IS NULL AND b IS NULL)` predicate
+        produces."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            j21_nullsafe_join,
+        )
+
+        df = j21_nullsafe_join(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan
+        assert any(
+            j in plan
+            for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        ), plan
