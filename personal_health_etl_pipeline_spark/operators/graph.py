@@ -281,6 +281,60 @@ def bfs_hops(
     return dist.select(F.col("_n").alias(node), F.col("_dist").alias("dist"))
 
 
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    materialize_edges: bool = True,
+) -> DataFrame:
+    """Bounded Bellman-Ford: ``(node, dist)`` with the MINIMUM total
+    edge weight over any path of at most ``max_rounds`` edges from the
+    seed set (integer weights; unreachable nodes absent).
+
+    The weighted counterpart of :func:`bfs_hops`: each round relaxes
+    every edge out of the current distance table (one equi-join on the
+    edge key), then folds candidates into the table with one
+    ``groupBy(node).min`` — the synchronous Bellman-Ford step as two
+    shuffles. The table is checkpointed per round so lineage stays
+    linear (the :func:`operators.pagerank.pagerank` discipline); no
+    distance ever reaches the driver. Unlike BFS there is no shrinking
+    frontier — a node's distance can improve in any round — so every
+    round relaxes the full table; ``max_rounds`` is the hop budget and
+    the work bound. At 100 TB this is edges-join-nodes per round,
+    partitioned by the join key; weights and distances stay BIGINT.
+    """
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(weight).alias("_w")
+    )
+    if materialize_edges:
+        e = e.localCheckpoint(eager=True)
+    dist = (
+        seeds.select(F.col(node).alias("_n"))
+        .distinct()
+        .withColumn("_dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        cand = dist.join(e, dist["_n"] == e["_s"]).select(
+            F.col("_d").alias("_n"), (F.col("_dist") + F.col("_w")).alias("_dist")
+        )
+        new_dist = (
+            dist.unionByName(cand)
+            .groupBy("_n")
+            .agg(F.min("_dist").alias("_dist"))
+            .localCheckpoint(eager=True)
+        )
+        # the superseded round's localCheckpoint blocks are released by
+        # the ContextCleaner once this rebind drops the last reference
+        # (bounded live set: at most two round tables at once)
+        dist = new_dist
+    return dist.select(F.col("_n").alias(node), F.col("_dist").alias("dist"))
+
+
 def triangle_counts(
     pairs: DataFrame,
     src: str = "id_a",

@@ -352,6 +352,9 @@ register(
 # NEW r6 TAIL: null-safe equality as a JOIN KEY (<=> compiles to an
 # equi-join; f11 only certified it as a scalar expression)
 register("j21_nullsafe_join", an.j21_nullsafe_join, an.J21_ORACLE)
+# NEW r6 TAIL: bounded Bellman-Ford weighted shortest paths (relax +
+# min-fold rounds; depth-bounded recursive-walk oracle)
+register("graph_sssp_weighted", gr.graph_sssp_weighted, gr.GRAPH_SSSP_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

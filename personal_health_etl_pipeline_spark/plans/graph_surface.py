@@ -406,3 +406,111 @@ JOIN deg du ON du.node = c.u
 JOIN deg dv ON dv.node = c.v
 ORDER BY c.u, c.v
 """
+
+
+# --- bounded weighted shortest paths (Bellman-Ford) ---------------------
+
+SSSP_ROUNDS = 3
+_WEIGHTED_EDGES_MEMO: dict = {}
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction edges with an integer COST per trading relationship:
+    ``greatest(1, 4 - n_orders)`` — pairs that traded >= 3 orders cost
+    1, two orders cost 2, one-off pairs cost 3 — so the shortest path
+    prefers habitual relationships. Same session-memoized structure
+    discipline as ``_txn_edges``; the weight derivation (count DISTINCT
+    orders per pair) is part of the artifact."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _WEIGHTED_EDGES_MEMO.get(key)
+    if memo is not None:
+        return memo
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2 + 1).alias("c_node"),
+            (F.col("l_suppkey") * 2).alias("s_node"),
+        )
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .select(
+            "c_node",
+            "s_node",
+            F.greatest(F.lit(1), F.lit(4) - F.col("n_orders")).alias("w"),
+        )
+    )
+    edges = (
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w")
+        .unionByName(
+            pairs.select(
+                F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    _WEIGHTED_EDGES_MEMO[key] = edges
+    return edges
+
+
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-path cost from the BFS seed suppliers to every node,
+    bounded at ``SSSP_ROUNDS`` edges — weighted reachability
+    (``operators/graph.py:sssp_bounded``), the trust/propagation-cost
+    primitive next to ``graph_bfs_hops``' hop count. Bellman-Ford's
+    round-k table IS "min cost over paths of <= k edges", so the
+    oracle recomputes it as a depth-bounded recursive walk with MIN
+    per node: hash equality certifies the relax-then-fold rounds
+    neither lose an improvement nor apply one round too many.
+    Registered in the catalog TAIL (r7 certification window)."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    seeds = supp.where(
+        F.col("s_suppkey") % BFS_SEED_MOD == BFS_SEED_RES
+    ).select((F.col("s_suppkey") * 2).alias("node"))
+    from personal_health_etl_pipeline_spark.operators.graph import sssp_bounded
+
+    d = sssp_bounded(
+        _weighted_edges(spark, sf_dir),
+        seeds,
+        max_rounds=SSSP_ROUNDS,
+        materialize_edges=False,
+    )
+    return d.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("key"),
+        F.col("dist").alias("min_cost"),
+    ).orderBy("min_cost", "node_type", "key")
+
+
+# UNION (not UNION ALL) bounds the recursive working set at distinct
+# (node, cost, hops) triples; costs are small integers so the variety
+# per node is bounded and MIN per node reproduces the Bellman-Ford
+# round-SSSP_ROUNDS table exactly.
+GRAPH_SSSP_ORACLE = rf"""
+WITH RECURSIVE wpairs AS (
+  SELECT o.o_custkey * 2 + 1 AS c_node, l.l_suppkey * 2 AS s_node,
+         greatest(1, 4 - COUNT(DISTINCT l.l_orderkey)) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+wedges AS (
+  SELECT c_node AS src, s_node AS dst, w FROM wpairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst, w FROM wpairs
+),
+walk(node, cost, hops) AS (
+  SELECT DISTINCT s_suppkey * 2 AS node, CAST(0 AS BIGINT) AS cost, 0 AS hops
+  FROM supplier WHERE s_suppkey % {BFS_SEED_MOD} = {BFS_SEED_RES}
+  UNION
+  SELECT e.dst AS node, w.cost + e.w AS cost, w.hops + 1 AS hops
+  FROM walk w JOIN wedges e ON e.src = w.node
+  WHERE w.hops < {SSSP_ROUNDS}
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+       node // 2 AS key,
+       CAST(MIN(cost) AS BIGINT) AS min_cost
+FROM walk GROUP BY node
+ORDER BY min_cost, node_type, key
+"""

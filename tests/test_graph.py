@@ -255,3 +255,60 @@ class TestBfsHops:
             for r in bfs_hops(edges, seeds, max_hops=50).collect()
         }
         assert got == {1: 0, 2: 1}
+
+
+class TestSsspBounded:
+    def test_cheaper_long_path_beats_short_expensive_edge(self, spark):
+        from personal_health_etl_pipeline_spark.operators.graph import (
+            sssp_bounded,
+        )
+
+        # 1->4 direct costs 10; 1->2->3->4 costs 3. Within 3 rounds the
+        # long cheap path must win; within 1 round only the direct edge
+        # exists.
+        edges = spark.createDataFrame(
+            [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 10), (98, 99, 1)],
+            "src long, dst long, w long",
+        )
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got3 = {
+            r.node: r.dist
+            for r in sssp_bounded(edges, seeds, max_rounds=3).collect()
+        }
+        assert got3 == {1: 0, 2: 1, 3: 2, 4: 3}
+        got1 = {
+            r.node: r.dist
+            for r in sssp_bounded(edges, seeds, max_rounds=1).collect()
+        }
+        assert got1 == {1: 0, 2: 1, 4: 10}
+
+    def test_matches_python_bellman_ford(self, spark):
+        """Deterministic pseudo-random graph vs a reference Python
+        Bellman-Ford bounded at the same number of rounds."""
+        from personal_health_etl_pipeline_spark.operators.graph import (
+            sssp_bounded,
+        )
+
+        n, rounds = 40, 3
+        es = []
+        for i in range(n):
+            for j in ((i * 7 + 3) % n, (i * 13 + 5) % n):
+                if i != j:
+                    es.append((i, j, (i + j) % 5 + 1))
+        seeds_py = [0, 17]
+        dist = {s: 0 for s in seeds_py}
+        for _ in range(rounds):
+            new = dict(dist)
+            for s, d, w in es:
+                if s in dist and dist[s] + w < new.get(d, float("inf")):
+                    new[d] = min(new.get(d, float("inf")), dist[s] + w)
+            dist = new
+        edges = spark.createDataFrame(es, "src long, dst long, w long")
+        seeds = spark.createDataFrame(
+            [(s,) for s in seeds_py], "node long"
+        )
+        got = {
+            r.node: r.dist
+            for r in sssp_bounded(edges, seeds, max_rounds=rounds).collect()
+        }
+        assert got == dist
