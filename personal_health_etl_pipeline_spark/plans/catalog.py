@@ -694,7 +694,13 @@ _HEAD = [
 # TAIL — a20_exact_mode, f13_bitwise_function_sweep, j17_spo2_id_day,
 # graph_bfs_hops, ts5_ewma_halflife, mm_audio_energy,
 # sketch_kmv_set_ops, text_phrase_topk, f14_lambda_function_sweep,
-# w8_windowed_distinct, corpus_token_budget (11 entries); (b) entries
+# w8_windowed_distinct, corpus_token_budget, plus the late-r6 batch:
+# ann_filtered_topk, j18_universe_sample_join, f15_url_parse_sweep,
+# j19_asof_forward_tolerance, j20_detailed_sleep, ann_range_search,
+# ts6_moving_median, w9_interval_concurrency, a21_event_transitions,
+# ts7_cusum_changepoint, ts8_ohlc_bars, graph_jaccard_similarity,
+# s8_schema_evolution_audit, j21_nullsafe_join, graph_sssp_weighted
+# (26 entries); (b) entries
 # whose impl changed late-r6 if not already in this head —
 # dedup_substring_spans/cut (shared windows artifact),
 # graph_triangles (memoized co-occurrence edges; both were r5/r6-head
