@@ -1421,3 +1421,66 @@ SELECT COALESCE(s.k, e.k, -1) AS key_or_sentinel,
 FROM signups s FULL OUTER JOIN errors e ON s.k IS NOT DISTINCT FROM e.k
 ORDER BY key_or_sentinel
 """
+
+
+def a22_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median of the extended price per return flag,
+    weighted by quantity — the lower weighted median: the smallest
+    value whose cumulative weight reaches half the total. One
+    value-ordered cumulative-weight window and a ``min(struct)``
+    argmin per group — no global sort, no second pass; the
+    half-total comparison is kept in integers (``2*cumw >= totw``) so
+    no engine ever divides. Spark has no weighted-percentile
+    aggregate; this is the composition, and it scales as one shuffle
+    on (group, value-order). Registered in the catalog TAIL (r7
+    certification window)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("wgt"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    scored = li.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("wgt").over(wcum).alias("cumw"),
+        F.sum("wgt").over(wall).alias("totw"),
+    ).where(F.col("cumw") * 2 >= F.col("totw"))
+    return (
+        scored.groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").alias("wmedian_cents"),
+            F.min("totw").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+A22_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(round(l_quantity) AS BIGINT) AS wgt
+  FROM lineitem
+),
+scored AS (
+  SELECT l_returnflag, price_cents,
+         CAST(SUM(wgt) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumw,
+         CAST(SUM(wgt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw
+  FROM base
+)
+SELECT l_returnflag,
+       MIN(price_cents) AS wmedian_cents,
+       MIN(totw) AS total_weight
+FROM scored WHERE cumw * 2 >= totw
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""

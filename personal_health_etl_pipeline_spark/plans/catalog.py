@@ -355,6 +355,9 @@ register("j21_nullsafe_join", an.j21_nullsafe_join, an.J21_ORACLE)
 # NEW r6 TAIL: bounded Bellman-Ford weighted shortest paths (relax +
 # min-fold rounds; depth-bounded recursive-walk oracle)
 register("graph_sssp_weighted", gr.graph_sssp_weighted, gr.GRAPH_SSSP_ORACLE)
+# NEW r6 TAIL: exact weighted median (cumulative-weight window +
+# integer half-total comparison; tie-order-stable by construction)
+register("a22_weighted_median", an.a22_weighted_median, an.A22_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

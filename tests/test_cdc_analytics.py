@@ -85,3 +85,28 @@ def test_j18_universe_sample_rate_is_p_not_p_squared(spark, sf_dir):
     assert abs(r.join_rate_micro / 1e6 - UNIV_PCT / 100) < 0.04
     # FK integrity makes every surviving lineitem find its order
     assert r.n_join_sampled == r.n_lineitem_kept
+
+
+def test_a22_weighted_median_tie_groups_are_order_stable(spark, tmp_path):
+    """The weighted-median filter runs on per-row cumulative weights
+    whose values WITHIN a tied price group depend on arbitrary row
+    order — but the aggregate only asks whether any row of a group
+    passes, which is a function of the group's END cumulative weight.
+    Pin that with heavy ties: prices [10 x w1, 10 x w1, 20 x w3]
+    (total 5, half 2.5) -> lower weighted median is 20; and with
+    [10 x w3, 20 x w2] -> 10 (the 10-group's end cumw 3 >= 2.5)."""
+    import personal_health_etl_pipeline_spark.plans.analytics_surface as an
+    from personal_health_etl_pipeline_spark.sources import tables
+
+    def run(rows):
+        df = spark.createDataFrame(
+            [("A", p, w) for p, w in rows],
+            "l_returnflag string, l_extendedprice double, l_quantity double",
+        )
+        d = str(tmp_path / f"li_{len(rows)}_{hash(tuple(rows)) % 997}")
+        df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        out = an.a22_weighted_median(spark, d).collect()
+        return out[0].wmedian_cents
+
+    assert run([(0.10, 1.0), (0.10, 1.0), (0.20, 3.0)]) == 20
+    assert run([(0.10, 3.0), (0.20, 2.0)]) == 10
