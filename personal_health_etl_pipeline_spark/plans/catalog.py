@@ -358,6 +358,14 @@ register("graph_sssp_weighted", gr.graph_sssp_weighted, gr.GRAPH_SSSP_ORACLE)
 # NEW r6 TAIL: exact weighted median (cumulative-weight window +
 # integer half-total comparison; tie-order-stable by construction)
 register("a22_weighted_median", an.a22_weighted_median, an.A22_ORACLE)
+# NEW r6 TAIL: MAP-type scalar surface (map_from_arrays/map_keys/
+# map_entries/map_filter/transform_values/map_concat/element_at —
+# derived scalars only; oracle re-derives relationally)
+register(
+    "f17_map_function_sweep",
+    rs.f17_map_function_sweep,
+    rs.F17_ORACLE,
+)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

@@ -1284,3 +1284,115 @@ SELECT host,
        MIN(doc_id) AS min_doc_id
 FROM parsed GROUP BY host ORDER BY host
 """
+
+
+# --- F17: map-function breadth sweep ------------------------------------
+
+def f17_map_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAP-type scalar surface in one pass (sibling of the f9-f14
+    sweeps): per document, a token->count map built row-locally with
+    ``map_from_arrays``, then exercised through ``map_keys``,
+    ``map_entries`` (argmax fold over entries), ``map_filter``,
+    ``transform_values``, ``map_concat`` and map ``element_at``. Map
+    key order is engine-internal, so the entry never emits a raw map —
+    every output is a derived scalar, and the oracle recomputes each
+    one from the token list relationally (unnest + group), pinning the
+    map semantics against an independent formulation. The per-row
+    count build is O(k^2) in distinct tokens, bounded by slicing to
+    the first 24 tokens — map construction conventions are the point
+    here, not throughput. Registered in the catalog TAIL (r7
+    certification window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr(
+        r"slice(filter(split(text, '\\s+'), x -> x <> ''), 1, 24)"
+    )
+    base = (
+        docs.where(F.col("doc_id") % 11 == 0)
+        .select("doc_id", t.alias("t"))
+        .where(F.size("t") >= 3)
+    )
+    built = base.select(
+        "doc_id",
+        F.size("t").alias("n_toks"),
+        F.expr(
+            "map_from_arrays(array_distinct(t), "
+            "transform(array_distinct(t), x -> size(filter(t, y -> y = x))))"
+        ).alias("m"),
+    )
+    top = F.expr(
+        "aggregate(map_entries(m), "
+        "cast(null as struct<key:string,value:int>), "
+        "(acc, e) -> case when acc is null or e.value > acc.value "
+        "or (e.value = acc.value and e.key < acc.key) then e else acc end)"
+    )
+    return (
+        built.select(
+            "doc_id",
+            "n_toks",
+            F.size(F.map_keys(F.col("m"))).alias("n_keys"),
+            top["key"].alias("mode_tok"),
+            top["value"].cast("bigint").alias("mode_count"),
+            F.size(
+                F.expr("map_filter(m, (k, v) -> v = 1)")
+            ).alias("n_singletons"),
+            F.element_at(
+                F.expr("transform_values(m, (k, v) -> v * 2)"),
+                top["key"],
+            ).cast("bigint").alias("mode_count_doubled"),
+            F.element_at(
+                F.expr("map_concat(m, map('__total__', n_toks))"),
+                F.lit("__total__"),
+            ).cast("bigint").alias("total_via_concat"),
+            F.substring(
+                F.array_join(F.array_sort(F.map_keys(F.col("m"))), ","),
+                1,
+                40,
+            ).alias("keys_sig"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+F17_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[1:24]
+             AS t
+  FROM documents WHERE doc_id % 11 = 0
+),
+base AS (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+flat AS (
+  SELECT b.doc_id, u.tok
+  FROM base b, UNNEST(b.t) AS u(tok)
+),
+counts AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM flat GROUP BY 1, 2
+),
+modes AS (
+  SELECT doc_id, tok AS mode_tok, cnt AS mode_count,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, tok) AS rn
+  FROM counts
+),
+stats AS (
+  SELECT doc_id,
+         COUNT(*) AS n_keys,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS INT)
+             AS n_singletons,
+         substring(string_agg(tok, ',' ORDER BY tok), 1, 40) AS keys_sig
+  FROM counts GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.t) AS INT) AS n_toks,
+       CAST(s.n_keys AS INT) AS n_keys,
+       m.mode_tok,
+       CAST(m.mode_count AS BIGINT) AS mode_count,
+       s.n_singletons,
+       CAST(m.mode_count * 2 AS BIGINT) AS mode_count_doubled,
+       CAST(len(b.t) AS BIGINT) AS total_via_concat,
+       s.keys_sig
+FROM base b
+JOIN modes m ON m.doc_id = b.doc_id AND m.rn = 1
+JOIN stats s ON s.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
