@@ -1423,36 +1423,61 @@ ORDER BY key_or_sentinel
 """
 
 
+WMEDIAN_BUCKET_CENTS = 200_000  # static price grid: ~53 buckets over TPC-H's range
+
+
 def a22_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact WEIGHTED median of the extended price per return flag,
     weighted by quantity — the lower weighted median: the smallest
-    value whose cumulative weight reaches half the total. One
-    value-ordered cumulative-weight window and a ``min(struct)``
-    argmin per group — no global sort, no second pass; the
-    half-total comparison is kept in integers (``2*cumw >= totw``) so
-    no engine ever divides. Spark has no weighted-percentile
-    aggregate; this is the composition, and it scales as one shuffle
-    on (group, value-order). Registered in the catalog TAIL (r7
-    certification window)."""
+    value whose cumulative weight reaches half the total. The naive
+    shape (one cumulative window partitioned by the 3 return flags)
+    serializes a third of the table through a single sort task; this
+    is the TWO-PHASE global cumsum instead (the ``corpus_token_budget``
+    idiom): (1) per-(flag, static price bucket) weight subtotals —
+    a hash aggregate; (2) exclusive bucket-prefix offsets + group
+    totals over that TINY table; (3) offsets broadcast back, and the
+    cumulative window runs per (flag, bucket) — parallelism is
+    groups x buckets, not groups. The half-total comparison stays in
+    integers (``2*cumw >= totw``); ties never span buckets (equal
+    prices share a bucket) and only a tie group's END cumulative
+    weight decides membership, so the filter is order-stable. Spark
+    has no weighted-percentile aggregate; this is the composition at
+    the shape that survives 100 TB. Registered in the catalog TAIL
+    (r7 certification window)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
             "price_cents"
         ),
         F.expr("CAST(round(l_quantity) AS BIGINT)").alias("wgt"),
+    ).withColumn("bkt", F.expr(f"price_cents div {WMEDIAN_BUCKET_CENTS}"))
+    sub = li.groupBy("l_returnflag", "bkt").agg(F.sum("wgt").alias("bw"))
+    wprev = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sub.select(
+        "l_returnflag",
+        "bkt",
+        F.coalesce(F.sum("bw").over(wprev), F.lit(0)).alias("off"),
+        F.sum("bw").over(Window.partitionBy("l_returnflag")).alias("totw"),
     )
     wcum = (
-        Window.partitionBy("l_returnflag")
+        Window.partitionBy("l_returnflag", "bkt")
         .orderBy("price_cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wall = Window.partitionBy("l_returnflag")
-    scored = li.select(
-        "l_returnflag",
-        "price_cents",
-        F.sum("wgt").over(wcum).alias("cumw"),
-        F.sum("wgt").over(wall).alias("totw"),
-    ).where(F.col("cumw") * 2 >= F.col("totw"))
+    scored = (
+        li.join(F.broadcast(offsets), ["l_returnflag", "bkt"])
+        .select(
+            "l_returnflag",
+            "price_cents",
+            (F.col("off") + F.sum("wgt").over(wcum)).alias("cumw"),
+            "totw",
+        )
+        .where(F.col("cumw") * 2 >= F.col("totw"))
+    )
     return (
         scored.groupBy("l_returnflag")
         .agg(

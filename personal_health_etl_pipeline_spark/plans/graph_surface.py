@@ -317,7 +317,7 @@ ORDER BY n_triangles DESC, node
 
 # --- common-neighbor (Jaccard) node similarity --------------------------
 
-JACC_MIN_COMMON = 2
+JACC_MIN_COMMON = 1
 
 
 def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,9 +332,13 @@ def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     in matches. Hub fan-out is quadratic in degree, which is inherent
     to exact common-neighbor counting; the support threshold on the
     edge artifact is what bounds degrees here (a production corpus
-    would raise it, not switch shapes). The Jaccard double is one IEEE
-    division of two exact BIGINTs. Registered in the catalog TAIL
-    (r7 certification window)."""
+    would raise it, not switch shapes). Every wedge pair is kept
+    (min common = 1): the support-thresholded graph is sparse enough
+    that the candidate set IS the wedge set, and at sf0.1 no pair
+    reaches 2 shared neighbors — a higher floor would certify an
+    empty frame. The Jaccard double is one IEEE division of two
+    exact BIGINTs. Registered in the catalog TAIL (r7 certification
+    window)."""
     edges = _cooc_edges(spark, sf_dir)
     adj = edges.select(
         F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
