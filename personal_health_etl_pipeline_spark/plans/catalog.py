@@ -366,6 +366,10 @@ register(
     rs.f17_map_function_sweep,
     rs.F17_ORACLE,
 )
+# NEW r6 TAIL: Python UDTF (Arrow-batched table-valued function via
+# SQL LATERAL — the §2.9 shape mapInPandas does not cover); oracle =
+# the gaps-and-islands window formulation of the same RLE
+register("udtf_token_runs", rs.udtf_token_runs, rs.UDTF_TOKEN_RUNS_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep

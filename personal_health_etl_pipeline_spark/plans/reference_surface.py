@@ -1396,3 +1396,76 @@ JOIN modes m ON m.doc_id = b.doc_id AND m.rn = 1
 JOIN stats s ON s.doc_id = b.doc_id
 ORDER BY b.doc_id
 """
+
+
+# --- UDTF: table-valued Python function (SURVEY §2.9) --------------------
+
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each document's token stream through a
+    PYTHON UDTF (``@udtf(useArrow=True)``) — the one Python-extension
+    shape the §2.9 surface had not certified: mapInPandas/applyInPandas
+    emit frames per batch/group; a UDTF is a per-row TABLE-VALUED
+    function (variable rows out per row in) composable in SQL via
+    LATERAL. The UDTF is Arrow-batched, stateless per row, and runs on
+    a bounded doc subset sliced to 60 tokens — API-surface
+    certification, not a hot path (the JVM way to RLE is the
+    gaps-and-islands window, which is exactly what the DuckDB oracle
+    uses, so the hash gate cross-checks the two formulations). At
+    100 TB the same UDTF distributes per partition with no shuffle:
+    rows in, runs out, map-side."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="start_pos int, tok string, run_len int", useArrow=True)
+    class TokenRuns:
+        def eval(self, doc_id: int, toks: list):
+            if not toks:
+                return
+            start, prev, n = 1, toks[0], 1
+            for i, t in enumerate(toks[1:], start=2):
+                if t == prev:
+                    n += 1
+                else:
+                    yield (start, prev, n)
+                    start, prev, n = i, t, 1
+            yield (start, prev, n)
+
+    spark.udtf.register("token_runs", TokenRuns)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.expr(
+            r"slice(filter(split(text, '\\s+'), x -> x <> ''), 1, 60)"
+        ).alias("t"),
+    ).createOrReplaceTempView("udtf_token_base")
+    return spark.sql(
+        """
+        SELECT b.doc_id, r.start_pos, r.tok, CAST(r.run_len AS BIGINT)
+                   AS run_len
+        FROM udtf_token_base b, LATERAL token_runs(b.doc_id, b.t) r
+        ORDER BY b.doc_id, r.start_pos
+        """
+    )
+
+
+UDTF_TOKEN_RUNS_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[1:60]
+             AS t
+  FROM documents WHERE doc_id % 7 = 0
+),
+flat AS (
+  SELECT b.doc_id, b.t[r.i] AS tok, CAST(r.i AS INT) AS pos
+  FROM base b, UNNEST(range(1, len(b.t) + 1)) AS r(i)
+),
+islands AS (
+  SELECT doc_id, tok, pos,
+         pos - row_number() OVER (PARTITION BY doc_id, tok
+                                  ORDER BY pos) AS grp
+  FROM flat
+)
+SELECT doc_id, CAST(MIN(pos) AS INT) AS start_pos, tok,
+       COUNT(*) AS run_len
+FROM islands GROUP BY doc_id, tok, grp
+ORDER BY doc_id, start_pos
+"""
