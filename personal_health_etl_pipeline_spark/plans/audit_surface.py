@@ -883,6 +883,136 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- streaming: exactly-once restart audit ------------------------------
+
+def st_scd2_restart_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once RESTART semantics of the streaming SCD-2 sink,
+    certified in three phases over the same checkpoint: (1) stream the
+    first two CDC day-batches to completion; (2) restart the identical
+    query — the file source's checkpoint already covers both files, so
+    the restart must commit NOTHING (no new version, history
+    unchanged); (3) drop in the third day-batch and restart — exactly
+    one more version appears and the final history equals the 3-day
+    batch fold. The sink is replay-idempotent by construction (a
+    version directory is NAMED by its micro-batch id, so a replayed
+    batch overwrites itself rather than duplicating — the same trick
+    Delta's txn log plays with appIds); this entry pins that property
+    through actual restarts instead of trusting the comment. Version
+    counts are constants of the construction; the history aggregates
+    are re-derived by the oracle from ``events`` alone."""
+    events = load_table(spark, sf_dir, "events")
+    days = [
+        r.d
+        for r in events.select(F.to_date("ts").alias("d"))
+        .distinct()
+        .orderBy("d")
+        .limit(SCD2_N_DAYS)
+        .collect()
+    ]
+    w = Window.partitionBy("user_id", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    upd = (
+        events.withColumn("d", F.to_date("ts"))
+        .where(F.col("d").isin(days))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("d").alias("eff_date"))
+    )
+    scratch = _scratch("scd2_restart_audit")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src)
+    table_dir = os.path.join(scratch, "table")
+    os.makedirs(table_dir)
+    ck = os.path.join(scratch, "ck")
+    base_mtime = 1_700_000_000
+
+    def _land(i: int, d) -> None:
+        bdir = os.path.join(scratch, f"w{i}")
+        upd.where(F.col("eff_date") == F.lit(d)).coalesce(1).write.parquet(
+            bdir
+        )
+        [part] = glob.glob(os.path.join(bdir, "part-*.parquet"))
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base_mtime + i, base_mtime + i))
+
+    def _drain() -> None:
+        stream = (
+            spark.readStream.schema(upd.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_upsert_stream(
+            stream, table_dir, ck,
+            key="user_id", attrs=["event_type"], eff_col="eff_date",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    from personal_health_etl_pipeline_spark.streaming.upsert import (
+        list_versions,
+    )
+
+    sorted_days = sorted(days)
+    _land(0, sorted_days[0])
+    _land(1, sorted_days[1])
+    _drain()
+    n_p1 = len(list_versions(table_dir))
+    _drain()  # noop restart: checkpoint already covers both files
+    n_noop = len(list_versions(table_dir))
+    _land(2, sorted_days[2])
+    _drain()  # exactly one new micro-batch
+    n_final = len(list_versions(table_dir))
+    hist = read_current(spark, table_dir)
+    return hist.agg(
+        F.lit(n_p1).cast("bigint").alias("n_versions_p1"),
+        F.lit(n_noop).cast("bigint").alias("n_versions_noop"),
+        F.lit(n_final).cast("bigint").alias("n_versions_final"),
+        F.count(F.lit(1)).alias("n_history_rows"),
+        F.sum(F.col("is_current").cast("bigint")).alias("n_current_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ST_SCD2_RESTART_ORACLE = f"""
+WITH days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events ORDER BY d
+  LIMIT {SCD2_N_DAYS}
+),
+upd AS (
+  SELECT user_id, event_type, d AS eff_date FROM (
+    SELECT e.user_id, e.event_type, CAST(e.ts AS DATE) AS d,
+           row_number() OVER (PARTITION BY e.user_id, CAST(e.ts AS DATE)
+                              ORDER BY e.ts DESC, e.event_id DESC) AS rn
+    FROM events e JOIN days ON CAST(e.ts AS DATE) = days.d
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT user_id, event_type, eff_date,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY eff_date)
+             AS prev_et
+  FROM upd
+),
+hist AS (
+  SELECT user_id,
+         lead(eff_date) OVER (PARTITION BY user_id ORDER BY eff_date)
+             AS valid_to
+  FROM kept WHERE prev_et IS NULL OR event_type <> prev_et
+)
+SELECT CAST(2 AS BIGINT) AS n_versions_p1,
+       CAST(2 AS BIGINT) AS n_versions_noop,
+       CAST(3 AS BIGINT) AS n_versions_final,
+       COUNT(*) AS n_history_rows,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_current_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM hist
+"""
+
+
 # --- source: schema evolution across parquet batches -------------------
 
 def s8_schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -370,6 +370,13 @@ register(
 # SQL LATERAL — the §2.9 shape mapInPandas does not cover); oracle =
 # the gaps-and-islands window formulation of the same RLE
 register("udtf_token_runs", rs.udtf_token_runs, rs.UDTF_TOKEN_RUNS_ORACLE)
+# NEW r6 TAIL: exactly-once restart semantics of the streaming SCD-2
+# sink (noop restart commits nothing; one new file -> one new version)
+register(
+    "st_scd2_restart_idempotent",
+    au.st_scd2_restart_idempotent,
+    au.ST_SCD2_RESTART_ORACLE,
+)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep
