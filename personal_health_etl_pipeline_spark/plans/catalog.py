@@ -721,8 +721,9 @@ _HEAD = [
 # j19_asof_forward_tolerance, j20_detailed_sleep, ann_range_search,
 # ts6_moving_median, w9_interval_concurrency, a21_event_transitions,
 # ts7_cusum_changepoint, ts8_ohlc_bars, graph_jaccard_similarity,
-# s8_schema_evolution_audit, j21_nullsafe_join, graph_sssp_weighted
-# (26 entries); (b) entries
+# s8_schema_evolution_audit, j21_nullsafe_join, graph_sssp_weighted,
+# a22_weighted_median, f17_map_function_sweep, udtf_token_runs,
+# st_scd2_restart_idempotent (30 entries); (b) entries
 # whose impl changed late-r6 if not already in this head —
 # dedup_substring_spans/cut (shared windows artifact),
 # graph_triangles (memoized co-occurrence edges; both were r5/r6-head
