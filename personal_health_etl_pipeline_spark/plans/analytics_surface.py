@@ -1509,3 +1509,50 @@ SELECT l_returnflag,
 FROM scored WHERE cumw * 2 >= totw
 GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# --- SQL2: correlated subqueries through the SQL front-end ---------------
+
+_SQL2 = """
+SELECT p.p_brand,
+       COUNT(*) AS n_above_brand_avg,
+       CAST(SUM(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM {part} p
+WHERE CAST(round(p.p_retailprice * 100) AS BIGINT)
+        * (SELECT COUNT(*) FROM {part} p2
+           WHERE p2.p_brand = p.p_brand)
+      > (SELECT SUM(CAST(round(p2.p_retailprice * 100) AS BIGINT))
+         FROM {part} p2 WHERE p2.p_brand = p.p_brand)
+  AND EXISTS (
+        SELECT 1 FROM {lineitem} l WHERE l.l_partkey = p.p_partkey
+      )
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+def sql2_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries through the SQL front-end: TWO correlated
+    SCALAR subqueries (each part against its own brand's price sum and
+    count — "above brand average" phrased as the division-free
+    ``price*n > sum`` so the threshold never touches order-dependent
+    float summation) plus a correlated EXISTS — the shapes Catalyst
+    must DECORRELATE (RewriteCorrelatedScalarSubquery -> aggregate +
+    join; EXISTS -> left-semi join) because per-row subquery execution
+    cannot exist on a cluster. sql1 certified the SQL entry point on a
+    plain join/agg; this certifies the rewrite machinery itself — the
+    plan gate asserts no nested-loop artifact survives. View names are
+    suffixed per scale dir (the sql1 discipline)."""
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    names = {}
+    for t in ("part", "lineitem"):
+        v = f"sql2_{t}_{tag}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(v)
+        names[t] = v
+    return spark.sql(_SQL2.format(**names))
+
+
+SQL2_ORACLE = _SQL2.format(part="part", lineitem="lineitem")

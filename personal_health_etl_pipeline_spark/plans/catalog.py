@@ -377,6 +377,13 @@ register(
     au.st_scd2_restart_idempotent,
     au.ST_SCD2_RESTART_ORACLE,
 )
+# NEW r6 TAIL: correlated scalar + EXISTS subqueries through the SQL
+# front-end (the decorrelation rewrite, plan-gated to equi-joins)
+register(
+    "sql2_correlated_subqueries",
+    an.sql2_correlated_subqueries,
+    an.SQL2_ORACLE,
+)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep
@@ -723,7 +730,8 @@ _HEAD = [
 # ts7_cusum_changepoint, ts8_ohlc_bars, graph_jaccard_similarity,
 # s8_schema_evolution_audit, j21_nullsafe_join, graph_sssp_weighted,
 # a22_weighted_median, f17_map_function_sweep, udtf_token_runs,
-# st_scd2_restart_idempotent (30 entries); (b) entries
+# st_scd2_restart_idempotent, sql2_correlated_subqueries (31 entries);
+# (b) entries
 # whose impl changed late-r6 if not already in this head —
 # dedup_substring_spans/cut (shared windows artifact),
 # graph_triangles (memoized co-occurrence edges; both were r5/r6-head

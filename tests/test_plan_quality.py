@@ -871,3 +871,18 @@ class TestRound6TailPlanShapes:
             j in plan
             for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
         ), plan
+
+    def test_correlated_subqueries_are_decorrelated(self, spark, sf_dir):
+        """sql2: Catalyst must rewrite the correlated scalar subqueries
+        to aggregate+join and the correlated EXISTS to a left-semi —
+        no nested-loop artifact may survive decorrelation."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            sql2_correlated_subqueries,
+        )
+
+        df = sql2_correlated_subqueries(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "LeftSemi" in plan, plan  # the EXISTS rewrite
