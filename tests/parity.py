@@ -14,6 +14,20 @@ to mirror the driver's type-sensitive value hash:
 - per-column type *category* (int/float/decimal/str/bool/date/
   timestamp/list) must agree between the Spark schema and the DuckDB
   relation type.
+
+Oracle-dialect gotchas collected while writing the 200+ oracles:
+
+- window ``SUM(BIGINT) OVER (...)`` is ALSO HUGEINT in DuckDB — CAST
+  it even when the plain aggregate case is already handled;
+- DuckDB has no ``UNNEST(...) WITH ORDINALITY``; positional unnest is
+  ``FROM base b, UNNEST(range(1, len(b.t) + 1)) AS r(i)`` + ``b.t[r.i]``;
+- never compare against an order-dependent float threshold (e.g.
+  ``x > AVG(double)``): phrase it division-free in integers
+  (``x*n > sum``) or the last-ulp of the sum's add order can flip a
+  predicate between engines;
+- windowed running sums over TIED order keys are only hash-safe when
+  the consumer is tie-order-invariant (peak/max, any-row-of-group
+  membership) — state the argument in the entry's docstring.
 """
 
 from __future__ import annotations
