@@ -110,3 +110,36 @@ def test_a22_weighted_median_tie_groups_are_order_stable(spark, tmp_path):
 
     assert run([(0.10, 1.0), (0.10, 1.0), (0.20, 3.0)]) == 20
     assert run([(0.10, 3.0), (0.20, 2.0)]) == 10
+
+
+def test_w9_halfopen_boundary_sessions_do_not_overlap(spark, tmp_path):
+    """Two sessions where one STARTS exactly when the other ends
+    (ts2 = ts1 + 30min) must never count as concurrent — the sweep
+    line orders -1 before +1 at equal timestamps (half-open
+    [start, end)). A genuinely overlapping pair must count 2, and a
+    midnight-crossing session must appear in both days' accounting."""
+    import datetime as dt
+
+    import personal_health_etl_pipeline_spark.plans.analytics_surface as an
+
+    rows = [
+        # day 1: back-to-back pair (no overlap) at 01:00/01:30
+        (1, dt.datetime(2024, 3, 1, 1, 0, 0)),
+        (2, dt.datetime(2024, 3, 1, 1, 30, 0)),
+        # day 1: true overlap at 05:00/05:10
+        (3, dt.datetime(2024, 3, 1, 5, 0, 0)),
+        (4, dt.datetime(2024, 3, 1, 5, 10, 0)),
+        # crosses midnight into day 2
+        (5, dt.datetime(2024, 3, 1, 23, 50, 0)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    d = str(tmp_path / "w9fix")
+    df.write.parquet(f"{d}/events.parquet")
+    got = {
+        str(r.day): (r.max_concurrent, r.n_starts)
+        for r in an.w9_interval_concurrency(spark, d).collect()
+    }
+    assert got == {
+        "2024-03-01": (2, 5),  # only the 05:00/05:10 pair overlaps
+        "2024-03-02": (1, 0),  # the midnight spill re-opens, no start
+    }
