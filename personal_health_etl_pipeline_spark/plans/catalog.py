@@ -384,6 +384,13 @@ register(
     an.sql2_correlated_subqueries,
     an.SQL2_ORACLE,
 )
+# NEW r6 TAIL: error-safe try_* arithmetic conventions (faults -> NULL,
+# the only sane failure mode for one poisoned row in a 100 TB scan)
+register(
+    "f19_error_safe_arithmetic",
+    rs.f19_error_safe_arithmetic,
+    rs.F19_ORACLE,
+)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep
@@ -730,7 +737,8 @@ _HEAD = [
 # ts7_cusum_changepoint, ts8_ohlc_bars, graph_jaccard_similarity,
 # s8_schema_evolution_audit, j21_nullsafe_join, graph_sssp_weighted,
 # a22_weighted_median, f17_map_function_sweep, udtf_token_runs,
-# st_scd2_restart_idempotent, sql2_correlated_subqueries (31 entries);
+# st_scd2_restart_idempotent, sql2_correlated_subqueries,
+# f19_error_safe_arithmetic (32 entries);
 # (b) entries
 # whose impl changed late-r6 if not already in this head —
 # dedup_substring_spans/cut (shared windows artifact),

@@ -1469,3 +1469,73 @@ SELECT doc_id, CAST(MIN(pos) AS INT) AS start_pos, tok,
 FROM islands GROUP BY doc_id, tok, grp
 ORDER BY doc_id, start_pos
 """
+
+
+# --- F19: error-safe (try_*) arithmetic conventions ----------------------
+
+def f19_error_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-safety surface in one pass: ``try_divide`` (by zero and
+    by NULL), ``try_multiply`` (BIGINT overflow), ``try_cast``
+    (malformed string), ``try_element_at`` (out-of-range index) — the
+    functions that turn per-row arithmetic faults into NULLs instead
+    of job-killing exceptions, which is the only sane failure mode
+    when one poisoned row out of 10^11 must not abort a 100 TB scan.
+    DuckDB's conventions line up value-for-value (``/0`` -> NULL,
+    out-of-range list index -> NULL, TRY_CAST -> NULL) except integer
+    overflow, which DuckDB raises — the oracle re-derives that column
+    from the planted modulus instead. The good-path division is one
+    IEEE op on exact integers, so it hash-matches bitwise."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 997 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+                "price_cents"
+            ),
+            F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
+        )
+    )
+    wire = F.when(
+        F.col("l_orderkey") % 3 == 0, F.lit("not-a-number")
+    ).otherwise(F.col("l_orderkey").cast("string"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("price_cents", F.col("qty") - F.col("qty")).alias(
+            "div_by_zero"
+        ),
+        F.try_divide("price_cents", F.lit(None).cast("bigint")).alias(
+            "div_by_null"
+        ),
+        F.try_divide("price_cents", "qty").alias("unit_price"),
+        F.try_multiply(
+            F.lit(9_223_372_036_854_775_807),
+            F.when(F.col("l_linenumber") % 2 == 0, F.lit(2)).otherwise(
+                F.lit(1)
+            ),
+        ).alias("maybe_overflow"),
+        wire.try_cast("bigint").alias("parsed_key"),
+        F.try_element_at(
+            F.array("l_linenumber"), F.lit(3).cast("int")
+        ).alias("oob_element"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+F19_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * 100) AS BIGINT) / 0 AS div_by_zero,
+       CAST(round(l_extendedprice * 100) AS BIGINT) / CAST(NULL AS BIGINT)
+           AS div_by_null,
+       CAST(round(l_extendedprice * 100) AS BIGINT)
+           / CAST(round(l_quantity) AS BIGINT) AS unit_price,
+       CASE WHEN l_linenumber % 2 = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST(9223372036854775807 AS BIGINT) END AS maybe_overflow,
+       TRY_CAST(CASE WHEN l_orderkey % 3 = 0 THEN 'not-a-number'
+                     ELSE CAST(l_orderkey AS VARCHAR) END AS BIGINT)
+           AS parsed_key,
+       ([l_linenumber])[3] AS oob_element
+FROM lineitem WHERE l_orderkey % 997 = 0
+ORDER BY l_orderkey, l_linenumber
+"""
