@@ -65,5 +65,7 @@ def test_every_name_is_classified():
     unclassified = [
         n for n in CATALOG if not any(p.match(n) for p in pats)
         and not n.startswith("so1")  # set-ops singleton rides with analytics
+        and not n.startswith("udtf_")  # UDTF singleton rides with the
+        # §2.9 UDF surface (mm_/a19) pending a second udtf_ entry
     ]
     assert unclassified == [], unclassified
