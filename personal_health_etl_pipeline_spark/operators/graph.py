@@ -281,6 +281,66 @@ def bfs_hops(
     return dist.select(F.col("_n").alias(node), F.col("_dist").alias("dist"))
 
 
+def label_propagation_sync(
+    edges: DataFrame,
+    n_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    materialize_edges: bool = True,
+) -> DataFrame:
+    """SYNCHRONOUS label propagation for community detection, made
+    fully deterministic: every node starts labeled with its own id;
+    each round every node simultaneously adopts the most frequent
+    label among its neighbors, ties broken to the SMALLEST label
+    (``min(struct(-count, label))`` — one hash aggregate, no window
+    sort). Returns ``(node, label)`` after exactly ``n_rounds``.
+
+    Classic async LPA is order-dependent (visit order changes the
+    result); the synchronous variant with a total tie order is a pure
+    function of the graph, which is what makes it certifiable against
+    a relational oracle — and, at 100 TB, what makes a re-run
+    reproducible. Each round is two shuffles (edge join + per-node
+    argmax) with per-round checkpoints, the connected-components /
+    pagerank iteration discipline. Input edges are canonical a<b
+    pairs; both directions are derived internally."""
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    adj = e.unionByName(
+        e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    ).select(F.col("_a").alias("_n"), F.col("_b").alias("_nbr"))
+    if materialize_edges:
+        adj = adj.localCheckpoint(eager=True)
+    labels = (
+        adj.select(F.col("_n")).distinct()
+        .withColumn("_label", F.col("_n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_rounds):
+        nbr_labels = adj.join(
+            labels.withColumnRenamed("_n", "_nbr"), "_nbr"
+        ).select("_n", "_label")
+        best = (
+            nbr_labels.groupBy("_n", "_label")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .groupBy("_n")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_cnt")).alias("neg"),
+                        F.col("_label").alias("label"),
+                    )
+                ).alias("_b")
+            )
+            .select("_n", F.col("_b.label").alias("_label"))
+        )
+        # isolated nodes (none here: every node has an edge) would keep
+        # their old label via a left join; the closed-world adjacency
+        # guarantees every node appears in nbr_labels each round
+        labels = best.localCheckpoint(eager=True)
+    return labels.select(
+        F.col("_n").alias("node"), F.col("_label").alias("label")
+    )
+
+
 def sssp_bounded(
     edges: DataFrame,
     seeds: DataFrame,

@@ -518,3 +518,69 @@ SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
 FROM walk GROUP BY node
 ORDER BY min_cost, node_type, key
 """
+
+
+# --- synchronous label propagation (community detection) -----------------
+
+LPA_ROUNDS = 2
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the part co-occurrence graph:
+    ``LPA_ROUNDS`` synchronous label-propagation rounds
+    (``operators/graph.py:label_propagation_sync``) — every node
+    simultaneously adopts its neighborhood's most frequent label, ties
+    to the smallest. Sync + total tie order makes the result a pure
+    function of the graph (async LPA is visit-order-dependent — not
+    reproducible, not certifiable), so the oracle is the same two
+    rounds unrolled relationally and the hash gate proves the
+    per-round argmax aggregates lose nothing. Reuses the memoized
+    ``_cooc_edges`` structure artifact. Registered in the catalog
+    TAIL (r7 certification window)."""
+    from personal_health_etl_pipeline_spark.operators.graph import (
+        label_propagation_sync,
+    )
+
+    labels = label_propagation_sync(
+        _cooc_edges(spark, sf_dir),
+        n_rounds=LPA_ROUNDS,
+        src="id_a",
+        dst="id_b",
+        materialize_edges=False,
+    )
+    return labels.select(
+        F.col("node").alias("part_id"), F.col("label").alias("community")
+    ).orderBy("part_id")
+
+
+def _lpa_round_ctes(n_rounds: int) -> str:
+    parts = [
+        "adj AS (SELECT a AS n, b AS nbr FROM edges "
+        "UNION ALL SELECT b, a FROM edges)",
+        "l0 AS (SELECT DISTINCT n AS node, n AS label FROM adj)",
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"c{i} AS (SELECT a.n AS node, l.label, COUNT(*) AS cnt "
+            f"FROM adj a JOIN l{i} l ON l.node = a.nbr GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{i + 1} AS (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER (PARTITION BY node "
+            f"ORDER BY cnt DESC, label) AS rn FROM c{i}) WHERE rn = 1)"
+        )
+    return ",\n".join(parts)
+
+
+GRAPH_LPA_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_ORDERS}
+),
+{_lpa_round_ctes(LPA_ROUNDS)}
+SELECT node AS part_id, label AS community
+FROM l{LPA_ROUNDS} ORDER BY part_id
+"""

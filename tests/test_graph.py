@@ -312,3 +312,30 @@ class TestSsspBounded:
             for r in sssp_bounded(edges, seeds, max_rounds=rounds).collect()
         }
         assert got == dist
+
+
+class TestLabelPropagationSync:
+    def test_two_rounds_match_hand_computation(self, spark):
+        """Two triangles bridged by one edge; the synchronous rounds
+        with min-label tie-break are hand-computed. Round 1: 1->2,
+        2->1, 3->1, 4->3, 5->4, 6->4. Round 2: 1->1, 2->1, 3->1,
+        4->4, 5->3, 6->3 — determinism of the tie order IS the
+        assertion."""
+        from personal_health_etl_pipeline_spark.operators.graph import (
+            label_propagation_sync,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+            "src long, dst long",
+        )
+        got1 = {
+            r.node: r.label
+            for r in label_propagation_sync(edges, n_rounds=1).collect()
+        }
+        assert got1 == {1: 2, 2: 1, 3: 1, 4: 3, 5: 4, 6: 4}
+        got2 = {
+            r.node: r.label
+            for r in label_propagation_sync(edges, n_rounds=2).collect()
+        }
+        assert got2 == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
