@@ -1556,3 +1556,93 @@ def sql2_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL2_ORACLE = _SQL2.format(part="part", lineitem="lineitem")
+
+
+def a24_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed mean of the extended price per return flag —
+    drop the lowest and highest floor(n/10) observations, average the
+    rest (the robust location estimate between mean and median). Global
+    per-group ranks come from the same two-phase shape as a22: per-
+    (flag, static price bucket) COUNTS, exclusive bucket-prefix offsets
+    broadcast back, then row_number only WITHIN each (flag, bucket) —
+    no 3-partition sort of the whole table. Rank ties at the trim
+    boundary can fall either side of the cut, but tied rows carry the
+    SAME price, so the kept sum and count are tie-order-invariant —
+    the a22 determinism argument in rank form. The mean is the single
+    IEEE division of two exact BIGINTs. Registered in the catalog
+    TAIL (r7 certification window)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+    ).withColumn("bkt", F.expr(f"price_cents div {WMEDIAN_BUCKET_CENTS}"))
+    sub = li.groupBy("l_returnflag", "bkt").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    wprev = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sub.select(
+        "l_returnflag",
+        "bkt",
+        F.coalesce(F.sum("bn").over(wprev), F.lit(0)).alias("off"),
+        F.sum("bn").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    wrank = Window.partitionBy("l_returnflag", "bkt").orderBy(
+        "price_cents", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.join(F.broadcast(offsets), ["l_returnflag", "bkt"]).select(
+        "l_returnflag",
+        "price_cents",
+        (F.col("off") + F.row_number().over(wrank)).alias("rank"),
+        "n",
+        F.expr("n div 10").alias("lo"),
+    )
+    kept = ranked.where(
+        (F.col("rank") > F.col("lo")) & (F.col("rank") <= F.col("n") - F.col("lo"))
+    )
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.min("n").alias("n_total"),
+            F.min("lo").alias("n_trimmed_each_side"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("price_cents").alias("sum_kept_cents"),
+            (
+                F.sum("price_cents").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("trimmed_mean_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+A24_ORACLE = """
+WITH ranked AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(round(l_extendedprice * 100)
+                                          AS BIGINT),
+                                     l_orderkey, l_linenumber) AS rank,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+kept AS (
+  SELECT l_returnflag, price_cents, n, n // 10 AS lo
+  FROM ranked WHERE rank > n // 10 AND rank <= n - n // 10
+)
+SELECT l_returnflag,
+       CAST(MIN(n) AS BIGINT) AS n_total,
+       CAST(MIN(lo) AS BIGINT) AS n_trimmed_each_side,
+       COUNT(*) AS n_kept,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_kept_cents,
+       CAST(SUM(price_cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS trimmed_mean_cents
+FROM kept GROUP BY l_returnflag ORDER BY l_returnflag
+"""

@@ -398,6 +398,9 @@ register(
     gr.graph_label_propagation,
     gr.GRAPH_LPA_ORACLE,
 )
+# NEW r6 TAIL: exact trimmed mean (two-phase global ranks; boundary
+# ties carry equal values so the kept sum is tie-order-invariant)
+register("a24_trimmed_mean", an.a24_trimmed_mean, an.A24_ORACLE)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep
@@ -745,7 +748,8 @@ _HEAD = [
 # s8_schema_evolution_audit, j21_nullsafe_join, graph_sssp_weighted,
 # a22_weighted_median, f17_map_function_sweep, udtf_token_runs,
 # st_scd2_restart_idempotent, sql2_correlated_subqueries,
-# f19_error_safe_arithmetic, graph_label_propagation (33 entries);
+# f19_error_safe_arithmetic, graph_label_propagation, a24_trimmed_mean
+# (34 entries);
 # (b) entries
 # whose impl changed late-r6 if not already in this head —
 # dedup_substring_spans/cut (shared windows artifact),
