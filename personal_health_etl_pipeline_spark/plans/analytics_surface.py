@@ -1646,3 +1646,40 @@ SELECT l_returnflag,
            AS trimmed_mean_cents
 FROM kept GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def a25_rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) under ROLLUP — a different planner path from
+    a5's plain rollup sums: Catalyst expands each input row once per
+    grouping set (the Expand operator), then runs the two-phase
+    distinct aggregate per expanded group, so the distinct-user count
+    is exact at EVERY rollup level without a second pass over the
+    fact table. The subtotal rows are where naive implementations
+    break (a distinct count is not summable across children — the
+    grand-total row must be computed from the data, not from the
+    per-type rows); the hash gate certifies exactly that. One scan,
+    one Expand, one aggregate. Registered in the catalog TAIL (r7
+    certification window)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+            F.grouping("event_type").alias("g_type"),
+        )
+        .orderBy(F.col("g_type"), F.col("event_type"))
+    )
+
+
+A25_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(GROUPING(event_type) AS TINYINT) AS g_type
+FROM events
+GROUP BY ROLLUP (event_type)
+ORDER BY g_type, event_type
+"""

@@ -401,6 +401,13 @@ register(
 # NEW r6 TAIL: exact trimmed mean (two-phase global ranks; boundary
 # ties carry equal values so the kept sum is tie-order-invariant)
 register("a24_trimmed_mean", an.a24_trimmed_mean, an.A24_ORACLE)
+# NEW r6 TAIL: COUNT(DISTINCT) under ROLLUP (the Expand + two-phase
+# distinct-aggregate path; subtotals computed from data, never summed)
+register(
+    "a25_rollup_count_distinct",
+    an.a25_rollup_count_distinct,
+    an.A25_ORACLE,
+)
 # NEW r5: time-RANGE window frames (tie-safe interval windows)
 register("w7_time_range_window", an.w7_time_range_window, an.W7_ORACLE)
 # NEW r5: NULL-semantics conventions sweep
@@ -748,8 +755,8 @@ _HEAD = [
 # s8_schema_evolution_audit, j21_nullsafe_join, graph_sssp_weighted,
 # a22_weighted_median, f17_map_function_sweep, udtf_token_runs,
 # st_scd2_restart_idempotent, sql2_correlated_subqueries,
-# f19_error_safe_arithmetic, graph_label_propagation, a24_trimmed_mean
-# (34 entries);
+# f19_error_safe_arithmetic, graph_label_propagation, a24_trimmed_mean,
+# a25_rollup_count_distinct (35 entries);
 # (b) entries
 # whose impl changed late-r6 if not already in this head —
 # dedup_substring_spans/cut (shared windows artifact),
