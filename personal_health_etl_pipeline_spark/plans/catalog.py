@@ -663,7 +663,7 @@ register(
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
 
 
-# --- r6 head-window rotation -----------------------------------------
+# --- r7 head-window rotation -----------------------------------------
 # The rotation rule (adopted r4) as an EXPLICIT list instead of
 # registration-order surgery: external harnesses certify the FIRST ~50
 # entries in dict order, so the head must hold (a) every entry that has
@@ -673,99 +673,75 @@ register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
 # every family in the head. Everything not listed keeps its
 # registration order after the head.
 _HEAD = [
-    # (a) new in r6 — never driver-certified; several double as their
-    # family's head rep (mm_resize_decode -> mm, src_datasource_scan
-    # -> src, layout_vacuum_audit -> layout, m3 -> m, dq6 -> dq)
-    "j15_oura_day_full_width",
-    "j16_detailed_transform",
+    # (a) the full never-driver-certified r6 tail (35 entries) — these
+    # double as family reps for j/a/w/f/ts/mm/sketch/text/corpus/ann/
+    # graph/s/st/sql families and the udtf singleton
+    "a20_exact_mode",
+    "f13_bitwise_function_sweep",
+    "j17_spo2_id_day",
+    "graph_bfs_hops",
+    "ts5_ewma_halflife",
+    "mm_audio_energy",
+    "sketch_kmv_set_ops",
+    "text_phrase_topk",
+    "f14_lambda_function_sweep",
+    "w8_windowed_distinct",
+    "corpus_token_budget",
+    "ann_filtered_topk",
+    "j18_universe_sample_join",
+    "f15_url_parse_sweep",
+    "j19_asof_forward_tolerance",
+    "j20_detailed_sleep",
+    "ann_range_search",
+    "ts6_moving_median",
+    "w9_interval_concurrency",
+    "a21_event_transitions",
+    "ts7_cusum_changepoint",
+    "ts8_ohlc_bars",
+    "graph_jaccard_similarity",
+    "s8_schema_evolution_audit",
+    "j21_nullsafe_join",
+    "graph_sssp_weighted",
+    "a22_weighted_median",
+    "f17_map_function_sweep",
+    "udtf_token_runs",
+    "st_scd2_restart_idempotent",
+    "sql2_correlated_subqueries",
+    "f19_error_safe_arithmetic",
+    "graph_label_propagation",
+    "a24_trimmed_mean",
+    "a25_rollup_count_distinct",
+    # (b) implementation changed in r7: memoized bigram-LM artifact,
+    # probe-only persisted-PQ path, shared near-dup pair artifact
+    # (dedup_semantic also the head's dedup-family rep)
+    "text_bigram_logprob",
     "ann_pq_persisted_probe",
-    "mm_resize_decode",
-    "text_bm25_topk",
-    "src_datasource_scan",
-    "a19_grouped_apply_center",
-    "st_datasource_stream",
-    "dedup_setsim_prefix",
-    "layout_vacuum_audit",
-    "m3_scd2_delete_merge",
-    "dq6_psi_drift",
-    "f12_collection_function_sweep",
-    # (b) implementation changed in r6: sparse NB scoring + memoized
-    # TF/model, shared k-means centroid artifact, basket-built
-    # triangle edges + oriented checkpoint, single-pass span cut,
-    # memoized BPE apply, shared near-dup group artifact, memoized
-    # minhash band index
-    "text_nb_langid",
-    "corpus_dsir_weights",
-    "graph_triangles",
-    "dedup_substring_cut",
-    "emb_kmeans_assign",
-    "dedup_semantic",
-    "ann_ivf_kmeans_topk",
-    "text_bpe_apply_corpus",
-    "dedup_connected_groups",
-    "corpus_split_groupsafe",
-    "dedup_incremental_lookup",
-    "graph_pagerank",
-    "ts4_seasonal_decompose",
-    "corpus_eval_overlap",
-    "st_datasource_window_agg",
-    # (c) stalest certifications: the ENTIRE last-green-r1 set (the
-    # TPC-H sweep + f/w/p/a reps) ...
-    "q2_min_price_line",
-    "q3_shipping_priority",
-    "q4_late_ship_priority",
-    "q5_region_volume",
-    "q6_revenue_delta",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    # (b, late-r6) ann_pq_external_topk now probes the shared persisted
-    # index (impl changed -> head, displacing one of the nine stale
-    # q-entries; q9 rotates into the r7 head instead)
     "ann_pq_external_topk",
-    "q22_idle_rich_customers",
-    "f5_date_range_explode",
-    "w1_rolling_7day_revenue",
-    "w2_topk_per_group",
-    "p4_distinct_days",
-    "p5_exists_probe",
-    "a1_watermark",
-    "a4_union_distinct_days",
-    # ... plus the last-green-r2 entries that fit: the streaming-window
-    # twins (also the head's st-family reps)
-    "st_sliding_window_agg",
-    "st_session_window_agg",
-    # family-coverage reps for the families (a)-(c) leave uncovered —
-    # freshest certifications chosen so no stale slot is wasted; s6
-    # also re-checks the r6 shared audit-scratch change (the other
-    # audit entries were r5-certified and locally re-verified)
+    "dedup_semantic",
+    # (c) stalest-certification family reps for the families (a)-(b)
+    # leave uncovered: q (q9 displaced late-r6), p (p2 r4), c (c3 is
+    # the family's only entry), emb (r3), m (r4), dq (r4), layout (r5),
+    # src (r5 — src_jsonl also re-checks the r7 jsonl checkpoint change)
+    "q9_product_profit",
+    "p2_halfopen_range",
     "c3_schema_align",
-    "sketch_hll_distinct",
-    "sql1_nation_year_revenue",
-    "s6_raw_zone_pruned_scan",
+    "emb_random_projection",
+    "m2_snapshot_diff",
+    "dq1_expectations_report",
+    "layout_zorder_audit",
+    "src_jsonl_quarantine_audit",
+    # (c) remaining stalest backfill in VERDICT-r6 priority order
+    "f3_timestamp_coerce",
+    "j2_range_overlap_join",
+    "j3_duplicate_day_conflicts",
 ]
-# r7 head plan (rotate at round-7 start): (a) the never-certified r6
-# TAIL — a20_exact_mode, f13_bitwise_function_sweep, j17_spo2_id_day,
-# graph_bfs_hops, ts5_ewma_halflife, mm_audio_energy,
-# sketch_kmv_set_ops, text_phrase_topk, f14_lambda_function_sweep,
-# w8_windowed_distinct, corpus_token_budget, plus the late-r6 batch:
-# ann_filtered_topk, j18_universe_sample_join, f15_url_parse_sweep,
-# j19_asof_forward_tolerance, j20_detailed_sleep, ann_range_search,
-# ts6_moving_median, w9_interval_concurrency, a21_event_transitions,
-# ts7_cusum_changepoint, ts8_ohlc_bars, graph_jaccard_similarity,
-# s8_schema_evolution_audit, j21_nullsafe_join, graph_sssp_weighted,
-# a22_weighted_median, f17_map_function_sweep, udtf_token_runs,
-# st_scd2_restart_idempotent, sql2_correlated_subqueries,
-# f19_error_safe_arithmetic, graph_label_propagation, a24_trimmed_mean,
-# a25_rollup_count_distinct (35 entries);
-# (b) entries
-# whose impl changed late-r6 if not already in this head —
-# dedup_substring_spans/cut (shared windows artifact),
-# graph_triangles (memoized co-occurrence edges; both were r5/r6-head
-# certified with identical hashes since the oracles are unchanged);
-# (c) backfill from the stalest: j2, j3, j5, a5-a8, a10, f4 (last
-# green r2), q9 (displaced late-r6), q10/q11/q13-q17/q19-q21, f3 (r1),
-# then the r3 band (st_tumbling, j1, dedup_minhash_lsh, so1,
-# ann_lsh/brute/ivf, w3, f2, st_dedup/interval/enrich, ...)
+# r8 head plan (rotate at round-8 start): (a) any r7-tail entries new
+# this round; (b) impl-changed; (c) backfill continues the stale list:
+# j5_views_before_purchase, a5_rollup, a6_cube, a7_grouping_sets,
+# a8_exact_percentiles, a10_corr_stats, f4_array_to_json (r2), then
+# the q-sweep q10/q11/q13-q17/q19-q21 (r1/r2), then the r3 band
+# (st_tumbling, j1, dedup_minhash_lsh, so1, ann_lsh/brute/ivf, w3,
+# f2, st_dedup/interval/enrich, ...).
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50
