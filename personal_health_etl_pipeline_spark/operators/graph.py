@@ -234,6 +234,7 @@ def bfs_hops(
     dst: str = "dst",
     node: str = "node",
     materialize_edges: bool = True,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Multi-source BFS: ``(node, dist)`` with the MINIMUM hop count
     from any seed, bounded at ``max_hops`` levels.
@@ -241,14 +242,27 @@ def bfs_hops(
     Frontier-expansion shape (the Pregel iteration as DataFrame ops):
     each round equi-joins the CURRENT frontier to the edge list, strips
     already-visited nodes with an anti-join against the accumulated
-    distance table, and checkpoints the (bounded, shrinking) frontier so
-    lineage stays linear — the same per-round materialization discipline
-    as :func:`operators.pagerank.pagerank`. Work per round is one
-    shuffle join on the edge key + one anti-join on node; the frontier
-    monotonically shrinks once the reachable set saturates (an empty
-    frontier short-circuits the remaining rounds). Nothing driver-side
-    but the loop counter and the per-round empty-check — distances never
-    leave the cluster.
+    distance table, and periodically checkpoints the (bounded,
+    shrinking) frontier so lineage stays linear — the same per-round
+    materialization discipline as :func:`operators.pagerank.pagerank`.
+    Work per round is one shuffle join on the edge key + one anti-join
+    on node; the frontier monotonically shrinks once the reachable set
+    saturates (an empty CHECKPOINTED frontier short-circuits the
+    remaining rounds). Nothing driver-side but the loop counter and
+    the periodic empty-check — distances never leave the cluster.
+
+    ``checkpoint_every``: checkpoint + empty-check cadence. The
+    default (1, every round) is right for deep traversals — lineage
+    stays one join deep and saturation stops work immediately. For a
+    SHALLOW bounded sweep (hop counts of 2-4, the blast-radius query
+    shape), each eager checkpoint is a full scheduler roundtrip that
+    costs more than it saves: ``checkpoint_every=2`` lets two rounds
+    fuse into one job, and a lazy final round rides the consumer's
+    job, cutting a 3-hop sweep from 5 driver-synchronized jobs to 2.
+    Skipped rounds re-derive their (bounded) frontier inside the next
+    materialization; the re-derived plan is at most ``checkpoint_every``
+    joins deep, so the linear-lineage guarantee degrades only by that
+    constant factor.
     """
     # every round's expansion scans the edge list — materialize the
     # (possibly expensive) upstream edge derivation once, or round k
@@ -259,9 +273,9 @@ def bfs_hops(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if materialize_edges:
         e = e.localCheckpoint(eager=True)
-    frontier = (
-        seeds.select(F.col(node).alias("_n")).distinct().localCheckpoint(eager=True)
-    )
+    frontier = seeds.select(F.col(node).alias("_n")).distinct()
+    if checkpoint_every == 1:
+        frontier = frontier.localCheckpoint(eager=True)
     dist = frontier.withColumn("_dist", F.lit(0))
     for level in range(1, max_hops + 1):
         reached = (
@@ -269,13 +283,13 @@ def bfs_hops(
             .select(F.col("_d").alias("_n"))
             .distinct()
         )
-        fresh = reached.join(
-            dist.select("_n"), "_n", "left_anti"
-        ).localCheckpoint(eager=True)
-        # the empty-check is one extra tiny job per round; the LAST
-        # round's result needs no check (the loop ends either way)
-        if level < max_hops and fresh.isEmpty():
-            break
+        fresh = reached.join(dist.select("_n"), "_n", "left_anti")
+        # the empty-check is one extra tiny job per checkpoint; the
+        # LAST round's result needs no check (the loop ends either way)
+        if level < max_hops and level % checkpoint_every == 0:
+            fresh = fresh.localCheckpoint(eager=True)
+            if fresh.isEmpty():
+                break
         dist = dist.unionByName(fresh.withColumn("_dist", F.lit(level)))
         frontier = fresh
     return dist.select(F.col("_n").alias(node), F.col("_dist").alias("dist"))

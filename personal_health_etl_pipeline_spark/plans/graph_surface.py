@@ -187,6 +187,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds,
         max_hops=BFS_MAX_HOPS,
         materialize_edges=False,
+        # 3-hop sweep over the memoized edge artifact: per-round
+        # checkpoints are pure scheduling floor here (see bfs_hops)
+        checkpoint_every=2,
     )
     return d.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier"))
