@@ -1741,8 +1741,16 @@ def ann_ivf_external_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0L, (a, x) -> a + x) AS d2, c.cid AS cid)))"
         ),
     )
-    # index build: one write, partitioned by list — the persisted state
+    # index build: one write, partitioned by list — the persisted state.
+    # Scratch is released at interpreter exit (the audit_surface
+    # discipline); per-call rebuild is this entry's POINT — it stays
+    # the self-contained build+probe variant while the memoized
+    # session-index shape is certified by _pq_index_root's entries.
+    import atexit
+    import shutil
+
     scratch = tempfile.mkdtemp(prefix="spark_ivf_index_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     index_path = os.path.join(scratch, "ivf_index")
     (
         ranked.select(
