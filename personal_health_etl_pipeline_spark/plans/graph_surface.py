@@ -188,8 +188,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hops=BFS_MAX_HOPS,
         materialize_edges=False,
         # 3-hop sweep over the memoized edge artifact: per-round
-        # checkpoints are pure scheduling floor here (see bfs_hops)
-        checkpoint_every=2,
+        # checkpoints are pure scheduling floor here (see bfs_hops);
+        # cadence >= max_hops fuses the whole sweep into ONE job
+        # (A/B at sf0.1: 1.16s lazy vs 1.31s every-2 vs 1.95s every-1)
+        checkpoint_every=BFS_MAX_HOPS,
     )
     return d.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier"))
