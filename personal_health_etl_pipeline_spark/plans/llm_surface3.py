@@ -808,13 +808,13 @@ def _sql_quote(s: str) -> str:
     return s.replace("\\", "\\\\").replace("'", "\\'")
 
 
-def _merge_expr(a: str, b: str) -> str:
+def _merge_expr(a: str, b: str, col: str = "s") -> str:
     qa, qb = _sql_quote(a), _sql_quote(b)
     return f"""
-    filter(transform(s, (x, i) ->
-      CASE WHEN x = '{qa}' AND get(s, i + 1) = '{qb}'
-             THEN concat(x, get(s, i + 1))
-           WHEN get(s, i - 1) = '{qa}' AND x = '{qb}' THEN CAST(NULL AS STRING)
+    filter(transform({col}, (x, i) ->
+      CASE WHEN x = '{qa}' AND get({col}, i + 1) = '{qb}'
+             THEN concat(x, get({col}, i + 1))
+           WHEN get({col}, i - 1) = '{qa}' AND x = '{qb}' THEN CAST(NULL AS STRING)
            ELSE x END), x -> x IS NOT NULL)
     """
 
@@ -831,11 +831,57 @@ def bpe_segment(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     return bpe_segment_words(words, n_merges)
 
 
-def bpe_segment_words(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+def bpe_segment_words(
+    words: DataFrame, n_merges: int = BPE_MERGES, batch_k: int = 1
+) -> DataFrame:
     """BPE training over a prepared ``(word, wc)`` table — lets callers
     that already hold the corpus TF artifact (:func:`_corpus_tf`) train
     without re-exploding the corpus (``wc = sum(tf)`` is exactly the
-    occurrence count the explode would produce)."""
+    occurrence count the explode would produce).
+
+    ``batch_k=1`` (default) is EXACT greedy BPE — one count/collect
+    round per merge, the semantics the hash-certified entry and its
+    oracle pin down. ``batch_k>1`` is frequency-batched training for
+    production vocabulary sizes: see :func:`bpe_train_merges` (a 30k
+    vocabulary becomes ~vocab/batch_k driver rounds, not 30k)."""
+    syms, _, _ = _bpe_train(words, n_merges, batch_k)
+    return syms.select(
+        "word", "wc", F.array_join("s", " ").alias("seg")
+    ).orderBy("word")
+
+
+def bpe_train_merges(
+    words: DataFrame, n_merges: int, batch_k: int = 1
+) -> tuple[list[tuple[str, str]], int]:
+    """The learned merge list (in application order) and the number of
+    driver-synchronized count rounds it took — the trainer to use for
+    production vocabulary sizes.
+
+    Batched rule (``batch_k>1``): each round ranks pair counts once
+    and accepts up to ``batch_k`` pairs greedily by (count desc, a, b),
+    skipping any pair sharing a SYMBOL with one already accepted that
+    round. Symbol-disjoint pairs cannot overlap in any word, so every
+    accepted pair's count is exactly its pre-round count (merging one
+    cannot create or destroy occurrences of another) — the batch is
+    "top-k of the true distribution", not an approximation of counts.
+    What batching gives up vs exact greedy is only ORDER: a pair
+    involving a symbol created THIS round (e.g. ("th","e") right
+    after t+h -> th) cannot be picked until the next round, while
+    1-per-round greedy could take it immediately. That is the
+    standard quality-neutral trade every distributed BPE trainer
+    makes (driver rounds drop from O(vocab) to ~vocab/batch_k); the
+    certified catalog entry stays on ``batch_k=1`` because its oracle
+    unrolls exact-greedy order.
+    """
+    _, merges, rounds = _bpe_train(words, n_merges, batch_k)
+    return merges, rounds
+
+
+def _bpe_train(
+    words: DataFrame, n_merges: int, batch_k: int
+) -> tuple[DataFrame, list[tuple[str, str]], int]:
+    if batch_k < 1:
+        raise ValueError(f"batch_k must be >= 1, got {batch_k}")
     syms = words.select(
         "word",
         "wc",
@@ -844,8 +890,14 @@ def bpe_segment_words(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame
             f" i -> substring(word, i, 1)), '{EOW}')"
         ).alias("s"),
     ).localCheckpoint(eager=True)
-    for _ in range(n_merges):
-        best = (
+    merges: list[tuple[str, str]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        want = min(batch_k, n_merges - len(merges))
+        # over-fetch 4x: rows skipped by the disjoint-symbol rule are
+        # replaced from the same collected ranking instead of paying
+        # another count round (a bounded driver transfer either way)
+        top = (
             syms.select(
                 "wc",
                 F.explode(
@@ -859,18 +911,29 @@ def bpe_segment_words(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame
             .groupBy("p.a", "p.b")
             .agg(F.sum("wc").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
+            .limit(want * 4)
             .collect()
         )
-        if not best:  # pair space exhausted: remaining rounds are no-ops
+        rounds += 1
+        if not top:  # pair space exhausted: remaining rounds are no-ops
             break
-        a, b = best[0].a, best[0].b
-        syms = syms.select(
-            "word", "wc", F.expr(_merge_expr(a, b)).alias("s")
-        ).localCheckpoint(eager=True)
-    return syms.select(
-        "word", "wc", F.array_join("s", " ").alias("seg")
-    ).orderBy("word")
+        used: set[str] = set()
+        chosen: list[tuple[str, str]] = []
+        for r in top:
+            if len(chosen) == want:
+                break
+            if r.a in used or r.b in used:
+                continue
+            chosen.append((r.a, r.b))
+            used.update((r.a, r.b))
+        # one chained projection per accepted merge, ONE checkpoint per
+        # round; Catalyst keeps the (expensive, thrice-referenced)
+        # lambda exprs as a projection pipeline instead of inlining
+        for a, b in chosen:
+            syms = syms.select("word", "wc", F.expr(_merge_expr(a, b)).alias("s"))
+        syms = syms.localCheckpoint(eager=True)
+        merges.extend(chosen)
+    return syms, merges, rounds
 
 
 def _bpe_oracle(n_merges: int) -> str:

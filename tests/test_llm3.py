@@ -436,3 +436,93 @@ class TestBpeLearned:
             assert seg.replace(" ", "") == word + EOW
         # and the backslash pair actually merged (it is the most frequent)
         assert segs["a\\b"].split(" ")[0] in ("a\\", "a\\b", f"a\\b{EOW}")
+
+    @staticmethod
+    def _py_train(rows, n_merges, batch_k):
+        """Transparent in-memory model of the trainer: exact greedy at
+        batch_k=1, the disjoint-symbol batched rule otherwise. The
+        simultaneous CASE-marking merge expr equals a left-to-right
+        scan whenever a != b (the trainer filters self-pairs), so the
+        scan below is the faithful reference."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import EOW
+
+        state = [([*w] + [EOW], wc) for w, wc in rows]
+        merges, rounds = [], 0
+        while len(merges) < n_merges:
+            want = min(batch_k, n_merges - len(merges))
+            cnt: dict = {}
+            for syms, wc in state:
+                for a, b in zip(syms, syms[1:]):
+                    if a != b:
+                        cnt[(a, b)] = cnt.get((a, b), 0) + wc
+            rounds += 1
+            if not cnt:
+                break
+            ranked = sorted(cnt, key=lambda p: (-cnt[p], p[0], p[1]))
+            used: set = set()
+            chosen = []
+            for a, b in ranked:
+                if len(chosen) == want:
+                    break
+                if a in used or b in used:
+                    continue
+                chosen.append((a, b))
+                used.update((a, b))
+            for a, b in chosen:
+                nxt = []
+                for syms, wc in state:
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == a
+                            and syms[i + 1] == b
+                        ):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    nxt.append((out, wc))
+                state = nxt
+            merges.extend(chosen)
+        return merges, rounds
+
+    @pytest.mark.parametrize("batch_k", [1, 3])
+    def test_trainer_matches_inmemory_reference(self, spark, batch_k):
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            bpe_train_merges,
+        )
+
+        rows = [("abab", 9), ("abc", 7), ("bcd", 5), ("xy", 4)]
+        words = spark.createDataFrame(rows, "word string, wc bigint")
+        got, got_rounds = bpe_train_merges(words, 6, batch_k=batch_k)
+        want, want_rounds = self._py_train(rows, 6, batch_k)
+        assert got == want
+        assert got_rounds == want_rounds
+        # the batching point: same vocabulary size, ~k-fold fewer
+        # driver-synchronized count rounds
+        if batch_k == 3:
+            assert got_rounds <= 3
+        else:
+            assert got_rounds == 6
+
+    def test_batched_round_defers_pairs_sharing_a_symbol(self, spark):
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            bpe_train_merges,
+        )
+
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import EOW
+
+        # within "abc" + EOW the round-1 pairs (a,b), (b,c), (c,EOW)
+        # all count 9 and rank in that order; the runner-up ("b","c")
+        # shares the symbol "b" with the accepted ("a","b") so the
+        # batch must DEFER it and take the next disjoint pair
+        # ("c",EOW) instead. The next round is free to merge pairs
+        # involving symbols created this round.
+        words = spark.createDataFrame(
+            [("abc", 9), ("xy", 2)], "word string, wc bigint"
+        )
+        merges, rounds = bpe_train_merges(words, 2, batch_k=2)
+        assert rounds == 1
+        assert merges == [("a", "b"), ("c", EOW)]  # ("b","c") deferred
