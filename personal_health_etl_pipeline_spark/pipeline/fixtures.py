@@ -404,6 +404,83 @@ def fetch_spo2_df(spark: SparkSession, start: dt.date, end: dt.date) -> DataFram
     return spark.createDataFrame(fetch_spo2(start, end), SPO2_SCHEMA)
 
 
+# --- DETAILED fixture #3: sleep_time (the recommendation type) ---------
+#
+# t.json's sleep_time draft (reference ``schemas/oura/t.json:188-306``;
+# endpoint registered at ``constants.py:33``): at most one
+# recommendation record per day, gappy like the daily types. The wire
+# record carries a native ``day`` plus an ``optimal_bedtime`` OBJECT
+# whose three leaves the draft flattens to FLOAT64 columns.
+
+RECOMMENDATION_WORDS = (
+    "improve_efficiency", "earlier_bedtime", "later_bedtime",
+)
+SLEEP_STATUS_WORDS = (
+    "not_enough_nights", "optimal_bedtime_available", "low_sleep_scores",
+)
+
+
+def fetch_sleep_time(start: dt.date, end: dt.date) -> list[dict]:
+    out = []
+    day = start
+    while day <= end:
+        ds = day.isoformat()
+        if day_present("sleep_time", ds):
+            out.append(
+                {
+                    "id": f"sleep_time-{ds}",
+                    "day": ds,
+                    "optimal_bedtime": {
+                        "day_tz": _full_value(
+                            "metric", "sleep_time", ds, "optimal_bedtime.day_tz"
+                        ),
+                        "end_offset": _full_value(
+                            "metric", "sleep_time", ds,
+                            "optimal_bedtime.end_offset",
+                        ),
+                        "start_offset": _full_value(
+                            "metric", "sleep_time", ds,
+                            "optimal_bedtime.start_offset",
+                        ),
+                    },
+                    "recommendation": RECOMMENDATION_WORDS[
+                        field_hash("sleep_time", ds, "recommendation") % 3
+                    ],
+                    "status": SLEEP_STATUS_WORDS[
+                        field_hash("sleep_time", ds, "status") % 3
+                    ],
+                }
+            )
+        day += dt.timedelta(days=1)
+    return out
+
+
+SLEEP_TIME_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("day", StringType()),  # wire date string (F2)
+        StructField(
+            "optimal_bedtime",
+            StructType(
+                [
+                    StructField("day_tz", DoubleType()),
+                    StructField("end_offset", DoubleType()),
+                    StructField("start_offset", DoubleType()),
+                ]
+            ),
+        ),
+        StructField("recommendation", StringType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def fetch_sleep_time_df(
+    spark: SparkSession, start: dt.date, end: dt.date
+) -> DataFrame:
+    return spark.createDataFrame(fetch_sleep_time(start, end), SLEEP_TIME_SCHEMA)
+
+
 WORKOUT_SCHEMA = StructType(
     [
         StructField("id", StringType()),

@@ -459,3 +459,98 @@ FROM base ORDER BY day, "sleep__id"
 
 
 J20_ORACLE = _sleep_oracle()
+
+
+# --- DETAILED transform #3: sleep_time (draft type-conflict path) ------
+
+SLEEP_TIME_SCHEMA_PATH = (
+    Path(__file__).resolve().parent.parent
+    / "schemas"
+    / "oura"
+    / "oura_sleep_time.json"
+)
+
+
+def j22_detailed_sleep_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third DETAILED type end-to-end: ``sleep_time`` (reference
+    ``constants.py:33`` registers the endpoint; draft columns at
+    ``t.json:188-306``). One recommendation record per present day
+    with a native wire ``day`` string (F2 cast, unlike j16/j20's
+    derived key), the flattened ``optimal_bedtime`` leaves (F1), and
+    the draft's one TYPE CONFLICT surfaced honestly: it declares the
+    residual ``optimal_bedtime`` object column as TIMESTAMP, which no
+    C4 JSON serialization can coerce to (ANSI cast would throw), so
+    the schema-driven load cannot land a value there and the pipeline
+    fills the declared column as a typed NULL (C3) — exactly what the
+    reference's own schema-driven loader would do once the column is
+    withheld, while the three FLOAT64 leaves carry the data. The
+    oracle pins the NULL column alongside every populated cell."""
+    from pyspark.sql import functions as F
+
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        fetch_sleep_time_df,
+    )
+    from personal_health_etl_pipeline_spark.schema import align_to_schema
+
+    raw = fetch_sleep_time_df(spark, J15_START, J15_END)
+    proj = raw.select(
+        F.to_date("day").alias("day"),  # F2
+        F.col("id").alias("sleep_time__id"),
+        # F1 flatten of the nested object; the residual-object column
+        # (sleep_time__optimal_bedtime TIMESTAMP) is deliberately NOT
+        # produced — align_to_schema C3-fills it as typed NULL
+        F.col("optimal_bedtime.day_tz").alias(
+            "sleep_time__optimal_bedtime__day_tz"
+        ),
+        F.col("optimal_bedtime.end_offset").alias(
+            "sleep_time__optimal_bedtime__end_offset"
+        ),
+        F.col("optimal_bedtime.start_offset").alias(
+            "sleep_time__optimal_bedtime__start_offset"
+        ),
+        F.col("recommendation").alias("sleep_time__recommendation"),
+        F.col("status").alias("sleep_time__status"),
+    )
+    return align_to_schema(
+        proj, load_json_schema(SLEEP_TIME_SCHEMA_PATH)
+    ).orderBy("day")
+
+
+def _sleep_time_oracle() -> str:
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        RECOMMENDATION_WORDS,
+        SLEEP_STATUS_WORDS,
+    )
+
+    day_tz = _h_sql("sleep_time", "optimal_bedtime.day_tz")
+    end_off = _h_sql("sleep_time", "optimal_bedtime.end_offset")
+    start_off = _h_sql("sleep_time", "optimal_bedtime.start_offset")
+    reco = _case_words(_h_sql("sleep_time", "recommendation"), RECOMMENDATION_WORDS)
+    status = _case_words(_h_sql("sleep_time", "status"), SLEEP_STATUS_WORDS)
+    return f"""
+WITH days AS (
+  SELECT CAST(d AS DATE) AS day,
+         strftime(CAST(d AS DATE), '%Y-%m-%d') AS ds
+  FROM generate_series(DATE '{J15_START.isoformat()}',
+                       DATE '{J15_END.isoformat()}', INTERVAL 1 DAY) t(d)
+),
+base AS (
+  SELECT day, ds FROM days
+  WHERE {_h_sql("sleep_time", "presence")} % 10 > 0
+)
+SELECT day,
+       'sleep_time-' || ds AS sleep_time__id,
+       CAST(NULL AS TIMESTAMP) AS sleep_time__optimal_bedtime,
+       CAST({day_tz} % 10000 AS DOUBLE) / 100
+           AS sleep_time__optimal_bedtime__day_tz,
+       CAST({end_off} % 10000 AS DOUBLE) / 100
+           AS sleep_time__optimal_bedtime__end_offset,
+       CAST({start_off} % 10000 AS DOUBLE) / 100
+           AS sleep_time__optimal_bedtime__start_offset,
+       {reco} AS sleep_time__recommendation,
+       {status} AS sleep_time__status
+FROM base ORDER BY day
+"""
+
+
+J22_ORACLE = _sleep_time_oracle()
