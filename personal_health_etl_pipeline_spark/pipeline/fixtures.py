@@ -481,6 +481,49 @@ def fetch_sleep_time_df(
     return spark.createDataFrame(fetch_sleep_time(start, end), SLEEP_TIME_SCHEMA)
 
 
+# --- DETAILED fixture #4: vO2_max (reference constants.py:36) ----------
+#
+# The endpoint's public wire shape: one cardio-capacity sample per
+# present day — id, native day, a wire-string timestamp and the
+# vo2_max metric. No draft columns exist in t.json for this type, so
+# the shipped oura_vo2_max.json follows the j16 naming convention
+# (day key + '<type>__'-prefixed leaves).
+
+
+def fetch_vo2max(start: dt.date, end: dt.date) -> list[dict]:
+    out = []
+    day = start
+    while day <= end:
+        ds = day.isoformat()
+        if day_present("vO2_max", ds):
+            out.append(
+                {
+                    "id": f"vO2_max-{ds}",
+                    "day": ds,
+                    "timestamp": _full_value("ts_str", "vO2_max", ds, "timestamp"),
+                    "vo2_max": _full_value("metric", "vO2_max", ds, "vo2_max"),
+                }
+            )
+        day += dt.timedelta(days=1)
+    return out
+
+
+VO2MAX_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("day", StringType()),  # wire date string (F2)
+        StructField("timestamp", StringType()),  # wire ts (F3)
+        StructField("vo2_max", DoubleType()),
+    ]
+)
+
+
+def fetch_vo2max_df(
+    spark: SparkSession, start: dt.date, end: dt.date
+) -> DataFrame:
+    return spark.createDataFrame(fetch_vo2max(start, end), VO2MAX_SCHEMA)
+
+
 WORKOUT_SCHEMA = StructType(
     [
         StructField("id", StringType()),

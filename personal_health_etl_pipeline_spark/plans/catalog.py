@@ -317,8 +317,9 @@ register(
 # NEW r6 TAIL: the widest DETAILED draft (t.json sleep, 41 fields
 # incl. BOOLEAN + depth-2 flatten + C4 arrays) end-to-end
 register("j20_detailed_sleep", ow.j20_detailed_sleep, ow.J20_ORACLE)
-# NEW r7: third DETAILED type (sleep_time) — r8 certification window
+# NEW r7: third/fourth DETAILED types — r8 certification window
 register("j22_detailed_sleep_time", ow.j22_detailed_sleep_time, ow.J22_ORACLE)
+register("j23_detailed_vo2max", ow.j23_detailed_vo2max, ow.J23_ORACLE)
 # NEW r6 TAIL: radius (threshold) search — variable result size, no
 # per-query shuffle
 register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)

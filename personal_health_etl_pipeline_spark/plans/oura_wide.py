@@ -554,3 +554,64 @@ FROM base ORDER BY day
 
 
 J22_ORACLE = _sleep_time_oracle()
+
+
+# --- DETAILED transform #4: vO2_max ------------------------------------
+
+VO2MAX_SCHEMA_PATH = (
+    Path(__file__).resolve().parent.parent
+    / "schemas"
+    / "oura"
+    / "oura_vo2_max.json"
+)
+
+
+def j23_detailed_vo2max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth DETAILED type end-to-end: ``vO2_max`` (reference
+    ``constants.py:36`` registers ``/usercollection/vO2_max``; no
+    t.json draft exists, so the shipped ``oura_vo2_max.json`` follows
+    the j16 naming convention). The pipeline-relevant wrinkle is the
+    type's MIXED-CASE name flowing through the P3 prefix and into
+    column identifiers (``vO2_max__vo2_max``) — case preservation
+    through flatten/prefix/align is what the hash certifies, plus the
+    usual F2 day cast and C5 wire-string -> TIMESTAMP coercion."""
+    from pyspark.sql import functions as F
+
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        fetch_vo2max_df,
+    )
+    from personal_health_etl_pipeline_spark.schema import align_to_schema
+
+    raw = fetch_vo2max_df(spark, J15_START, J15_END)
+    flat = prefix_columns(raw.drop("day"), "vO2_max", exclude=())  # P3
+    keyed = flat.withColumn(
+        "day", F.to_date(F.substring("vO2_max__timestamp", 1, 10))  # F2
+    )
+    return align_to_schema(
+        keyed, load_json_schema(VO2MAX_SCHEMA_PATH)  # C5
+    ).orderBy("day")
+
+
+def _vo2max_oracle() -> str:
+    ts = _val_sql("ts", "vO2_max", "timestamp")
+    vo2 = _h_sql("vO2_max", "vo2_max")
+    return f"""
+WITH days AS (
+  SELECT CAST(d AS DATE) AS day,
+         strftime(CAST(d AS DATE), '%Y-%m-%d') AS ds
+  FROM generate_series(DATE '{J15_START.isoformat()}',
+                       DATE '{J15_END.isoformat()}', INTERVAL 1 DAY) t(d)
+),
+base AS (
+  SELECT day, ds FROM days
+  WHERE {_h_sql("vO2_max", "presence")} % 10 > 0
+)
+SELECT day,
+       'vO2_max-' || ds AS "vO2_max__id",
+       {ts} AS "vO2_max__timestamp",
+       CAST({vo2} % 10000 AS DOUBLE) / 100 AS "vO2_max__vo2_max"
+FROM base ORDER BY day
+"""
+
+
+J23_ORACLE = _vo2max_oracle()
