@@ -524,6 +524,229 @@ def fetch_vo2max_df(
     return spark.createDataFrame(fetch_vo2max(start, end), VO2MAX_SCHEMA)
 
 
+# --- DETAILED fixture #5: session (reference constants.py:31) ----------
+#
+# One moment-of-recovery record per present day: wire-string
+# timestamps, type/mood words, and a nested ``heart_rate`` object
+# whose ``items`` array becomes a C4 JSON string on flatten.
+
+SESSION_TYPE_WORDS = ("breathing", "meditation", "nap")
+MOOD_WORDS = ("bad", "okay", "great")
+
+
+def fetch_session(start: dt.date, end: dt.date) -> list[dict]:
+    out = []
+    day = start
+    while day <= end:
+        ds = day.isoformat()
+        if day_present("session", ds):
+            out.append(
+                {
+                    "id": f"session-{ds}",
+                    "day": ds,
+                    "start_datetime": _full_value(
+                        "ts_str", "session", ds, "start_datetime"
+                    ),
+                    "end_datetime": _full_value(
+                        "ts_str", "session", ds, "end_datetime"
+                    ),
+                    "type": SESSION_TYPE_WORDS[
+                        field_hash("session", ds, "type") % 3
+                    ],
+                    "mood": MOOD_WORDS[field_hash("session", ds, "mood") % 3],
+                    "heart_rate": {
+                        "interval": _full_value(
+                            "metric", "session", ds, "heart_rate.interval"
+                        ),
+                        "items": _full_value(
+                            "int_list", "session", ds, "heart_rate.items"
+                        ),
+                        "timestamp": _full_value(
+                            "ts_str", "session", ds, "heart_rate.timestamp"
+                        ),
+                    },
+                }
+            )
+        day += dt.timedelta(days=1)
+    return out
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("day", StringType()),  # wire date string (F2)
+        StructField("start_datetime", StringType()),  # wire ts (F3)
+        StructField("end_datetime", StringType()),
+        StructField("type", StringType()),
+        StructField("mood", StringType()),
+        StructField(
+            "heart_rate",
+            StructType(
+                [
+                    StructField("interval", DoubleType()),
+                    StructField("items", ArrayType(LongType())),
+                    StructField("timestamp", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def fetch_session_df(
+    spark: SparkSession, start: dt.date, end: dt.date
+) -> DataFrame:
+    return spark.createDataFrame(fetch_session(start, end), SESSION_SCHEMA)
+
+
+# --- DETAILED fixture #6: rest_mode_period (constants.py:34) -----------
+#
+# A PERIOD record: spans start_day..end_day (0-2 extra days), with an
+# ``episodes`` array of tagged timestamps that flattens to a C4 JSON
+# string. The day key is start_day.
+
+REST_TAG_WORDS = ("rest", "recovering", "travel")
+
+
+def fetch_rest_mode(start: dt.date, end: dt.date) -> list[dict]:
+    out = []
+    day = start
+    while day <= end:
+        ds = day.isoformat()
+        if day_present("rest_mode_period", ds):
+            span = field_hash("rest_mode_period", ds, "span") % 3
+            out.append(
+                {
+                    "id": f"rest_mode_period-{ds}",
+                    "start_day": ds,
+                    "end_day": (day + dt.timedelta(days=span)).isoformat(),
+                    "start_time": _full_value(
+                        "ts_str", "rest_mode_period", ds, "start_time"
+                    ),
+                    "end_time": _full_value(
+                        "ts_str", "rest_mode_period", ds, "end_time"
+                    ),
+                    "episodes": [
+                        {
+                            "tags": [
+                                REST_TAG_WORDS[
+                                    field_hash(
+                                        "rest_mode_period", ds, "episodes.tags"
+                                    )
+                                    % 3
+                                ]
+                            ],
+                            "timestamp": _full_value(
+                                "ts_str",
+                                "rest_mode_period",
+                                ds,
+                                "episodes.timestamp",
+                            ),
+                        }
+                    ],
+                }
+            )
+        day += dt.timedelta(days=1)
+    return out
+
+
+REST_MODE_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("start_day", StringType()),  # wire date string (F2)
+        StructField("end_day", StringType()),
+        StructField("start_time", StringType()),  # wire ts (F3)
+        StructField("end_time", StringType()),
+        StructField(
+            "episodes",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("tags", ArrayType(StringType())),
+                        StructField("timestamp", StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def fetch_rest_mode_df(
+    spark: SparkSession, start: dt.date, end: dt.date
+) -> DataFrame:
+    return spark.createDataFrame(fetch_rest_mode(start, end), REST_MODE_SCHEMA)
+
+
+# --- DETAILED fixture #7: enhanced_tag (constants.py:35) ---------------
+#
+# Multi-row like workout: 0-2 tags per day, each with its own
+# start/end wire timestamps (hour staggered by sequence) and word
+# fields. Per-(day, seq) hashing mirrors the workout derivation so
+# the oracle regenerates every cell.
+
+TAG_TYPE_WORDS = ("tag_generic_nap", "tag_generic_alcohol", "tag_generic_sick")
+
+
+def tag_count(ds: str) -> int:
+    return field_hash("enhanced_tag", ds, "n") % 3
+
+
+def _tag_h(ds: str, seq: int, field: str) -> int:
+    return field_hash("enhanced_tag", ds, f"{seq}|{field}")
+
+
+def fetch_enhanced_tag(start: dt.date, end: dt.date) -> list[dict]:
+    out = []
+    day = start
+    while day <= end:
+        ds = day.isoformat()
+        for s in range(tag_count(ds)):
+            def h(field: str) -> int:
+                return _tag_h(ds, s, field)
+
+            out.append(
+                {
+                    "id": f"enhanced_tag-{ds}-{s}",
+                    "tag_type_code": TAG_TYPE_WORDS[h("tag_type_code") % 3],
+                    "start_time": (
+                        f"{ds}T{6 + s * 4:02d}:30:00."
+                        f"{h('start_time') % 1000000:06d}+00:00"
+                    ),
+                    "end_time": (
+                        f"{ds}T{6 + s * 4:02d}:59:00."
+                        f"{h('end_time') % 1000000:06d}+00:00"
+                    ),
+                    "start_day": ds,
+                    "end_day": ds,
+                    "comment": f"note-{h('comment') % 1000}",
+                }
+            )
+        day += dt.timedelta(days=1)
+    return out
+
+
+ENHANCED_TAG_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("tag_type_code", StringType()),
+        StructField("start_time", StringType()),  # wire ts (F3)
+        StructField("end_time", StringType()),
+        StructField("start_day", StringType()),  # wire date string (F2)
+        StructField("end_day", StringType()),
+        StructField("comment", StringType()),
+    ]
+)
+
+
+def fetch_enhanced_tag_df(
+    spark: SparkSession, start: dt.date, end: dt.date
+) -> DataFrame:
+    return spark.createDataFrame(
+        fetch_enhanced_tag(start, end), ENHANCED_TAG_SCHEMA
+    )
+
+
 WORKOUT_SCHEMA = StructType(
     [
         StructField("id", StringType()),

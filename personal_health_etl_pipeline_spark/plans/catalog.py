@@ -317,9 +317,16 @@ register(
 # NEW r6 TAIL: the widest DETAILED draft (t.json sleep, 41 fields
 # incl. BOOLEAN + depth-2 flatten + C4 arrays) end-to-end
 register("j20_detailed_sleep", ow.j20_detailed_sleep, ow.J20_ORACLE)
-# NEW r7: third/fourth DETAILED types — r8 certification window
+# NEW r7: the remaining DETAILED types — with these every endpoint in
+# the reference's 15-type dispatch registry (constants.py:20-49) has
+# an end-to-end certified transform. r8 certification window.
 register("j22_detailed_sleep_time", ow.j22_detailed_sleep_time, ow.J22_ORACLE)
 register("j23_detailed_vo2max", ow.j23_detailed_vo2max, ow.J23_ORACLE)
+register("j24_detailed_session", ow.j24_detailed_session, ow.J24_ORACLE)
+register("j25_detailed_rest_mode", ow.j25_detailed_rest_mode, ow.J25_ORACLE)
+register(
+    "j26_detailed_enhanced_tag", ow.j26_detailed_enhanced_tag, ow.J26_ORACLE
+)
 # NEW r6 TAIL: radius (threshold) search — variable result size, no
 # per-query shuffle
 register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)

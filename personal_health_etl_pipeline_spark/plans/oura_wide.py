@@ -615,3 +615,235 @@ FROM base ORDER BY day
 
 
 J23_ORACLE = _vo2max_oracle()
+
+
+# --- DETAILED transforms #5-#7: session, rest_mode_period, enhanced_tag
+
+SESSION_SCHEMA_PATH = (
+    Path(__file__).resolve().parent.parent / "schemas" / "oura" / "oura_session.json"
+)
+REST_MODE_SCHEMA_PATH = (
+    Path(__file__).resolve().parent.parent
+    / "schemas"
+    / "oura"
+    / "oura_rest_mode_period.json"
+)
+ENHANCED_TAG_SCHEMA_PATH = (
+    Path(__file__).resolve().parent.parent
+    / "schemas"
+    / "oura"
+    / "oura_enhanced_tag.json"
+)
+
+
+def j24_detailed_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth DETAILED type: ``session`` (reference ``constants.py:31``)
+    — with j22-j26 this completes an end-to-end certified transform
+    for every endpoint in the reference's 15-type dispatch registry.
+    A nested ``heart_rate`` object mixes all three leaf treatments in
+    one struct: a FLOAT64 metric (F1), an ``items`` array serialized
+    to a C4 JSON string, and a wire-string timestamp coerced by C5 —
+    alongside the native-``day`` F2 path."""
+    from pyspark.sql import functions as F
+
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        fetch_session_df,
+    )
+    from personal_health_etl_pipeline_spark.schema import align_to_schema
+
+    raw = fetch_session_df(spark, J15_START, J15_END)
+    proj = raw.select(
+        F.to_date("day").alias("day"),  # F2
+        F.col("id").alias("session__id"),
+        F.col("start_datetime").alias("session__start_datetime"),
+        F.col("end_datetime").alias("session__end_datetime"),
+        F.col("type").alias("session__type"),
+        F.col("mood").alias("session__mood"),
+        F.col("heart_rate.interval").alias("session__heart_rate__interval"),
+        F.to_json(F.col("heart_rate.items")).alias(  # C4
+            "session__heart_rate__items"
+        ),
+        F.col("heart_rate.timestamp").alias("session__heart_rate__timestamp"),
+    )
+    return align_to_schema(
+        proj, load_json_schema(SESSION_SCHEMA_PATH)  # C5
+    ).orderBy("day")
+
+
+def _session_oracle() -> str:
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        MOOD_WORDS,
+        SESSION_TYPE_WORDS,
+    )
+
+    items_h = _h_sql("session", "heart_rate.items")
+    return f"""
+WITH days AS (
+  SELECT CAST(d AS DATE) AS day,
+         strftime(CAST(d AS DATE), '%Y-%m-%d') AS ds
+  FROM generate_series(DATE '{J15_START.isoformat()}',
+                       DATE '{J15_END.isoformat()}', INTERVAL 1 DAY) t(d)
+),
+base AS (
+  SELECT day, ds FROM days
+  WHERE {_h_sql("session", "presence")} % 10 > 0
+)
+SELECT day,
+       'session-' || ds AS session__id,
+       {_val_sql("ts", "session", "start_datetime")} AS session__start_datetime,
+       {_val_sql("ts", "session", "end_datetime")} AS session__end_datetime,
+       {_case_words(_h_sql("session", "type"), SESSION_TYPE_WORDS)}
+           AS session__type,
+       {_case_words(_h_sql("session", "mood"), MOOD_WORDS)} AS session__mood,
+       CAST({_h_sql("session", "heart_rate.interval")} % 10000 AS DOUBLE) / 100
+           AS session__heart_rate__interval,
+       '[' || CAST({items_h} % 97 AS VARCHAR)
+           || ',' || CAST(({items_h} // 97) % 97 AS VARCHAR)
+           || ',' || CAST(({items_h} // 9409) % 97 AS VARCHAR) || ']'
+           AS session__heart_rate__items,
+       {_val_sql("ts", "session", "heart_rate.timestamp")}
+           AS session__heart_rate__timestamp
+FROM base ORDER BY day
+"""
+
+
+J24_ORACLE = _session_oracle()
+
+
+def j25_detailed_rest_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth DETAILED type: ``rest_mode_period`` (reference
+    ``constants.py:34``) — the one PERIOD-shaped record (start_day +
+    end_day spanning 0-2 extra days), so the warehouse row carries a
+    SECOND date column through the F2 cast, plus an ``episodes``
+    array-of-structs serialized whole to a C4 JSON string (the deepest
+    residual-object serialization among the detailed types)."""
+    from pyspark.sql import functions as F
+
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        fetch_rest_mode_df,
+    )
+    from personal_health_etl_pipeline_spark.schema import align_to_schema
+
+    raw = fetch_rest_mode_df(spark, J15_START, J15_END)
+    proj = raw.select(
+        F.to_date("start_day").alias("day"),  # F2 (period start = day key)
+        F.col("id").alias("rest_mode_period__id"),
+        F.col("end_day").alias("rest_mode_period__end_day"),
+        F.col("start_time").alias("rest_mode_period__start_time"),
+        F.col("end_time").alias("rest_mode_period__end_time"),
+        F.to_json(F.col("episodes")).alias("rest_mode_period__episodes"),  # C4
+    )
+    return align_to_schema(
+        proj, load_json_schema(REST_MODE_SCHEMA_PATH)  # C5 (end_day -> DATE)
+    ).orderBy("day")
+
+
+def _rest_mode_oracle() -> str:
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        REST_TAG_WORDS,
+    )
+
+    tag = _case_words(_h_sql("rest_mode_period", "episodes.tags"), REST_TAG_WORDS)
+    ep_ts = _val_sql("ts_str", "rest_mode_period", "episodes.timestamp")
+    return f"""
+WITH days AS (
+  SELECT CAST(d AS DATE) AS day,
+         strftime(CAST(d AS DATE), '%Y-%m-%d') AS ds
+  FROM generate_series(DATE '{J15_START.isoformat()}',
+                       DATE '{J15_END.isoformat()}', INTERVAL 1 DAY) t(d)
+),
+base AS (
+  SELECT day, ds FROM days
+  WHERE {_h_sql("rest_mode_period", "presence")} % 10 > 0
+)
+SELECT day,
+       'rest_mode_period-' || ds AS rest_mode_period__id,
+       CAST(day + INTERVAL (CAST({_h_sql("rest_mode_period", "span")} % 3
+                                 AS INT)) DAY AS DATE)
+           AS rest_mode_period__end_day,
+       {_val_sql("ts", "rest_mode_period", "start_time")}
+           AS rest_mode_period__start_time,
+       {_val_sql("ts", "rest_mode_period", "end_time")}
+           AS rest_mode_period__end_time,
+       '[{{"tags":["' || {tag} || '"],"timestamp":"' || {ep_ts} || '"}}]'
+           AS rest_mode_period__episodes
+FROM base ORDER BY day
+"""
+
+
+J25_ORACLE = _rest_mode_oracle()
+
+
+def j26_detailed_enhanced_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh DETAILED type: ``enhanced_tag`` (reference
+    ``constants.py:35``) — multi-row like workout (0-2 tags per day,
+    per-(day, seq) hashing), with BOTH period dates (start_day keys
+    the row, end_day lands as a second DATE column) and free-text
+    ``comment``. Completes the reference's DETAILED category."""
+    from pyspark.sql import functions as F
+
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        fetch_enhanced_tag_df,
+    )
+    from personal_health_etl_pipeline_spark.schema import align_to_schema
+
+    raw = fetch_enhanced_tag_df(spark, J15_START, J15_END)
+    proj = raw.select(
+        F.to_date("start_day").alias("day"),  # F2
+        F.col("id").alias("enhanced_tag__id"),
+        F.col("tag_type_code").alias("enhanced_tag__tag_type_code"),
+        F.col("start_time").alias("enhanced_tag__start_time"),
+        F.col("end_time").alias("enhanced_tag__end_time"),
+        F.col("end_day").alias("enhanced_tag__end_day"),
+        F.col("comment").alias("enhanced_tag__comment"),
+    )
+    return align_to_schema(
+        proj, load_json_schema(ENHANCED_TAG_SCHEMA_PATH)  # C5
+    ).orderBy("day", "enhanced_tag__id")
+
+
+def _enhanced_tag_oracle() -> str:
+    from personal_health_etl_pipeline_spark.pipeline.fixtures import (
+        TAG_TYPE_WORDS,
+    )
+
+    def h(field: str) -> str:
+        return (
+            f"CAST(('0x' || substr(sha256('enhanced_tag|' || ds || '|' ||"
+            f" CAST(s AS VARCHAR) || '|{field}'), 1, 16)) AS UBIGINT)"
+        )
+
+    def wire(field: str, minute: str) -> str:
+        return (
+            f"ds || 'T' || lpad(CAST(6 + s * 4 AS VARCHAR), 2, '0')"
+            f" || ':{minute}:00.'"
+            f" || lpad(CAST({h(field)} % 1000000 AS VARCHAR), 6, '0')"
+            f" || '+00:00'"
+        )
+
+    tag_word = _case_words(h("tag_type_code"), TAG_TYPE_WORDS)
+    return f"""
+WITH days AS (
+  SELECT CAST(d AS DATE) AS day
+  FROM generate_series(DATE '{J15_START.isoformat()}',
+                       DATE '{J15_END.isoformat()}', INTERVAL 1 DAY) t(d)
+),
+base AS (
+  SELECT day, strftime(day, '%Y-%m-%d') AS ds, CAST(s AS BIGINT) AS s
+  FROM days, range(0, 3) r(s)
+  WHERE s < CAST(('0x' || substr(sha256('enhanced_tag|' || ds || '|n'), 1, 16))
+                 AS UBIGINT) % 3
+)
+SELECT day,
+       'enhanced_tag-' || ds || '-' || CAST(s AS VARCHAR) AS enhanced_tag__id,
+       {tag_word} AS enhanced_tag__tag_type_code,
+       CAST({wire("start_time", "30")} AS TIMESTAMP) AS enhanced_tag__start_time,
+       CAST({wire("end_time", "59")} AS TIMESTAMP) AS enhanced_tag__end_time,
+       day AS enhanced_tag__end_day,
+       'note-' || CAST({h("comment")} % 1000 AS VARCHAR)
+           AS enhanced_tag__comment
+FROM base ORDER BY day, enhanced_tag__id
+"""
+
+
+J26_ORACLE = _enhanced_tag_oracle()
