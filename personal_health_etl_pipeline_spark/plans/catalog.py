@@ -327,6 +327,12 @@ register("j25_detailed_rest_mode", ow.j25_detailed_rest_mode, ow.J25_ORACLE)
 register(
     "j26_detailed_enhanced_tag", ow.j26_detailed_enhanced_tag, ow.J26_ORACLE
 )
+# NEW r7: deterministic training-order shuffle (two-phase global rank)
+register(
+    "corpus_shuffle_deterministic",
+    llm2.corpus_shuffle_deterministic,
+    llm2.CORPUS_SHUFFLE_ORACLE,
+)
 # NEW r6 TAIL: radius (threshold) search — variable result size, no
 # per-query shuffle
 register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)

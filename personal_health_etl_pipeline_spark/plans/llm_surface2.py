@@ -1220,3 +1220,66 @@ cum AS (
 SELECT doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
 FROM cum WHERE cum_tok <= {TOKEN_BUDGET} ORDER BY cum_tok
 """
+
+
+# --- deterministic global training-order shuffle -----------------------
+
+SHUFFLE_SEED = 17
+_SHUFFLE_BUCKET_SHIFT = 52  # 60-bit hash >> 52 -> 256 ordered buckets
+
+
+def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-0 training-order shuffle: every data loader needs the
+    corpus in a REPRODUCIBLE pseudo-random order (auditable restarts,
+    identical order across re-runs) — position = rank of the seeded
+    portable hash, ties by doc_id.
+
+    The naive plan is rank() over a GLOBAL order — a single-partition
+    window that sorts the corpus in one task. This uses the
+    ``corpus_token_budget`` two-phase shape instead: bucket by the
+    hash's top 8 bits (bucket order IS hash-prefix order, so the
+    global order never crosses buckets out of sequence), per-bucket
+    counts -> prefix offsets via a window over the 256-row frame,
+    broadcast the offsets back, and ``offset + intra-bucket
+    row_number`` equals the global position. At 100 TB the only
+    globally-ordered structure is 256 rows; writing the output
+    bucket-partitioned then yields hash-ordered shards directly."""
+    from personal_health_etl_pipeline_spark.functions.hashing import (
+        md5_long_seeded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", md5_long_seeded("doc_id", SHUFFLE_SEED).alias("h")
+    ).withColumn("bkt", F.shiftright("h", _SHUFFLE_BUCKET_SHIFT))
+    bcnt = base.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bcnt.withColumn(
+        "offset", F.coalesce(F.sum("bn").over(wb), F.lit(0))
+    ).select("bkt", "offset")
+    w = Window.partitionBy("bkt").orderBy("h", "doc_id")
+    return (
+        base.join(F.broadcast(offs), "bkt")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.row_number().over(w)).alias("shuffle_pos"),
+        )
+        .orderBy("shuffle_pos")
+    )
+
+
+def _shuffle_oracle() -> str:
+    from personal_health_etl_pipeline_spark.functions.hashing import (
+        duckdb_md5_long_seeded,
+    )
+
+    h = duckdb_md5_long_seeded("doc_id", SHUFFLE_SEED)
+    return f"""
+WITH h AS (SELECT doc_id, {h} AS h FROM documents)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_pos
+FROM h ORDER BY shuffle_pos
+"""
+
+
+CORPUS_SHUFFLE_ORACLE = _shuffle_oracle()
