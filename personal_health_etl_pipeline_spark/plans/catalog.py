@@ -333,6 +333,8 @@ register(
     llm2.corpus_shuffle_deterministic,
     llm2.CORPUS_SHUFFLE_ORACLE,
 )
+# NEW r7: feature hashing (HashingTF) — the no-vocabulary vectorizer
+register("text_hashing_tf", llm3.text_hashing_tf, llm3.TEXT_HASHTF_ORACLE)
 # NEW r6 TAIL: radius (threshold) search — variable result size, no
 # per-query shuffle
 register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)

@@ -1051,3 +1051,39 @@ TEXT_BPE_APPLY_ORACLE = (
     "FROM tokl JOIN sub USING (word)\n"
     "GROUP BY lang ORDER BY lang"
 )
+
+
+# --- feature hashing (HashingTF) ---------------------------------------
+
+HASHTF_DIM = 1024
+
+
+def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the HashingTF / Vowpal-Wabbit trick): each term
+    maps to ``md5(term) % 1024`` and the document's sparse feature
+    vector is the per-bucket term count — the vectorizer a 100 TB text
+    pipeline uses when a fitted vocabulary is too big to broadcast
+    (no vocab table AT ALL: the "model" is a hash function, so the op
+    is one explode + one map-side-combinable groupBy, embarrassingly
+    parallel and identical across engines via the portable hash).
+    Output is the sparse COO triple ``(doc_id, bucket, tf)``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _doc_tokens(docs)
+        .select("doc_id", (md5_long("term") % HASHTF_DIM).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+TEXT_HASHTF_ORACLE = rf"""
+WITH {_TOKS_CTE},
+terms AS (SELECT doc_id, unnest(t) AS term FROM toks)
+SELECT doc_id,
+       {duckdb_md5_long("term")} % {HASHTF_DIM} AS bucket,
+       COUNT(*) AS tf
+FROM terms
+GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+"""
