@@ -335,6 +335,8 @@ register(
 )
 # NEW r7: feature hashing (HashingTF) — the no-vocabulary vectorizer
 register("text_hashing_tf", llm3.text_hashing_tf, llm3.TEXT_HASHTF_ORACLE)
+# NEW r7: k-core decomposition (bounded peeling over the edge artifact)
+register("graph_kcore", gr.graph_kcore, gr.GRAPH_KCORE_ORACLE)
 # NEW r6 TAIL: radius (threshold) search — variable result size, no
 # per-query shuffle
 register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)
