@@ -337,6 +337,9 @@ register(
 register("text_hashing_tf", llm3.text_hashing_tf, llm3.TEXT_HASHTF_ORACLE)
 # NEW r7: k-core decomposition (bounded peeling over the edge artifact)
 register("graph_kcore", gr.graph_kcore, gr.GRAPH_KCORE_ORACLE)
+# NEW r7: daily-revenue autocorrelation (a10 exact power sums, one
+# exploded-lag self-join instead of 7)
+register("ts9_autocorr", ts.ts9_autocorr, ts.TS9_ORACLE)
 # NEW r6 TAIL: radius (threshold) search — variable result size, no
 # per-query shuffle
 register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)

@@ -751,3 +751,89 @@ SELECT bar_ts,
        CAST(SUM(cents) AS BIGINT) AS volume_cents
 FROM ticks GROUP BY bar_ts ORDER BY bar_ts
 """
+
+
+# --- ts9: autocorrelation function of the daily revenue series ---------
+
+TS9_MAX_LAG = 7
+
+
+def ts9_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily order-revenue series —
+    the seasonality diagnostic behind every forecasting pipeline (a
+    weekly cycle shows as an acf(7) spike). Pearson r over the pairs
+    ``(rev[d], rev[d+k])`` for dates where both days exist.
+
+    The a10 exactness recipe at series scale: daily revenues reduce to
+    exact integer cents, the five power sums accumulate as DECIMAL
+    (order-independent across partitions — never the double
+    accumulators), and the one double division happens after, so the
+    result is bit-identical to the serial oracle. Scale shape: one
+    date-keyed aggregation, then ONE equi-join of the daily series
+    against itself shifted by an exploded lag column (7 lags ride one
+    shuffle, not 7 self-joins), then a 7-group aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    left = daily.withColumn(
+        "k", F.explode(F.sequence(F.lit(1), F.lit(TS9_MAX_LAG)))
+    ).withColumn("d2", F.date_add("d", F.col("k")))
+    right = daily.select(
+        F.col("d").alias("d2"), F.col("cents").alias("cents2")
+    )
+    x = F.col("cents").cast("decimal(18,0)")
+    y = F.col("cents2").cast("decimal(18,0)")
+    pairs = left.join(right, "d2").select("k", x.alias("x"), y.alias("y"))
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).cast("double")
+    acf = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        pairs.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(acf, 6).alias("acf"),
+        )
+        .select(F.col("k").cast("bigint").alias("lag_days"), "n_pairs", "acf")
+        .orderBy("lag_days")
+    )
+
+
+TS9_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS DECIMAL(18,0)) AS cents
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+pairs AS (
+  SELECT l.k, a.cents AS x, b.cents AS y
+  FROM range(1, {TS9_MAX_LAG + 1}) l(k), daily a
+  JOIN daily b ON b.d = a.d + CAST(l.k AS INT)
+),
+stats AS (
+  SELECT k,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pairs GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS lag_days,
+       CAST(n AS BIGINT) AS n_pairs,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS acf
+FROM stats ORDER BY lag_days
+"""
