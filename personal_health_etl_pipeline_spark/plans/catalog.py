@@ -340,6 +340,9 @@ register("graph_kcore", gr.graph_kcore, gr.GRAPH_KCORE_ORACLE)
 # NEW r7: daily-revenue autocorrelation (a10 exact power sums, one
 # exploded-lag self-join instead of 7)
 register("ts9_autocorr", ts.ts9_autocorr, ts.TS9_ORACLE)
+# NEW r7: Benford first-digit deviation screen (host-precomputed
+# expected-ppm literals shared with the oracle)
+register("dq7_benford_deviation", dq.dq7_benford_deviation, dq.DQ7_ORACLE)
 # NEW r6 TAIL: radius (threshold) search — variable result size, no
 # per-query shuffle
 register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)

@@ -599,3 +599,77 @@ SELECT bucket, n_a, n_b,
              9) AS psi_contrib
 FROM j CROSS JOIN tot ORDER BY bucket
 """
+
+
+# --- DQ7: Benford first-digit deviation --------------------------------
+
+# expected Benford proportions in ppm, precomputed HOST-SIDE so both
+# engines consume identical integer literals (log10 in the two engines
+# is not guaranteed bit-identical; nine constants sidestep it)
+import math as _math
+
+BENFORD_PPM = {
+    d: round(_math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+}
+
+
+def dq7_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over ``l_extendedprice``: observed
+    first-significant-digit frequencies vs the expected log
+    distribution — the classic fabricated-data / corrupted-feed
+    detector a warehouse DQ suite runs on monetary columns. Deviation
+    is reported per digit in exact integer ppm (``1e6 * n // total``,
+    identical floor semantics in both engines); the expected ppm are
+    host-precomputed literals shared with the oracle.
+
+    Scale shape: digit extraction is row-local, the 9-group count
+    collapses map-side, and the total rides a broadcast 1-row frame —
+    one scan regardless of corpus size. (TPC-H prices are uniform-ish,
+    NOT Benford — the per-digit deltas are large and nonzero, which is
+    exactly what makes the arithmetic visible under the hash gate.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = counts.agg(F.sum("n_obs").alias("total"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("CAST(1000000 * n_obs AS BIGINT) div total").alias(
+                "obs_ppm"
+            ),
+            expected[F.col("digit")].cast("bigint").alias("expected_ppm"),
+        )
+        .withColumn("delta_ppm", F.col("obs_ppm") - F.col("expected_ppm"))
+        .orderBy("digit")
+    )
+
+
+def _benford_oracle() -> str:
+    arms = " ".join(f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items())
+    return f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit,
+         COUNT(*) AS n_obs
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM counts)
+SELECT digit, n_obs,
+       (1000000 * n_obs) // total AS obs_ppm,
+       CAST(CASE digit {arms} END AS BIGINT) AS expected_ppm,
+       (1000000 * n_obs) // total - CAST(CASE digit {arms} END AS BIGINT)
+           AS delta_ppm
+FROM counts CROSS JOIN tot ORDER BY digit
+"""
+
+
+DQ7_ORACLE = _benford_oracle()
