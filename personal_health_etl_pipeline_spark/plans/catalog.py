@@ -343,6 +343,12 @@ register("ts9_autocorr", ts.ts9_autocorr, ts.TS9_ORACLE)
 # NEW r7: Benford first-digit deviation screen (host-precomputed
 # expected-ppm literals shared with the oracle)
 register("dq7_benford_deviation", dq.dq7_benford_deviation, dq.DQ7_ORACLE)
+# NEW r7: plain-string scalar sweep (pad/split/translate/levenshtein)
+register(
+    "f20_string_function_sweep",
+    rs.f20_string_function_sweep,
+    rs.F20_ORACLE,
+)
 # NEW r6 TAIL: radius (threshold) search — variable result size, no
 # per-query shuffle
 register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)

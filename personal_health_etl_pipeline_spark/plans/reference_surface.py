@@ -1539,3 +1539,78 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem WHERE l_orderkey % 997 = 0
 ORDER BY l_orderkey, l_linenumber
 """
+
+
+# --- f20: string scalar-function sweep ---------------------------------
+
+def f20_string_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string scalar surface in one pass over ``part``: pad/trim
+    (lpad), structure ops (split_part, left, reverse, repeat),
+    character ops (translate, instr, ascii) and edit distance
+    (levenshtein) — certified directly as scalars (f6/f15 cover the
+    regex/URL families; this sweeps the plain-string builtins the
+    fuzzy-match and path operators lean on). All engines-identical
+    semantics: 1-based positions with 0-if-absent (instr/split_part),
+    binary collation for MIN/MAX, unit-cost Levenshtein. Registered in
+    the catalog TAIL (r8 window)."""
+    part = load_table(spark, sf_dir, "part")
+    thinned = part.where(F.col("p_partkey") % 7 == 0).select(
+        "p_brand",
+        F.col("p_name").alias("s"),
+    )
+    derived = thinned.select(
+        "p_brand",
+        F.length("s").alias("len"),
+        F.levenshtein(F.col("s"), F.reverse(F.col("s"))).alias("lev"),
+        F.instr(F.col("s"), "r").alias("pos_r"),
+        F.reverse(F.col("s")).alias("rev"),
+        F.split_part(F.col("s"), F.lit(" "), F.lit(2)).alias("w2"),
+        F.ascii(F.translate(F.col("s"), "aeiou", "01234")).alias("a_tr"),
+        F.left(F.lpad(F.col("s"), 30, "*"), F.lit(3)).alias("lp3"),
+        F.repeat(F.left(F.col("s"), F.lit(2)), 2).alias("rep2"),
+    )
+    return (
+        derived.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("len").alias("sum_len"),
+            F.sum("lev").alias("sum_lev"),
+            F.sum("pos_r").alias("sum_pos_r"),
+            F.min("rev").alias("min_rev"),
+            F.max("w2").alias("max_w2"),
+            F.sum("a_tr").alias("sum_ascii_tr"),
+            F.min("lp3").alias("min_lp3"),
+            F.max("rep2").alias("max_rep2"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+F20_ORACLE = """
+WITH t AS (
+  SELECT p_brand, p_name AS s FROM part WHERE p_partkey % 7 = 0
+),
+d AS (
+  SELECT p_brand,
+         length(s) AS len,
+         levenshtein(s, reverse(s)) AS lev,
+         instr(s, 'r') AS pos_r,
+         reverse(s) AS rev,
+         split_part(s, ' ', 2) AS w2,
+         ascii(translate(s, 'aeiou', '01234')) AS a_tr,
+         left(lpad(s, 30, '*'), 3) AS lp3,
+         repeat(left(s, 2), 2) AS rep2
+  FROM t
+)
+SELECT p_brand,
+       COUNT(*) AS n,
+       CAST(SUM(len) AS BIGINT) AS sum_len,
+       CAST(SUM(lev) AS BIGINT) AS sum_lev,
+       CAST(SUM(pos_r) AS BIGINT) AS sum_pos_r,
+       MIN(rev) AS min_rev,
+       MAX(w2) AS max_w2,
+       CAST(SUM(a_tr) AS BIGINT) AS sum_ascii_tr,
+       MIN(lp3) AS min_lp3,
+       MAX(rep2) AS max_rep2
+FROM d GROUP BY p_brand ORDER BY p_brand
+"""
