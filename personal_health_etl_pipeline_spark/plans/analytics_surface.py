@@ -1683,3 +1683,137 @@ FROM events
 GROUP BY ROLLUP (event_type)
 ORDER BY g_type, event_type
 """
+
+
+# --- a26: fixed-width histogram ----------------------------------------
+
+HIST_BIN_WIDTH = 5000
+
+
+def a26_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``l_extendedprice`` (bin width 5000):
+    the profiling primitive under every numeric-column dashboard.
+    Binning is row-local integer arithmetic on exact cents (floor
+    division — identical in both engines for non-negatives), so the
+    whole histogram is one map-side-combinable groupBy: at 100 TB it
+    costs a scan plus a tiny shuffle of #bins partial rows. Per-bin
+    sum rides as exact DECIMAL cents alongside the count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    binned = li.select(
+        cents.alias("cents"),
+        F.expr(
+            f"CAST(round(l_extendedprice * 100) AS BIGINT)"
+            f" div {HIST_BIN_WIDTH * 100}"
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * HIST_BIN_WIDTH).alias("bin_lo"),
+            "n",
+            "sum_cents",
+        )
+        .orderBy("bin")
+    )
+
+
+A26_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+             // {HIST_BIN_WIDTH * 100} AS bin
+  FROM lineitem
+)
+SELECT bin,
+       bin * {HIST_BIN_WIDTH} AS bin_lo,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+# --- w10: ranking window-function sweep --------------------------------
+
+def w10_ranking_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/distribution window surface in one pass: ntile,
+    percent_rank, cume_dist, nth_value and lead-with-default over one
+    ``(event_type, value)`` ordering — certified directly (w2/w3 use
+    rank/lag as building blocks; this sweeps the rest of the family).
+    The ORDER BY is made total (value cents, then event_id) so every
+    function is tie-deterministic in both engines; distribution
+    outputs are exact integer ppm (floor of the rational definitions:
+    percent_rank = (rank-1)/(n-1), cume_dist = n_le/n) rather than
+    engine doubles. One window shuffle keyed by event_type — the
+    sweep adds breadth, not cost."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 13 == 0
+    ).select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wall = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.nth_value("cents", 3).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("third_cents"),
+        F.lead("cents", 2, -1).over(w).alias("lead2_cents"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return ranked.select(
+        "event_type",
+        "event_id",
+        "cents",
+        "quartile",
+        F.expr(
+            "CAST(1000000 * (rk - 1) AS BIGINT) div greatest(n - 1, 1)"
+        ).alias("pct_rank_ppm"),
+        F.expr("CAST(1000000 * rn AS BIGINT) div n").alias("cume_ppm"),
+        "third_cents",
+        "lead2_cents",
+    ).orderBy("event_type", "cents", "event_id")
+
+
+W10_ORACLE = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_id % 13 = 0
+),
+r AS (
+  SELECT event_type, event_id, cents,
+         row_number() OVER w AS rn,
+         rank() OVER w AS rk,
+         ntile(4) OVER w AS quartile,
+         nth_value(cents, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS third_cents,
+         COALESCE(lead(cents, 2) OVER w, -1) AS lead2_cents,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY cents, event_id)
+)
+SELECT event_type, event_id, cents,
+       CAST(quartile AS INT) AS quartile,
+       (1000000 * (rk - 1)) // greatest(n - 1, 1) AS pct_rank_ppm,
+       (1000000 * rn) // n AS cume_ppm,
+       third_cents,
+       lead2_cents
+FROM r ORDER BY event_type, cents, event_id
+"""

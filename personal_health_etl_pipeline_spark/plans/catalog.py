@@ -349,6 +349,13 @@ register(
     rs.f20_string_function_sweep,
     rs.F20_ORACLE,
 )
+# NEW r7: fixed-width histogram (map-side-combinable profiling)
+register("a26_histogram_fixed_bins", an.a26_histogram_fixed_bins, an.A26_ORACLE)
+# NEW r7: ranking/distribution window sweep (ntile/percent_rank/
+# cume_dist/nth_value/lead-with-default, exact integer ppm)
+register(
+    "w10_ranking_function_sweep", an.w10_ranking_function_sweep, an.W10_ORACLE
+)
 # NEW r6 TAIL: radius (threshold) search — variable result size, no
 # per-query shuffle
 register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)
