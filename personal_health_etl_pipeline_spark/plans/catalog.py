@@ -349,6 +349,8 @@ register(
     rs.f20_string_function_sweep,
     rs.F20_ORACLE,
 )
+# NEW r7: recall@10 of IVF vs brute force, certified in-engine
+register("ann_recall_report", llm.ann_recall_report, llm.ANN_RECALL_ORACLE)
 # NEW r7: fixed-width histogram (map-side-combinable profiling)
 register("a26_histogram_fixed_bins", an.a26_histogram_fixed_bins, an.A26_ORACLE)
 # NEW r7: ranking/distribution window sweep (ntile/percent_rank/

@@ -1970,3 +1970,68 @@ SELECT query_id, neighbor_id, sim FROM scored
 WHERE sim >= {RANGE_MIN_SIM!r}
 ORDER BY query_id, sim DESC, neighbor_id
 """
+
+
+# --- ANN recall report (the gate, certified in-engine) ------------------
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index against exact brute force, computed
+    IN-ENGINE and certified under the hash gate — the recall numbers
+    quoted in docstrings stop being test-side assertions and become a
+    certified operator output (the eval job every production vector
+    deployment schedules next to its index build). One left join of
+    the two bounded top-k frames (queries x k rows each), a per-query
+    hit count, and a 1-row exact-ppm summary; both legs reuse the
+    library operators with the SAME parameters as their certified
+    standalone entries, so the oracle is their SQL composed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = S.ivf_topk(emb, k=10, query_mod=50, nprobe=IVF_NPROBE).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    brute = S.brute_force_topk(emb, k=10, query_mod=50).select(
+        "query_id", "neighbor_id"
+    )
+    per_q = (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("hits").cast("bigint").alias("total_hits"),
+        F.sum("k").cast("bigint").alias("total_k"),
+        F.expr("CAST(1000000 * sum(hits) AS BIGINT) div sum(k)").alias(
+            "recall_ppm"
+        ),
+        F.min(F.expr("CAST(1000000 * hits AS BIGINT) div k")).alias(
+            "min_query_recall_ppm"
+        ),
+    )
+
+
+ANN_RECALL_ORACLE = rf"""
+WITH brute AS (
+  SELECT query_id, neighbor_id FROM ({ANN_BRUTE_FORCE_ORACLE}) tb
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM ({ANN_IVF_ORACLE}) ti
+),
+perq AS (
+  SELECT b.query_id,
+         COUNT(*) AS k,
+         CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits
+  FROM brute b LEFT JOIN ivf i
+    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
+       CAST(SUM(k) AS BIGINT) AS total_k,
+       CAST((1000000 * SUM(hits)) // SUM(k) AS BIGINT) AS recall_ppm,
+       CAST(MIN((1000000 * hits) // k) AS BIGINT) AS min_query_recall_ppm
+FROM perq
+"""
