@@ -1817,3 +1817,51 @@ SELECT event_type, event_id, cents,
        lead2_cents
 FROM r ORDER BY event_type, cents, event_id
 """
+
+
+# --- sql3: recursive CTE through the SQL front-end ---------------------
+
+# Identical text runs in BOTH engines (only the view names differ):
+# per-customer order chains walked by rank succession — a LINEAR
+# recursion (each row has exactly one successor), so UNION ALL is
+# explosion-free by construction, unlike a graph walk (graph_bfs's
+# oracle needs the UNION dedup form for that reason).
+_SQL3 = """
+WITH RECURSIVE seq AS (
+  SELECT o_custkey AS cust,
+         o_orderkey AS orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM {orders} WHERE o_custkey % 50 = 0
+),
+walk(cust, rn, orderkey, cum_cents) AS (
+  SELECT cust, rn, orderkey, cents FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.cust, s.rn, s.orderkey, w.cum_cents + s.cents
+  FROM walk w JOIN seq s ON s.cust = w.cust AND s.rn = w.rn + 1
+)
+SELECT cust, rn, orderkey, cum_cents FROM walk ORDER BY cust, rn
+"""
+
+
+def sql3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTEs through the SQL front-end (Spark 4's WITH
+    RECURSIVE): per-customer order chains walked by rank succession,
+    accumulating an exact running total — the iterative-query class
+    (hierarchies, chains, graph walks) that previously forced users
+    out of SQL into the DataFrame loop operators (pagerank/bfs). The
+    SAME statement text executes in DuckDB as the oracle, so the hash
+    gate certifies Spark's recursion semantics (anchor + step,
+    UNION ALL accumulation, termination on empty step) end-to-end
+    against an independent engine. View names are suffixed per scale
+    dir (the sql1 discipline)."""
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    v = f"sql3_orders_{tag}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(v)
+    return spark.sql(_SQL3.format(orders=v))
+
+
+SQL3_ORACLE = _SQL3.format(orders="orders")

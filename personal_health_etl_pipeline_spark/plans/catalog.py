@@ -358,6 +358,9 @@ register("a26_histogram_fixed_bins", an.a26_histogram_fixed_bins, an.A26_ORACLE)
 register(
     "w10_ranking_function_sweep", an.w10_ranking_function_sweep, an.W10_ORACLE
 )
+# NEW r7: WITH RECURSIVE through the SQL front-end (identical text
+# runs as the DuckDB oracle)
+register("sql3_recursive_cte", an.sql3_recursive_cte, an.SQL3_ORACLE)
 # NEW r6 TAIL: radius (threshold) search — variable result size, no
 # per-query shuffle
 register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)
