@@ -98,6 +98,17 @@ HEADLINE = (
     "w8_windowed_distinct",
     "corpus_token_budget",
     "ann_filtered_topk",
+    # round-7 additions: the data-scaling new entries (the j22-j26
+    # fixture transforms stay out — fixed-size synth fixtures)
+    "text_hashing_tf",
+    "corpus_shuffle_deterministic",
+    "graph_kcore",
+    "ts9_autocorr",
+    "dq7_benford_deviation",
+    "a26_histogram_fixed_bins",
+    "w10_ranking_function_sweep",
+    "ann_recall_report",
+    "sql3_recursive_cte",
 )
 
 
