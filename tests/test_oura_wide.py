@@ -166,3 +166,88 @@ def test_j20_sleep_boolean_and_depth2_flatten(spark, sf_dir):
         assert r["day"] == r["sleep__bedtime_start"].date()
         items = json.loads(r["sleep__heart_rate__items"])
         assert isinstance(items, list) and len(items) == 3
+
+
+def test_j22_draft_type_conflict_lands_as_typed_null(spark, sf_dir):
+    """The t.json draft types the residual optimal_bedtime OBJECT as
+    TIMESTAMP (t.json:193); no C4 serialization can coerce to it, so
+    the schema-driven load must land the declared column as a typed
+    NULL (C3) while the three FLOAT64 leaves carry the data."""
+    from personal_health_etl_pipeline_spark.plans.oura_wide import (
+        j22_detailed_sleep_time,
+    )
+    from pyspark.sql.types import TimestampType
+
+    df = j22_detailed_sleep_time(spark, sf_dir)
+    field = df.schema["sleep_time__optimal_bedtime"]
+    assert isinstance(field.dataType, TimestampType)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["sleep_time__optimal_bedtime"] is None
+        assert r["sleep_time__optimal_bedtime__day_tz"] is not None
+
+
+def test_j23_mixed_case_prefix_survives(spark, sf_dir):
+    """vO2_max's mixed-case type name must flow through prefix/align
+    into column identifiers unmangled."""
+    from personal_health_etl_pipeline_spark.plans.oura_wide import (
+        j23_detailed_vo2max,
+    )
+
+    df = j23_detailed_vo2max(spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "day", "vO2_max__id", "vO2_max__timestamp", "vO2_max__vo2_max",
+    ]
+    r = df.collect()[0]
+    assert r["vO2_max__id"].startswith("vO2_max-")
+    # C5 coerced the wire string to a real timestamp on the keyed day
+    assert r["vO2_max__timestamp"].date() == r["day"]
+
+
+def test_j25_period_spans_days_and_episodes_serialize(spark, sf_dir):
+    """rest_mode_period: end_day lands as a DATE >= the day key, and
+    the episodes array-of-structs serializes to compact C4 JSON."""
+    from personal_health_etl_pipeline_spark.plans.oura_wide import (
+        j25_detailed_rest_mode,
+    )
+
+    rows = j25_detailed_rest_mode(spark, sf_dir).collect()
+    assert rows
+    spans = set()
+    for r in rows:
+        delta = (r["rest_mode_period__end_day"] - r["day"]).days
+        assert 0 <= delta <= 2
+        spans.add(delta)
+        assert r["rest_mode_period__episodes"].startswith('[{"tags":["')
+    assert len(spans) > 1  # the fixture exercises real multi-day spans
+
+
+def test_registry_every_reference_type_has_a_transform():
+    """Completion check for ref constants.py:20-49: all 15 endpoint
+    types map to a certified catalog entry."""
+    from personal_health_etl_pipeline_spark.plans.catalog import CATALOG
+
+    covered = {
+        # DAILY x6 via the full-width combine
+        "daily_activity": "j15_oura_day_full_width",
+        "daily_sleep": "j15_oura_day_full_width",
+        "daily_readiness": "j15_oura_day_full_width",
+        "daily_stress": "j15_oura_day_full_width",
+        "daily_resilience": "j15_oura_day_full_width",
+        "daily_cardiovascular_age": "j15_oura_day_full_width",
+        # DETAILED x7
+        "workout": "j16_detailed_transform",
+        "session": "j24_detailed_session",
+        "sleep": "j20_detailed_sleep",
+        "sleep_time": "j22_detailed_sleep_time",
+        "rest_mode_period": "j25_detailed_rest_mode",
+        "enhanced_tag": "j26_detailed_enhanced_tag",
+        "vO2_max": "j23_detailed_vo2max",
+        # SPECIAL x2
+        "heartrate": "j13_heartrate_chunked",
+        "daily_spo2": "j17_spo2_id_day",
+    }
+    assert len(covered) == 15
+    missing = [t for t, entry in covered.items() if entry not in CATALOG]
+    assert missing == []
