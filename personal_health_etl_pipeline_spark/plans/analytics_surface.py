@@ -1865,3 +1865,179 @@ def sql3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL3_ORACLE = _SQL3.format(orders="orders")
+
+
+# --- sql4: PIVOT through the SQL front-end ----------------------------
+
+def sql4_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT through the SQL front-end: per-user-cohort event spend
+    rotated into one wide row per cohort with a column per event type
+    (the long->wide reshape behind every feature matrix / report
+    export). Spark's ``PIVOT`` clause with an explicit IN list — the
+    value list is DECLARED, not discovered, so the plan is a single
+    hash aggregate with no extra distinct-values job and a fixed
+    output schema (the only shape that works on 100 TB; an implicit
+    pivot needs a driver-side distinct first). Sums are exact cents;
+    absent combinations land as 0 via COALESCE. The oracle is the
+    same reshape as DuckDB conditional aggregation (FILTER), which is
+    also what Catalyst lowers PIVOT to — the hash gate certifies the
+    rewrite end-to-end."""
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    v = f"sql4_events_{tag}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(v)
+    return spark.sql(f"""
+        SELECT cohort,
+               COALESCE(click, 0) AS click_cents,
+               COALESCE(error, 0) AS error_cents,
+               COALESCE(purchase, 0) AS purchase_cents,
+               COALESCE(signup, 0) AS signup_cents,
+               COALESCE(view, 0) AS view_cents
+        FROM (
+          SELECT user_id % 10 AS cohort, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM {v}
+        )
+        PIVOT (SUM(cents) FOR event_type
+               IN ('click' AS click, 'error' AS error,
+                   'purchase' AS purchase, 'signup' AS signup,
+                   'view' AS view))
+        ORDER BY cohort
+    """)
+
+
+SQL4_ORACLE = """
+SELECT user_id % 10 AS cohort,
+       CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'click'), 0) AS BIGINT) AS click_cents,
+       CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'error'), 0) AS BIGINT) AS error_cents,
+       CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'purchase'), 0) AS BIGINT) AS purchase_cents,
+       CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'signup'), 0) AS BIGINT) AS signup_cents,
+       CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'view'), 0) AS BIGINT) AS view_cents
+FROM events GROUP BY 1 ORDER BY cohort
+"""
+
+
+# --- f21: UNPIVOT / melt (wide -> long) -------------------------------
+
+def f21_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse reshape: ``DataFrame.unpivot`` (melt) turns the
+    four lineitem money/quantity measures into (metric, cents) long
+    form, then aggregates per (l_returnflag, metric). Unpivot is a
+    zero-shuffle generator (each input row emits 4 output rows in
+    place — Catalyst's Expand node, the same operator behind
+    rollup/cube), so the only shuffle is the final aggregate. The
+    long form is the shape feature stores and plotting layers want,
+    and Expand means it costs a constant row-multiplier, not a join.
+    Oracle: UNION ALL of four conditional projections."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        cents("l_quantity").alias("quantity"),
+        cents("l_extendedprice").alias("extendedprice"),
+        cents("l_discount").alias("discount"),
+        cents("l_tax").alias("tax"),
+    )
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["quantity", "extendedprice", "discount", "tax"],
+        variableColumnName="metric",
+        valueColumnName="cents",
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+F21_ORACLE = """
+WITH long AS (
+  SELECT l_returnflag, 'quantity' AS metric,
+         CAST(round(l_quantity * 100) AS BIGINT) AS cents FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice',
+         CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount',
+         CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax',
+         CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
+)
+SELECT l_returnflag, metric, COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM long GROUP BY 1, 2 ORDER BY l_returnflag, metric
+"""
+
+
+# --- w11: gaps-and-islands (consecutive-day streaks) ------------------
+
+def w11_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks over
+    the events timeline. The classic rewrite — distinct active days,
+    then ``day - INTERVAL row_number() DAY`` is CONSTANT within one
+    unbroken run, so islands fall out of a second group-by with no
+    self-join and no iteration. Two shuffles total (distinct-days,
+    island group-by), both keyed by user — at 100 TB this is the only
+    shape that works; the naive LEFT JOIN day+1 probe doubles the
+    scan and the iterative walk is O(longest streak) rounds.
+    Output is one row per user: islands, longest/latest streak —
+    tie-free (all values are per-user scalars)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("anchor"),
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len_days"),
+        F.max("day").alias("streak_end"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len_days").alias("longest_streak"),
+            F.sum("len_days").alias("active_days"),
+            F.max_by("len_days", "streak_end").alias("latest_streak"),
+            F.max("streak_end").alias("last_active_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+W11_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+anchored AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY day) AS INT) AS anchor
+  FROM days
+),
+islands AS (
+  SELECT user_id, anchor, COUNT(*) AS len_days,
+         MAX(day) AS streak_end
+  FROM anchored GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(len_days) AS BIGINT) AS longest_streak,
+       CAST(SUM(len_days) AS BIGINT) AS active_days,
+       CAST(max_by(len_days, streak_end) AS BIGINT) AS latest_streak,
+       MAX(streak_end) AS last_active_day
+FROM islands GROUP BY user_id ORDER BY user_id
+"""

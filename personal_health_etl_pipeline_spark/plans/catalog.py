@@ -361,6 +361,22 @@ register(
 # NEW r7: WITH RECURSIVE through the SQL front-end (identical text
 # runs as the DuckDB oracle)
 register("sql3_recursive_cte", an.sql3_recursive_cte, an.SQL3_ORACLE)
+# NEW r7 (late batch, r8 certification window): PIVOT through the SQL
+# front-end with a declared IN list (fixed schema, no distinct job)
+register("sql4_pivot_wide", an.sql4_pivot_wide, an.SQL4_ORACLE)
+# NEW r7: UNPIVOT / melt (Expand-node generator, zero-shuffle reshape)
+register("f21_unpivot_melt", an.f21_unpivot_melt, an.F21_ORACLE)
+# NEW r7: gaps-and-islands consecutive-day streaks (anchor-date
+# rewrite, no self-join, no iteration)
+register("w11_streaks", an.w11_streaks, an.W11_ORACLE)
+# NEW r7: exact trapezoidal time-weighted average (integer micros ×
+# cents, division-free)
+register(
+    "ts10_time_weighted_avg", ts.ts10_time_weighted_avg, ts.TS10_ORACLE
+)
+# NEW r7: KEYLESS banded range join — the epoch bucket is the shuffle
+# key; certifies operators/temporal.range_join's on=[] path
+register("j27_global_range_join", ts.j27_global_range_join, ts.J27_ORACLE)
 # NEW r6 TAIL: radius (threshold) search — variable result size, no
 # per-query shuffle
 register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)

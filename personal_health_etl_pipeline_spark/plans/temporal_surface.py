@@ -837,3 +837,153 @@ SELECT CAST(k AS BIGINT) AS lag_days,
              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS acf
 FROM stats ORDER BY lag_days
 """
+
+
+# --- TS10: exact trapezoidal time-weighted average ---------------------
+
+def ts10_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time-weighted average of the sampled ``value`` per
+    (event_type, day) — the estimator that is CORRECT for irregularly
+    sampled telemetry, where the plain mean over-weights bursts. One
+    window pass builds consecutive-sample pairs (lead over the same
+    (type, day) partitioning the aggregate reuses — a single shuffle),
+    then exact integer arithmetic end-to-end: Δt in microseconds
+    (``unix_micros``), values in cents, so the weighted sum
+    Σ Δt·(v1+v2) is a bigint both engines compute identically (per-day
+    bound: 8.64e10 µs × 2e4 cents ≈ 1.7e15 ≪ int64; the ×1000 display
+    ratio stays under 1.7e18). Days with a single sample have no pair
+    and drop out in both engines. The TWA itself is the integer ratio
+    (1000·num) div (2·den) — division-free comparison, no float in
+    sight."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", "day").orderBy("t_us", "event_id")
+    paired = ev.select(
+        "event_type",
+        "day",
+        "t_us",
+        "cents",
+        F.lead("t_us").over(w).alias("t2_us"),
+        F.lead("cents").over(w).alias("cents2"),
+    ).where(F.col("t2_us").isNotNull())
+    return (
+        paired.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("t2_us") - F.col("t_us")).alias("span_us"),
+            F.sum(
+                (F.col("t2_us") - F.col("t_us"))
+                * (F.col("cents") + F.col("cents2"))
+            ).alias("weighted_sum"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_pairs",
+            "span_us",
+            F.expr("CAST(1000 * weighted_sum AS BIGINT) div (2 * span_us)").alias(
+                "twa_milli_cents"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+TS10_ORACLE = """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         epoch_us(ts) AS t_us,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         event_id
+  FROM events
+),
+paired AS (
+  SELECT event_type, day, t_us, cents,
+         lead(t_us) OVER w AS t2_us,
+         lead(cents) OVER w AS cents2
+  FROM s
+  WINDOW w AS (PARTITION BY event_type, day ORDER BY t_us, event_id)
+)
+SELECT event_type, day,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(t2_us - t_us) AS BIGINT) AS span_us,
+       CAST(1000 * SUM((t2_us - t_us) * (cents + cents2)) AS BIGINT)
+         // (2 * CAST(SUM(t2_us - t_us) AS BIGINT)) AS twa_milli_cents
+FROM paired WHERE t2_us IS NOT NULL
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
+# --- J27: KEYLESS banded range join (global attribution window) --------
+
+def j27_global_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyless range join — every 'view' in the 10 minutes before
+    each 'purchase', regardless of user (a global attribution window:
+    site-wide promos, incident blast-radius). Without an equality key
+    a naive plan is a broadcast-nested-loop over the full cross space;
+    the banded rewrite (operators/temporal.range_join with ``on=[]``)
+    makes the epoch bucket itself the shuffle key: intervals explode
+    to ≤2 covering 600s buckets, points map to one, and the join is a
+    plain hash equi-join + residual band filter. At 100 TB the bucket
+    key bounds every task's work by the TIME-LOCAL event density —
+    the physically meaningful skew dimension for this query — instead
+    of all-pairs. Certified against DuckDB's native inequality join
+    (its IEJoin path). Purchases sampled 1-in-7 to keep the oracle's
+    quadratic check honest at sf0.1."""
+    from personal_health_etl_pipeline_spark.operators.temporal import (
+        range_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 7 == 0)
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("lo"),
+        F.col("ts").alias("hi"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    matched = range_join(
+        views,
+        purchases,
+        on=[],
+        point_ts="view_ts",
+        lower_ts="lo",
+        upper_ts="hi",
+        bucket_width_seconds=600,
+        closed="left",
+    )
+    return (
+        matched.groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.min("view_id").alias("first_view_id"),
+            F.max("view_id").alias("last_view_id"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+J27_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       COUNT(*) AS n_views,
+       MIN(v.event_id) AS first_view_id,
+       MAX(v.event_id) AS last_view_id
+FROM (SELECT * FROM events
+      WHERE event_type = 'purchase' AND event_id % 7 = 0) p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.ts >= p.ts - INTERVAL 10 MINUTES AND v.ts < p.ts
+GROUP BY p.event_id
+ORDER BY purchase_id
+"""
