@@ -181,8 +181,19 @@ def main() -> None:
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
         oracle_set = [n for n in HEADLINE if CATALOG[n][1] is not None]
+        bad: list[str] = []
         for name in oracle_set:  # warm pass (catalog/IO caches)
-            con.execute(CATALOG[name][1]).fetchall()
+            # Per-query isolation: one oracle failing (e.g. a dialect
+            # overflow that only shows at this sf) drops that query
+            # from the baseline instead of nulling the whole of it.
+            try:
+                con.execute(CATALOG[name][1]).fetchall()
+            except Exception as exc:
+                print(
+                    f"oracle {name} skipped: {exc!r}", file=sys.stderr
+                )
+                bad.append(name)
+        oracle_set = [n for n in oracle_set if n not in bad]
         o_trials: dict[str, list[float]] = {n: [] for n in oracle_set}
         for _ in range(3):
             for name in oracle_set:

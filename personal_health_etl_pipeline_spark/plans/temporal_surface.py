@@ -812,8 +812,11 @@ def ts9_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS9_ORACLE = f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS d,
+         -- DECIMAL(19): int128-backed, so x*y binds as DECIMAL(38)
+         -- (DECIMAL(18) is int64-backed and its product overflows at
+         -- daily cents ~1.5e9, i.e. from sf0.1 up)
          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
-              AS DECIMAL(18,0)) AS cents
+              AS DECIMAL(19,0)) AS cents
   FROM orders GROUP BY CAST(o_orderdate AS DATE)
 ),
 pairs AS (
