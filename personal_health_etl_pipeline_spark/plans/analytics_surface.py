@@ -1874,10 +1874,11 @@ def sql4_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotated into one wide row per cohort with a column per event type
     (the long->wide reshape behind every feature matrix / report
     export). Spark's ``PIVOT`` clause with an explicit IN list — the
-    value list is DECLARED, not discovered, so the plan is a single
-    hash aggregate with no extra distinct-values job and a fixed
-    output schema (the only shape that works on 100 TB; an implicit
-    pivot needs a driver-side distinct first). Sums are exact cents;
+    value list is DECLARED, not discovered, so the plan is the
+    two-phase (cohort, type) aggregate + pivotfirst pair with no
+    distinct-values job and a fixed output schema (the only shape
+    that works on 100 TB; an implicit pivot needs a driver-side
+    distinct first). Sums are exact cents;
     absent combinations land as 0 via COALESCE. The oracle is the
     same reshape as DuckDB conditional aggregation (FILTER), which is
     also what Catalyst lowers PIVOT to — the hash gate certifies the

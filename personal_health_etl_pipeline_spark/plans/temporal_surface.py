@@ -928,13 +928,13 @@ ORDER BY event_type, day
 # --- J27: KEYLESS banded range join (global attribution window) --------
 
 def j27_global_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The keyless range join — every 'view' in the 10 minutes before
+    """The keyless range join — every 'view' in the 2 hours before
     each 'purchase', regardless of user (a global attribution window:
     site-wide promos, incident blast-radius). Without an equality key
     a naive plan is a broadcast-nested-loop over the full cross space;
     the banded rewrite (operators/temporal.range_join with ``on=[]``)
     makes the epoch bucket itself the shuffle key: intervals explode
-    to ≤2 covering 600s buckets, points map to one, and the join is a
+    to ≤2 covering 7200s buckets, points map to one, and the join is a
     plain hash equi-join + residual band filter. At 100 TB the bucket
     key bounds every task's work by the TIME-LOCAL event density —
     the physically meaningful skew dimension for this query — instead
@@ -950,7 +950,7 @@ def j27_global_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase") & (F.col("event_id") % 7 == 0)
     ).select(
         F.col("event_id").alias("purchase_id"),
-        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("lo"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("lo"),
         F.col("ts").alias("hi"),
     )
     views = ev.where(F.col("event_type") == "view").select(
@@ -964,7 +964,7 @@ def j27_global_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         point_ts="view_ts",
         lower_ts="lo",
         upper_ts="hi",
-        bucket_width_seconds=600,
+        bucket_width_seconds=7200,
         closed="left",
     )
     return (
@@ -986,7 +986,7 @@ SELECT p.event_id AS purchase_id,
 FROM (SELECT * FROM events
       WHERE event_type = 'purchase' AND event_id % 7 = 0) p
 JOIN (SELECT * FROM events WHERE event_type = 'view') v
-  ON v.ts >= p.ts - INTERVAL 10 MINUTES AND v.ts < p.ts
+  ON v.ts >= p.ts - INTERVAL 2 HOURS AND v.ts < p.ts
 GROUP BY p.event_id
 ORDER BY purchase_id
 """

@@ -886,3 +886,89 @@ class TestRound6TailPlanShapes:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan
         assert "LeftSemi" in plan, plan  # the EXISTS rewrite
+
+    def test_pivot_is_single_aggregate_no_distinct_job(self, spark, sf_dir):
+        """sql4: PIVOT with a declared IN list must lower to the
+        two-phase (cohort, type) aggregate + pivotfirst pair — and
+        nothing else: no third shuffle for a distinct-values
+        discovery pass (the implicit-pivot cost), no Expand, no
+        join."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            sql4_pivot_wide,
+        )
+
+        df = sql4_pivot_wide(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "pivotfirst" in plan, plan
+        # (cohort, type) pre-agg + cohort pivotfirst = exactly two hash
+        # exchanges (plus the presentation sort's range exchange); a
+        # third would be the distinct-values job the IN list avoids
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "CartesianProduct" not in plan
+        assert "Expand" not in plan
+
+    def test_unpivot_is_expand_not_union_of_scans(self, spark, sf_dir):
+        """f21: DataFrame.unpivot must compile to a single scan feeding
+        an Expand generator — four projections UNIONed would re-scan
+        lineitem four times."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            f21_unpivot_melt,
+        )
+
+        df = f21_unpivot_melt(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "Expand" in plan, plan
+        assert plan.count("Scan parquet") == 1, plan
+
+    def test_streaks_two_hash_shuffles_no_join(self, spark, sf_dir):
+        """w11: the anchor-date rewrite must stay join-free — distinct
+        days, one window, the island group-by, all hash-partitioned by
+        user; a day+1 self-join or iterative probe is the shape this
+        entry exists to avoid."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            w11_streaks,
+        )
+
+        df = w11_streaks(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        for join in ("SortMergeJoin", "BroadcastHashJoin",
+                     "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+                     "CartesianProduct"):
+            assert join not in plan, plan
+        assert "Window" in plan, plan
+
+    def test_twa_window_and_agg_share_one_partitioning(self, spark, sf_dir):
+        """ts10: the lead() window and the (type, day) aggregate use
+        the same keys, so the whole query runs on ONE hash exchange
+        (plus the presentation sort)."""
+        from personal_health_etl_pipeline_spark.plans.temporal_surface import (
+            ts10_time_weighted_avg,
+        )
+
+        df = ts10_time_weighted_avg(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Window" in plan, plan
+
+    def test_keyless_range_join_buckets_not_bnlj(self, spark, sf_dir):
+        """j27: with NO equality key the banded rewrite must still
+        produce a hash/sort-merge equi-join on the epoch bucket — the
+        naive plan for a pure inequality predicate is a
+        BroadcastNestedLoopJoin over the full cross space."""
+        from personal_health_etl_pipeline_spark.plans.temporal_surface import (
+            j27_global_range_join,
+        )
+
+        df = j27_global_range_join(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert any(
+            j in plan
+            for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        ), plan
