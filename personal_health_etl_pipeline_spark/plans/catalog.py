@@ -377,6 +377,12 @@ register(
 # NEW r7: KEYLESS banded range join — the epoch bucket is the shuffle
 # key; certifies operators/temporal.range_join's on=[] path
 register("j27_global_range_join", ts.j27_global_range_join, ts.J27_ORACLE)
+# NEW r7: incremental aggregate maintenance — merge(base, delta) of
+# algebraic partial state hash-certified equal to recompute(all)
+register("m4_incremental_agg_merge", cdc.m4_incremental_agg_merge, cdc.M4_ORACLE)
+# NEW r7: day->week->month continuous-aggregate rollup; coarse grains
+# re-aggregate the day partials, never a second fact scan
+register("ts11_calendar_rollup", ts.ts11_calendar_rollup, ts.TS11_ORACLE)
 # NEW r6 TAIL: radius (threshold) search — variable result size, no
 # per-query shuffle
 register("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_ORACLE)

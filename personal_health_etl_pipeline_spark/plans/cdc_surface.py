@@ -296,3 +296,61 @@ SELECT c.cust_id, c.acctbal, c.eff_date AS valid_from,
        CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
 FROM changed c
 """
+
+
+# --- M4: incremental aggregate maintenance ----------------------------
+
+def m4_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: the daily revenue rollup is
+    kept as mergeable PARTIAL state (count, exact cents sum, min/max)
+    and a late-arriving delta batch folds in WITHOUT rescanning the
+    base — union the two partial-state frames, re-aggregate on the
+    key. At 100 TB this is the difference between an incremental ETL
+    tick (delta-sized scan + key-partitioned merge) and a full
+    recompute; every state component is an algebraic (commutative,
+    associative) aggregate, so merge order can't change a bit. The
+    base/delta split is a deterministic modulus slice of orders; the
+    certified output equals the from-scratch aggregate over the whole
+    table — which is exactly what the oracle computes, so the hash
+    gate proves merge(base, delta) == recompute(all).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    base = orders.where(F.col("o_orderkey") % 10 != 0)
+    delta = orders.where(F.col("o_orderkey") % 10 == 0)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    merged = (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("day")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+    return merged.orderBy("day")
+
+
+M4_ORACLE = """
+SELECT CAST(o_orderdate AS DATE) AS day,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+       MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+FROM orders
+GROUP BY 1 ORDER BY day
+"""

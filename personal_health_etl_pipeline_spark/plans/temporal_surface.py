@@ -990,3 +990,83 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
 GROUP BY p.event_id
 ORDER BY purchase_id
 """
+
+
+# --- TS11: calendar-hierarchy rollup from one day-level aggregate -----
+
+def ts11_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day → week → month revenue rollup where the coarser grains are
+    RE-AGGREGATED from the day-level partial state, not from the fact
+    table: one base-table aggregate (the only shuffle that sees fact
+    rows), then each day row explodes to its three (grain, period)
+    memberships — a narrow generator over the already-tiny day frame —
+    and a second aggregate folds the partials up. The hypertable /
+    continuous-aggregate pattern: at 100 TB the week and month grains
+    cost day-frame work, not another fact scan (a GROUPING SETS over
+    the base would Expand ×3 BEFORE the big shuffle). All state is
+    algebraic (count-sum/sum/min/max), so re-aggregation is exact.
+    Week periods follow the shared Monday-start `date_trunc` rule."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_agg = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).alias("sum_cents"),
+    )
+    grains = day_agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("day").alias("granularity"),
+                    F.col("day").alias("period_start"),
+                ),
+                F.struct(
+                    F.lit("week").alias("granularity"),
+                    F.to_date(F.date_trunc("week", "day")).alias(
+                        "period_start"
+                    ),
+                ),
+                F.struct(
+                    F.lit("month").alias("granularity"),
+                    F.to_date(F.date_trunc("month", "day")).alias(
+                        "period_start"
+                    ),
+                ),
+            )
+        ).alias("g"),
+        "n_orders",
+        "sum_cents",
+    )
+    return (
+        grains.groupBy("g.granularity", "g.period_start")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        .orderBy("granularity", "period_start")
+    )
+
+
+TS11_ORACLE = """
+WITH day_agg AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM orders GROUP BY 1
+)
+SELECT 'day' AS granularity, day AS period_start,
+       CAST(n_orders AS BIGINT) AS n_orders, sum_cents
+FROM day_agg
+UNION ALL
+SELECT 'week', CAST(date_trunc('week', day) AS DATE),
+       CAST(SUM(n_orders) AS BIGINT), CAST(SUM(sum_cents) AS BIGINT)
+FROM day_agg GROUP BY 2
+UNION ALL
+SELECT 'month', CAST(date_trunc('month', day) AS DATE),
+       CAST(SUM(n_orders) AS BIGINT), CAST(SUM(sum_cents) AS BIGINT)
+FROM day_agg GROUP BY 2
+ORDER BY granularity, period_start
+"""

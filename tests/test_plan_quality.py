@@ -972,3 +972,37 @@ class TestRound6TailPlanShapes:
             j in plan
             for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
         ), plan
+
+    def test_calendar_rollup_one_fact_scan(self, spark, sf_dir):
+        """ts11: the week/month grains must re-aggregate the day-level
+        partials — one parquet scan total, the grain Expand riding the
+        SMALL day frame (Generate after the first aggregate), and two
+        hash exchanges (fact->day, day->grain)."""
+        from personal_health_etl_pipeline_spark.plans.temporal_surface import (
+            ts11_calendar_rollup,
+        )
+
+        df = ts11_calendar_rollup(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert plan.count("Scan parquet") == 1, plan
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "Generate" in plan, plan
+
+    def test_incremental_agg_merge_is_union_reagg(self, spark, sf_dir):
+        """m4: merge(base, delta) must stay a union of two keyed
+        partial aggregates folded by one more keyed aggregate — no
+        join of base against delta, which would be the wrong (and
+        non-algebraic) maintenance shape."""
+        from personal_health_etl_pipeline_spark.plans.cdc_surface import (
+            m4_incremental_agg_merge,
+        )
+
+        df = m4_incremental_agg_merge(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "Union" in plan, plan
+        for join in ("SortMergeJoin", "BroadcastHashJoin",
+                     "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+                     "CartesianProduct"):
+            assert join not in plan, plan
