@@ -29,6 +29,7 @@ from personal_health_etl_pipeline_spark.plans import oura_wide as ow
 from personal_health_etl_pipeline_spark.plans import quality_surface as dq
 from personal_health_etl_pipeline_spark.plans import sketches as sk
 from personal_health_etl_pipeline_spark.plans import reference_surface as rs
+from personal_health_etl_pipeline_spark.plans import stats_surface as sts
 from personal_health_etl_pipeline_spark.plans import streaming_surface as st
 from personal_health_etl_pipeline_spark.plans import tpch
 from personal_health_etl_pipeline_spark.plans import temporal_surface as ts
@@ -727,6 +728,14 @@ register(
     rs.F12_ORACLE,
 )
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
+
+# NEW r7 (late batch, r8 certification window): statistical-inference
+# surface — chi-square independence (integer-ppm contributions),
+# Welch two-sample t-test (exact moments + fixed IEEE finish), and
+# closed-form OLS fit as a one-pass aggregate
+register("a27_chisq_independence", sts.a27_chisq_independence, sts.A27_ORACLE)
+register("a28_welch_ttest", sts.a28_welch_ttest, sts.A28_ORACLE)
+register("a29_ols_slope", sts.a29_ols_slope, sts.A29_ORACLE)
 
 
 # --- r7 head-window rotation -----------------------------------------

@@ -1,0 +1,342 @@
+"""Statistical-inference surface: the hypothesis-test / model-fit
+primitives a data warehouse runs AFTER the aggregates — independence
+tests over contingency tables, two-sample location tests, closed-form
+least-squares fits.
+
+The reference pipeline stops at descriptive aggregates (its wide daily
+table); analysts then ask "is activity independent of cohort?", "do
+purchases differ from views?", "how does price scale with quantity?".
+Each entry here answers one of those with EXACT arithmetic end-to-end:
+counts and integer-cents power sums accumulate order-independently
+(BIGINT / DECIMAL(38) — never double accumulators), and any final
+statistic that needs real division/sqrt is a fixed, identical IEEE
+expression over those exact integers in both engines (the ts9/a10
+recipe), so the value hash certifies the math bit-for-bit.
+
+Scale shape: every entry is ONE hash-aggregate over the fact table
+(map-side partials, no shuffle wider than the group count) followed by
+arithmetic over the tiny group frame — the cheapest possible plan at
+100 TB. Nothing here collects, joins wide, or windows over rows.
+
+Overflow discipline: per-row 2-factor products stay in BIGINT (the
+exact.py envelope); any cross-GROUP product of two sums (chi-square's
+R*C, OLS's n*Sxy) is promoted to DECIMAL(38,0) on the Spark side and
+HUGEINT on the DuckDB side BEFORE multiplying, and integer division is
+`div` / `//` (both truncate for the non-negative quantities used here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+# --- a27: chi-square test of independence -------------------------------
+
+CHISQ_COHORTS = 8  # user_id % 8 buckets
+
+
+def a27_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen over the (event_type x user-cohort)
+    contingency table — "does behavior mix differ by cohort?", the first
+    question asked of any segmentation. Emits the full per-cell table:
+    observed count, row/column marginals, and the cell's chi-square
+    contribution in exact integer ppm:
+
+        contrib_ppm = (O*N - R*C)^2 * 10^6  div  (R*C*N)
+
+    which is the classic (O-E)^2/E with E = R*C/N multiplied through by
+    N^2/N^2 — ALL integer arithmetic, so both engines round identically
+    (no expected-count doubles anywhere). The statistic itself is the
+    sum of the 40 contribution cells; shipping the cells (not just the
+    scalar) is deliberate — residual analysis needs exactly this frame.
+
+    Exactness envelope: (O*N - R*C) <= N^2, squared <= N^4 — 10^24 at
+    1M events, 10^56 at 100 TB row counts, so the products are built in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); at trillions of rows the
+    same query runs with the cells pre-divided by a common 10^k.
+
+    Scale shape: one hash-aggregate to the 40-cell table, then window
+    sums over those 40 rows for the marginals (single partition of 40
+    rows — free), then pure projection. No joins, no second fact scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % CHISQ_COHORTS).alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("cohort")
+    wn = Window.partitionBy()
+    t = (
+        cells.withColumn("r_marg", F.sum("o").over(wr))
+        .withColumn("c_marg", F.sum("o").over(wc))
+        .withColumn("n_total", F.sum("o").over(wn))
+    )
+    return t.select(
+        "event_type",
+        "cohort",
+        "o",
+        "r_marg",
+        "c_marg",
+        "n_total",
+        F.expr(
+            "CAST((CAST(o AS DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0))"
+            "  - CAST(r_marg AS DECIMAL(38,0)) * CAST(c_marg AS DECIMAL(38,0)))"
+            " * (CAST(o AS DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0))"
+            "  - CAST(r_marg AS DECIMAL(38,0)) * CAST(c_marg AS DECIMAL(38,0)))"
+            " * CAST(1000000 AS DECIMAL(38,0))"
+            " div (CAST(r_marg AS DECIMAL(38,0)) * CAST(c_marg AS DECIMAL(38,0))"
+            "      * CAST(n_total AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("contrib_ppm"),
+    ).orderBy("event_type", "cohort")
+
+
+A27_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type, user_id % {CHISQ_COHORTS} AS cohort,
+         COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+marg AS (
+  SELECT event_type, cohort, o,
+         SUM(o) OVER (PARTITION BY event_type) AS r_marg,
+         SUM(o) OVER (PARTITION BY cohort) AS c_marg,
+         SUM(o) OVER () AS n_total
+  FROM cells
+)
+SELECT event_type, cohort,
+       CAST(o AS BIGINT) AS o,
+       CAST(r_marg AS BIGINT) AS r_marg,
+       CAST(c_marg AS BIGINT) AS c_marg,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST((CAST(o AS HUGEINT) * CAST(n_total AS HUGEINT)
+              - CAST(r_marg AS HUGEINT) * CAST(c_marg AS HUGEINT))
+            * (CAST(o AS HUGEINT) * CAST(n_total AS HUGEINT)
+              - CAST(r_marg AS HUGEINT) * CAST(c_marg AS HUGEINT))
+            * CAST(1000000 AS HUGEINT)
+            // (CAST(r_marg AS HUGEINT) * CAST(c_marg AS HUGEINT)
+                * CAST(n_total AS HUGEINT)) AS BIGINT) AS contrib_ppm
+FROM marg ORDER BY event_type, cohort
+"""
+
+
+# --- a28: Welch two-sample t-test ---------------------------------------
+
+TTEST_COHORTS = 4
+TTEST_A = "purchase"
+TTEST_B = "view"
+
+
+def a28_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of mean event value,
+    '{TTEST_A}' vs '{TTEST_B}', per user cohort — the A/B-readout
+    primitive (unequal n, unequal variance is the production default;
+    Student's pooled test is the special case nobody's data satisfies).
+
+    One conditional hash-aggregate collects the six exact sufficient
+    statistics per cohort (n, sum-cents, sum-cents-squared for each
+    side — BIGINT end-to-end; cents^2 per row <= 2.5e9 keeps the group
+    sums inside int64 to ~3.7e9 rows per group, past which the sum is
+    promoted to DECIMAL exactly like exact.py documents). The t
+    statistic and Welch-Satterthwaite df are then a FIXED sequence of
+    IEEE double ops over those exact integers — identical text in both
+    engines, so the rounded values hash-match (the ts9 recipe):
+
+        v    = (SS - S*S/n) / (n-1)          (per side)
+        t    = (m_a - m_b) / sqrt(v_a/n_a + v_b/n_b)
+        df_w = (v_a/n_a + v_b/n_b)^2
+               / ((v_a/n_a)^2/(n_a-1) + (v_b/n_b)^2/(n_b-1))
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(TTEST_A, TTEST_B)
+    )
+    c = F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+    is_a = F.col("event_type") == TTEST_A
+    g = ev.groupBy((F.col("user_id") % TTEST_COHORTS).alias("cohort")).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(is_a, c).otherwise(0)).alias("s_a"),
+        F.sum(F.when(is_a, c * c).otherwise(0)).alias("ss_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(~is_a, c).otherwise(0)).alias("s_b"),
+        F.sum(F.when(~is_a, c * c).otherwise(0)).alias("ss_b"),
+    )
+    # the double finish: expression text kept STRUCTURALLY IDENTICAL
+    # to the oracle's (see module docstring)
+    stats = g.selectExpr(
+        "cohort",
+        "n_a",
+        "n_b",
+        "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a",
+        "CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b",
+        "(CAST(ss_a AS DOUBLE)"
+        " - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) - 1) AS v_a",
+        "(CAST(ss_b AS DOUBLE)"
+        " - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / (CAST(n_b AS DOUBLE) - 1) AS v_b",
+    )
+    se = "(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))"
+    t_expr = f"ROUND((m_a - m_b) / sqrt({se}), 6)"
+    df_expr = (
+        f"ROUND({se} * {se} / "
+        f"((v_a / CAST(n_a AS DOUBLE)) * (v_a / CAST(n_a AS DOUBLE))"
+        f"   / (CAST(n_a AS DOUBLE) - 1)"
+        f" + (v_b / CAST(n_b AS DOUBLE)) * (v_b / CAST(n_b AS DOUBLE))"
+        f"   / (CAST(n_b AS DOUBLE) - 1)), 6)"
+    )
+    return stats.selectExpr(
+        "cohort",
+        "n_a",
+        "n_b",
+        "ROUND(m_a, 6) AS mean_a_cents",
+        "ROUND(m_b, 6) AS mean_b_cents",
+        f"{t_expr} AS t_stat",
+        f"{df_expr} AS df_welch",
+    ).orderBy("cohort")
+
+
+A28_ORACLE = f"""
+WITH g AS (
+  SELECT user_id % {TTEST_COHORTS} AS cohort,
+         SUM(CASE WHEN event_type = '{TTEST_A}' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN event_type = '{TTEST_A}'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS s_a,
+         SUM(CASE WHEN event_type = '{TTEST_A}'
+             THEN CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS ss_a,
+         SUM(CASE WHEN event_type = '{TTEST_B}' THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN event_type = '{TTEST_B}'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS s_b,
+         SUM(CASE WHEN event_type = '{TTEST_B}'
+             THEN CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS ss_b
+  FROM events
+  WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+  GROUP BY 1
+),
+stats AS (
+  SELECT cohort, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+      CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+      (CAST(ss_a AS DOUBLE)
+         - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        / (CAST(n_a AS DOUBLE) - 1) AS v_a,
+      (CAST(ss_b AS DOUBLE)
+         - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        / (CAST(n_b AS DOUBLE) - 1) AS v_b
+  FROM g
+)
+SELECT cohort, n_a, n_b,
+       ROUND(m_a, 6) AS mean_a_cents,
+       ROUND(m_b, 6) AS mean_b_cents,
+       ROUND((m_a - m_b)
+             / sqrt((v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))),
+             6) AS t_stat,
+       ROUND((v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))
+             * (v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))
+             / ((v_a / CAST(n_a AS DOUBLE)) * (v_a / CAST(n_a AS DOUBLE))
+                  / (CAST(n_a AS DOUBLE) - 1)
+                + (v_b / CAST(n_b AS DOUBLE)) * (v_b / CAST(n_b AS DOUBLE))
+                  / (CAST(n_b AS DOUBLE) - 1)), 6) AS df_welch
+FROM stats ORDER BY cohort
+"""
+
+
+# --- a29: closed-form least-squares fit ---------------------------------
+
+def a29_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, linestatus) simple linear regression of line
+    price on quantity — the closed-form least-squares fit from the five
+    power sums, i.e. "regression as an aggregate", the shape that runs
+    in ONE pass at any scale (no gradient steps, no feature matrix):
+
+        slope      = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+        intercept  = (Sy - slope*Sx) / n
+
+    Both are emitted in exact integer ppm: the numerator/denominator
+    are exact integer-cents sums promoted to DECIMAL(38,0)/HUGEINT
+    before the cross-sum products (n*Sxy ~ 5e20 at sf0.1 — past int64,
+    well inside 38 digits to ~1e9-row groups), and the divisions are
+    integer `div`:
+
+        slope_ppm     = (n*Sxy - Sx*Sy) * 10^6 div (n*Sxx - Sx*Sx)
+        intercept_ppm = (Sy * 10^6 div n) - (slope_ppm * Sx div n)
+
+    (intercept_ppm is DEFINED by that ppm-truncated formula — the two
+    engines agree bit-for-bit, and it is within 1ppm-of-x-scale of the
+    real-valued intercept.) x = quantity cents, y = extendedprice
+    cents, so slope_ppm reads "price cents per quantity cent * 10^6".
+
+    Scale shape: one map-side-combinable hash aggregate over lineitem
+    (six BIGINT sums per group), then constant arithmetic on the tiny
+    group frame. The same plan at 100 TB is scan + partial agg +
+    6-group final agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.expr("CAST(round(l_quantity * 100, 0) AS BIGINT)")
+    y = F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    slope_num = (
+        "(CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))"
+        " - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)))"
+    )
+    slope_den = (
+        "(CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))"
+        " - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)))"
+    )
+    return g.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        "sx",
+        "sy",
+        f"CAST({slope_num} * CAST(1000000 AS DECIMAL(38,0))"
+        f" div {slope_den} AS BIGINT) AS slope_ppm",
+    ).selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        "slope_ppm",
+        "CAST((CAST(sy AS DECIMAL(38,0)) * 1000000 div n)"
+        " - (CAST(slope_ppm AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"
+        "    div n) AS BIGINT) AS intercept_ppm",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+A29_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+         COUNT(*) AS n,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)
+             * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx
+  FROM lineitem GROUP BY 1, 2
+),
+fit AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+         CAST(sy AS BIGINT) AS sy,
+         CAST((CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+               - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT))
+              * CAST(1000000 AS HUGEINT)
+              // (CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                  - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
+              AS BIGINT) AS slope_ppm
+  FROM g
+)
+SELECT l_returnflag, l_linestatus, n, slope_ppm,
+       CAST((CAST(sy AS HUGEINT) * 1000000 // n)
+            - (CAST(slope_ppm AS HUGEINT) * CAST(sx AS HUGEINT) // n)
+            AS BIGINT) AS intercept_ppm
+FROM fit ORDER BY l_returnflag, l_linestatus
+"""
