@@ -736,6 +736,18 @@ register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_ORACLE)
 register("a27_chisq_independence", sts.a27_chisq_independence, sts.A27_ORACLE)
 register("a28_welch_ttest", sts.a28_welch_ttest, sts.A28_ORACLE)
 register("a29_ols_slope", sts.a29_ols_slope, sts.A29_ORACLE)
+# NEW r7 (late batch, r8 certification window): linear interpolation
+# between thinned knots — the gap-repair dual of ts1's ffill; exact
+# numerator/denominator pairs, division-free
+register("ts12_linear_interpolate", ts.ts12_linear_interpolate, ts.TS12_ORACLE)
+# NEW r7 (late batch, r8 certification window): FIRST-touch attribution
+# via a bounded value-RANGE window frame + 1:1 join-back (the earliest-
+# in-window dual of j4's backward as-of)
+register(
+    "j29_first_touch_attribution",
+    ts.j29_first_touch_attribution,
+    ts.J29_ORACLE,
+)
 
 
 # --- r7 head-window rotation -----------------------------------------

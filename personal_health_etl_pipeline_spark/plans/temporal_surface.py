@@ -1070,3 +1070,220 @@ SELECT 'month', CAST(date_trunc('month', day) AS DATE),
 FROM day_agg GROUP BY 2
 ORDER BY granularity, period_start
 """
+
+
+# --- ts12: linear interpolation between sampled knots -------------------
+
+def ts12_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of a sparsely sampled daily series — the
+    gap-repair dual of ts1's forward fill (ffill holds the last level;
+    interpolation draws the straight line to the NEXT observation —
+    the correct choice for slowly-varying physical quantities, e.g.
+    body-weight-style metrics sampled every few days in the reference's
+    domain). The "observed" knots are deterministically thinned to
+    days-of-month divisible by 3, so real multi-day gaps exist at every
+    scale and the interpolated values are data-independent of the
+    thinning rule.
+
+    DIVISION-FREE exactness: each gap row emits the exact integer
+    numerator ``prev*(span) + (next-prev)*(d-prev_day)`` and the span
+    denominator, plus ONE IEEE division rounded to 6dp for display —
+    no fraction ever accumulates, so engines agree bit-for-bit
+    (truncating integer division would need a sign argument; a
+    numerator/denominator pair needs none).
+
+    Scale shape: one hash aggregate to the knot series, a per-key
+    calendar explode (sequence is linear in output days), and TWO
+    passes of the same (event_type, day)-sorted window (backward
+    last/ignorenulls + forward first/ignorenulls) — all on one
+    partitioning of the series key; no self-join, no iteration.
+    """
+    from personal_health_etl_pipeline_spark.plans.exact import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    knots = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(cents("value")).alias("v"))
+        .where(F.dayofmonth("day") % 3 == 0)
+    )
+    grid = (
+        knots.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    series = (
+        grid.join(knots, ["event_type", "day"], "left")
+        .withColumn("prev_v", F.last("v", ignorenulls=True).over(wb))
+        .withColumn("prev_d", F.last(obs_day, ignorenulls=True).over(wb))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(wf))
+        .withColumn("next_d", F.first(obs_day, ignorenulls=True).over(wf))
+    )
+    span = F.datediff("next_d", "prev_d")
+    num = F.col("prev_v") * span + (
+        F.col("next_v") - F.col("prev_v")
+    ) * F.datediff("day", "prev_d")
+    return series.select(
+        "event_type",
+        "day",
+        F.col("v").isNotNull().alias("is_knot"),
+        "v",
+        F.when(span == 0, F.col("v")).otherwise(num).alias("interp_num"),
+        F.when(span == 0, F.lit(1)).otherwise(span).alias("span_days"),
+        F.round(
+            F.when(span == 0, F.col("v")).otherwise(num).cast("double")
+            / F.when(span == 0, F.lit(1)).otherwise(span).cast("double"),
+            6,
+        ).alias("interp_cents"),
+    ).orderBy("event_type", "day")
+
+
+TS12_ORACLE = """
+WITH knots AS (
+  SELECT * FROM (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2
+  ) WHERE date_part('day', day) % 3 = 0
+),
+grid AS (
+  SELECT event_type,
+         CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        FROM knots GROUP BY 1)
+),
+series AS (
+  SELECT g.event_type, g.day, k.v,
+         last_value(k.v IGNORE NULLS) OVER wb AS prev_v,
+         last_value(CASE WHEN k.v IS NOT NULL THEN g.day END IGNORE NULLS)
+             OVER wb AS prev_d,
+         first_value(k.v IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN k.v IS NOT NULL THEN g.day END IGNORE NULLS)
+             OVER wf AS next_d
+  FROM grid g LEFT JOIN knots k USING (event_type, day)
+  WINDOW wb AS (PARTITION BY g.event_type ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY g.event_type ORDER BY g.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day,
+       v IS NOT NULL AS is_knot, v,
+       CAST(CASE WHEN next_d - prev_d = 0 THEN v
+            ELSE prev_v * (next_d - prev_d)
+                 + (next_v - prev_v) * (day - prev_d) END AS BIGINT)
+           AS interp_num,
+       CAST(CASE WHEN next_d - prev_d = 0 THEN 1
+            ELSE next_d - prev_d END AS INT) AS span_days,
+       ROUND(CAST(CASE WHEN next_d - prev_d = 0 THEN v
+                  ELSE prev_v * (next_d - prev_d)
+                       + (next_v - prev_v) * (day - prev_d) END AS DOUBLE)
+             / CAST(CASE WHEN next_d - prev_d = 0 THEN 1
+                    ELSE next_d - prev_d END AS DOUBLE), 6) AS interp_cents
+FROM series ORDER BY event_type, day
+"""
+
+
+# --- j29: first-touch attribution window --------------------------------
+
+ATTR_WINDOW_SECONDS = 7 * 86400  # 7-day lookback
+
+
+def j29_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style FIRST-touch attribution: for each purchase, the
+    user's EARLIEST click strictly before it and within a 7-day
+    lookback — the dual of j4's last-click (backward as-of = LAST
+    touch). As-of composition can't express "earliest in a bounded
+    window" (it keeps the nearest row), so this certifies the
+    value-RANGE window frame instead: events ordered by exact epoch
+    micros, frame ``RANGE [-7d, -1us)``, conditional MIN over the
+    click rows only — one shuffle on user_id, no self-join, no
+    explode. The winning click's id is then recovered by ONE equi-join
+    back on (user_id, micros) — (user_id, ts) is unique in this table
+    (module docstring), so the join is 1:1.
+
+    Attribution gaps are first-class: purchases with no click in the
+    window keep NULL click columns (left join semantics end-to-end).
+
+    Scale shape: the window pass and the join-back share the user_id
+    hash partitioning (AQE reuses the exchange); at 100 TB both sides
+    of the join-back are the same pre-bucketed events table.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ATTR_WINDOW_SECONDS * 1_000_000, -1)
+    )
+    first_click_us = F.min(
+        F.when(F.col("event_type") == "click", F.col("us"))
+    ).over(w)
+    purchases = (
+        ev.withColumn("click_us", first_click_us)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "us", "click_us")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("us").alias("click_us"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    return (
+        purchases.join(clicks, ["user_id", "click_us"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "click_event_id",
+            F.expr("(us - click_us) div 1000000").alias("gap_seconds"),
+        )
+        .orderBy("event_id")
+    )
+
+
+J29_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us
+  FROM events
+),
+attributed AS (
+  SELECT event_id, user_id, ts, us,
+         MIN(CASE WHEN event_type = 'click' THEN us END) OVER (
+             PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {ATTR_WINDOW_SECONDS * 1_000_000} PRECEDING
+                       AND 1 PRECEDING) AS click_us
+  FROM ev
+  QUALIFY event_type = 'purchase'
+)
+SELECT a.event_id, a.user_id, a.ts, c.event_id AS click_event_id,
+       CAST((a.us - a.click_us) // 1000000 AS BIGINT) AS gap_seconds
+FROM attributed a
+LEFT JOIN (SELECT user_id, us, event_id FROM ev
+           WHERE event_type = 'click') c
+       ON c.user_id = a.user_id AND c.us = a.click_us
+ORDER BY a.event_id
+"""
