@@ -2042,3 +2042,69 @@ SELECT user_id,
        MAX(streak_end) AS last_active_day
 FROM islands GROUP BY user_id ORDER BY user_id
 """
+
+
+# --- f22: VARIANT ingestion / shredding --------------------------------
+
+def f22_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT end-to-end: raw JSON text -> ``parse_json`` ->
+    typed ``variant_get`` shredding — the open-type ingestion path for
+    semi-structured payloads (the reference's raw zone stores exactly
+    such JSON envelopes; VARIANT is how a lakehouse keeps them
+    queryable WITHOUT a declared schema, at a binary-encoded speed a
+    per-query ``from_json`` re-parse can't match).
+
+    Certified semantics, each against directly-computed column truth:
+    nested-object path (``$.stats.cents``), array index (``$.tags[1]``),
+    string leaf, ``try_variant_get`` on a MISSING path (NULL, no error)
+    and on a WRONG-TYPE leaf (string as bigint -> NULL), plus
+    ``schema_of_variant`` (constant here because the generated fields
+    are never null), and a real ``props`` JSON column shredded the same
+    way. The JSON doc is built row-side with ``to_json(struct(...))``
+    so the parse input is genuinely nested text, not a literal.
+
+    Scale shape: pure narrow projection — no shuffle, no UDF; the
+    variant encode/decode runs inside codegen. At 100 TB this is a
+    scan whose cost is the JSON parse itself, which is the point of
+    parsing ONCE into VARIANT at ingest.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.struct(
+                F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+                F.col("event_type").alias("etype"),
+            ).alias("stats"),
+            F.array(
+                (F.col("user_id") % 7).cast("bigint"),
+                (F.col("user_id") % 11).cast("bigint"),
+            ).alias("tags"),
+        )
+    )
+    v = F.parse_json(doc)
+    pv = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(pv, "$.k", "bigint").alias("k_prop"),
+        F.variant_get(v, "$.stats.cents", "bigint").alias("cents_v"),
+        F.variant_get(v, "$.stats.etype", "string").alias("etype_v"),
+        F.variant_get(v, "$.tags[1]", "bigint").alias("tag1_v"),
+        F.try_variant_get(v, "$.nope", "bigint").alias("missing_path"),
+        F.try_variant_get(v, "$.stats.etype", "bigint").alias("wrong_type"),
+        F.schema_of_variant(v).alias("vschema"),
+    ).orderBy("event_id")
+
+
+F22_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_prop,
+       CAST(round(value * 100) AS BIGINT) AS cents_v,
+       event_type AS etype_v,
+       CAST(user_id % 11 AS BIGINT) AS tag1_v,
+       CAST(NULL AS BIGINT) AS missing_path,
+       CAST(NULL AS BIGINT) AS wrong_type,
+       'OBJECT<event_id: BIGINT, stats: OBJECT<cents: BIGINT, etype: STRING>, tags: ARRAY<BIGINT>>'
+           AS vschema
+FROM events ORDER BY event_id
+"""

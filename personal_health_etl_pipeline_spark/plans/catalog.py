@@ -748,6 +748,16 @@ register(
     ts.j29_first_touch_attribution,
     ts.J29_ORACLE,
 )
+# NEW r7 (late batch, r8 certification window): VARIANT ingestion —
+# parse_json -> typed variant_get shredding, try_* null paths,
+# schema_of_variant; oracle recomputes the truth column-side
+register("f22_variant_shred", an.f22_variant_shred, an.F22_ORACLE)
+# NEW r7 (late batch, r8 certification window): LM-Dirichlet ranked
+# retrieval over the memoized TF artifact — the query-likelihood
+# counterpart of text_bm25_topk, on a disjoint query workload
+register(
+    "text_lm_dirichlet_topk", llm3.text_lm_dirichlet_topk, llm3.TEXT_LMD_ORACLE
+)
 
 
 # --- r7 head-window rotation -----------------------------------------

@@ -1087,3 +1087,115 @@ FROM terms
 GROUP BY doc_id, bucket
 ORDER BY doc_id, bucket
 """
+
+
+# --- LM-Dirichlet ranked retrieval --------------------------------------
+
+LMD_MU = 2000  # Dirichlet prior mass (Zhai & Lafferty's standard default)
+LMD_QUERIES_SKIP = 8  # df ranks 9..16: a disjoint workload from BM25's top-8
+LMD_QUERIES = 8
+LMD_TOPK = 10
+
+
+def text_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001), mu={LMD_MU} — the language-modeling alternative to
+    BM25's tf-saturation family; the smoothed term likelihood
+
+        p(t|d) = (tf + mu * cf/T) / (dl + mu)
+
+    interpolates the document's ML estimate with the collection model,
+    so long documents aren't over-penalized and unseen-term mass is
+    principled. Query workload: the terms at df ranks 9..16 (ties on
+    term asc) — DISJOINT from BM25's top-8 by construction, so the two
+    retrieval entries exercise different posting lists. Candidates are
+    the docs CONTAINING the query term (the docs that tie at the pure
+    background score are below any containing doc for that term and are
+    pruned — the standard top-k shortcut, stated here as semantics).
+
+    Exactness: multiplying through by T makes the score the integer
+    rational (tf*T + mu*cf) / ((dl + mu)*T); each engine computes ONE
+    double multiply by 10^6 and ONE division over those exact int64s
+    (num <= ~1e10, den <= ~1e11 — exact in doubles to 2^53), rounded
+    to 6dp — bit-identical, the BM25 recipe.
+
+    Scale shape: identical to BM25 — the bounded query-term frame
+    (8 rows) broadcast against the session-memoized TF artifact
+    (:func:`_corpus_tf`); scored stream = postings of 8 terms;
+    per-term top-k window over that bounded stream.
+    """
+    tfl = _corpus_tf(spark, sf_dir)
+    dl = tfl.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tot = dl.agg(F.sum("dl").alias("t"))
+    stats = tfl.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    ranked = (
+        stats.orderBy(F.col("df").desc(), "term")
+        .limit(LMD_QUERIES_SKIP + LMD_QUERIES)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("df").desc(), "term")
+            ),
+        )
+        .where(F.col("rk") > LMD_QUERIES_SKIP)
+    )
+    qterms = ranked.crossJoin(F.broadcast(tot)).select("term", "cf", "t")
+    scored = (
+        tfl.select("doc_id", "term", "tf")
+        .join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            F.round(
+                (
+                    F.col("tf") * F.col("t") + F.lit(LMD_MU) * F.col("cf")
+                ).cast("double")
+                * 1_000_000
+                / ((F.col("dl") + F.lit(LMD_MU)) * F.col("t")).cast("double"),
+                6,
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= LMD_TOPK)
+        .select("term", "rank", "doc_id", "score_micro")
+        .orderBy("term", "rank")
+    )
+
+
+TEXT_LMD_ORACLE = rf"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT SUM(dl) AS t FROM dl),
+stats AS (SELECT term, COUNT(*) AS df, SUM(tf) AS cf
+          FROM tf GROUP BY term),
+ranked AS (
+  SELECT term, cf,
+         row_number() OVER (ORDER BY df DESC, term) AS rk
+  FROM stats
+),
+qterms AS (
+  SELECT term, cf, t FROM ranked CROSS JOIN tot
+  WHERE rk > {LMD_QUERIES_SKIP} AND rk <= {LMD_QUERIES_SKIP + LMD_QUERIES}
+),
+scored AS (
+  SELECT q.term, tf.doc_id,
+         ROUND(CAST(tf.tf * q.t + {LMD_MU} * q.cf AS DOUBLE) * 1000000
+               / CAST((dl.dl + {LMD_MU}) * q.t AS DOUBLE), 6) AS score_micro
+  FROM tf JOIN qterms q USING (term) JOIN dl USING (doc_id)
+)
+SELECT term, rank, doc_id, score_micro FROM (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY score_micro DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {LMD_TOPK} ORDER BY term, rank
+"""
