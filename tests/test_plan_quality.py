@@ -1006,3 +1006,105 @@ class TestRound6TailPlanShapes:
                      "ShuffledHashJoin", "BroadcastNestedLoopJoin",
                      "CartesianProduct"):
             assert join not in plan, plan
+
+
+class TestR7LateBatchPlanShapes:
+    def test_ols_fit_is_one_pruned_aggregate(self, spark, sf_dir):
+        """a29: regression-as-an-aggregate must be scan -> partial agg
+        -> one hash exchange -> final agg; the scan reads only the 4
+        referenced columns of the 11-column table."""
+        from personal_health_etl_pipeline_spark.plans.stats_surface import (
+            a29_ols_slope,
+        )
+
+        df = a29_ols_slope(spark, sf_dir)
+        plan = _formatted(df)
+        read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert read_schema.count(":") - 1 <= 5, read_schema
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert ex.count("Exchange hashpartitioning") == 1, ex
+        for join in ("SortMergeJoin", "BroadcastHashJoin",
+                     "ShuffledHashJoin", "CartesianProduct"):
+            assert join not in ex, ex
+
+    def test_chisq_marginals_ride_the_cell_frame(self, spark, sf_dir):
+        """a27: one fact aggregation, then window marginals over the
+        40-cell frame — no second fact scan, no join."""
+        from personal_health_etl_pipeline_spark.plans.stats_surface import (
+            a27_chisq_independence,
+        )
+
+        df = a27_chisq_independence(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert ex.count("Scan parquet") == 1, ex
+        assert "CartesianProduct" not in ex, ex
+        for join in ("SortMergeJoin", "ShuffledHashJoin"):
+            assert join not in ex, ex
+
+    def test_first_touch_window_then_equi_joinback(self, spark, sf_dir):
+        """j29: the attribution window must be a value-RANGE frame on
+        one user_id partitioning, and the id recovery a plain equi
+        join — never a time-band nested loop."""
+        from personal_health_etl_pipeline_spark.plans.temporal_surface import (
+            j29_first_touch_attribution,
+        )
+
+        df = j29_first_touch_attribution(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "Window" in ex, ex
+        assert "BroadcastNestedLoopJoin" not in ex, ex
+        assert "CartesianProduct" not in ex, ex
+        assert any(
+            j in ex
+            for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        ), ex
+
+    def test_interpolation_single_series_partitioning(self, spark, sf_dir):
+        """ts12: knot thinning + calendar explode + two window passes —
+        no self-join of the series against itself (the naive
+        interpolation shape), one parquet scan."""
+        from personal_health_etl_pipeline_spark.plans.temporal_surface import (
+            ts12_linear_interpolate,
+        )
+
+        df = ts12_linear_interpolate(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert ex.count("Scan parquet") <= 2, ex  # knots + grid bounds
+        assert "CartesianProduct" not in ex, ex
+        assert "Generate" in ex, ex  # the calendar explode
+        assert "Window" in ex, ex
+
+    def test_variant_shred_is_narrow_projection(self, spark, sf_dir):
+        """f22: parse_json/variant_get shredding must stay a pure
+        narrow projection — zero hash exchanges, zero joins, zero
+        Python workers (BatchEvalPython/ArrowEvalPython absent)."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            f22_variant_shred,
+        )
+
+        df = f22_variant_shred(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "Exchange hashpartitioning" not in ex, ex
+        assert "EvalPython" not in ex, ex
+        for join in ("SortMergeJoin", "BroadcastHashJoin",
+                     "ShuffledHashJoin", "CartesianProduct"):
+            assert join not in ex, ex
+
+    def test_lm_dirichlet_broadcasts_bounded_query_frame(self, spark, sf_dir):
+        """text_lm_dirichlet_topk: the 8-row query-term frame must
+        cross in as a broadcast against the TF artifact postings —
+        the scored stream is postings-of-8-terms, never corpus-wide."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            text_lm_dirichlet_topk,
+        )
+
+        df = text_lm_dirichlet_topk(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "BroadcastExchange" in ex, ex
+        assert "CartesianProduct" not in ex, ex
