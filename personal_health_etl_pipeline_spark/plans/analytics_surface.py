@@ -2126,3 +2126,66 @@ SELECT event_id,
            AS vschema
 FROM events ORDER BY event_id
 """
+
+
+# --- F23: CSV scalar codec (to_csv / from_csv round trip) -------------
+
+def f23_from_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV as a SCALAR codec: ``to_csv(struct)`` encodes a typed row to
+    one delimited line, ``from_csv`` parses it back against a DDL
+    schema — the per-column twin of the file-level CSV source, used
+    when a feed embeds CSV lines INSIDE another envelope (a queue
+    message, a JSON field) so the file reader never sees them.
+
+    Certified semantics: a pipe-delimited round trip of
+    (id, etype, cents) through text and back — every parsed field must
+    rejoin its source value under the hash — plus PERMISSIVE short-row
+    handling (a 2-field line parsed against a 3-column schema yields
+    NULL for the missing trailing column, no error). Cents ride as
+    BIGINT so the text form is digit-exact; a raw DOUBLE would make the
+    round trip depend on float formatting, which neither engine
+    guarantees bit-identical.
+
+    Scale shape: pure narrow projection, codegen'd encode/decode, no
+    shuffle, no UDF — a scan-cost operation at any corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+    line = F.to_csv(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("etype"),
+            cents.alias("cents"),
+        ),
+        {"sep": "|"},
+    )
+    parsed = F.from_csv(
+        line, "id BIGINT, etype STRING, cents BIGINT", {"sep": "|"}
+    )
+    # short row: 2 fields against a 3-column schema -> trailing NULL
+    short = F.from_csv(
+        F.concat_ws("|", F.col("event_type"), F.col("event_id")),
+        "etype STRING, id BIGINT, missing BIGINT",
+        {"sep": "|"},
+    )
+    return ev.select(
+        "event_id",
+        line.alias("csv_line"),
+        parsed["id"].alias("id_rt"),
+        parsed["etype"].alias("etype_rt"),
+        parsed["cents"].alias("cents_rt"),
+        short["missing"].alias("short_missing"),
+    ).orderBy("event_id")
+
+
+F23_ORACLE = """
+SELECT event_id,
+       CAST(event_id AS VARCHAR) || '|' || event_type || '|'
+           || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+           AS csv_line,
+       event_id AS id_rt,
+       event_type AS etype_rt,
+       CAST(round(value * 100) AS BIGINT) AS cents_rt,
+       CAST(NULL AS BIGINT) AS short_missing
+FROM events ORDER BY event_id
+"""

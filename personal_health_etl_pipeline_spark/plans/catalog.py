@@ -758,6 +758,13 @@ register("f22_variant_shred", an.f22_variant_shred, an.F22_ORACLE)
 register(
     "text_lm_dirichlet_topk", llm3.text_lm_dirichlet_topk, llm3.TEXT_LMD_ORACLE
 )
+# NEW r7 (late batch, r8 certification window): CollectMetrics — DQ
+# counters folded into a production write action (observe + noop sink),
+# the accumulator shape pipeline/etl.py rides on its raw-zone landing
+register("dq8_observe_metrics", dq.dq8_observe_metrics, dq.DQ8_ORACLE)
+# NEW r7 (late batch, r8 certification window): CSV scalar codec —
+# to_csv/from_csv round trip + PERMISSIVE short-row NULL fill
+register("f23_from_csv_parse", an.f23_from_csv_parse, an.F23_ORACLE)
 
 
 # --- r7 head-window rotation -----------------------------------------

@@ -17,7 +17,7 @@ equi-join; exact Levenshtein scores survivors JVM-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.operators.quality import (
@@ -673,3 +673,66 @@ FROM counts CROSS JOIN tot ORDER BY digit
 
 
 DQ7_ORACLE = _benford_oracle()
+
+
+# --- DQ8: observed metrics piggybacked on a production action ---------
+
+def dq8_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe`` (CollectMetrics): data-quality counters
+    computed as a SIDE EFFECT of a production write, the way
+    ``pipeline/etl.py:136`` rides its landed-row count on the raw-zone
+    sink. The clean-rows job (drop ``error`` events) runs ONCE — to a
+    ``noop`` sink here, standing in for the warehouse append — and the
+    observation collects row count, cents total, event-id span and a
+    null counter from that same pass. The returned 1-row frame is built
+    from the observed values, so the hash gate certifies the metric
+    ARITHMETIC, not a second scan.
+
+    Scale shape: CollectMetrics is an accumulator-style fold inside the
+    write job — zero extra jobs, zero extra scans, constant driver
+    state. The anti-pattern it replaces (``.count()`` after the write)
+    re-executes the full lineage, doubling the most expensive job at
+    100 TB. All metrics are exact integers; no distinct aggregates
+    (disallowed inside ``observe``) and no floats under the hash.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+    clean = ev.where(F.col("event_type") != "error")
+    obs = Observation()
+    observed = clean.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("sum_cents"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.sum(
+            F.when(F.col("props").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_null_props"),
+    )
+    # the production action: one pass, metrics fold alongside the sink
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["sum_cents"]),
+                int(m["min_event_id"]),
+                int(m["max_event_id"]),
+                int(m["n_null_props"]),
+            )
+        ],
+        "n_rows bigint, sum_cents bigint, min_event_id bigint, "
+        "max_event_id bigint, n_null_props bigint",
+    )
+
+
+DQ8_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_props
+FROM events WHERE event_type <> 'error'
+"""

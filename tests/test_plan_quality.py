@@ -1108,3 +1108,40 @@ class TestR7LateBatchPlanShapes:
         ex = _executed_plan(df).split("== Initial Plan ==")[0]
         assert "BroadcastExchange" in ex, ex
         assert "CartesianProduct" not in ex, ex
+
+    def test_from_csv_roundtrip_is_narrow_projection(self, spark, sf_dir):
+        """f23: the to_csv/from_csv codec must stay a pure narrow
+        projection up to the final sort — zero hash exchanges, zero
+        joins, zero Python workers."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            f23_from_csv_parse,
+        )
+
+        df = f23_from_csv_parse(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "Exchange hashpartitioning" not in ex, ex
+        assert "EvalPython" not in ex, ex
+        for join in ("SortMergeJoin", "BroadcastHashJoin",
+                     "ShuffledHashJoin", "CartesianProduct"):
+            assert join not in ex, ex
+
+    def test_observe_metrics_fold_inside_the_write_job(self, spark, sf_dir):
+        """dq8: CollectMetrics must ride the production action — the
+        observed plan carries a CollectMetrics node and the clean-rows
+        filter, with no extra exchange introduced by the metrics; the
+        entry itself then returns a 1-row local frame (no second scan
+        of events)."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+        from personal_health_etl_pipeline_spark.sources.tables import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        obs = Observation()
+        observed = ev.where(F.col("event_type") != "error").observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
+        plan = observed._jdf.queryExecution().optimizedPlan().toString()
+        assert "CollectMetrics" in plan, plan
+        ex = _executed_plan(observed.select("event_id"))
+        assert "Exchange hashpartitioning" not in ex, ex
