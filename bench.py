@@ -217,34 +217,44 @@ def main() -> None:
     heavy_spark = round(sum(medians[n] for n in heavy), 3)
     heavy_oracle = round(sum(oracle_medians[n] for n in heavy), 3)
 
+    summary = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": medians,
+        "median_total": median_total,
+        "oracle_median_total": oracle_median_total or None,
+        "bench_vs_baseline": round(median_total / oracle_median_total, 3)
+        if oracle_median_total
+        else None,
+        "heavy_subset": {
+            "queries": heavy,
+            "spark_total": heavy_spark,
+            "oracle_total": heavy_oracle,
+            "ratio": round(heavy_spark / heavy_oracle, 3)
+            if heavy_oracle
+            else None,
+        },
+    }
     payload = json.dumps(
         {
-            "metric": "headline_queries_total_wall_clock",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "queries_median": medians,
-            "median_total": median_total,
-            "oracle_median_total": oracle_median_total or None,
+            **summary,
+            "queries_best": timings,
             "oracle_queries_median": oracle_medians or None,
-            "bench_vs_baseline": round(median_total / oracle_median_total, 3)
-            if oracle_median_total
-            else None,
-            "heavy_subset": {
-                "queries": heavy,
-                "spark_total": heavy_spark,
-                "oracle_total": heavy_oracle,
-                "ratio": round(heavy_spark / heavy_oracle, 3)
-                if heavy_oracle
-                else None,
-            },
-            "sf": sf,
         }
     )
-    # stdout is the driver's capture, but its tail window can truncate
-    # (BENCH_r0* `parsed: null`); the sibling file is the durable copy
-    # for round-over-round per-query comparison.
+    # The driver tail-captures a bounded stdout window and parses the
+    # LAST JSON line. Rounds 5-7 lost the Spark per-query dict because
+    # the single line carried BOTH per-query dicts (~8 KB) and its head
+    # was clipped past parseability. So: the full payload (both dicts)
+    # goes on an EARLIER line + the durable BENCH_LAST.json sibling, and
+    # the FINAL stdout line is a compact summary — Spark per-query
+    # medians ("queries" = medians, the headline comparison numbers)
+    # plus the totals/ratios, oracle per-query dict excluded — small
+    # enough that the tail window can never clip it.
     print(payload)
+    print(json.dumps(summary))
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_LAST.json"),

@@ -235,6 +235,7 @@ def bfs_hops(
     node: str = "node",
     materialize_edges: bool = True,
     checkpoint_every: int = 1,
+    prune_visited: bool = True,
 ) -> DataFrame:
     """Multi-source BFS: ``(node, dist)`` with the MINIMUM hop count
     from any seed, bounded at ``max_hops`` levels.
@@ -263,6 +264,20 @@ def bfs_hops(
     materialization; the re-derived plan is at most ``checkpoint_every``
     joins deep, so the linear-lineage guarantee degrades only by that
     constant factor.
+
+    ``prune_visited``: when True (default), each round anti-joins the
+    reached set against the accumulated distance table — the right
+    shape for DEEP traversals, where frontiers shrink to nothing after
+    saturation and the anti-join is what stops work. When False, the
+    traversal is the min-aggregate WALK shape instead: level set
+    ``L_k`` = distinct neighbors of ``L_{k-1}`` with no visited
+    pruning, and ``dist = min level per node`` over the union of all
+    level sets (min walk length IS the BFS distance). That drops one
+    anti-join shuffle per level — for a shallow blast-radius sweep
+    (2-4 hops) the anti-joins are pure overhead because nothing has
+    saturated yet (A/B at sf0.1, 3 hops: 1.50s pruned vs ~1.0s walk).
+    NOT for deep traversals: without pruning the level sets stay
+    node-count-sized forever instead of emptying.
     """
     # every round's expansion scans the edge list — materialize the
     # (possibly expensive) upstream edge derivation once, or round k
@@ -273,6 +288,27 @@ def bfs_hops(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if materialize_edges:
         e = e.localCheckpoint(eager=True)
+    if not prune_visited:
+        frontier = seeds.select(F.col(node).alias("_n")).distinct()
+        levels = [frontier.withColumn("_dist", F.lit(0))]
+        for level in range(1, max_hops + 1):
+            reached = frontier.join(e, frontier["_n"] == e["_s"]).select(
+                F.col("_d").alias("_n")
+            )
+            if level < max_hops:
+                # dedup bounds the next join's fan-out; the LAST level
+                # needs none — the final min-aggregate dedups anyway
+                reached = reached.distinct()
+            levels.append(reached.withColumn("_dist", F.lit(level)))
+            frontier = reached
+        dist = levels[0]
+        for lv in levels[1:]:
+            dist = dist.unionByName(lv)
+        return (
+            dist.groupBy("_n")
+            .agg(F.min("_dist").alias("dist"))
+            .select(F.col("_n").alias(node), "dist")
+        )
     frontier = seeds.select(F.col(node).alias("_n")).distinct()
     if checkpoint_every == 1:
         frontier = frontier.localCheckpoint(eager=True)

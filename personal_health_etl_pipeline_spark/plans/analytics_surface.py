@@ -1821,37 +1821,39 @@ FROM r ORDER BY event_type, cents, event_id
 
 # --- sql3: recursive CTE through the SQL front-end ---------------------
 
-# Identical text runs in BOTH engines (only the view names differ):
-# per-customer order chains walked by rank succession — a LINEAR
-# recursion (each row has exactly one successor), so UNION ALL is
-# explosion-free by construction, unlike a graph walk (graph_bfs's
-# oracle needs the UNION dedup form for that reason).
+# Identical recursion text runs in BOTH engines (only the name of the
+# `seq` relation differs): per-customer order chains walked by rank
+# succession — a LINEAR recursion (each row has exactly one
+# successor), so UNION ALL is explosion-free by construction, unlike
+# a graph walk (graph_bfs's oracle needs the UNION dedup form for
+# that reason).
 _SQL3_MAX_DEPTH = 12  # walk the first N orders per customer: recursion
 # executes ONE distributed job per level, so unbounded chain length
 # (~40 at TPC-H distributions) pays ~40 scheduling floors for the same
-# semantic certification a 12-level walk gives. At true scale you'd
-# ALSO materialize `seq` once (the recursive reference re-evaluates
-# non-recursive CTEs per step in both engines today).
+# semantic certification a 12-level walk gives.
 
-_SQL3 = f"""
-WITH RECURSIVE seq AS (
-  SELECT * FROM (
+# the non-recursive prefix: rank + truncate the per-customer chains
+_SQL3_SEQ = f"""SELECT * FROM (
     SELECT o_custkey AS cust,
            o_orderkey AS orderkey,
            CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
            row_number() OVER (PARTITION BY o_custkey
                               ORDER BY o_orderdate, o_orderkey) AS rn
     FROM {{orders}} WHERE o_custkey % 50 = 0
-  ) WHERE rn <= {_SQL3_MAX_DEPTH}
-),
-walk(cust, rn, orderkey, cum_cents) AS (
-  SELECT cust, rn, orderkey, cents FROM seq WHERE rn = 1
+  ) WHERE rn <= {_SQL3_MAX_DEPTH}"""
+
+# the recursive walk, over whatever relation `{seq}` names
+_SQL3_WALK = """
+WITH RECURSIVE walk(cust, rn, orderkey, cum_cents) AS (
+  SELECT cust, rn, orderkey, cents FROM {seq} WHERE rn = 1
   UNION ALL
   SELECT s.cust, s.rn, s.orderkey, w.cum_cents + s.cents
-  FROM walk w JOIN seq s ON s.cust = w.cust AND s.rn = w.rn + 1
+  FROM walk w JOIN {seq} s ON s.cust = w.cust AND s.rn = w.rn + 1
 )
 SELECT cust, rn, orderkey, cum_cents FROM walk ORDER BY cust, rn
 """
+
+_SQL3_SEQ_MEMO: dict = {}
 
 
 def sql3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1860,29 +1862,48 @@ def sql3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulating an exact running total — the iterative-query class
     (hierarchies, chains, graph walks) that previously forced users
     out of SQL into the DataFrame loop operators (pagerank/bfs). The
-    SAME statement text executes in DuckDB as the oracle, so the hash
-    gate certifies Spark's recursion semantics (anchor + step,
-    UNION ALL accumulation, termination on empty step) end-to-end
-    against an independent engine. View names are suffixed per scale
-    dir (the sql1 discipline).
+    SAME recursion text executes in DuckDB as the oracle (there `seq`
+    is a plain CTE over the orders view), so the hash gate certifies
+    Spark's recursion semantics (anchor + step, UNION ALL
+    accumulation, termination on empty step) end-to-end against an
+    independent engine. View names are suffixed per scale dir (the
+    sql1 discipline).
 
-    Cost model (measured at sf0.1): Spark executes ONE distributed job
-    per recursion level at a ~0.3 s fixed floor each — replan + join,
-    invariant under seq materialization or broadcast hints — so wall
-    clock is ``depth x floor`` regardless of data size until the
-    per-level data dominates. ``_SQL3_MAX_DEPTH`` bounds that (and the
-    walk stays a LINEAR recursion, explosion-free); an unbounded chain
-    walk belongs in the DataFrame loop operators, which checkpoint
-    every K rounds instead of replanning each one."""
+    Cost model (measured at sf0.1): each recursion level is one
+    distributed job. With `seq` as an inline CTE Spark RE-EVALUATES it
+    (scan + window rank) at every level — 3.7 s for 12 levels; with
+    `seq` materialized ONCE as a checkpointed temp view (the session
+    structure-artifact discipline of `_TXN_EDGES_MEMO`) each level is
+    just the step join against the materialized frame — 1.7 s, the
+    remaining cost being the ~0.13 s/level replan+job floor. (The r7
+    claim that materialization was floor-invariant was wrong; the r8
+    A/B falsified it.) ``_SQL3_MAX_DEPTH`` bounds the walk, which
+    stays a LINEAR recursion, explosion-free; an unbounded chain walk
+    belongs in the DataFrame loop operators, which checkpoint every K
+    rounds instead of replanning each one."""
     import re
 
     tag = re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
-    v = f"sql3_orders_{tag}"
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(v)
-    return spark.sql(_SQL3.format(orders=v))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    seq_view = f"sql3_seq_{tag}"
+    if _SQL3_SEQ_MEMO.get(key) != seq_view:
+        v = f"sql3_orders_{tag}"
+        load_table(spark, sf_dir, "orders").createOrReplaceTempView(v)
+        seq = spark.sql(_SQL3_SEQ.format(orders=v)).localCheckpoint(
+            eager=True
+        )
+        seq.createOrReplaceTempView(seq_view)
+        _SQL3_SEQ_MEMO[key] = seq_view
+    return spark.sql(_SQL3_WALK.format(seq=seq_view))
 
 
-SQL3_ORACLE = _SQL3.format(orders="orders")
+# the oracle inlines seq as a plain CTE ahead of the SAME walk text
+SQL3_ORACLE = (
+    "WITH RECURSIVE seq AS (\n"
+    + _SQL3_SEQ.format(orders="orders")
+    + "\n),"
+    + _SQL3_WALK.format(seq="seq").replace("WITH RECURSIVE ", "", 1)
+)
 
 
 # --- sql4: PIVOT through the SQL front-end ----------------------------
@@ -2081,6 +2102,13 @@ def f22_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     way. The JSON doc is built row-side with ``to_json(struct(...))``
     so the parse input is genuinely nested text, not a literal.
 
+    Error discipline: the SYNTHESIZED doc uses the strict
+    ``parse_json``/``variant_get`` forms (its inputs are constructed,
+    so a failure is a bug worth throwing on); the DATA-DRIVEN ``props``
+    path uses ``try_parse_json`` + ``try_variant_get`` so a malformed
+    payload or a non-numeric ``$.k`` degrades to NULL exactly like the
+    oracle's TRY_CAST — never a job-killing throw on dirty data.
+
     Scale shape: pure narrow projection — no shuffle, no UDF; the
     variant encode/decode runs inside codegen. At 100 TB this is a
     scan whose cost is the JSON parse itself, which is the point of
@@ -2101,10 +2129,10 @@ def f22_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v = F.parse_json(doc)
-    pv = F.parse_json("props")
+    pv = F.try_parse_json("props")
     return ev.select(
         "event_id",
-        F.variant_get(pv, "$.k", "bigint").alias("k_prop"),
+        F.try_variant_get(pv, "$.k", "bigint").alias("k_prop"),
         F.variant_get(v, "$.stats.cents", "bigint").alias("cents_v"),
         F.variant_get(v, "$.stats.etype", "string").alias("etype_v"),
         F.variant_get(v, "$.tags[1]", "bigint").alias("tag1_v"),
@@ -2116,7 +2144,7 @@ def f22_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 F22_ORACLE = """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_prop,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_prop,
        CAST(round(value * 100) AS BIGINT) AS cents_v,
        event_type AS etype_v,
        CAST(user_id % 11 AS BIGINT) AS tag1_v,

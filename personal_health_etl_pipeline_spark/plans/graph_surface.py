@@ -192,6 +192,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cadence >= max_hops fuses the whole sweep into ONE job
         # (A/B at sf0.1: 1.16s lazy vs 1.31s every-2 vs 1.95s every-1)
         checkpoint_every=BFS_MAX_HOPS,
+        # shallow bounded sweep: the min-aggregate walk shape drops the
+        # per-level visited anti-joins — exactly the oracle's UNION
+        # recursion + MIN(dist) semantics (see bfs_hops docstring)
+        prune_visited=False,
     )
     return d.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier"))

@@ -1109,9 +1109,13 @@ def text_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     principled. Query workload: the terms at df ranks 9..16 (ties on
     term asc) — DISJOINT from BM25's top-8 by construction, so the two
     retrieval entries exercise different posting lists. Candidates are
-    the docs CONTAINING the query term (the docs that tie at the pure
-    background score are below any containing doc for that term and are
-    pruned — the standard top-k shortcut, stated here as semantics).
+    the docs CONTAINING the query term — BY DEFINITION of this entry,
+    not as a provably lossless pruning: under Dirichlet smoothing the
+    background-only score mu*cf/((dl+mu)*T) still varies with document
+    length, so a short non-containing doc CAN outrank a long containing
+    one; both the Spark plan and the oracle apply the same containment
+    restriction, and that restricted top-k is what the hash certifies
+    (it is also what a posting-list index serves in practice).
 
     Exactness: multiplying through by T makes the score the integer
     rational (tf*T + mu*cf) / ((dl + mu)*T); each engine computes ONE

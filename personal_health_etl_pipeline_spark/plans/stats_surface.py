@@ -57,14 +57,37 @@ def a27_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); at trillions of rows the
     same query runs with the cells pre-divided by a common 10^k.
 
-    Scale shape: one hash-aggregate to the 40-cell table, then window
-    sums over those 40 rows for the marginals (single partition of 40
+    Domain completeness: the table is over the FULL domain — every
+    observed event_type crossed with all {CHISQ_COHORTS} cohorts (the
+    cohort domain is 0..{CHISQ_COHORTS}-1 by construction of the
+    modulus) — with O=0 for combinations no event hit, so each zero
+    cell contributes its full (0-E)^2/E = R*C*10^6 div N term instead
+    of being silently absent (the r7 observed-cells-only form lost
+    those terms). Zero cells cost nothing extra: the per-event_type
+    aggregate computes all {CHISQ_COHORTS} cohort counts as unrolled
+    conditional sums in the SAME single pass, and ``posexplode``
+    unrolls that fixed-width row back to cells — no domain join, no
+    second scan.
+
+    Scale shape: one hash-aggregate (map-side partials of
+    {CHISQ_COHORTS} longs per event_type) to the per-type row, a
+    posexplode of the {CHISQ_COHORTS}-element array, then window sums
+    over the 40-cell frame for the marginals (single partition of 40
     rows — free), then pure projection. No joins, no second fact scan.
     """
     ev = load_table(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        "event_type", (F.col("user_id") % CHISQ_COHORTS).alias("cohort")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    cohort = F.col("user_id") % CHISQ_COHORTS
+    per_type = ev.groupBy("event_type").agg(
+        F.array(
+            *[
+                F.sum(F.when(cohort == k, 1).otherwise(0))
+                for k in range(CHISQ_COHORTS)
+            ]
+        ).alias("os")
+    )
+    cells = per_type.select(
+        "event_type", F.posexplode("os").alias("cohort_i", "o")
+    ).select("event_type", F.col("cohort_i").cast("long").alias("cohort"), "o")
     wr = Window.partitionBy("event_type")
     wc = Window.partitionBy("cohort")
     wn = Window.partitionBy()
@@ -93,10 +116,21 @@ def a27_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 A27_ORACLE = f"""
-WITH cells AS (
+WITH observed AS (
   SELECT event_type, user_id % {CHISQ_COHORTS} AS cohort,
-         COUNT(*) AS o
+         COUNT(*) AS o_raw
   FROM events GROUP BY 1, 2
+),
+domain AS (
+  SELECT e.event_type, CAST(gs.range AS BIGINT) AS cohort
+  FROM (SELECT DISTINCT event_type FROM events) e
+  CROSS JOIN range(0, {CHISQ_COHORTS}) gs
+),
+cells AS (
+  SELECT d.event_type, d.cohort, COALESCE(o.o_raw, 0) AS o
+  FROM domain d
+  LEFT JOIN observed o
+    ON o.event_type = d.event_type AND o.cohort = d.cohort
 ),
 marg AS (
   SELECT event_type, cohort, o,
@@ -147,6 +181,14 @@ def a28_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         t    = (m_a - m_b) / sqrt(v_a/n_a + v_b/n_b)
         df_w = (v_a/n_a + v_b/n_b)^2
                / ((v_a/n_a)^2/(n_a-1) + (v_b/n_b)^2/(n_b-1))
+
+    Degenerate-cohort guards (identical in both engines): cohorts
+    without at least two observations PER SIDE are filtered out
+    (HAVING n_a > 1 AND n_b > 1 — the test is undefined there), and
+    the t/df divisions go through NULLIF so a zero-variance cohort
+    yields NULL rather than engine-dependent inf/NaN (Spark's Divide
+    returns NULL on /0, DuckDB's IEEE division returns inf — without
+    the NULLIF the hash diverges exactly when the data is skewed).
     """
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin(TTEST_A, TTEST_B)
@@ -161,6 +203,7 @@ def a28_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~is_a, c).otherwise(0)).alias("s_b"),
         F.sum(F.when(~is_a, c * c).otherwise(0)).alias("ss_b"),
     )
+    g = g.where((F.col("n_a") > 1) & (F.col("n_b") > 1))
     # the double finish: expression text kept STRUCTURALLY IDENTICAL
     # to the oracle's (see module docstring)
     stats = g.selectExpr(
@@ -177,13 +220,13 @@ def a28_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(n_b AS DOUBLE) - 1) AS v_b",
     )
     se = "(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))"
-    t_expr = f"ROUND((m_a - m_b) / sqrt({se}), 6)"
+    t_expr = f"ROUND((m_a - m_b) / NULLIF(sqrt({se}), 0), 6)"
     df_expr = (
-        f"ROUND({se} * {se} / "
-        f"((v_a / CAST(n_a AS DOUBLE)) * (v_a / CAST(n_a AS DOUBLE))"
+        f"ROUND({se} * {se} / NULLIF("
+        f"(v_a / CAST(n_a AS DOUBLE)) * (v_a / CAST(n_a AS DOUBLE))"
         f"   / (CAST(n_a AS DOUBLE) - 1)"
         f" + (v_b / CAST(n_b AS DOUBLE)) * (v_b / CAST(n_b AS DOUBLE))"
-        f"   / (CAST(n_b AS DOUBLE) - 1)), 6)"
+        f"   / (CAST(n_b AS DOUBLE) - 1), 0), 6)"
     )
     return stats.selectExpr(
         "cohort",
@@ -214,6 +257,8 @@ WITH g AS (
   FROM events
   WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
   GROUP BY 1
+  HAVING SUM(CASE WHEN event_type = '{TTEST_A}' THEN 1 ELSE 0 END) > 1
+     AND SUM(CASE WHEN event_type = '{TTEST_B}' THEN 1 ELSE 0 END) > 1
 ),
 stats AS (
   SELECT cohort, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
@@ -231,14 +276,17 @@ SELECT cohort, n_a, n_b,
        ROUND(m_a, 6) AS mean_a_cents,
        ROUND(m_b, 6) AS mean_b_cents,
        ROUND((m_a - m_b)
-             / sqrt((v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))),
+             / NULLIF(sqrt((v_a / CAST(n_a AS DOUBLE)
+                            + v_b / CAST(n_b AS DOUBLE))), 0),
              6) AS t_stat,
        ROUND((v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))
              * (v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))
-             / ((v_a / CAST(n_a AS DOUBLE)) * (v_a / CAST(n_a AS DOUBLE))
-                  / (CAST(n_a AS DOUBLE) - 1)
-                + (v_b / CAST(n_b AS DOUBLE)) * (v_b / CAST(n_b AS DOUBLE))
-                  / (CAST(n_b AS DOUBLE) - 1)), 6) AS df_welch
+             / NULLIF((v_a / CAST(n_a AS DOUBLE))
+                        * (v_a / CAST(n_a AS DOUBLE))
+                        / (CAST(n_a AS DOUBLE) - 1)
+                      + (v_b / CAST(n_b AS DOUBLE))
+                        * (v_b / CAST(n_b AS DOUBLE))
+                        / (CAST(n_b AS DOUBLE) - 1), 0), 6) AS df_welch
 FROM stats ORDER BY cohort
 """
 

@@ -432,36 +432,47 @@ def ts5_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands on both sides). Truncation is what buys exactness: an
     unbounded EWMA's 2^-1000 tails underflow and round.
 
-    Scale shape: one shuffle on user_id; the frame materializes at most
-    20 doubles per row. The window order (ts, event_id) is total, so
-    the collect_list frame content is deterministic."""
+    Implementation: the Horner fold over a trailing-20 frame is
+    algebraically  sum_{j=0..19} lag(cents, j) / 2^j  (j = rows back;
+    NULL lags past the partition start contribute an exact +0.0), so
+    the whole smoothing is 20 ``lag`` columns over ONE window spec —
+    no per-row array materialization, no higher-order-function eval.
+    Because every term and every partial sum is exact (see above), the
+    left-to-right addition here equals the Horner evaluation bit-for-
+    bit; the r7 ``collect_list`` + ``aggregate`` form hashed identical
+    values 12x slower (1.66s at sf0.1) from per-row array churn.
+
+    Scale shape: one shuffle on user_id, one sort, one window operator
+    evaluating the 20 lags + row_number in a single pass. The window
+    order (ts, event_id) is total, so the lag contents are
+    deterministic."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "value"
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(
+            "CAST(CAST(round(value * 100, 0) AS BIGINT) AS DOUBLE)"
+        ).alias("cents"),
     )
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(EWMA_WINDOW - 1), 0)
-    )
-    vs = F.collect_list(
-        F.expr("CAST(CAST(round(value * 100, 0) AS BIGINT) AS DOUBLE)")
-    ).over(w)
-    base = ev.select("event_id", "user_id", vs.alias("vs"))
-    num = F.expr("aggregate(vs, CAST(0 AS DOUBLE), (acc, x) -> acc / 2 + x)")
-    wsum = F.lit(2.0) - F.lit(1.0) / F.pow(
-        F.lit(2.0), (F.size("vs") - F.lit(1)).cast("double")
-    )
-    return (
-        base.select(
-            "event_id",
-            "user_id",
-            F.size("vs").alias("n_obs"),
-            (num / wsum).alias("ewma_cents"),
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    for j in range(EWMA_WINDOW):
+        num = num + (
+            F.coalesce(F.lag("cents", j).over(w), F.lit(0.0))
+            / F.lit(float(2**j))
         )
-        .orderBy("event_id")
+    n_obs = F.least(F.row_number().over(w), F.lit(EWMA_WINDOW))
+    wsum = F.lit(2.0) - F.lit(1.0) / F.pow(
+        F.lit(2.0), (n_obs - F.lit(1)).cast("double")
     )
+    return ev.select(
+        "event_id",
+        "user_id",
+        n_obs.alias("n_obs"),
+        (num / wsum).alias("ewma_cents"),
+    ).orderBy("event_id")
 
 
 TS5_ORACLE = f"""

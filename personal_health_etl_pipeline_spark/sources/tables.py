@@ -2,10 +2,20 @@
 
 ``/root/testdata/sf*/`` holds one parquet file per table (TESTDATA.md).
 Reads are plain ``spark.read.parquet`` so Catalyst keeps full pushdown /
-pruning freedom; nothing is cached or collected here.
+pruning freedom; no DATA is cached or collected here. What IS cached is
+the relation handle: ``spark.read.parquet`` pays a driver-side file
+listing + footer schema read (~120-170 ms per call measured at sf0.1),
+so :func:`load_table` memoizes the resolved DataFrame per (session,
+path, file mtime) — the same metadata a warehouse catalog would hold;
+a real deployment registers tables ONCE, it does not re-infer schemas
+per query (the DuckDB baseline likewise creates its views once). The
+mtime in the key makes the memo self-invalidating when a test fixture
+overwrites the path.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,9 +42,27 @@ TABLES = (
 BOUNDED_DIMS = ("region", "nation")
 
 
+_LOAD_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None  # non-local path (or missing): skip the memo
+    key = (spark.sparkContext.applicationId, path, mtime)
+    if mtime is not None and key in _LOAD_MEMO:
+        return _LOAD_MEMO[key]
+    df = _read_table(spark, path, name)
+    if mtime is not None:
+        _LOAD_MEMO[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores INT64 TIMESTAMP(NANOS); Spark refuses that
         # physical type unless nanosAsLong is on. The repo's own session
@@ -42,7 +70,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # also work on a vanilla SparkSession (e.g. an external harness),
         # and the conf is runtime-settable SQLConf, so set it here too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
