@@ -8,15 +8,19 @@ Arrow-batched ``mapInPandas`` / ``pandas_udf`` stages: Python touches
 each batch once, the surrounding plan (partitioning, pruning, joins)
 stays pure Catalyst.
 
-Real codecs (PIL/ffmpeg/soundfile) are NOT available in this
-environment, so decoding is split in two layers:
+Decoding is layered by container:
 
 * a **deterministic fake container format** (``FAKEM``) with a real
   parser — exercises the full plumbing (schema, batching, explode
-  semantics, partition preservation) end to end, and
-* ``decode_real()``, the integration point that raises
-  ``NotImplementedError`` until a codec library is importable —
-  clearly marked, import-gated, never on the hot path here.
+  semantics, partition preservation) end to end,
+* **real stdlib-only codecs**: RIFF/WAVE audio via the ``wave``
+  parser and PNG images via ``zlib`` + scanline unfiltering
+  (:func:`decode_real`) — genuine encoded media, no external
+  libraries, and
+* :func:`parse_media`, the per-blob dispatch every stage routes
+  through, so a content column can mix containers row-by-row.
+  Formats needing external codecs (JPEG/MP4) raise ``ValueError``
+  there; wiring PIL/av in is a local edit in :func:`decode_real`.
 
 Scale notes (100 TB of media): content stays off the shuffle path —
 every transform here is a narrow map over batches; feature vectors
@@ -87,11 +91,20 @@ def encode_fake(media_id: int) -> tuple[bytes, str, int, int, int]:
     return header + payload, _KINDS[kind_i], width, height, n_frames
 
 
-def synth_media_df(spark, n: int = 100) -> DataFrame:
-    """A media table fixture: (media_id, content binary, meta struct)."""
+def synth_media_df(spark, n: int = 100, real_audio: bool = False) -> DataFrame:
+    """A media table fixture: (media_id, content binary, meta struct).
+
+    ``real_audio=True`` wraps every audio item's md5-chain payload in a
+    REAL RIFF/WAVE container (:func:`encode_wav`, 8-bit PCM) instead of
+    the FAKEM header — same samples, genuine encoded bytes — so the
+    downstream oracle certifies the real ``wave``-parser decode path
+    with the identical expected values."""
     rows = []
     for i in range(n):
         blob, kind, w, h, nf = encode_fake(i)
+        if real_audio and kind == "audio":
+            hdr_len = _struct.calcsize(_HEADER)
+            blob = encode_wav(blob[hdr_len:])
         rows.append((i, bytearray(blob), (kind, w, h, nf)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -118,17 +131,158 @@ def _parse_fake(blob: bytes) -> tuple[str, int, int, int, bytes]:
     return _KINDS[kind_i], width, height, n_frames, blob[_struct.calcsize(_HEADER):]
 
 
-def decode_real(blob: bytes):  # pragma: no cover - integration point
-    """Decode real image/audio/video bytes. STUB: requires a codec
-    library (PIL / soundfile / av) that this environment does not
-    ship; wire it here when available."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real media decoding needs PIL/soundfile/av installed"
-        ) from exc
-    raise NotImplementedError("real decode path not implemented")
+_WAV_MAGIC = b"RIFF"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_wav(pcm: bytes, n_channels: int = 1, sample_rate: int = 8000) -> bytes:
+    """Wrap raw 8-bit unsigned PCM in a REAL RIFF/WAVE container
+    (stdlib ``wave`` writer) — the fixture/sink twin of
+    :func:`decode_wav`."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(1)  # 8-bit PCM: samples ARE unsigned bytes
+        w.setframerate(sample_rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> tuple[str, int, int, int, bytes]:
+    """Real WAV decode via the stdlib ``wave`` parser: returns
+    ``("audio", n_channels, bits_per_sample, n_frames, pcm_bytes)`` —
+    the same 5-tuple contract as :func:`_parse_fake` (an audio "frame"
+    is one PCM sample period)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        nch = w.getnchannels()
+        bits = w.getsampwidth() * 8
+        nf = w.getnframes()
+        pcm = w.readframes(nf)
+    return "audio", nch, bits, nf, pcm
+
+
+def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
+    """Minimal REAL PNG encoder (stdlib ``zlib`` + ``struct``):
+    8-bit gray/RGB/RGBA, no interlace, filter 0 on every scanline."""
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + tag
+            + data
+            + _struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[str, int, int, int, bytes]:
+    """Real PNG decode, stdlib-only: chunk walk -> IDAT concat ->
+    ``zlib.decompress`` -> per-scanline filter reversal (all five PNG
+    filter types: None/Sub/Up/Average/Paeth). Supports 8-bit
+    gray (color type 0), RGB (2) and RGBA (6), non-interlaced —
+    returns ``("image", width, height, 1, raw_pixel_bytes)``."""
+    import zlib
+
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, b"", None
+    while pos + 8 <= len(blob):
+        (length,) = _struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            meta = _struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, _comp, _filt, interlace = meta
+    if depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                b = prev[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out += line
+        prev = line
+    return "image", width, height, 1, bytes(out)
+
+
+def decode_real(blob: bytes) -> tuple[str, int, int, int, bytes]:
+    """Decode REAL media bytes with stdlib-only codecs: RIFF/WAVE
+    audio (:func:`decode_wav`) and PNG images (:func:`decode_png`).
+    Other containers (JPEG, MP4, ...) need external codec libraries
+    this environment does not ship and raise ``ValueError`` — the
+    plumbing around this function is format-agnostic, so wiring
+    PIL/av in is a local edit here."""
+    if blob[:4] == _WAV_MAGIC and blob[8:12] == b"WAVE":
+        return decode_wav(blob)
+    if blob[:8] == _PNG_MAGIC:
+        return decode_png(blob)
+    raise ValueError("unsupported real-media container")
+
+
+def parse_media(blob: bytes) -> tuple[str, int, int, int, bytes]:
+    """Container dispatch: the deterministic FAKEM fixture format on
+    its magic, real WAV/PNG via :func:`decode_real` on theirs. Every
+    mapInPandas stage below parses through this, so a media column may
+    mix fixture and real containers row-by-row."""
+    if blob[:5] == _MAGIC:
+        return _parse_fake(blob)
+    return decode_real(blob)
 
 
 def decode_media(media: DataFrame) -> DataFrame:
@@ -142,7 +296,7 @@ def decode_media(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for media_id, blob in zip(pdf["media_id"], pdf["content"]):
-                kind, w, h, nf, payload = _parse_fake(bytes(blob))
+                kind, w, h, nf, payload = parse_media(bytes(blob))
                 out.append(
                     (
                         media_id,
@@ -184,7 +338,7 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, feats = [], []
             for media_id, blob in zip(pdf["media_id"], pdf["content"]):
-                _, _, _, _, payload = _parse_fake(bytes(blob))
+                _, _, _, _, payload = parse_media(bytes(blob))
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 hist = np.bincount(arr >> 4, minlength=N_FEATURES).astype(np.float64)
                 total = hist.sum()
@@ -212,7 +366,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             contents = []
             metas = []
             for blob in pdf["content"]:
-                kind, _, _, nf, payload = _parse_fake(bytes(blob))
+                kind, _, _, nf, payload = parse_media(bytes(blob))
                 header = _struct.pack(
                     _HEADER, _MAGIC, _KINDS.index(kind), width, height, nf
                 )
@@ -248,7 +402,7 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
         for pdf in batches:
             out = []
             for media_id, blob in zip(pdf["media_id"], pdf["content"]):
-                _, _, _, nf, payload = _parse_fake(bytes(blob))
+                _, _, _, nf, payload = parse_media(bytes(blob))
                 frame_len = len(payload) // nf if nf else 0
                 for f_i in range(0, nf, every):
                     out.append(
@@ -299,7 +453,7 @@ def audio_window_energy(
         for pdf in batches:
             out = []
             for media_id, blob in zip(pdf["media_id"], pdf["content"]):
-                _, _, _, _, payload = _parse_fake(bytes(blob))
+                _, _, _, _, payload = parse_media(bytes(blob))
                 arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 n_win = (len(arr) + window - 1) // window
                 # zero-pad the ragged tail and reduce per-row: pads are

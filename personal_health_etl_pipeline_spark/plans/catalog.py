@@ -765,87 +765,91 @@ register("dq8_observe_metrics", dq.dq8_observe_metrics, dq.DQ8_ORACLE)
 # NEW r7 (late batch, r8 certification window): CSV scalar codec —
 # to_csv/from_csv round trip + PERMISSIVE short-row NULL fill
 register("f23_from_csv_parse", an.f23_from_csv_parse, an.F23_ORACLE)
+# NEW r8: the frequency-BATCHED BPE trainer (batch_k=4, symbol-disjoint
+# greedy per round — exact by construction) under its own unrolled
+# oracle; text_bpe_learned_segment stays the exact-greedy certificate
+register(
+    "text_bpe_train_batched",
+    llm3.text_bpe_train_batched,
+    llm3.TEXT_BPE_BATCHED_ORACLE,
+)
 
 
-# --- r7 head-window rotation -----------------------------------------
-# The rotation rule (adopted r4) as an EXPLICIT list instead of
-# registration-order surgery: external harnesses certify the FIRST ~50
-# entries in dict order, so the head must hold (a) every entry that has
-# NEVER had a driver certification, (b) every entry whose implementation
-# changed this round, (c) backfill from the stalest certifications,
-# while the family guard (tests/test_catalog.py) keeps >= 1 rep of
-# every family in the head. Everything not listed keeps its
-# registration order after the head.
+# --- r8 head-window rotation -----------------------------------------
+# The rotation rule (adopted r4) as an EXPLICIT list: external
+# harnesses certify the FIRST ~50 entries in dict order, so the head
+# holds (a) every entry that has NEVER had a driver certification,
+# (b) every entry whose implementation changed this round, (c) one rep
+# of every family the head would otherwise miss (family guard in
+# tests/test_catalog.py), picking the stalest member, (d) remaining
+# slots = stalest-certification backfill in VERDICT-r7 priority order.
+# Everything not listed keeps registration order after the head.
 _HEAD = [
-    # (a) the full never-driver-certified r6 tail (35 entries) — these
-    # double as family reps for j/a/w/f/ts/mm/sketch/text/corpus/ann/
-    # graph/s/st/sql families and the udtf singleton
-    "a20_exact_mode",
-    "f13_bitwise_function_sweep",
-    "j17_spo2_id_day",
-    "graph_bfs_hops",
+    # (a) the 31 never-driver-certified late-r7 entries
+    "j22_detailed_sleep_time",
+    "j23_detailed_vo2max",
+    "j24_detailed_session",
+    "j25_detailed_rest_mode",
+    "j26_detailed_enhanced_tag",
+    "corpus_shuffle_deterministic",
+    "text_hashing_tf",
+    "graph_kcore",
+    "ts9_autocorr",
+    "dq7_benford_deviation",
+    "f20_string_function_sweep",
+    "ann_recall_report",
+    "a26_histogram_fixed_bins",
+    "w10_ranking_function_sweep",
+    "sql3_recursive_cte",
+    "sql4_pivot_wide",
+    "f21_unpivot_melt",
+    "w11_streaks",
+    "ts10_time_weighted_avg",
+    "j27_global_range_join",
+    "m4_incremental_agg_merge",
+    "ts11_calendar_rollup",
+    "a27_chisq_independence",
+    "a28_welch_ttest",
+    "a29_ols_slope",
+    "ts12_linear_interpolate",
+    "j29_first_touch_attribution",
+    "f22_variant_shred",
+    "text_lm_dirichlet_topk",
+    "dq8_observe_metrics",
+    "f23_from_csv_parse",
+    # (a) new this round: the batched BPE trainer
+    "text_bpe_train_batched",
+    # (b) implementation changed in r8: unrolled lag-Horner EWMA,
+    # min-aggregate walk BFS, real-WAV audio fixture (decode_wav path)
     "ts5_ewma_halflife",
+    "graph_bfs_hops",
     "mm_audio_energy",
-    "sketch_kmv_set_ops",
-    "text_phrase_topk",
-    "f14_lambda_function_sweep",
-    "w8_windowed_distinct",
-    "corpus_token_budget",
-    "ann_filtered_topk",
-    "j18_universe_sample_join",
-    "f15_url_parse_sweep",
-    "j19_asof_forward_tolerance",
-    "j20_detailed_sleep",
-    "ann_range_search",
-    "ts6_moving_median",
-    "w9_interval_concurrency",
-    "a21_event_transitions",
-    "ts7_cusum_changepoint",
-    "ts8_ohlc_bars",
-    "graph_jaccard_similarity",
-    "s8_schema_evolution_audit",
-    "j21_nullsafe_join",
-    "graph_sssp_weighted",
-    "a22_weighted_median",
-    "f17_map_function_sweep",
-    "udtf_token_runs",
-    "st_scd2_restart_idempotent",
-    "sql2_correlated_subqueries",
-    "f19_error_safe_arithmetic",
-    "graph_label_propagation",
-    "a24_trimmed_mean",
-    "a25_rollup_count_distinct",
-    # (b) implementation changed in r7: memoized bigram-LM artifact,
-    # probe-only persisted-PQ path, shared near-dup pair artifact
-    # (dedup_semantic also the head's dedup-family rep)
-    "text_bigram_logprob",
-    "ann_pq_persisted_probe",
-    "ann_pq_external_topk",
-    "dedup_semantic",
-    # (c) stalest-certification family reps for the families (a)-(b)
-    # leave uncovered: q (q9 displaced late-r6), p (p2 r4), c (c3 is
-    # the family's only entry), emb (r3), m (r4), dq (r4), layout (r5),
-    # src (r5 — src_jsonl also re-checks the r7 jsonl checkpoint change)
-    "q9_product_profit",
-    "p2_halfopen_range",
+    # (c) family reps for families (a)-(b) leave uncovered, stalest
+    # member first: q (r1), p (r5), c (only entry), st (r3),
+    # dedup (r3), emb (r4), sketch (r3), layout (r5), src (r5), s (r5)
+    "q10_returned_items",
+    "p1_required_filter",
     "c3_schema_align",
-    "emb_random_projection",
-    "m2_snapshot_diff",
-    "dq1_expectations_report",
-    "layout_zorder_audit",
-    "src_jsonl_quarantine_audit",
-    # (c) remaining stalest backfill in VERDICT-r6 priority order
-    "f3_timestamp_coerce",
-    "j2_range_overlap_join",
-    "j3_duplicate_day_conflicts",
+    "st_dedup_events",
+    "dedup_exact_groups",
+    "emb_covariance",
+    "sketch_countmin_heavy",
+    "layout_compact_audit",
+    "src_format_roundtrip_audit",
+    "s7_dynamic_overwrite_audit",
+    # (d) stalest backfill (VERDICT-r7 order): f4/j5 (r2), a5-a7 (r2)
+    "f4_array_to_json",
+    "j5_views_before_purchase",
+    "a5_rollup",
+    "a6_cube",
+    "a7_grouping_sets",
 ]
-# r8 head plan (rotate at round-8 start): (a) any r7-tail entries new
-# this round; (b) impl-changed; (c) backfill continues the stale list:
-# j5_views_before_purchase, a5_rollup, a6_cube, a7_grouping_sets,
-# a8_exact_percentiles, a10_corr_stats, f4_array_to_json (r2), then
-# the q-sweep q10/q11/q13-q17/q19-q21 (r1/r2), then the r3 band
-# (st_tumbling, j1, dedup_minhash_lsh, so1, ann_lsh/brute/ivf, w3,
-# f2, st_dedup/interval/enrich, ...).
+# r9 head plan (rotate at round-9 start): (a) any entries new in r8;
+# (b) impl-changed; (c)+(d) backfill continues the stale list:
+# a8_exact_percentiles, a10_corr_stats (r2), the q sweep q11/q13-q17/
+# q19-q21 (r1), then the r3 band (a3, a9, ann_brute/lsh/ivf,
+# corpus_curate/sample/shard, decontaminate_ngram, dedup families,
+# st_tumbling/dedup/interval/enrich, j1, w3, f2, ...).
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50

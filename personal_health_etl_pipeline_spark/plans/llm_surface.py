@@ -979,12 +979,17 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes reach Python), payload bytes as unsigned samples, one row
     per 16-sample window carrying exact-integer energy (sum of
     squares) and peak (``operators/multimodal.py:audio_window_energy``
-    — vectorized one-to-many mapInPandas). The oracle re-derives every
-    window from the md5 payload chain: the hex pair at offset i IS
-    sample i, so energy and peak are recomputable in pure SQL."""
+    — vectorized one-to-many mapInPandas). The audio items are REAL
+    RIFF/WAVE containers (``real_audio=True``: the md5-chain samples
+    wrapped by the stdlib ``wave`` writer), so the hash gate certifies
+    the genuine ``decode_wav`` parse, not just the fixture format. The
+    oracle re-derives every window from the md5 payload chain: the hex
+    pair at offset i IS sample i, so energy and peak are recomputable
+    in pure SQL — unchanged by the container, which is the point (a
+    decoder must be invisible in the values)."""
     from personal_health_etl_pipeline_spark.operators import multimodal as MM
 
-    media = MM.synth_media_df(spark, n=MM_AUDIO_N)
+    media = MM.synth_media_df(spark, n=MM_AUDIO_N, real_audio=True)
     return MM.audio_window_energy(media).orderBy("media_id", "window_index")
 
 

@@ -985,6 +985,114 @@ def _bpe_ctes(n_merges: int) -> str:
 TEXT_BPE_LEARNED_ORACLE = _bpe_oracle(BPE_MERGES)
 
 
+# --- frequency-BATCHED BPE training (the production trainer) -----------
+
+BPE_BATCH_MERGES = 8
+BPE_BATCH_K = 4  # merges accepted per count round -> 2 rounds not 8
+
+
+def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frequency-BATCHED BPE trainer under its own hash gate:
+    ``batch_k={BPE_BATCH_K}`` accepts up to k SYMBOL-DISJOINT pairs per
+    count round, greedily by (count desc, a, b) over the round's single
+    ranking — {BPE_BATCH_MERGES} merges in 2 driver rounds instead of
+    8 (``bpe_segment_words(batch_k>1)``, the shape that makes a 32k
+    vocabulary ~vocab/k rounds at 100 TB instead of 32k scheduling
+    floors).
+
+    Why this is EXACTLY certifiable (not an approximation): pairs
+    accepted in one round share no symbol, so merging one cannot
+    create or destroy occurrences of another — each accepted pair's
+    count is its true pre-round count, and applying the batch
+    sequentially equals applying it simultaneously. The batch rule is
+    deterministic (rank, then first-fit symbol-disjoint scan bounded
+    to the same 4k over-fetch the Spark side collects), so the oracle
+    unrolls the IDENTICAL rule per round: rank CTE -> k chained
+    first-eligible-choice CTEs (NOT EXISTS against every earlier
+    choice) -> k chained merge applications. What batching trades vs
+    exact greedy is only ORDER (a symbol created this round is not
+    mergeable until the next round) — the rounds-vs-quality note in
+    COVERAGE.md; `text_bpe_learned_segment` remains the exact-greedy
+    certificate.
+
+    Output: every distinct word as ``(word, wc, seg)`` after the
+    {BPE_BATCH_MERGES} batched merges — the full downstream effect of
+    the merge sequence, a stronger certificate than the merge list
+    alone."""
+    words = (
+        _doc_tokens(load_table(spark, sf_dir, "documents"))
+        .groupBy(F.col("term").alias("word"))
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    return bpe_segment_words(
+        words, n_merges=BPE_BATCH_MERGES, batch_k=BPE_BATCH_K
+    )
+
+
+def _bpe_batched_oracle(n_merges: int, batch_k: int) -> str:
+    """Unrolled DuckDB twin of the batched trainer: per round, ONE
+    ranking over the pair counts, then ``batch_k`` chained greedy
+    choices (each the lowest-ranked pair symbol-disjoint from every
+    earlier choice, within the same ``4 * batch_k`` over-fetch window
+    the Spark side collects), then the chained merge applications."""
+    parts = [
+        "tok2 AS (SELECT unnest(t) AS word FROM toks)",
+        "w0 AS (SELECT word, COUNT(*) AS wc FROM tok2 GROUP BY word)",
+        (
+            "s0 AS (SELECT word, wc, list_append(list_transform("
+            "range(1, length(word) + 1), i -> word[CAST(i AS INT):CAST(i AS INT)]),"
+            f" '{EOW}') AS s FROM w0)"
+        ),
+    ]
+    assert n_merges % batch_k == 0  # fixed unroll: no partial round
+    n_rounds = n_merges // batch_k
+    cur = "s0"
+    for r in range(n_rounds):
+        parts.append(
+            f"pr{r} AS (SELECT pp.a AS a, pp.b AS b, SUM(wc) AS cnt FROM ("
+            f"SELECT wc, unnest(list_transform(range(1, len(s)), "
+            f"p -> struct_pack(a := s[p], b := s[p + 1]))) AS pp FROM {cur}"
+            f") WHERE pp.a <> pp.b GROUP BY pp.a, pp.b)"
+        )
+        parts.append(
+            f"rk{r} AS (SELECT a, b, row_number() OVER "
+            f"(ORDER BY cnt DESC, a, b) AS rk FROM pr{r} "
+            f"QUALIFY rk <= {4 * batch_k})"
+        )
+        for j in range(1, batch_k + 1):
+            disj = " AND ".join(
+                f"NOT EXISTS (SELECT 1 FROM c{r}_{i} p "
+                f"WHERE p.a IN (t.a, t.b) OR p.b IN (t.a, t.b))"
+                for i in range(1, j)
+            )
+            where = f"WHERE {disj} " if disj else ""
+            parts.append(
+                f"c{r}_{j} AS (SELECT a, b FROM rk{r} t {where}"
+                f"ORDER BY rk LIMIT 1)"
+            )
+        for j in range(1, batch_k + 1):
+            nxt = f"s{r}a{j}"
+            parts.append(
+                f"{nxt} AS (SELECT word, wc, "
+                f"list_filter(list_transform(range(1, len(s) + 1), p -> "
+                f"CASE WHEN s[p] = ba AND s[p + 1] = bb THEN s[p] || s[p + 1] "
+                f"WHEN s[p - 1] = ba AND s[p] = bb THEN NULL "
+                f"ELSE s[p] END), x -> x IS NOT NULL) AS s "
+                f"FROM {cur} LEFT JOIN (SELECT a AS ba, b AS bb FROM c{r}_{j}) "
+                f"ON TRUE)"
+            )
+            cur = nxt
+    return (
+        f"WITH {_TOKS_CTE},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT word, wc, array_to_string(s, ' ') AS seg FROM {cur}"
+        " ORDER BY word"
+    )
+
+
+TEXT_BPE_BATCHED_ORACLE = _bpe_batched_oracle(BPE_BATCH_MERGES, BPE_BATCH_K)
+
+
 _BPE_SEG_MEMO: dict[tuple[str, str, int], DataFrame] = {}
 
 

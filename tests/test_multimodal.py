@@ -32,16 +32,17 @@ class TestDecode:
             assert r.payload_bytes == nf * 16  # one md5 block per frame
             assert r.payload_digest == hashlib.md5(blob[14:].hex().encode()).hexdigest()
 
-    def test_non_fakem_blob_is_an_error(self, spark):
+    def test_unknown_container_blob_is_an_error(self, spark):
         bad = spark.createDataFrame(
             [(1, bytearray(b"JUNKDATA"), ("image", 1, 1, 1))], MM.MEDIA_SCHEMA
         )
-        with pytest.raises(Exception, match="FAKEM|PythonException"):
+        with pytest.raises(Exception, match="container|PythonException"):
             MM.decode_media(bad).collect()
 
-    def test_real_decode_is_gated_stub(self):
-        with pytest.raises(NotImplementedError):
-            MM.decode_real(b"\x89PNG....")
+    def test_truncated_real_container_is_an_error(self):
+        # PNG magic but no IHDR: the real decoder must refuse, not guess
+        with pytest.raises(ValueError):
+            MM.decode_real(b"\x89PNG\r\n\x1a\n")
 
 
 class TestFeatures:
@@ -132,3 +133,108 @@ def test_audio_window_energy_ragged_and_filtered(spark):
         by_item[r.media_id] = by_item.get(r.media_id, 0) + r.n_samples
     for mid, total in by_item.items():
         assert total == (4 + mid % 5) * 16
+
+
+class TestRealCodecs:
+    """Stdlib-only real codecs: WAV (wave module) and PNG (zlib +
+    filter reversal) behind the same parse_media dispatch as FAKEM."""
+
+    def test_wav_round_trip_and_dispatch(self):
+        pcm = bytes(range(256)) * 5
+        wav = MM.encode_wav(pcm, n_channels=1, sample_rate=16000)
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        kind, nch, bits, nf, out = MM.decode_wav(wav)
+        assert (kind, nch, bits, nf) == ("audio", 1, 8, len(pcm))
+        assert out == pcm
+        # parse_media dispatches on magic
+        assert MM.parse_media(wav)[4] == pcm
+        assert MM.decode_real(wav)[4] == pcm
+
+    def test_png_round_trip_all_channel_counts(self):
+        import random
+
+        random.seed(11)
+        for ch in (1, 3, 4):
+            w, h = 17, 7
+            px = bytes(random.randrange(256) for _ in range(w * h * ch))
+            png = MM.encode_png(px, w, h, channels=ch)
+            kind, ww, hh, nf, out = MM.decode_png(png)
+            assert (kind, ww, hh, nf) == ("image", w, h, 1)
+            assert out == px
+            assert MM.parse_media(png)[4] == px
+
+    def test_png_all_filter_types_reverse_exactly(self):
+        """Hand-encode a PNG whose scanlines cycle through filter types
+        0-4; the decoder must reverse every one bit-exactly."""
+        import random
+        import struct
+        import zlib
+
+        random.seed(23)
+        w, h, ch = 8, 10, 3
+        px = bytes(random.randrange(256) for _ in range(w * h * ch))
+        stride = w * ch
+
+        def filt(ftype, line, prev):
+            res = bytearray()
+            for i, x in enumerate(line):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                res.append((x - pred) & 0xFF)
+            return bytes(res)
+
+        raw, prev = b"", bytes(stride)
+        for y in range(h):
+            line = px[y * stride : (y + 1) * stride]
+            f = y % 5
+            raw += bytes([f]) + filt(f, line, prev)
+            prev = line
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert MM.decode_png(blob)[4] == px
+
+    def test_unsupported_container_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            MM.decode_real(b"\xff\xd8\xff\xe0 not-actually-jpeg")
+
+    def test_real_audio_fixture_decodes_identically(self, spark):
+        """real_audio=True swaps containers, not samples: the windowed
+        energy table must be IDENTICAL to the FAKEM fixture's."""
+        fake = MM.audio_window_energy(MM.synth_media_df(spark, n=12))
+        real = MM.audio_window_energy(
+            MM.synth_media_df(spark, n=12, real_audio=True)
+        )
+        key = lambda r: (r.media_id, r.window_index)  # noqa: E731
+        assert sorted(map(tuple, fake.collect())) == sorted(
+            map(tuple, real.collect())
+        )
