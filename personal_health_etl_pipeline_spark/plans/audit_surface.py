@@ -1384,3 +1384,74 @@ SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
          // (SELECT COUNT(*) FROM lineitem l JOIN orders o
              ON l.l_orderkey = o.o_orderkey) AS join_rate_micro
 """
+
+
+# --- Python DataSource WRITER round trip --------------------------------
+
+def src_datasource_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER third of the Python DataSource API under the hash
+    gate: a projected events slice goes out through
+    ``df.write.format("jsonl_lines")`` (sources/datasource.py —
+    executor-side part files + a driver-side manifest commit, the
+    two-phase visibility protocol), is read BACK from the published
+    JSONL with an explicit schema, and the audit re-aggregates it per
+    event_type (count + exact cents sum). The oracle computes the same
+    frame straight from ``events``: equality certifies that the writer
+    lost/duplicated/garbled nothing across the Python write boundary —
+    including the timestamp->ISO text round trip.
+
+    Scale shape: the write is one narrow pass (rows stream through
+    Arrow to each task's file; no driver materialization); the
+    read-back is a parallel JSON scan. The repartition(4, event_id)
+    pins a deterministic, skew-free file fan-out."""
+    import json as _json
+    import os
+
+    from personal_health_etl_pipeline_spark.sources.datasource import (
+        register_writer,
+    )
+
+    register_writer(spark)
+    scratch = _scratch("ds_write_audit")
+    out = os.path.join(scratch, "events_jsonl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_iso"),
+    )
+    ev.repartition(4, "event_id").write.format("jsonl_lines").option(
+        "path", out
+    ).mode("append").save()
+
+    # honor the manifest: only published files are read
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    files = [os.path.join(out, f["name"]) for f in manifest["files"]]
+    back = spark.read.schema(
+        "cents long, event_id long, event_type string,"
+        " ts_iso string, user_id long"
+    ).json(files)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts_iso").alias("min_ts_iso"),
+            F.max("ts_iso").alias("max_ts_iso"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SRC_DS_WRITE_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       COUNT(DISTINCT user_id) AS n_users,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts_iso,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts_iso
+FROM events GROUP BY event_type ORDER BY event_type
+"""

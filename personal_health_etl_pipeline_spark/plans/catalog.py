@@ -773,6 +773,23 @@ register(
     llm3.text_bpe_train_batched,
     llm3.TEXT_BPE_BATCHED_ORACLE,
 )
+# NEW r8: distribution-shape inference — two-sample KS distance and
+# Mann-Whitney U with midrank ties, both integer-exact over the bounded
+# (cohort, cents) frame (stats_surface.py module docstring)
+register("a30_ks_statistic", sts.a30_ks_statistic, sts.A30_ORACLE)
+register("a31_mannwhitney_u", sts.a31_mannwhitney_u, sts.A31_ORACLE)
+# NEW r8: cogroup().applyInPandas — the last uncertified Arrow-UDF
+# shape: per-aligned-group-pair pandas merge_asof vs the ASOF oracle
+register("j31_cogroup_pandas_asof", ts.j31_cogroup_pandas_asof, ts.J31_ORACLE)
+# NEW r8: polymorphic UDTF — analyze()-computed output schema
+register("udtf_ngram_grid", rs.udtf_ngram_grid, rs.UDTF_NGRAM_GRID_ORACLE)
+# NEW r8: Python DataSource WRITER (part files + manifest two-phase
+# commit) certified by a write -> manifest-honoring read-back -> agg
+register(
+    "src_datasource_write_audit",
+    au.src_datasource_write_audit,
+    au.SRC_DS_WRITE_ORACLE,
+)
 
 
 # --- r8 head-window rotation -----------------------------------------
@@ -844,8 +861,11 @@ _HEAD = [
     "a6_cube",
     "a7_grouping_sets",
 ]
-# r9 head plan (rotate at round-9 start): (a) any entries new in r8;
-# (b) impl-changed; (c)+(d) backfill continues the stale list:
+# r9 head plan (rotate at round-9 start): (a) the entries new in r8 —
+# a30_ks_statistic, a31_mannwhitney_u, j31_cogroup_pandas_asof,
+# udtf_ngram_grid, src_datasource_write_audit (text_bpe_train_batched
+# is already in the r8 head); (b) impl-changed; (c)+(d) backfill
+# continues the stale list:
 # a8_exact_percentiles, a10_corr_stats (r2), the q sweep q11/q13-q17/
 # q19-q21 (r1), then the r3 band (a3, a9, ann_brute/lsh/ivf,
 # corpus_curate/sample/shard, decontaminate_ngram, dedup families,

@@ -1614,3 +1614,91 @@ SELECT p_brand,
        MAX(rep2) AS max_rep2
 FROM d GROUP BY p_brand ORDER BY p_brand
 """
+
+
+# --- UDTF with analyze(): polymorphic output schema (SURVEY §2.9) --------
+
+NGRAM_GRID_N = 3
+
+
+def udtf_ngram_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token n-gram expansion through a POLYMORPHIC Python UDTF — the
+    Spark 4 ``analyze()`` static method computes the OUTPUT SCHEMA at
+    plan time from the constant ``n`` argument (columns ``pos, g1..gn``
+    — a table function whose shape is an argument, the capability a
+    fixed ``returnType`` UDTF like ``udtf_token_runs`` cannot express;
+    the generic unpivot/split/grid family needs it). The second
+    ``udtf_`` entry: together they certify both UDTF declaration
+    modes.
+
+    Runtime semantics are deliberately simple so the certificate
+    isolates the API: each row's token list emits one row per window
+    position with the n tokens as columns. The oracle recomputes the
+    grid relationally (unnest + array indexing). At 100 TB the UDTF is
+    map-side: rows in, grids out, no shuffle.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    try:  # Spark 4 moved these between minor releases; cover both
+        from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult  # noqa: F401
+        from pyspark.sql.udtf import AnalyzeResult as _AR
+    except ImportError:  # pragma: no cover - version skew guard
+        from pyspark.sql.functions import AnalyzeResult as _AR  # type: ignore
+
+    @udtf
+    class NgramGrid:
+        @staticmethod
+        def analyze(toks, n):
+            if n.value is None or not isinstance(n.value, int):
+                raise ValueError("n must be a constant integer literal")
+            return _AR(
+                StructType(
+                    [StructField("pos", IntegerType())]
+                    + [
+                        StructField(f"g{i + 1}", StringType())
+                        for i in range(n.value)
+                    ]
+                )
+            )
+
+        def eval(self, toks, n):
+            toks = toks or []
+            for i in range(len(toks) - n + 1):
+                yield (i + 1, *toks[i : i + n])
+
+    spark.udtf.register("ngram_grid", NgramGrid)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.expr(
+            r"slice(filter(split(text, '\\s+'), x -> x <> ''), 1, 40)"
+        ).alias("t"),
+    ).createOrReplaceTempView("udtf_ngram_base")
+    return spark.sql(
+        f"""
+        SELECT b.doc_id, g.pos, g.g1, g.g2, g.g3
+        FROM udtf_ngram_base b,
+             LATERAL ngram_grid(b.t, {NGRAM_GRID_N}) g
+        ORDER BY b.doc_id, g.pos
+        """
+    )
+
+
+UDTF_NGRAM_GRID_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[1:40]
+             AS t
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT doc_id, CAST(r.i AS INT) AS pos,
+       t[r.i] AS g1, t[r.i + 1] AS g2, t[r.i + 2] AS g3
+FROM base b, UNNEST(range(1, len(b.t) - {NGRAM_GRID_N} + 2)) AS r(i)
+ORDER BY doc_id, pos
+"""

@@ -388,3 +388,206 @@ SELECT l_returnflag, l_linestatus, n, slope_ppm,
             AS BIGINT) AS intercept_ppm
 FROM fit ORDER BY l_returnflag, l_linestatus
 """
+
+
+# --- a30: two-sample Kolmogorov-Smirnov statistic ------------------------
+
+KS_COHORTS = 4
+KS_A = "purchase"
+KS_B = "view"
+
+
+def a30_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the '{KS_A}' and
+    '{KS_B}' value distributions, per user cohort — the distribution-
+    SHAPE test that complements a28's location test (Welch only sees
+    means; KS sees any CDF difference, the standard drift/AB-shape
+    screen).
+
+    Exactness: D = max_x |F_a(x) - F_b(x)| evaluated at the pooled
+    sample points. Multiplying through by n_a*n_b makes every term an
+    integer: d_scaled = max |ca*n_b - cb*n_a| over the running
+    conditional counts (ca, cb) in cents order — no ECDF doubles
+    anywhere. The reported d_stat = round(d_scaled / (n_a*n_b), 6) is
+    one identical IEEE division per cohort (n_a*n_b <= ~1e10 at sf0.1,
+    exact in doubles; at 100-TB counts both engines promote the same
+    way — and d_scaled itself is the certified integer).
+
+    Scale shape: one hash-aggregate to the (cohort, cents) conditional
+    counts, a per-cohort running-sum window over that BOUNDED distinct-
+    value frame (distinct cents per cohort, not rows), one final max
+    aggregate. The fact table is scanned once.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_A, KS_B)
+    )
+    c = F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+    is_a = F.col("event_type") == KS_A
+    pts = ev.groupBy(
+        (F.col("user_id") % KS_COHORTS).alias("cohort"), c.alias("cents")
+    ).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("da"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("db"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("cohort")
+    run = pts.select(
+        "cohort",
+        F.sum("da").over(w).alias("ca"),
+        F.sum("db").over(w).alias("cb"),
+        F.sum("da").over(wall).alias("n_a"),
+        F.sum("db").over(wall).alias("n_b"),
+    )
+    return (
+        run.groupBy("cohort")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+            ).alias("d_scaled"),
+        )
+        .selectExpr(
+            "cohort",
+            "n_a",
+            "n_b",
+            "d_scaled",
+            "ROUND(CAST(d_scaled AS DOUBLE)"
+            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat",
+        )
+        .orderBy("cohort")
+    )
+
+
+A30_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id % {KS_COHORTS} AS cohort,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         SUM(CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END) AS da,
+         SUM(CASE WHEN event_type = '{KS_B}' THEN 1 ELSE 0 END) AS db
+  FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+  GROUP BY 1, 2
+),
+run AS (
+  SELECT cohort,
+         SUM(da) OVER (PARTITION BY cohort ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(db) OVER (PARTITION BY cohort ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         SUM(da) OVER (PARTITION BY cohort) AS n_a,
+         SUM(db) OVER (PARTITION BY cohort) AS n_b
+  FROM pts
+)
+SELECT cohort,
+       CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(MAX(abs(ca * n_b - cb * n_a)) AS BIGINT) AS d_scaled,
+       ROUND(CAST(MAX(abs(ca * n_b - cb * n_a)) AS DOUBLE)
+             / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE)), 6)
+           AS d_stat
+FROM run GROUP BY cohort ORDER BY cohort
+"""
+
+
+# --- a31: Mann-Whitney U (rank-sum) test ---------------------------------
+
+MWU_COHORTS = 4
+MWU_A = "purchase"
+MWU_B = "view"
+
+
+def a31_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between '{MWU_A}' and
+    '{MWU_B}' values per cohort — the NONPARAMETRIC location test
+    (a28's Welch assumes rough normality; rank tests don't), with
+    textbook midrank tie handling, entirely in integers.
+
+    Exactness: for a tie group of ``cnt`` values starting at min-rank
+    ``r`` the average rank is r + (cnt-1)/2 — a half-integer — so
+    everything is carried DOUBLED: 2*avgrank = 2*cum - cnt + 1 where
+    ``cum`` is the running total count through this value. Then
+    r2_a = sum(da * (2*cum - cnt + 1)) is twice the A rank-sum and
+    u2_a = r2_a - n_a*(n_a+1) twice the U statistic — all BIGINT, no
+    rounding anywhere. The identity u2_a + u2_b = 2*n_a*n_b is emitted
+    as a checked column (constant TRUE row-wise — a built-in self
+    audit both engines must agree on).
+
+    Scale shape: identical to a30 — one conditional hash-aggregate to
+    the bounded (cohort, cents) frame, one running-sum window over it,
+    one final aggregate. Single fact scan.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(MWU_A, MWU_B)
+    )
+    c = F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+    is_a = F.col("event_type") == MWU_A
+    pts = ev.groupBy(
+        (F.col("user_id") % MWU_COHORTS).alias("cohort"), c.alias("cents")
+    ).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("da"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("db"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select(
+        "cohort",
+        "da",
+        "db",
+        (F.col("da") + F.col("db")).alias("cnt"),
+        F.sum(F.col("da") + F.col("db")).over(w).alias("cum"),
+    )
+    g = run.groupBy("cohort").agg(
+        F.sum("da").alias("n_a"),
+        F.sum("db").alias("n_b"),
+        F.sum(
+            F.col("da") * (F.lit(2) * F.col("cum") - F.col("cnt") + F.lit(1))
+        ).alias("r2_a"),
+    )
+    return g.selectExpr(
+        "cohort",
+        "n_a",
+        "n_b",
+        "r2_a",
+        "r2_a - n_a * (n_a + 1) AS u2_a",
+        "2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b",
+        "(r2_a - n_a * (n_a + 1)) + (2 * n_a * n_b"
+        " - (r2_a - n_a * (n_a + 1))) = 2 * n_a * n_b AS identity_ok",
+    ).orderBy("cohort")
+
+
+A31_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id % {MWU_COHORTS} AS cohort,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         SUM(CASE WHEN event_type = '{MWU_A}' THEN 1 ELSE 0 END) AS da,
+         SUM(CASE WHEN event_type = '{MWU_B}' THEN 1 ELSE 0 END) AS db
+  FROM events WHERE event_type IN ('{MWU_A}', '{MWU_B}')
+  GROUP BY 1, 2
+),
+run AS (
+  SELECT cohort, da, db, da + db AS cnt,
+         SUM(da + db) OVER (PARTITION BY cohort ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pts
+),
+g AS (
+  SELECT cohort,
+         CAST(SUM(da) AS BIGINT) AS n_a,
+         CAST(SUM(db) AS BIGINT) AS n_b,
+         CAST(SUM(da * (2 * cum - cnt + 1)) AS BIGINT) AS r2_a
+  FROM run GROUP BY cohort
+)
+SELECT cohort, n_a, n_b, r2_a,
+       r2_a - n_a * (n_a + 1) AS u2_a,
+       2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
+       (r2_a - n_a * (n_a + 1)) + (2 * n_a * n_b
+        - (r2_a - n_a * (n_a + 1))) = 2 * n_a * n_b AS identity_ok
+FROM g ORDER BY cohort
+"""

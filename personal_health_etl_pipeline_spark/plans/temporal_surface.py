@@ -1298,3 +1298,97 @@ LEFT JOIN (SELECT user_id, us, event_id FROM ev
        ON c.user_id = a.user_id AND c.us = a.click_us
 ORDER BY a.event_id
 """
+
+
+# --- j31: cogrouped pandas as-of merge ----------------------------------
+
+def j31_cogroup_pandas_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user as-of merge through ``groupBy().cogroup().
+    applyInPandas`` — the LAST Arrow-UDF shape the §2.9 surface had
+    not certified (mapInPandas = per batch, applyInPandas = per group,
+    UDTF = per row; cogroup = per ALIGNED group PAIR, the API for
+    custom two-sided per-key logic that no join expresses directly).
+    Inside each (purchases, clicks) cohort pair the merge is pandas'
+    own ``merge_asof`` (backward, i.e. latest click at-or-before the
+    purchase) — so the entry certifies Spark's cogroup machinery AND
+    the pandas kernel against the relational as-of (j4's window
+    composition) in one hash.
+
+    Semantics pinned by the oracle: left join (purchases with no prior
+    click keep NULLs), gap reported in exact integer MICROSECONDS
+    (timestamps are µs; no float time math anywhere). (user_id, ts) is
+    unique in the fixture, so backward matches are deterministic.
+
+    Scale shape: ONE co-partitioned shuffle of both filtered sides on
+    user_id, then per-group sorted merges in Arrow batches. That is
+    the same shuffle count as the window composition (j4) — the price
+    is the Python boundary, which is why j4 stays the default and this
+    entry certifies the ESCAPE HATCH for per-key logic beyond SQL.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "click_event_id": pd.Series(dtype="Int64"),
+                    "gap_us": pd.Series(dtype="Int64"),
+                }
+            )
+        left = left.sort_values("ts")
+        if right.empty:
+            out = left[["event_id", "user_id"]].copy()
+            out["click_event_id"] = pd.array([None] * len(out), dtype="Int64")
+            out["gap_us"] = pd.array([None] * len(out), dtype="Int64")
+            return out
+        right = right.sort_values("click_ts")
+        m = pd.merge_asof(
+            left, right.drop(columns=["user_id"]),
+            left_on="ts", right_on="click_ts", direction="backward",
+        )
+        # pandas datetime64 int views are NANOSECONDS; the µs-grained
+        # source makes // 1000 exact
+        gap = (
+            (m["ts"].astype("int64") - m["click_ts"].astype("int64")) // 1000
+        ).where(m["click_ts"].notna())
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "click_event_id": m["click_event_id"].astype("Int64"),
+                "gap_us": gap.astype("Int64"),
+            }
+        )
+
+    out = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, click_event_id long, gap_us long",
+        )
+    )
+    return out.orderBy("event_id")
+
+
+J31_ORACLE = """
+SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+       CASE WHEN c.ts IS NOT NULL
+            THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""

@@ -25,8 +25,10 @@ import datetime as dt
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -175,3 +177,91 @@ class OuraFixtureDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent format registration for the current session."""
     spark.dataSource.register(OuraFixtureDataSource)
+
+
+# --- Python DataSource WRITER (the missing third of the API) -----------
+
+WRITE_FORMAT_NAME = "jsonl_lines"
+
+
+class JsonlCommitMessage(WriterCommitMessage):
+    """Per-task commit message: which file this task wrote and how many
+    rows it holds. Must be picklable — plain attributes only."""
+
+    def __init__(self, filename: str, rows: int):
+        self.filename = filename
+        self.rows = rows
+
+
+class JsonlLinesWriter(DataSourceWriter):
+    """Executor-side writer: each partition lands one JSONL part file
+    under a task-unique TEMPORARY name (two-phase commit: tasks write,
+    only the driver-side ``commit`` publishes the manifest, so a failed
+    or speculative task leaves an orphan the manifest never references
+    — the same visibility protocol every cloud-storage committer uses).
+    Rows serialize as sorted-key JSON; non-JSON scalars (timestamps)
+    go through ``default=str``."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options["path"]
+        self.cols = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{_uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(_os.path.join(self.path, fname), "w") as fh:
+            for row in iterator:
+                rec = dict(zip(self.cols, row))
+                fh.write(_json.dumps(rec, sort_keys=True, default=str))
+                fh.write("\n")
+                n += 1
+        return JsonlCommitMessage(fname, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        done = [m for m in messages if m is not None]
+        manifest = {
+            "files": sorted(
+                ({"name": m.filename, "rows": m.rows} for m in done),
+                key=lambda f: f["name"],
+            ),
+            "total_rows": sum(m.rows for m in done),
+        }
+        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            _json.dump(manifest, fh, sort_keys=True)
+
+    def abort(self, messages):  # pragma: no cover - failure path
+        # leave part files unpublished: no manifest means readers that
+        # honor the protocol see an uncommitted (empty) dataset
+        pass
+
+
+class JsonlLinesDataSource(DataSource):
+    """``df.write.format("jsonl_lines").option("path", ...).save()`` —
+    the WRITER third of the Python DataSource API (reader and stream
+    reader live on :class:`OuraFixtureDataSource`). JSON-lines is the
+    reference's raw-zone landing format (raw_zone.py), here as a
+    pluggable sink with a manifest-based two-phase commit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return WRITE_FORMAT_NAME
+
+    def writer(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "jsonl_lines supports append only; use a fresh path"
+            )
+        return JsonlLinesWriter(self.options, schema)
+
+
+def register_writer(spark) -> None:
+    """Idempotent registration of the JSONL writer format."""
+    spark.dataSource.register(JsonlLinesDataSource)

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Scale-proof drill: heavy queries at sf0.1 vs sf1 (10x rows).
+
+The 100 TB claims rest on plan shapes; this measures them at 10x the
+bench scale (VERDICT r7 item 7). For every heavy entry the drill runs
+the query at both scale factors (same warm-up + best-of-3 protocol as
+bench.py) and reports the wall-clock ratio. A shape that scales
+~linearly in rows shows ratio <= ~10 plus a fixed floor; anything
+super-linear is a plan bug to fix or explain.
+
+Writes BENCH_SF1_r{N}.json at the repo root (N from $ROUND, default 8).
+Run scripts/make_sf1.py first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from personal_health_etl_pipeline_spark import get_spark  # noqa: E402
+from personal_health_etl_pipeline_spark.plans.catalog import CATALOG  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(ROOT, ".scratch", "sf1")
+
+# the data-scaling heavy subset: dedup families, ANN, graph, corpus
+# curation, substring, retrieval — the operators whose 100 TB behavior
+# the round verdicts grade (fixture-fixed entries like mm_*/j22-26 are
+# out: nothing scales there by construction)
+HEAVY = (
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_setsim_prefix",
+    "dedup_substring_spans",
+    "dedup_substring_cut",
+    "dedup_semantic",
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_pq_external_topk",
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_kcore",
+    "graph_bfs_hops",
+    "corpus_split_groupsafe",
+    "corpus_curate_pipeline",
+    "corpus_token_budget",
+    "text_bigram_logprob",
+    "text_bpe_apply_corpus",
+    "text_bm25_topk",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "sql3_recursive_cte",
+    "ts5_ewma_halflife",
+    "w8_windowed_distinct",
+)
+
+
+def bench_at(spark, sf_dir: str) -> dict[str, float]:
+    for name in HEAVY:  # warm pass: plan + codegen + artifacts
+        CATALOG[name][0](spark, sf_dir).collect()
+    trials: dict[str, list[float]] = {n: [] for n in HEAVY}
+    for _ in range(3):
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+        for name in HEAVY:
+            t0 = time.perf_counter()
+            CATALOG[name][0](spark, sf_dir).collect()
+            trials[name].append(time.perf_counter() - t0)
+    return {n: round(sorted(ts)[1], 3) for n, ts in trials.items()}
+
+
+def main() -> None:
+    rnd = os.environ.get("ROUND", "08")
+    spark = get_spark(app_name="scale-drill-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import pandas as _pd  # noqa: F401
+
+    spark.range(64).mapInPandas(lambda it: it, "id long").selectExpr(
+        "sum(id)"
+    ).collect()
+
+    t01 = bench_at(spark, SF01)
+    t1 = bench_at(spark, SF1)
+    report = {
+        n: {
+            "sf0.1": t01[n],
+            "sf1": t1[n],
+            "ratio": round(t1[n] / t01[n], 2) if t01[n] else None,
+        }
+        for n in HEAVY
+    }
+    payload = {
+        "metric": "scale_drill_sf1_vs_sf0.1",
+        "rows_ratio": 10,
+        "protocol": "median-of-3 after warm pass, gc per pass",
+        "queries": report,
+        "superlinear": sorted(
+            n for n, r in report.items() if r["ratio"] and r["ratio"] > 12
+        ),
+    }
+    out = os.path.join(ROOT, f"BENCH_SF1_r{rnd}.json")
+    with open(out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps({k: v for k, v in payload.items() if k != "queries"}))
+    for n, r in report.items():
+        print(f"{n}: {r['sf0.1']}s -> {r['sf1']}s  x{r['ratio']}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

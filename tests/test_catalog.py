@@ -65,7 +65,9 @@ def test_every_name_is_classified():
     unclassified = [
         n for n in CATALOG if not any(p.match(n) for p in pats)
         and not n.startswith("so1")  # set-ops singleton rides with analytics
-        and not n.startswith("udtf_")  # UDTF singleton rides with the
-        # §2.9 UDF surface (mm_/a19) pending a second udtf_ entry
+        and not n.startswith("udtf_")  # the two UDTF entries (fixed
+        # returnType + polymorphic analyze()) ride with the §2.9 UDF
+        # surface; promote to a FAMILIES row when a head rotation can
+        # carry a udtf_ rep (r9 — both are in the planned r9 head)
     ]
     assert unclassified == [], unclassified
