@@ -109,6 +109,15 @@ HEADLINE = (
     "w10_ranking_function_sweep",
     "ann_recall_report",
     "sql3_recursive_cte",
+    # round-8 additions: the data-scaling new entries (the DataSource
+    # writer audit stays out — its cost is side-effect IO)
+    "a30_ks_statistic",
+    "a31_mannwhitney_u",
+    "j31_cogroup_pandas_asof",
+    "text_bpe_train_batched",
+    "udtf_ngram_grid",
+    "f24_xml_parse",
+    "sql5_session_variables",
 )
 
 

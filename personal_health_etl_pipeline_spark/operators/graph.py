@@ -275,9 +275,10 @@ def bfs_hops(
     level sets (min walk length IS the BFS distance). That drops one
     anti-join shuffle per level — for a shallow blast-radius sweep
     (2-4 hops) the anti-joins are pure overhead because nothing has
-    saturated yet (A/B at sf0.1, 3 hops: 1.50s pruned vs ~1.0s walk).
-    NOT for deep traversals: without pruning the level sets stay
-    node-count-sized forever instead of emptying.
+    saturated yet (interleaved same-session A/B at sf0.1, 3 hops,
+    median of 4: pruned 2.4s vs walk 1.6s). NOT for deep traversals:
+    without pruning the level sets stay node-count-sized forever
+    instead of emptying.
     """
     # every round's expansion scans the edge list — materialize the
     # (possibly expensive) upstream edge derivation once, or round k

@@ -2217,3 +2217,119 @@ SELECT event_id,
        CAST(NULL AS BIGINT) AS short_missing
 FROM events ORDER BY event_id
 """
+
+
+# --- F24: XML scalar codec (to_xml / from_xml round trip) --------------
+
+def f24_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as a SCALAR codec — ``to_xml(struct)`` -> ``from_xml``
+    against a DDL schema — completing the embedded-envelope codec trio
+    (JSON: f8/f22, CSV: f23, XML: here); the shape feeds from SOAP-ish
+    enterprise feeds and config payloads that arrive as XML fields
+    inside another container.
+
+    Certified semantics: a typed (id, etype, cents) round trip through
+    XML text and back (every parsed field must rejoin its source value
+    under the hash); a MISSING element parsed against a wider schema
+    yields NULL, no error; and ``xpath_long`` extracts from a nested
+    doc — three independent code paths through the XML stack. DuckDB
+    has no XML type, so — exactly like f22's VARIANT oracle — the
+    oracle recomputes the expected values COLUMN-SIDE and the xml text
+    itself via string assembly (to_xml's element layout for flat
+    structs is deterministic: one element per non-null field, row tag
+    from the option).
+
+    Scale shape: pure narrow projection, no shuffle, no UDF — the
+    encode/decode runs inside the JVM row-by-row like any expression.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+    doc = F.to_xml(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("etype"),
+            cents.alias("cents"),
+        ),
+        {"rowTag": "ev"},
+    )
+    parsed = F.from_xml(
+        doc, "id BIGINT, etype STRING, cents BIGINT, missing BIGINT"
+    )
+    nested = F.concat(
+        F.lit("<r><a><b>"),
+        F.col("event_id"),
+        F.lit("</b></a><a><b>7</b></a></r>"),
+    )
+    return ev.select(
+        "event_id",
+        doc.alias("xml_doc"),
+        parsed["id"].alias("id_rt"),
+        parsed["etype"].alias("etype_rt"),
+        parsed["cents"].alias("cents_rt"),
+        parsed["missing"].alias("missing_rt"),
+        F.xpath_long(nested, F.lit("sum(/r/a/b)")).alias("xpath_sum"),
+    ).orderBy("event_id")
+
+
+F24_ORACLE = """
+SELECT event_id,
+       '<ev>' || chr(10) || '    <id>' || CAST(event_id AS VARCHAR)
+           || '</id>' || chr(10) || '    <etype>' || event_type
+           || '</etype>' || chr(10) || '    <cents>'
+           || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+           || '</cents>' || chr(10) || '</ev>' AS xml_doc,
+       event_id AS id_rt,
+       event_type AS etype_rt,
+       CAST(round(value * 100) AS BIGINT) AS cents_rt,
+       CAST(NULL AS BIGINT) AS missing_rt,
+       event_id + 7 AS xpath_sum
+FROM events ORDER BY event_id
+"""
+
+
+# --- sql5: session variables through the SQL front-end -----------------
+
+SQL5_MIN_CENTS = 150_000
+
+
+def sql5_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session VARIABLES (Spark 4: ``DECLARE`` / ``SET VAR`` /
+    ``IDENTIFIER``-free reference in queries) — the parameterization
+    mechanism scripts use instead of string-pasting literals into SQL
+    text. The variable value flows through TWO paths: a predicate
+    (orders above the threshold) and a projected column (the threshold
+    echoed back), so the hash certifies both read sites. The oracle is
+    the same query with the literal inlined — by definition the
+    semantics VARIABLES must preserve.
+
+    Scale shape: the variable is folded to a literal at plan time
+    (Catalyst constant-folds variable references), so the filter still
+    reaches the parquet scan as a pushed predicate — parameterization
+    costs nothing at 100 TB."""
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    v = f"sql5_orders_{tag}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(v)
+    spark.sql("DECLARE OR REPLACE VARIABLE min_cents BIGINT")
+    spark.sql(f"SET VAR min_cents = {SQL5_MIN_CENTS}")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               min_cents AS threshold_cents
+        FROM {v}
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= min_cents
+        ORDER BY o_orderkey
+        """
+    )
+
+
+SQL5_ORACLE = f"""
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST({SQL5_MIN_CENTS} AS BIGINT) AS threshold_cents
+FROM orders
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= {SQL5_MIN_CENTS}
+ORDER BY o_orderkey
+"""

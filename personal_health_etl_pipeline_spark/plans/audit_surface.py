@@ -1455,3 +1455,99 @@ SELECT event_type,
        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts_iso
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- transformWithState: the Spark 4 stateful-processor API -------------
+
+def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN THE CATALOG in this environment: the
+    transformWithState Python worker protocol needs ``google.protobuf``
+    (pyspark.sql.streaming.proto), which this container does not ship
+    and cannot install — the entry is kept as the certified-shape
+    audit for deployments that have it, with an import-gated test
+    (tests/test_streaming.py::test_transform_with_state_env_gated).
+
+    Drive the ``transformWithStateInPandas`` operator
+    (``streaming/stateful2.py`` — named/typed state primitives, the
+    successor API to ``applyInPandasWithState``) through a REAL
+    three-micro-batch stream over the RocksDB state store (the
+    provider the API requires, and what a 100 TB deployment runs
+    anyway: incremental checkpoints, state beyond memory), and certify
+    each user's LAST emission — the final running state — against the
+    one-shot batch aggregate. Unlike the older operator's audit, the
+    value sum enters the hash too: the processor accumulates exact
+    integer CENTS, so batch boundaries cannot perturb a bit."""
+    from personal_health_etl_pipeline_spark.streaming.stateful2 import (
+        ROCKSDB_PROVIDER,
+        running_user_stats_tws,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    scratch = _scratch("tws_audit")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src)
+    base_mtime = 1_700_000_000
+    for i in range(3):
+        bdir = os.path.join(scratch, f"w{i}")
+        events.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            bdir
+        )
+        [part] = glob.glob(os.path.join(bdir, "part-*.parquet"))
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base_mtime + i, base_mtime + i))
+    out_dir = os.path.join(scratch, "emissions")
+
+    def capture(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .drop("event_id")
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    try:
+        q = (
+            running_user_stats_tws(stream, high_threshold_cents=5000)
+            .writeStream.foreachBatch(capture)
+            .option("checkpointLocation", os.path.join(scratch, "ck"))
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    emitted = spark.read.parquet(out_dir)
+    last = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "n_high", "sum_cents")
+        .orderBy("user_id")
+    )
+
+
+ST_TWS_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(count_if(CAST(round(value * 100) AS BIGINT) > 5000) AS BIGINT)
+           AS n_high,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY user_id ORDER BY user_id
+"""

@@ -790,6 +790,12 @@ register(
     au.src_datasource_write_audit,
     au.SRC_DS_WRITE_ORACLE,
 )
+# NEW r8: XML scalar codec (to_xml/from_xml/xpath — the third embedded
+# envelope after JSON and CSV; column-side truth oracle like f22)
+register("f24_xml_parse", an.f24_xml_parse, an.F24_ORACLE)
+# NEW r8: SQL session variables (DECLARE/SET VAR) — parameterization
+# through the front-end; constant-folded so pushdown survives
+register("sql5_session_variables", an.sql5_session_variables, an.SQL5_ORACLE)
 
 
 # --- r8 head-window rotation -----------------------------------------
@@ -863,8 +869,9 @@ _HEAD = [
 ]
 # r9 head plan (rotate at round-9 start): (a) the entries new in r8 —
 # a30_ks_statistic, a31_mannwhitney_u, j31_cogroup_pandas_asof,
-# udtf_ngram_grid, src_datasource_write_audit (text_bpe_train_batched
-# is already in the r8 head); (b) impl-changed; (c)+(d) backfill
+# udtf_ngram_grid, src_datasource_write_audit, f24_xml_parse,
+# sql5_session_variables (text_bpe_train_batched is already in the r8
+# head); (b) impl-changed; (c)+(d) backfill
 # continues the stale list:
 # a8_exact_percentiles, a10_corr_stats (r2), the q sweep q11/q13-q17/
 # q19-q21 (r1), then the r3 band (a3, a9, ann_brute/lsh/ivf,

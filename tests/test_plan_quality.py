@@ -1145,3 +1145,157 @@ class TestR7LateBatchPlanShapes:
         assert "CollectMetrics" in plan, plan
         ex = _executed_plan(observed.select("event_id"))
         assert "Exchange hashpartitioning" not in ex, ex
+
+
+class TestRound8EntryPlanShapes:
+    def test_ks_and_mwu_single_scan_no_join(self, spark, sf_dir):
+        """a30/a31: ONE fact scan into the conditional hash-aggregate,
+        a per-cohort window over the bounded distinct-cents frame, no
+        joins anywhere."""
+        from personal_health_etl_pipeline_spark.plans.stats_surface import (
+            a30_ks_statistic,
+            a31_mannwhitney_u,
+        )
+
+        for fn in (a30_ks_statistic, a31_mannwhitney_u):
+            df = fn(spark, sf_dir)
+            df.collect()
+            ex = _executed_plan(df).split("== Initial Plan ==")[0]
+            assert ex.count("Scan parquet") == 1, ex
+            assert "Join" not in ex, ex
+            assert "CartesianProduct" not in ex, ex
+
+    def test_cogroup_asof_is_one_copartitioned_shuffle_pair(
+        self, spark, sf_dir
+    ):
+        """j31: the plan is FlatMapCoGroupsInPandas fed by exactly one
+        hash exchange per side (user_id), no joins, no extra aggs —
+        the same shuffle count as the window-based as-of."""
+        from personal_health_etl_pipeline_spark.plans.temporal_surface import (
+            j31_cogroup_pandas_asof,
+        )
+
+        df = j31_cogroup_pandas_asof(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "FlatMapCoGroupsInPandas" in ex, ex
+        assert ex.count("Exchange hashpartitioning") == 2, ex
+        for join in ("SortMergeJoin", "BroadcastHashJoin",
+                     "ShuffledHashJoin", "CartesianProduct"):
+            assert join not in ex, ex
+
+    def test_polymorphic_udtf_is_mapside(self, spark, sf_dir):
+        """udtf_ngram_grid: the UDTF evaluates map-side (a Python UDTF
+        generator node, no shuffle feeding it); the only exchange is
+        the display sort's range partition."""
+        from personal_health_etl_pipeline_spark.plans.reference_surface import (
+            udtf_ngram_grid,
+        )
+
+        df = udtf_ngram_grid(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "PythonUDTF" in ex or "Generate" in ex, ex
+        assert "Exchange hashpartitioning" not in ex, ex
+        assert "Join" not in ex, ex
+
+
+class TestDataSourceWriter:
+    def test_manifest_two_phase_commit_and_orphan_invisibility(
+        self, spark, sf_dir
+    ):
+        """The writer publishes ONLY via the manifest: a stray part
+        file dropped next to the committed ones (a failed/speculative
+        task's orphan) must not be read by a manifest-honoring
+        consumer, and manifest total_rows equals the written count."""
+        import json
+        import os
+        import tempfile
+
+        from personal_health_etl_pipeline_spark.sources.datasource import (
+            register_writer,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import (
+            load_table,
+        )
+
+        register_writer(spark)
+        out = os.path.join(tempfile.mkdtemp(prefix="dsw_"), "t")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type"
+        ).limit(500)
+        n = ev.count()
+        ev.repartition(3, "event_id").write.format("jsonl_lines").option(
+            "path", out
+        ).mode("append").save()
+
+        with open(os.path.join(out, "_MANIFEST.json")) as fh:
+            manifest = json.load(fh)
+        assert manifest["total_rows"] == n
+        assert sum(f["rows"] for f in manifest["files"]) == n
+        listed = {f["name"] for f in manifest["files"]}
+        on_disk = {
+            f for f in os.listdir(out) if f.startswith("part-")
+        }
+        assert listed == on_disk  # clean commit: no orphans yet
+
+        # drop an orphan; the manifest-honoring read must not see it
+        with open(os.path.join(out, "part-orphan.jsonl"), "w") as fh:
+            fh.write('{"event_id": -1, "event_type": "GHOST"}\n')
+        files = [os.path.join(out, f["name"]) for f in manifest["files"]]
+        back = spark.read.schema("event_id long, event_type string").json(
+            files
+        )
+        assert back.count() == n
+        assert back.where("event_type = 'GHOST'").count() == 0
+
+    def test_overwrite_mode_is_refused(self, spark, sf_dir):
+        import os
+        import tempfile
+
+        import pytest
+
+        from personal_health_etl_pipeline_spark.sources.datasource import (
+            register_writer,
+        )
+
+        register_writer(spark)
+        out = os.path.join(tempfile.mkdtemp(prefix="dsw_"), "t")
+        df = spark.range(5).selectExpr("id AS event_id")
+        with pytest.raises(Exception, match="append only|Overwrite"):
+            df.write.format("jsonl_lines").option("path", out).mode(
+                "overwrite"
+            ).save()
+
+
+class TestBpeBatchedRounds:
+    def test_catalog_entry_trains_in_two_rounds(self, spark, sf_dir):
+        """The batched entry's point is the round count: 8 merges at
+        batch_k=4 must take exactly 2 count rounds on the real corpus
+        (pair space is rich enough that no round comes up short)."""
+        from pyspark.sql import functions as F
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            BPE_BATCH_K,
+            BPE_BATCH_MERGES,
+            _doc_tokens,
+            bpe_train_merges,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import (
+            load_table,
+        )
+
+        words = (
+            _doc_tokens(load_table(spark, sf_dir, "documents"))
+            .groupBy(F.col("term").alias("word"))
+            .agg(F.count(F.lit(1)).alias("wc"))
+        )
+        merges, rounds = bpe_train_merges(
+            words, BPE_BATCH_MERGES, batch_k=BPE_BATCH_K
+        )
+        assert len(merges) == BPE_BATCH_MERGES
+        assert rounds == BPE_BATCH_MERGES // BPE_BATCH_K
+        # symbol-disjointness within each accepted batch
+        for r in range(rounds):
+            batch = merges[r * BPE_BATCH_K : (r + 1) * BPE_BATCH_K]
+            syms = [s for p in batch for s in p]
+            assert len(syms) == len(set(syms)), batch

@@ -492,3 +492,46 @@ class TestStreamingIndexProbe:
             ).collect()
         }
         assert streamed == one_shot and streamed
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python worker protocol needs "
+    "google.protobuf, which this container does not ship",
+)
+def test_transform_with_state_env_gated(spark, sf_dir):
+    """Where protobuf exists, the transformWithStateInPandas twin must
+    reproduce the batch aggregate exactly (the audit-entry contract —
+    see plans/audit_surface.py:st_transform_with_state)."""
+    from personal_health_etl_pipeline_spark.plans.audit_surface import (
+        st_transform_with_state,
+    )
+
+    got = {r.user_id: r for r in st_transform_with_state(spark, sf_dir).collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    from personal_health_etl_pipeline_spark.plans.audit_surface import (
+        ST_TWS_ORACLE,
+    )
+
+    for user_id, n_events, n_high, sum_cents in con.execute(
+        ST_TWS_ORACLE
+    ).fetchall():
+        r = got[user_id]
+        assert (r.n_events, r.n_high, r.sum_cents) == (
+            n_events, n_high, sum_cents,
+        )
