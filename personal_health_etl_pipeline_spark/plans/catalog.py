@@ -796,6 +796,14 @@ register("f24_xml_parse", an.f24_xml_parse, an.F24_ORACLE)
 # NEW r8: SQL session variables (DECLARE/SET VAR) — parameterization
 # through the front-end; constant-folded so pushdown survives
 register("sql5_session_variables", an.sql5_session_variables, an.SQL5_ORACLE)
+# NEW r8: CCNet-style perplexity FILTER composed over the same
+# session-memoized bigram-LM artifact the scorer uses; integer
+# cross-multiplied keep rule (no division), per-lang survivor profile
+register(
+    "corpus_perplexity_filter",
+    llm2.corpus_perplexity_filter,
+    llm2.CORPUS_PPX_FILTER_ORACLE,
+)
 
 
 # --- r8 head-window rotation -----------------------------------------
@@ -870,7 +878,8 @@ _HEAD = [
 # r9 head plan (rotate at round-9 start): (a) the entries new in r8 —
 # a30_ks_statistic, a31_mannwhitney_u, j31_cogroup_pandas_asof,
 # udtf_ngram_grid, src_datasource_write_audit, f24_xml_parse,
-# sql5_session_variables (text_bpe_train_batched is already in the r8
+# sql5_session_variables, corpus_perplexity_filter
+# (text_bpe_train_batched is already in the r8
 # head); (b) impl-changed; (c)+(d) backfill
 # continues the stale list:
 # a8_exact_percentiles, a10_corr_stats (r2), the q sweep q11/q13-q17/

@@ -1283,3 +1283,106 @@ FROM h ORDER BY shuffle_pos
 
 
 CORPUS_SHUFFLE_ORACLE = _shuffle_oracle()
+
+
+# --- CCNet-style perplexity filter (composition over the LM artifact) --
+
+PPX_THRESHOLD_MICRO = -3_400_000  # keep docs with avg lp >= -3.4 nats
+
+
+def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based corpus filtering — the CCNet recipe: score every doc
+    under the corpus bigram LM, keep the fluent ones, report the
+    per-language survivor profile (docs in, docs kept, keep-rate
+    milli, kept bigram mass). The composition a curation pipeline
+    actually runs — :func:`text_bigram_logprob` is the SCORER, this is
+    the FILTER built on it, sharing the same session-memoized LM
+    artifact (scoring here costs one explode + one model join even
+    though two entries use the model).
+
+    Exactness: the keep rule avoids the division —
+    ``sum_lp_micro >= {PPX_THRESHOLD_MICRO} * n_bigrams`` is the
+    integer cross-multiplied form of ``avg >= threshold`` (both sides
+    BIGINT; lp is negative so the comparison direction is preserved by
+    multiplying by the positive n_bigrams). Population = scored docs
+    (>= 2 tokens), pinned identically in both engines.
+
+    Scale shape: bigram explode -> model join (the artifact) -> per-doc
+    agg -> broadcast-joinable doc->lang map -> per-lang agg. The filter
+    adds ONE tiny aggregation over the per-doc frame; everything heavy
+    is shared with the scorer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    model = _BIGRAM_MODEL_MEMO.get(key)
+    if model is None:
+        model = bigram_lp_model(docs).localCheckpoint(eager=True)
+        _BIGRAM_MODEL_MEMO[key] = model
+    bg = _bigram_stream(docs)
+    per_doc = (
+        bg.join(model, ["a", "ab"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").alias("sum_lp_micro"),
+        )
+    )
+    keep = F.col("sum_lp_micro") >= F.lit(PPX_THRESHOLD_MICRO) * F.col(
+        "n_bigrams"
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.expr(
+                f"1000 * sum(CASE WHEN sum_lp_micro >="
+                f" {PPX_THRESHOLD_MICRO} * n_bigrams THEN 1 ELSE 0 END)"
+                f" div count(*)"
+            ).alias("kept_milli"),
+            F.sum(F.when(keep, F.col("n_bigrams")).otherwise(0)).alias(
+                "kept_bigrams"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_PPX_FILTER_ORACLE = rf"""
+WITH {_TOKS_CTE},
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> struct_pack(a := t[i], ab := t[i] || '|' || t[i + 1]))) AS s
+  FROM toks WHERE len(t) >= 2
+),
+flat AS (SELECT doc_id, s.a AS a, s.ab AS ab FROM bg),
+cab AS (SELECT a, ab, COUNT(*) AS c_ab FROM flat GROUP BY a, ab),
+ca AS (SELECT a, COUNT(*) AS c_a FROM flat GROUP BY a),
+v AS (SELECT COUNT(DISTINCT a) AS v FROM flat),
+scored AS (
+  SELECT doc_id,
+         CAST(round(ln(CAST(c_ab + 1 AS DOUBLE) / CAST(c_a + v AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS lp
+  FROM flat JOIN cab USING (a, ab) JOIN ca USING (a) CROSS JOIN v
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(lp) AS BIGINT) AS sum_lp_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN p.sum_lp_micro >=
+                {PPX_THRESHOLD_MICRO} * p.n_bigrams
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(1000 * SUM(CASE WHEN p.sum_lp_micro >=
+                  {PPX_THRESHOLD_MICRO} * p.n_bigrams
+                  THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS kept_milli,
+       CAST(SUM(CASE WHEN p.sum_lp_micro >=
+                {PPX_THRESHOLD_MICRO} * p.n_bigrams
+                THEN p.n_bigrams ELSE 0 END) AS BIGINT) AS kept_bigrams
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""

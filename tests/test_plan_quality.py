@@ -1184,6 +1184,22 @@ class TestRound8EntryPlanShapes:
                      "ShuffledHashJoin", "CartesianProduct"):
             assert join not in ex, ex
 
+    def test_perplexity_filter_rides_the_model_artifact(self, spark, sf_dir):
+        """corpus_perplexity_filter: the LM model join must come from
+        the checkpointed session artifact (an RDD scan, not a third
+        parquet scan); parquet scans are the bigram stream + the
+        pruned doc->lang map only."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface2 import (
+            corpus_perplexity_filter,
+        )
+
+        df = corpus_perplexity_filter(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert ex.count("Scan parquet") <= 2, ex
+        assert "Scan ExistingRDD" in ex, ex  # the checkpointed model
+        assert "CartesianProduct" not in ex, ex
+
     def test_polymorphic_udtf_is_mapside(self, spark, sf_dir):
         """udtf_ngram_grid: the UDTF evaluates map-side (a Python UDTF
         generator node, no shuffle feeding it); the only exchange is
