@@ -2340,3 +2340,88 @@ FROM orders
 WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= {SQL5_MIN_CENTS}
 ORDER BY o_orderkey
 """
+
+
+# --- f25: the scalar Python-UDF declaration modes -----------------------
+
+def f25_scalar_udf_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three SCALAR Python-UDF declaration modes under one hash —
+    completing the Arrow-boundary matrix next to mapInPandas (batch),
+    applyInPandas (group), cogroup (group pair) and the UDTFs (row ->
+    table): a Series->Series ``pandas_udf``, the ITERATOR-of-Series
+    variant (same semantics, amortizes per-batch setup — the mode for
+    UDFs that load a model once per task), and Spark 4's Arrow-native
+    ``arrow_udf`` (pyarrow.Array in/out — no pandas materialization at
+    all). Each computes a DIFFERENT exact function so a mix-up cannot
+    cancel out; every value is integer or ASCII so the hash is
+    bit-stable.
+
+    Scale shape: all three are vectorized one-pass projections —
+    Arrow batches stream through the Python worker with no shuffle;
+    the fused plan is scan -> ArrowEvalPython -> project. (Row-at-a-
+    time ``udf()`` stays BANNED engine-wide; this entry certifies the
+    vectorized modes and is the documented pattern.)
+    """
+    from typing import Iterator as _It
+
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf, pandas_udf
+
+    # NB: this module has `from __future__ import annotations`, which
+    # stringifies inline hints and defeats pyspark's type-hint
+    # inspection — so the UDF mode hints are attached as REAL objects
+    # post-definition (the supported equivalent of un-stringified
+    # annotations).
+    def _poly_cents(c):
+        return (c * 3 + 7) % 1000
+
+    _poly_cents.__annotations__ = {"c": pd.Series, "return": pd.Series}
+    poly_cents = pandas_udf(_poly_cents, "bigint")
+
+    def _running_setup_cost(it):
+        # iterator mode: per-task setup happens ONCE here (a model
+        # load in production; a constant offset in the certificate)
+        offset = 13
+        for c in it:
+            yield (c % 97) + offset
+
+    _running_setup_cost.__annotations__ = {
+        "it": _It[pd.Series],
+        "return": _It[pd.Series],
+    }
+    running_setup_cost = pandas_udf(_running_setup_cost, "bigint")
+
+    def _ascii_tag(v):
+        import pyarrow.compute as pc
+
+        return pc.utf8_upper(pc.utf8_slice_codeunits(v, 0, 3))
+
+    _ascii_tag.__annotations__ = {"v": pa.Array, "return": pa.Array}
+    ascii_tag = arrow_udf(_ascii_tag, "string")
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+    return (
+        ev.select(
+            "event_id",
+            cents.alias("cents"),
+            F.col("event_type").alias("etype"),
+        )
+        .select(
+            "event_id",
+            poly_cents(F.col("cents")).alias("poly"),
+            running_setup_cost(F.col("cents")).alias("mod_off"),
+            ascii_tag(F.col("etype")).alias("tag"),
+        )
+        .orderBy("event_id")
+    )
+
+
+F25_ORACLE = """
+SELECT event_id,
+       (CAST(round(value * 100) AS BIGINT) * 3 + 7) % 1000 AS poly,
+       (CAST(round(value * 100) AS BIGINT) % 97) + 13 AS mod_off,
+       upper(substr(event_type, 1, 3)) AS tag
+FROM events ORDER BY event_id
+"""

@@ -804,6 +804,10 @@ register(
     llm2.corpus_perplexity_filter,
     llm2.CORPUS_PPX_FILTER_ORACLE,
 )
+# NEW r8: the three SCALAR Python-UDF modes (pandas_udf, iterator
+# pandas_udf, Spark 4 arrow_udf) under one hash — completes the
+# Arrow-boundary matrix; row-at-a-time udf() stays banned
+register("f25_scalar_udf_modes", an.f25_scalar_udf_modes, an.F25_ORACLE)
 
 
 # --- r8 head-window rotation -----------------------------------------
@@ -878,7 +882,7 @@ _HEAD = [
 # r9 head plan (rotate at round-9 start): (a) the entries new in r8 —
 # a30_ks_statistic, a31_mannwhitney_u, j31_cogroup_pandas_asof,
 # udtf_ngram_grid, src_datasource_write_audit, f24_xml_parse,
-# sql5_session_variables, corpus_perplexity_filter
+# sql5_session_variables, corpus_perplexity_filter, f25_scalar_udf_modes
 # (text_bpe_train_batched is already in the r8
 # head); (b) impl-changed; (c)+(d) backfill
 # continues the stale list:

@@ -1200,6 +1200,22 @@ class TestRound8EntryPlanShapes:
         assert "Scan ExistingRDD" in ex, ex  # the checkpointed model
         assert "CartesianProduct" not in ex, ex
 
+    def test_scalar_udf_modes_fuse_mapside(self, spark, sf_dir):
+        """f25: all three scalar UDF modes evaluate as vectorized
+        Arrow projections behind the scan — no shuffle other than the
+        display sort, and NO row-at-a-time BatchEvalPython."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            f25_scalar_udf_modes,
+        )
+
+        df = f25_scalar_udf_modes(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "ArrowEvalPython" in ex, ex
+        assert "BatchEvalPython" not in ex, ex  # the banned per-row path
+        assert "Exchange hashpartitioning" not in ex, ex
+        assert "Join" not in ex, ex
+
     def test_polymorphic_udtf_is_mapside(self, spark, sf_dir):
         """udtf_ngram_grid: the UDTF evaluates map-side (a Python UDTF
         generator node, no shuffle feeding it); the only exchange is
