@@ -118,6 +118,8 @@ HEADLINE = (
     "udtf_ngram_grid",
     "f24_xml_parse",
     "sql5_session_variables",
+    "corpus_perplexity_filter",
+    "f25_scalar_udf_modes",
 )
 
 

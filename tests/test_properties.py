@@ -338,3 +338,80 @@ class TestEwmaProperty:
             n = t + 1 - lo
             wsum = 2.0 - 1.0 / (2.0 ** (n - 1))
             assert got[t] == num / wsum  # exact equality, no tolerance
+
+
+class TestRankStatsProperties:
+    """a30/a31 vs pure-Python references on adversarial tie-heavy
+    samples — the catalog oracle certifies one corpus; these certify
+    the FORMULAS (midrank ties, scaled KS sup) on arbitrary data."""
+
+    @PROP
+    @given(
+        a=st.lists(st.integers(0, 6), min_size=2, max_size=25),
+        b=st.lists(st.integers(0, 6), min_size=2, max_size=25),
+    )
+    def test_mwu_matches_python_midranks(self, spark, a, b):
+        from personal_health_etl_pipeline_spark.plans.stats_surface import (
+            a31_mannwhitney_u,
+        )
+        import tempfile
+
+        rows = [(i, dt.datetime(2024, 1, 1), 0, "purchase", v / 100.0, "{}")
+                for i, v in enumerate(a)]
+        rows += [(1000 + i, dt.datetime(2024, 1, 1), 0, "view", v / 100.0,
+                  "{}") for i, v in enumerate(b)]
+        root = tempfile.mkdtemp(prefix="mwu_prop_")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(f"{root}/events.parquet")
+        [r] = [
+            r for r in a31_mannwhitney_u(spark, root).collect()
+            if r.cohort == 0
+        ]
+        # pure-Python midrank U, doubled
+        pooled = sorted(a + b)
+        def rank2(v):  # 2 * average rank of value v in the pooled sample
+            lo = sum(1 for x in pooled if x < v)
+            eq = sum(1 for x in pooled if x == v)
+            return 2 * lo + eq + 1
+        r2a = sum(rank2(v) for v in a)
+        u2a = r2a - len(a) * (len(a) + 1)
+        assert r.r2_a == r2a
+        assert r.u2_a == u2a
+        assert r.u2_a + r.u2_b == 2 * len(a) * len(b)
+        assert r.identity_ok
+
+    @PROP
+    @given(
+        a=st.lists(st.integers(0, 6), min_size=1, max_size=25),
+        b=st.lists(st.integers(0, 6), min_size=1, max_size=25),
+    )
+    def test_ks_matches_python_sup(self, spark, a, b):
+        from personal_health_etl_pipeline_spark.plans.stats_surface import (
+            a30_ks_statistic,
+        )
+        import tempfile
+
+        rows = [(i, dt.datetime(2024, 1, 1), 0, "purchase", v / 100.0, "{}")
+                for i, v in enumerate(a)]
+        rows += [(1000 + i, dt.datetime(2024, 1, 1), 0, "view", v / 100.0,
+                  "{}") for i, v in enumerate(b)]
+        root = tempfile.mkdtemp(prefix="ks_prop_")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(f"{root}/events.parquet")
+        [r] = [
+            r for r in a30_ks_statistic(spark, root).collect()
+            if r.cohort == 0
+        ]
+        na, nb = len(a), len(b)
+        want = max(
+            abs(sum(1 for x in a if x <= v) * nb
+                - sum(1 for x in b if x <= v) * na)
+            for v in set(a + b)
+        )
+        assert (r.n_a, r.n_b, r.d_scaled) == (na, nb, want)
