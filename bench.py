@@ -120,6 +120,8 @@ HEADLINE = (
     "sql5_session_variables",
     "corpus_perplexity_filter",
     "f25_scalar_udf_modes",
+    "a32_cohort_retention",
+    "w12_funnel_steps",
 )
 
 

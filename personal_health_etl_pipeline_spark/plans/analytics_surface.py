@@ -2425,3 +2425,211 @@ SELECT event_id,
        upper(substr(event_type, 1, 3)) AS tag
 FROM events ORDER BY event_id
 """
+
+
+# --- a32: cohort retention matrix ---------------------------------------
+
+def a32_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention matrix — THE product-analytics query: users
+    cohorted by first-activity ISO week, then for every (cohort week,
+    weeks-since-start) cell the count of cohort members active that
+    week and the retention rate in exact milli-units. Long form (one
+    row per cell), the shape dashboards pivot client-side.
+
+    Scale shape: one scan -> per-(user, week) dedup aggregate (map-side
+    combinable), a windowed MIN per user for the cohort week (rides the
+    same user-keyed shuffle), then the cell aggregate over the bounded
+    (user x active-week) frame and a broadcast join of the tiny
+    cohort-size frame for the denominator. No self-join of the fact
+    table, no explode.
+
+    Exactness: weeks are integer epoch-week indexes (days-since-epoch
+    div 7 — engine-identical integer arithmetic, no ISO week-of-year
+    edge cases), rates are integer milli via div.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-05') div 7 AS BIGINT)")
+    uw = (
+        ev.select(F.col("user_id"), week.alias("week"))
+        .groupBy("user_id", "week")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    w_user = Window.partitionBy("user_id")
+    cells = uw.select(
+        "user_id",
+        "week",
+        F.min("week").over(w_user).alias("cohort_week"),
+    ).select(
+        "user_id",
+        "cohort_week",
+        (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+    )
+    sizes = cells.where(F.col("week_offset") == 0).groupBy(
+        "cohort_week"
+    ).agg(F.count(F.lit(1)).alias("cohort_size"))
+    ret = cells.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("1000 * n_active div cohort_size").alias(
+                "retention_milli"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+A32_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST((CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS BIGINT) AS week
+  FROM events
+),
+cells AS (
+  SELECT user_id,
+         MIN(week) OVER (PARTITION BY user_id) AS cohort_week,
+         week - MIN(week) OVER (PARTITION BY user_id) AS week_offset
+  FROM uw
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size
+  FROM cells WHERE week_offset = 0 GROUP BY cohort_week
+),
+ret AS (
+  SELECT cohort_week, week_offset, COUNT(*) AS n_active
+  FROM cells GROUP BY cohort_week, week_offset
+)
+SELECT r.cohort_week, r.week_offset,
+       CAST(r.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(1000 * r.n_active // s.cohort_size AS BIGINT)
+           AS retention_milli
+FROM ret r JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
+
+# --- w12: ordered funnel progression ------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_HOURS = 72
+
+
+def w12_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase) per user:
+    step k counts only if it happens AFTER the user's step k-1 and
+    within {FUNNEL_WINDOW_HOURS} h of the funnel start — the
+    strictly-ordered-sequence semantics (a later view cannot resurrect
+    an earlier click), computed as chained conditional MIN aggregates
+    over ONE scan:
+
+        t1 = min ts of step-1 events
+        tk = min ts of step-k events with ts > t(k-1)   (k = 2, 3)
+
+    which is exactly the funnel definition and needs neither
+    self-joins nor per-user sorting in Python. Emits per user the
+    stage reached and the exact per-step epoch-µs timestamps; the
+    companion summary columns (stage counts) live in the oracle-shared
+    final projection.
+
+    Scale shape: ONE scan and ONE user-keyed shuffle — the chained
+    conditional mins are three STACKED window columns over the same
+    unordered user partition (t2's predicate reads the materialized t1
+    column, t3's reads t2), then a per-user aggregate that reuses the
+    window's partitioning (no second exchange). No fact self-join, no
+    explode, no state — the cheapest possible funnel plan at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    s1, s2, s3 = FUNNEL_STEPS
+    w = Window.partitionBy("user_id")
+    horizon_us = FUNNEL_WINDOW_HOURS * 3600 * 1_000_000
+    d1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == s1, F.col("us"))).over(w),
+    )
+    d2 = d1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == s2)
+                & (F.col("us") > F.col("t1"))
+                & (F.col("us") <= F.col("t1") + F.lit(horizon_us)),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    d3 = d2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == s3)
+                & (F.col("us") > F.col("t2"))
+                & (F.col("us") <= F.col("t1") + F.lit(horizon_us)),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    g3 = d3.groupBy("user_id").agg(
+        F.min("t1").alias("t1"),
+        F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
+    )
+    return (
+        g3.where(F.col("t1").isNotNull())
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("stage_reached"),
+        )
+        .orderBy("user_id")
+    )
+
+
+W12_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+g1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN us END) AS t1
+  FROM ev GROUP BY user_id
+),
+g2 AS (
+  SELECT e.user_id, MIN(g1.t1) AS t1,
+         MIN(CASE WHEN e.event_type = '{FUNNEL_STEPS[1]}'
+                   AND e.us > g1.t1
+                   AND e.us <= g1.t1 + CAST({FUNNEL_WINDOW_HOURS} AS BIGINT) * 3600 * 1000000
+              THEN e.us END) AS t2
+  FROM ev e JOIN g1 USING (user_id) GROUP BY e.user_id
+),
+g3 AS (
+  SELECT e.user_id, MIN(g2.t1) AS t1, MIN(g2.t2) AS t2,
+         MIN(CASE WHEN e.event_type = '{FUNNEL_STEPS[2]}'
+                   AND e.us > g2.t2
+                   AND e.us <= g2.t1 + CAST({FUNNEL_WINDOW_HOURS} AS BIGINT) * 3600 * 1000000
+              THEN e.us END) AS t3
+  FROM ev e JOIN g2 USING (user_id) GROUP BY e.user_id
+)
+SELECT user_id, t1, t2, t3,
+       CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+           AS stage_reached
+FROM g3 WHERE t1 IS NOT NULL ORDER BY user_id
+"""

@@ -808,6 +808,11 @@ register(
 # pandas_udf, Spark 4 arrow_udf) under one hash — completes the
 # Arrow-boundary matrix; row-at-a-time udf() stays banned
 register("f25_scalar_udf_modes", an.f25_scalar_udf_modes, an.F25_ORACLE)
+# NEW r8: the two canonical product-analytics shapes — cohort
+# retention matrix (integer epoch-weeks, broadcast denominator) and
+# the strictly-ordered conversion funnel via chained conditional MINs
+register("a32_cohort_retention", an.a32_cohort_retention, an.A32_ORACLE)
+register("w12_funnel_steps", an.w12_funnel_steps, an.W12_ORACLE)
 
 
 # --- r8 head-window rotation -----------------------------------------
@@ -882,7 +887,8 @@ _HEAD = [
 # r9 head plan (rotate at round-9 start): (a) the entries new in r8 —
 # a30_ks_statistic, a31_mannwhitney_u, j31_cogroup_pandas_asof,
 # udtf_ngram_grid, src_datasource_write_audit, f24_xml_parse,
-# sql5_session_variables, corpus_perplexity_filter, f25_scalar_udf_modes
+# sql5_session_variables, corpus_perplexity_filter,
+# f25_scalar_udf_modes, a32_cohort_retention, w12_funnel_steps
 # (text_bpe_train_batched is already in the r8
 # head); (b) impl-changed; (c)+(d) backfill
 # continues the stale list:

@@ -1216,6 +1216,37 @@ class TestRound8EntryPlanShapes:
         assert "Exchange hashpartitioning" not in ex, ex
         assert "Join" not in ex, ex
 
+    def test_funnel_is_one_scan_one_shuffle(self, spark, sf_dir):
+        """w12: the chained conditional mins ride stacked windows over
+        ONE user-keyed exchange; the final per-user agg reuses that
+        partitioning — one parquet scan, no join."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            w12_funnel_steps,
+        )
+
+        df = w12_funnel_steps(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert ex.count("Scan parquet") == 1, ex
+        assert ex.count("Exchange hashpartitioning") == 1, ex
+        assert "Join" not in ex, ex
+
+    def test_cohort_retention_single_scan_broadcast_denominator(
+        self, spark, sf_dir
+    ):
+        """a32: one fact scan; the cohort-size denominator joins
+        broadcast (tiny frame) — no shuffled join, no cartesian."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            a32_cohort_retention,
+        )
+
+        df = a32_cohort_retention(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in ex, ex
+        for join in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+            assert join not in ex, ex
+
     def test_polymorphic_udtf_is_mapside(self, spark, sf_dir):
         """udtf_ngram_grid: the UDTF evaluates map-side (a Python UDTF
         generator node, no shuffle feeding it); the only exchange is
