@@ -257,17 +257,33 @@ def main() -> None:
             "oracle_queries_median": oracle_medians or None,
         }
     )
-    # The driver tail-captures a bounded stdout window and parses the
-    # LAST JSON line. Rounds 5-7 lost the Spark per-query dict because
-    # the single line carried BOTH per-query dicts (~8 KB) and its head
-    # was clipped past parseability. So: the full payload (both dicts)
-    # goes on an EARLIER line + the durable BENCH_LAST.json sibling, and
-    # the FINAL stdout line is a compact summary — Spark per-query
-    # medians ("queries" = medians, the headline comparison numbers)
-    # plus the totals/ratios, oracle per-query dict excluded — small
-    # enough that the tail window can never clip it.
+    # The driver tail-captures a bounded (~2 KB) stdout window and
+    # parses the LAST JSON line. Rounds 5-8 lost it because the final
+    # line still carried a per-query dict (84 entries ~= 3 KB measured
+    # at r8). So: the full payload (all per-query dicts) goes on an
+    # EARLIER line + the durable BENCH_LAST.json sibling, and the FINAL
+    # stdout line is totals/ratios ONLY (~300 bytes — no per-query
+    # dicts, heavy-subset query list replaced by its count) so the tail
+    # window can never clip it.
+    final_line = {
+        "metric": summary["metric"],
+        "value": summary["value"],
+        "unit": summary["unit"],
+        "sf": summary["sf"],
+        "n_queries": len(medians),
+        "median_total": summary["median_total"],
+        "oracle_median_total": summary["oracle_median_total"],
+        "bench_vs_baseline": summary["bench_vs_baseline"],
+        "heavy_subset": {
+            "n_queries": len(heavy),
+            "spark_total": heavy_spark,
+            "oracle_total": heavy_oracle,
+            "ratio": summary["heavy_subset"]["ratio"],
+        },
+        "detail": "BENCH_LAST.json",
+    }
     print(payload)
-    print(json.dumps(summary))
+    print(json.dumps(final_line))
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_LAST.json"),

@@ -815,87 +815,89 @@ register("a32_cohort_retention", an.a32_cohort_retention, an.A32_ORACLE)
 register("w12_funnel_steps", an.w12_funnel_steps, an.W12_ORACLE)
 
 
-# --- r8 head-window rotation -----------------------------------------
+# --- r9 head-window rotation -----------------------------------------
 # The rotation rule (adopted r4) as an EXPLICIT list: external
 # harnesses certify the FIRST ~50 entries in dict order, so the head
 # holds (a) every entry that has NEVER had a driver certification,
 # (b) every entry whose implementation changed this round, (c) one rep
 # of every family the head would otherwise miss (family guard in
 # tests/test_catalog.py), picking the stalest member, (d) remaining
-# slots = stalest-certification backfill in VERDICT-r7 priority order.
+# slots = stalest-certification backfill in VERDICT-r8 priority order.
 # Everything not listed keeps registration order after the head.
 _HEAD = [
-    # (a) the 31 never-driver-certified late-r7 entries
-    "j22_detailed_sleep_time",
-    "j23_detailed_vo2max",
-    "j24_detailed_session",
-    "j25_detailed_rest_mode",
-    "j26_detailed_enhanced_tag",
-    "corpus_shuffle_deterministic",
-    "text_hashing_tf",
-    "graph_kcore",
-    "ts9_autocorr",
-    "dq7_benford_deviation",
-    "f20_string_function_sweep",
-    "ann_recall_report",
-    "a26_histogram_fixed_bins",
-    "w10_ranking_function_sweep",
-    "sql3_recursive_cte",
-    "sql4_pivot_wide",
-    "f21_unpivot_melt",
-    "w11_streaks",
-    "ts10_time_weighted_avg",
-    "j27_global_range_join",
-    "m4_incremental_agg_merge",
-    "ts11_calendar_rollup",
-    "a27_chisq_independence",
-    "a28_welch_ttest",
-    "a29_ols_slope",
-    "ts12_linear_interpolate",
-    "j29_first_touch_attribution",
-    "f22_variant_shred",
-    "text_lm_dirichlet_topk",
-    "dq8_observe_metrics",
-    "f23_from_csv_parse",
-    # (a) new this round: the batched BPE trainer
+    # (a) the 11 never-driver-certified late-r8 entries (VERDICT-r8
+    # item 1 — pre-listed by name in the r8 plan below)
+    "a30_ks_statistic",
+    "a31_mannwhitney_u",
+    "a32_cohort_retention",
+    "w12_funnel_steps",
+    "j31_cogroup_pandas_asof",
+    "udtf_ngram_grid",
+    "f24_xml_parse",
+    "f25_scalar_udf_modes",
+    "sql5_session_variables",
+    "src_datasource_write_audit",
+    "corpus_perplexity_filter",
+    # (b) implementation changed in r9: batched-BPE round semantics
+    # (ADVICE-r8 pair-poor-corpus divergence fix), BFS multi-hop join
+    # collapse, EWMA certification-slice work (VERDICT-r8 item 3)
     "text_bpe_train_batched",
-    # (b) implementation changed in r8: unrolled lag-Horner EWMA,
-    # min-aggregate walk BFS, real-WAV audio fixture (decode_wav path)
-    "ts5_ewma_halflife",
     "graph_bfs_hops",
-    "mm_audio_energy",
+    "ts5_ewma_halflife",
     # (c) family reps for families (a)-(b) leave uncovered, stalest
-    # member first: q (r1), p (r5), c (only entry), st (r3),
-    # dedup (r3), emb (r4), sketch (r3), layout (r5), src (r5), s (r5)
-    "q10_returned_items",
-    "p1_required_filter",
+    # certified member first: c (only entry, r8), st (r3), dedup (r3),
+    # ann (r3), emb (r4), mm (r3), sketch (r3), m (r5), dq (r5),
+    # p (r5), layout (r6), s (r6)
     "c3_schema_align",
-    "st_dedup_events",
-    "dedup_exact_groups",
-    "emb_covariance",
-    "sketch_countmin_heavy",
-    "layout_compact_audit",
-    "src_format_roundtrip_audit",
-    "s7_dynamic_overwrite_audit",
-    # (d) stalest backfill (VERDICT-r7 order): f4/j5 (r2), a5-a7 (r2)
-    "f4_array_to_json",
-    "j5_views_before_purchase",
-    "a5_rollup",
-    "a6_cube",
-    "a7_grouping_sets",
+    "p3_prefix_columns",
+    "st_tumbling_window_agg",
+    "dedup_minhash_lsh",
+    "ann_lsh_topk",
+    "emb_int8_quantize",
+    "mm_decode_features",
+    "sketch_kmv_distinct",
+    "m1_scd2_merge",
+    "dq2_column_profile",
+    "layout_vacuum_audit",
+    "s6_raw_zone_pruned_scan",
+    # (d) stalest backfill (VERDICT-r8 priority order): the r2 pair,
+    # the full r1 q-sweep, then the r3 band up to the 50-slot window
+    "a8_exact_percentiles",
+    "a10_corr_stats",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q14_conditional_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_suppliers",
+    "q21_blocking_suppliers",
+    "j1_multiway_outer_combine",
+    "so1_set_ops",
+    "corpus_curate_pipeline",
+    "a3_count_probes",
+    "w3_sessionize",
+    "text_bpe_token_count",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_brute_force_topk",
+    "text_repetition_stats",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "decontaminate_ngram",
 ]
-# r9 head plan (rotate at round-9 start): (a) the entries new in r8 —
-# a30_ks_statistic, a31_mannwhitney_u, j31_cogroup_pandas_asof,
-# udtf_ngram_grid, src_datasource_write_audit, f24_xml_parse,
-# sql5_session_variables, corpus_perplexity_filter,
-# f25_scalar_udf_modes, a32_cohort_retention, w12_funnel_steps
-# (text_bpe_train_batched is already in the r8
-# head); (b) impl-changed; (c)+(d) backfill
-# continues the stale list:
-# a8_exact_percentiles, a10_corr_stats (r2), the q sweep q11/q13-q17/
-# q19-q21 (r1), then the r3 band (a3, a9, ann_brute/lsh/ivf,
-# corpus_curate/sample/shard, decontaminate_ngram, dedup families,
-# st_tumbling/dedup/interval/enrich, j1, w3, f2, ...).
+# r10 head plan (rotate at round-10 start): (a) any entry new in r9;
+# (b) impl-changed; (c) family reps; (d) backfill continues the stale
+# list: pii_scrub_emails, q12_late_shipment_priority (r3), the
+# remaining r3 band
+# (st_interval_join, st_interval_join_outer, st_enrich_static, a9,
+# w4, f2, corpus_sample_stratified, corpus_shard_plan,
+# mm_frame_sample, sketch_sample_quantiles), then the r4 band
+# (q1, j9-j12, ts2, corpus_mix_temperature, text_pmi/zipf/vocab/
+# token/quality/langid/fingerprint/tfidf, a11-a14, w5, dedup_
+# containment/substring_spans, ann_pq/ivfpq, mm_byte_stats,
+# emb_int8 if not re-certified, f1, j7, ...).
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50

@@ -42,6 +42,9 @@ FAMILIES = {
     "sql front-end": r"^sql\d",
     # r5: raw-zone land/scan certification (S-family)
     "raw zone": r"^s\d",
+    # r9: the UDTF surface (fixed returnType + polymorphic analyze()),
+    # promoted from the unclassified rider now a udtf_ rep is in head
+    "udtf": r"^udtf_",
 }
 
 
@@ -65,9 +68,5 @@ def test_every_name_is_classified():
     unclassified = [
         n for n in CATALOG if not any(p.match(n) for p in pats)
         and not n.startswith("so1")  # set-ops singleton rides with analytics
-        and not n.startswith("udtf_")  # the two UDTF entries (fixed
-        # returnType + polymorphic analyze()) ride with the §2.9 UDF
-        # surface; promote to a FAMILIES row when a head rotation can
-        # carry a udtf_ rep (r9 — both are in the planned r9 head)
     ]
     assert unclassified == [], unclassified
