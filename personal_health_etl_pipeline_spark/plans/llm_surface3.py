@@ -892,8 +892,18 @@ def _bpe_train(
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     rounds = 0
-    while len(merges) < n_merges:
-        want = min(batch_k, n_merges - len(merges))
+    # FIXED round budget, mirroring the unrolled oracle: exactly
+    # ceil(n_merges / batch_k) count rounds, each accepting up to
+    # batch_k symbol-disjoint pairs from its 4*batch_k over-fetch
+    # window. A pair-poor round therefore yields FEWER total merges
+    # (the oracle's empty-choice no-op slots) — never an extra recount
+    # round, which on a pair-poor corpus would re-rank post-merge
+    # counts the oracle never sees and diverge the merge sequences
+    # (ADVICE r8). batch_k=1 degenerates to n_merges one-accept
+    # rounds: exact greedy, unchanged.
+    n_rounds = -(-n_merges // batch_k)
+    for r_i in range(n_rounds):
+        want = min(batch_k, n_merges - r_i * batch_k)
         # over-fetch 4x: rows skipped by the disjoint-symbol rule are
         # replaced from the same collected ranking instead of paying
         # another count round (a bounded driver transfer either way)

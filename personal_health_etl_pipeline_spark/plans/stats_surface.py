@@ -512,9 +512,12 @@ def a31_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cum`` is the running total count through this value. Then
     r2_a = sum(da * (2*cum - cnt + 1)) is twice the A rank-sum and
     u2_a = r2_a - n_a*(n_a+1) twice the U statistic — all BIGINT, no
-    rounding anywhere. The identity u2_a + u2_b = 2*n_a*n_b is emitted
-    as a checked column (constant TRUE row-wise — a built-in self
-    audit both engines must agree on).
+    rounding anywhere. BOTH rank-sums are computed independently
+    (r2_b from the B-side counts, not by subtraction), so the emitted
+    ``identity_ok`` column — u2_a + u2_b = 2*n_a*n_b — is a real
+    cross-check of the midrank computation: it only holds when the two
+    independently-summed doubled rank-sums add to n*(n+1), i.e. when
+    the midranks actually partition 1..n.
 
     Scale shape: identical to a30 — one conditional hash-aggregate to
     the bounded (cohort, cents) frame, one running-sum window over it,
@@ -549,6 +552,9 @@ def a31_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.col("da") * (F.lit(2) * F.col("cum") - F.col("cnt") + F.lit(1))
         ).alias("r2_a"),
+        F.sum(
+            F.col("db") * (F.lit(2) * F.col("cum") - F.col("cnt") + F.lit(1))
+        ).alias("r2_b"),
     )
     return g.selectExpr(
         "cohort",
@@ -556,9 +562,9 @@ def a31_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "r2_a",
         "r2_a - n_a * (n_a + 1) AS u2_a",
-        "2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b",
-        "(r2_a - n_a * (n_a + 1)) + (2 * n_a * n_b"
-        " - (r2_a - n_a * (n_a + 1))) = 2 * n_a * n_b AS identity_ok",
+        "r2_b - n_b * (n_b + 1) AS u2_b",
+        "(r2_a - n_a * (n_a + 1)) + (r2_b - n_b * (n_b + 1))"
+        " = 2 * n_a * n_b AS identity_ok",
     ).orderBy("cohort")
 
 
@@ -581,13 +587,14 @@ g AS (
   SELECT cohort,
          CAST(SUM(da) AS BIGINT) AS n_a,
          CAST(SUM(db) AS BIGINT) AS n_b,
-         CAST(SUM(da * (2 * cum - cnt + 1)) AS BIGINT) AS r2_a
+         CAST(SUM(da * (2 * cum - cnt + 1)) AS BIGINT) AS r2_a,
+         CAST(SUM(db * (2 * cum - cnt + 1)) AS BIGINT) AS r2_b
   FROM run GROUP BY cohort
 )
 SELECT cohort, n_a, n_b, r2_a,
        r2_a - n_a * (n_a + 1) AS u2_a,
-       2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
-       (r2_a - n_a * (n_a + 1)) + (2 * n_a * n_b
-        - (r2_a - n_a * (n_a + 1))) = 2 * n_a * n_b AS identity_ok
+       r2_b - n_b * (n_b + 1) AS u2_b,
+       (r2_a - n_a * (n_a + 1)) + (r2_b - n_b * (n_b + 1))
+        = 2 * n_a * n_b AS identity_ok
 FROM g ORDER BY cohort
 """

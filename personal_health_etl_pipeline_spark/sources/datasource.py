@@ -227,14 +227,21 @@ class JsonlLinesWriter(DataSourceWriter):
         import os as _os
 
         done = [m for m in messages if m is not None]
+        files = [{"name": m.filename, "rows": m.rows} for m in done]
+        # Append semantics all the way down: a second append-mode save
+        # to the same path MERGES with the already-published manifest
+        # instead of overwriting it — otherwise the earlier commit's
+        # rows silently vanish for manifest-honoring readers, which
+        # would contradict the sink's advertised append-only contract.
+        mpath = _os.path.join(self.path, "_MANIFEST.json")
+        if _os.path.exists(mpath):
+            with open(mpath) as fh:
+                files.extend(_json.load(fh).get("files", []))
         manifest = {
-            "files": sorted(
-                ({"name": m.filename, "rows": m.rows} for m in done),
-                key=lambda f: f["name"],
-            ),
-            "total_rows": sum(m.rows for m in done),
+            "files": sorted(files, key=lambda f: f["name"]),
+            "total_rows": sum(f["rows"] for f in files),
         }
-        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+        with open(mpath, "w") as fh:
             _json.dump(manifest, fh, sort_keys=True)
 
     def abort(self, messages):  # pragma: no cover - failure path
@@ -246,9 +253,12 @@ class JsonlLinesWriter(DataSourceWriter):
 class JsonlLinesDataSource(DataSource):
     """``df.write.format("jsonl_lines").option("path", ...).save()`` —
     the WRITER third of the Python DataSource API (reader and stream
-    reader live on :class:`OuraFixtureDataSource`). JSON-lines is the
-    reference's raw-zone landing format (raw_zone.py), here as a
-    pluggable sink with a manifest-based two-phase commit."""
+    reader live on :class:`OuraFixtureDataSource`). The reference lands
+    raw API responses as a single JSON document per range
+    (``json.dumps`` → ``data.json``, etl/load.py); this sink keeps that
+    raw-zone landing role but uses JSON-LINES part files so executors
+    can write in parallel, published via a manifest-based two-phase
+    commit."""
 
     @classmethod
     def name(cls) -> str:

@@ -8,7 +8,7 @@ bench.py) and reports the wall-clock ratio. A shape that scales
 ~linearly in rows shows ratio <= ~10 plus a fixed floor; anything
 super-linear is a plan bug to fix or explain.
 
-Writes BENCH_SF1_r{N}.json at the repo root (N from $ROUND, default 8).
+Writes BENCH_SF1_r{N}.json at the repo root (N from $ROUND, default 9).
 Run scripts/make_sf1.py first.
 """
 
@@ -62,6 +62,28 @@ HEAVY = (
     "sql3_recursive_cte",
     "ts5_ewma_halflife",
     "w8_windowed_distinct",
+    # r8 closing batch (were drilled for BENCH_SF1_r08 via a throwaway
+    # edit — listed here so rerunning the script reproduces the
+    # committed artifact, ADVICE r8)
+    "a30_ks_statistic",
+    "a31_mannwhitney_u",
+    "a32_cohort_retention",
+    "w12_funnel_steps",
+    "j31_cogroup_pandas_asof",
+    "f24_xml_parse",
+    "f25_scalar_udf_modes",
+    "sql5_session_variables",
+    "udtf_ngram_grid",
+    "corpus_perplexity_filter",
+    "text_bpe_train_batched",
+    # r9 extension (VERDICT r8 item 4): the relational / window / CDC /
+    # time-series families the drill had not yet covered
+    "q18_large_volume_orders",
+    "q21_blocking_suppliers",
+    "w3_sessionize",
+    "m1_scd2_merge",
+    "ts1_gap_fill_ffill",
+    "ts9_autocorr",
 )
 
 
@@ -80,7 +102,7 @@ def bench_at(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    rnd = os.environ.get("ROUND", "08")
+    rnd = os.environ.get("ROUND", "09")
     spark = get_spark(app_name="scale-drill-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()

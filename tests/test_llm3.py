@@ -448,8 +448,11 @@ class TestBpeLearned:
 
         state = [([*w] + [EOW], wc) for w, wc in rows]
         merges, rounds = [], 0
-        while len(merges) < n_merges:
-            want = min(batch_k, n_merges - len(merges))
+        # fixed round budget + 4x over-fetch window, in lockstep with
+        # _bpe_train and the unrolled oracle: a pair-poor round yields
+        # fewer merges, never an extra recount round (ADVICE r8)
+        for r_i in range(-(-n_merges // batch_k)):
+            want = min(batch_k, n_merges - r_i * batch_k)
             cnt: dict = {}
             for syms, wc in state:
                 for a, b in zip(syms, syms[1:]):
@@ -459,6 +462,7 @@ class TestBpeLearned:
             if not cnt:
                 break
             ranked = sorted(cnt, key=lambda p: (-cnt[p], p[0], p[1]))
+            ranked = ranked[: want * 4]
             used: set = set()
             chosen = []
             for a, b in ranked:
@@ -526,3 +530,21 @@ class TestBpeLearned:
         merges, rounds = bpe_train_merges(words, 2, batch_k=2)
         assert rounds == 1
         assert merges == [("a", "b"), ("c", EOW)]  # ("b","c") deferred
+
+    def test_pair_poor_corpus_stops_at_round_budget(self, spark):
+        """ADVICE r8: on a corpus whose rounds can't fill batch_k
+        disjoint pairs the trainer must stop at ceil(n_merges/batch_k)
+        rounds with FEWER total merges — matching the oracle's
+        empty-choice no-op slots — instead of recounting in extra
+        rounds the unrolled oracle never runs."""
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            EOW,
+            bpe_train_merges,
+        )
+
+        # "ab"+EOW has pairs (a,b) and (b,EOW) which share "b": every
+        # round can accept at most ONE pair despite batch_k=2
+        words = spark.createDataFrame([("ab", 5)], "word string, wc bigint")
+        merges, rounds = bpe_train_merges(words, 4, batch_k=2)
+        assert rounds == 2  # ceil(4/2), not 3+ compensation rounds
+        assert merges == [("a", "b"), ("ab", EOW)]  # 2 < n_merges=4

@@ -1312,6 +1312,38 @@ class TestDataSourceWriter:
         assert back.count() == n
         assert back.where("event_type = 'GHOST'").count() == 0
 
+    def test_second_append_merges_manifest(self, spark, sf_dir):
+        """ADVICE r8: a second append-mode save to the same path must
+        MERGE with the published manifest — the first commit's rows
+        stay visible to manifest-honoring readers (append-only
+        contract), not silently unpublished by an overwrite."""
+        import json
+        import os
+        import tempfile
+
+        from personal_health_etl_pipeline_spark.sources.datasource import (
+            register_writer,
+        )
+
+        register_writer(spark)
+        out = os.path.join(tempfile.mkdtemp(prefix="dsw_"), "t")
+        df1 = spark.range(7).selectExpr("id AS event_id")
+        df2 = spark.range(100, 105).selectExpr("id AS event_id")
+        df1.coalesce(1).write.format("jsonl_lines").option(
+            "path", out
+        ).mode("append").save()
+        df2.coalesce(1).write.format("jsonl_lines").option(
+            "path", out
+        ).mode("append").save()
+
+        with open(os.path.join(out, "_MANIFEST.json")) as fh:
+            manifest = json.load(fh)
+        assert manifest["total_rows"] == 12  # 7 + 5, both commits live
+        files = [os.path.join(out, f["name"]) for f in manifest["files"]]
+        back = spark.read.schema("event_id long").json(files)
+        assert back.count() == 12
+        assert back.where("event_id >= 100").count() == 5
+
     def test_overwrite_mode_is_refused(self, spark, sf_dir):
         import os
         import tempfile
