@@ -236,6 +236,7 @@ def bfs_hops(
     materialize_edges: bool = True,
     checkpoint_every: int = 1,
     prune_visited: bool = True,
+    broadcast_frontiers: bool = False,
 ) -> DataFrame:
     """Multi-source BFS: ``(node, dist)`` with the MINIMUM hop count
     from any seed, bounded at ``max_hops`` levels.
@@ -279,6 +280,18 @@ def bfs_hops(
     median of 4: pruned 2.4s vs walk 1.6s). NOT for deep traversals:
     without pruning the level sets stay node-count-sized forever
     instead of emptying.
+
+    ``broadcast_frontiers`` (walk shape only): a frontier is at most
+    node-count-sized — when the caller knows that bound is broadcast-
+    small (e.g. one side of a bipartite graph), broadcasting the
+    frontier into each level's join removes the per-level SHUFFLE of
+    the (much larger) edge list: the edge artifact is only ever
+    re-SCANNED, never re-partitioned, and each level's distinct
+    exchanges only frontier-sized data. Same-session interleaved A/B
+    at sf0.1 (3 hops, 800k-edge transaction graph, 16k-node max
+    frontier, 4 trials): shuffled-walk 1.47-1.64s vs broadcast-walk
+    1.04-1.14s. Leave False when frontiers can grow beyond the
+    broadcast threshold (deep traversals on non-bipartite graphs).
     """
     # every round's expansion scans the edge list — materialize the
     # (possibly expensive) upstream edge derivation once, or round k
@@ -293,12 +306,17 @@ def bfs_hops(
         frontier = seeds.select(F.col(node).alias("_n")).distinct()
         levels = [frontier.withColumn("_dist", F.lit(0))]
         for level in range(1, max_hops + 1):
-            reached = frontier.join(e, frontier["_n"] == e["_s"]).select(
+            probe = F.broadcast(frontier) if broadcast_frontiers else frontier
+            reached = probe.join(e, frontier["_n"] == e["_s"]).select(
                 F.col("_d").alias("_n")
             )
-            if level < max_hops:
-                # dedup bounds the next join's fan-out; the LAST level
-                # needs none — the final min-aggregate dedups anyway
+            if level < max_hops or broadcast_frontiers:
+                # dedup bounds the next join's fan-out. The LAST level
+                # strictly needs none (the final min-aggregate dedups
+                # anyway), but under broadcast_frontiers the level-local
+                # distinct collapses the final fan-out to frontier size
+                # BEFORE the union feeds the aggregate — measured more
+                # stable (1.04-1.14s vs 1.04-1.35s spread at sf0.1)
                 reached = reached.distinct()
             levels.append(reached.withColumn("_dist", F.lit(level)))
             frontier = reached

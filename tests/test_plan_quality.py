@@ -683,8 +683,11 @@ class TestRound6PlanShapes:
 class TestRound6TailPlanShapes:
     def test_ewma_is_single_hash_shuffle(self, spark, sf_dir):
         """ts5: one hashpartitioning exchange (user_id for the window);
-        the only other exchange is the display orderBy's range
-        partition. No join, no extra agg shuffle."""
+        the only other exchange is the certified slice's bounded
+        single-partition delivery sort (repartition(1) over ~1/7 of the
+        output — see the entry docstring's floor decomposition). No
+        join, no extra agg shuffle, and crucially NO range-sort over
+        the full output (its sampling pass re-evaluated the window)."""
         from personal_health_etl_pipeline_spark.plans.temporal_surface import (
             ts5_ewma_halflife,
         )
@@ -693,6 +696,7 @@ class TestRound6TailPlanShapes:
         df.collect()
         plan = _executed_plan(df).split("== Initial Plan ==")[0]
         assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Exchange rangepartitioning" not in plan, plan
         assert "Join" not in plan
 
     def test_kmv_set_ops_broadcasts_pairs_fans_in_partial(self, spark, sf_dir):

@@ -312,7 +312,7 @@ class TestEwmaProperty:
 
         from personal_health_etl_pipeline_spark.plans.temporal_surface import (
             EWMA_WINDOW,
-            ts5_ewma_halflife,
+            ewma_events,
         )
 
         root = str(tmp_path_factory.mktemp("ewma_prop"))
@@ -326,9 +326,11 @@ class TestEwmaProperty:
             "event_id long, ts timestamp, user_id long, event_type string,"
             " value double, props string",
         ).write.mode("overwrite").parquet(f"{root}/events.parquet")
+        # the full operator form: the certified entry slices 1-in-7,
+        # but the exactness property must hold at EVERY row
         got = {
             r.event_id: r.ewma_cents
-            for r in ts5_ewma_halflife(spark, root).collect()
+            for r in ewma_events(spark, root).collect()
         }
         for t in range(len(vals)):
             lo = max(0, t - EWMA_WINDOW + 1)

@@ -97,7 +97,7 @@ def test_ts5_ewma_hand_computed(spark, sf_dir):
     """EWMA with decay 1/2: [100, 200, 400] cents -> last row
     (100/4 + 200/2 + 400) / (1 + 1/2 + 1/4)."""
     from personal_health_etl_pipeline_spark.plans.temporal_surface import (
-        ts5_ewma_halflife,
+        ewma_events,
     )
     import datetime as dt
     import tempfile
@@ -112,7 +112,9 @@ def test_ts5_ewma_hand_computed(spark, sf_dir):
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
     ).write.mode("overwrite").parquet(f"{root}/events.parquet")
-    got = {r.event_id: r for r in ts5_ewma_halflife(spark, root).collect()}
+    # full operator form — event_ids 1 and 2 fall outside the certified
+    # entry's 1-in-7 slice
+    got = {r.event_id: r for r in ewma_events(spark, root).collect()}
     assert got[0].n_obs == 1 and got[0].ewma_cents == 100.0
     assert got[1].ewma_cents == (100 / 2 + 200) / 1.5
     assert got[2].ewma_cents == (100 / 4 + 200 / 2 + 400) / 1.75
