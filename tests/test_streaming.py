@@ -503,10 +503,16 @@ def _has_protobuf() -> bool:
         return False
 
 
-@pytest.mark.skipif(
-    not _has_protobuf(),
+# xfail(run=False), NOT skipif: the suite should report this GAP
+# deliberately (an expected failure with its cause) rather than as a
+# silent environment skip — VERDICT r8 item 7. Where protobuf exists
+# the marker no-ops and the twin must pass.
+@pytest.mark.xfail(
+    condition=not _has_protobuf(),
     reason="transformWithState's Python worker protocol needs "
-    "google.protobuf, which this container does not ship",
+    "google.protobuf, which this container does not ship "
+    "(cannot pip install; see COVERAGE.md transformWithState row)",
+    run=False,
 )
 def test_transform_with_state_env_gated(spark, sf_dir):
     """Where protobuf exists, the transformWithStateInPandas twin must
