@@ -122,6 +122,8 @@ HEADLINE = (
     "f25_scalar_udf_modes",
     "a32_cohort_retention",
     "w12_funnel_steps",
+    # round-9 additions
+    "w13_sessionized_funnel",
 )
 
 

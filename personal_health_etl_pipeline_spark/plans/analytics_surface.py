@@ -22,6 +22,9 @@ from personal_health_etl_pipeline_spark.plans.exact import (
     oracle_sum,
     od2,
 )
+from personal_health_etl_pipeline_spark.plans.reference_surface import (
+    SESSION_GAP_MIN,
+)
 from personal_health_etl_pipeline_spark.sources.tables import load_table
 
 
@@ -2632,4 +2635,155 @@ SELECT user_id, t1, t2, t3,
               + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INT)
            AS stage_reached
 FROM g3 WHERE t1 IS NOT NULL ORDER BY user_id
+"""
+
+
+# --- w13: sessionized ordered funnel (w3 x w12 composition) -------------
+
+
+def w13_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The w3 x w12 composition: gap-sessionize each user's stream
+    (>30-min silence starts a new session — w3's exact rule), then run
+    the strictly-ordered view -> click -> purchase funnel WITHIN each
+    session (the session boundary replaces w12's 72 h horizon), and
+    report the compact per-stage profile: session count, distinct
+    converting users, and the exact summed step latencies.
+
+    Scale shape — ONE user-keyed exchange end to end: the gap flags,
+    the running session_seq, and the three chained conditional-MIN
+    funnel columns are ALL window functions whose partition keys start
+    with user_id, so Catalyst satisfies the (user_id, session_seq)
+    windows and the per-session aggregate with the SAME
+    hashpartitioning(user_id) the first window installed (sub-keyed
+    ClusteredDistribution — no second fact shuffle, verified by the
+    plan gate). The final stage_reached rollup exchanges three partial
+    rows per task. Latency sums are BIGINT micros of within-session
+    deltas (bounded by session span), never raw epoch sums — no
+    overflow at 100 TB row counts.
+
+    Semantics pinned by the hash: a click BEFORE the session's first
+    view does not convert (strict ordering, w12), and the same user
+    converts independently per session (re-entry is a new funnel),
+    which is what product analytics means by "session conversion".
+    """
+    s1, s2, s3 = FUNNEL_STEPS
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("us") - F.lag("us").over(by_user)
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(
+            F.when(
+                gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+            ).otherwise(0)
+        ).over(by_user),
+    )
+    w = Window.partitionBy("user_id", "session_seq")
+    d1 = sess.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == s1, F.col("us"))).over(w)
+    )
+    d2 = d1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == s2) & (F.col("us") > F.col("t1")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    d3 = d2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == s3) & (F.col("us") > F.col("t2")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    per_session = (
+        d3.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("t1").alias("t1"),
+            F.min("t2").alias("t2"),
+            F.min("t3").alias("t3"),
+        )
+        .where(F.col("t1").isNotNull())
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("stage_reached"),
+        )
+    )
+    return (
+        per_session.groupBy("stage_reached")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("t2") - F.col("t1")).alias("sum_lat2_us"),
+            F.sum(F.col("t3") - F.col("t1")).alias("sum_lat3_us"),
+        )
+        .orderBy("stage_reached")
+    )
+
+
+W13_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, ts, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, event_type, us,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+),
+g1 AS (
+  SELECT user_id, session_seq,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN us END) AS t1
+  FROM sessioned GROUP BY 1, 2
+),
+g2 AS (
+  SELECT s.user_id, s.session_seq, MIN(g1.t1) AS t1,
+         MIN(CASE WHEN s.event_type = '{FUNNEL_STEPS[1]}' AND s.us > g1.t1
+              THEN s.us END) AS t2
+  FROM sessioned s JOIN g1 USING (user_id, session_seq) GROUP BY 1, 2
+),
+g3 AS (
+  SELECT s.user_id, s.session_seq, MIN(g2.t1) AS t1, MIN(g2.t2) AS t2,
+         MIN(CASE WHEN s.event_type = '{FUNNEL_STEPS[2]}' AND s.us > g2.t2
+              THEN s.us END) AS t3
+  FROM sessioned s JOIN g2 USING (user_id, session_seq) GROUP BY 1, 2
+),
+f AS (
+  SELECT user_id, t1, t2, t3,
+         CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS stage_reached
+  FROM g3 WHERE t1 IS NOT NULL
+)
+SELECT stage_reached,
+       COUNT(*) AS n_sessions,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(t2 - t1) AS BIGINT) AS sum_lat2_us,
+       CAST(SUM(t3 - t1) AS BIGINT) AS sum_lat3_us
+FROM f GROUP BY stage_reached ORDER BY stage_reached
 """

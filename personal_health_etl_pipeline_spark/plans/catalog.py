@@ -813,6 +813,8 @@ register("f25_scalar_udf_modes", an.f25_scalar_udf_modes, an.F25_ORACLE)
 # the strictly-ordered conversion funnel via chained conditional MINs
 register("a32_cohort_retention", an.a32_cohort_retention, an.A32_ORACLE)
 register("w12_funnel_steps", an.w12_funnel_steps, an.W12_ORACLE)
+# r9: the w3 x w12 composition — session-scoped ordered funnel
+register("w13_sessionized_funnel", an.w13_sessionized_funnel, an.W13_ORACLE)
 
 
 # --- r9 head-window rotation -----------------------------------------

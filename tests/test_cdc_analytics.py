@@ -143,3 +143,50 @@ def test_w9_halfopen_boundary_sessions_do_not_overlap(spark, tmp_path):
         "2024-03-01": (2, 5),  # only the 05:00/05:10 pair overlaps
         "2024-03-02": (1, 0),  # the midnight spill re-opens, no start
     }
+
+
+def test_w13_session_reentry_and_strict_order(spark, tmp_path):
+    """w13 semantics pinned by hand: (a) the same user converts
+    independently per session (re-entry restarts the funnel), (b) a
+    click BEFORE the session's first view does not convert, (c) a
+    funnel does not span a >30-min gap."""
+    import datetime as dt
+
+    from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+        w13_sessionized_funnel,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # user 1, session 1: full view->click->purchase conversion
+        (1, s(0), 1, "view", 1.0, "{}"),
+        (2, s(10), 1, "click", 1.0, "{}"),
+        (3, s(20), 1, "purchase", 1.0, "{}"),
+        # user 1, session 2 (2h later): view only -> stage 1 again
+        (4, s(7200), 1, "view", 1.0, "{}"),
+        # user 2: click BEFORE first view in the session -> stage 1
+        (5, s(0), 2, "click", 1.0, "{}"),
+        (6, s(10), 2, "view", 1.0, "{}"),
+        # user 3: view, then >30-min gap, then click/purchase -> the
+        # click lands in a session with no view: only stage-1 session
+        (7, s(0), 3, "view", 1.0, "{}"),
+        (8, s(3600), 3, "click", 1.0, "{}"),
+        (9, s(3610), 3, "purchase", 1.0, "{}"),
+    ]
+    root = str(tmp_path / "w13")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{root}/events.parquet")
+    got = {r.stage_reached: r for r in w13_sessionized_funnel(spark, root).collect()}
+    # stage 1: u1-sess2, u2-sess1, u3-sess1 (u3-sess2 has no view ->
+    # dropped entirely by the t1 IS NOT NULL filter)
+    assert got[1].n_sessions == 3 and got[1].n_users == 3
+    assert got[1].sum_lat2_us is None and got[1].sum_lat3_us is None
+    # stage 3: u1-sess1 only; exact latencies 10s / 20s
+    assert got[3].n_sessions == 1 and got[3].n_users == 1
+    assert got[3].sum_lat2_us == 10_000_000
+    assert got[3].sum_lat3_us == 20_000_000
+    assert 2 not in got

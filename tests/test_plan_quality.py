@@ -1235,6 +1235,23 @@ class TestRound8EntryPlanShapes:
         assert ex.count("Exchange hashpartitioning") == 1, ex
         assert "Join" not in ex, ex
 
+    def test_sessionized_funnel_one_fact_shuffle(self, spark, sf_dir):
+        """w13: sessionize window (user_id), the (user_id, session_seq)
+        funnel windows AND the per-session aggregate all ride the ONE
+        hashpartitioning(user_id) exchange (sub-keyed clustered
+        distribution); the only other hash exchange is the 3-row
+        stage_reached rollup. One scan, no join."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            w13_sessionized_funnel,
+        )
+
+        df = w13_sessionized_funnel(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert ex.count("Scan parquet") == 1, ex
+        assert ex.count("Exchange hashpartitioning") == 2, ex
+        assert "Join" not in ex, ex
+
     def test_cohort_retention_single_scan_broadcast_denominator(
         self, spark, sf_dir
     ):
