@@ -2787,3 +2787,68 @@ SELECT stage_reached,
        CAST(SUM(t3 - t1) AS BIGINT) AS sum_lat3_us
 FROM f GROUP BY stage_reached ORDER BY stage_reached
 """
+
+
+# --- sql6: LATERAL correlated subquery (top-k per group front-end) ------
+
+
+def sql6_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LATERAL`` correlated subquery in FROM — the remaining SQL
+    front-end construct after correlated scalar/EXISTS subqueries
+    (sql2), recursion (sql3), PIVOT (sql4) and variables (sql5): for
+    every nation, the lateral derived table returns that nation's
+    top-2 customers by account balance (``ORDER BY ... LIMIT`` inside
+    the correlated scope — the canonical "top-N per group" phrasing
+    users port from Postgres/DuckDB). A total tie order (balance
+    cents DESC, custkey) makes the LIMIT deterministic, so the hash
+    certifies Catalyst's decorrelation (``DecorrelateInnerQuery``
+    rewrites the per-row subquery into a relational top-k — the w2
+    window shape — instead of re-executing it per outer row; a
+    row-at-a-time lateral loop would never survive 100 TB).
+
+    Oracle: DuckDB's own LATERAL — both engines must agree that the
+    construct means 'evaluate per outer row, keep the correlated
+    LIMIT scoped to the row'."""
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        f"sql6_nation_{tag}"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        f"sql6_customer_{tag}"
+    )
+    return spark.sql(
+        f"""
+        SELECT n.n_name,
+               c.c_custkey,
+               c.cents AS acctbal_cents
+        FROM sql6_nation_{tag} n,
+        LATERAL (
+          SELECT c_custkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM sql6_customer_{tag}
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY cents DESC, c_custkey
+          LIMIT 2
+        ) c
+        ORDER BY n.n_name, acctbal_cents DESC, c_custkey
+        """
+    )
+
+
+SQL6_ORACLE = """
+SELECT n.n_name,
+       c.c_custkey,
+       c.cents AS acctbal_cents
+FROM nation n,
+LATERAL (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY cents DESC, c_custkey
+  LIMIT 2
+) c
+ORDER BY n.n_name, acctbal_cents DESC, c_custkey
+"""

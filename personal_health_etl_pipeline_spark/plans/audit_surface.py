@@ -1457,6 +1457,81 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def st_datasource_stream_write_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full Python-DataSource STREAM PIPE under one hash: the
+    range source consumed through the API's simple stream reader
+    (``st_datasource_stream``'s input), written back out through its
+    STREAM WRITER (``sources/datasource.py:JsonlLinesStreamWriter`` —
+    per-micro-batch part files published by a manifest merge that
+    records committed batch ids, so a checkpoint-replayed batch is a
+    visibility no-op), then read from the published manifest and
+    certified against the same chunked-extract oracle. Equality
+    proves the per-batch two-phase commit tiles the stream exactly:
+    every micro-batch published once, none dropped, none doubled —
+    the exactly-once-visibility half of Structured Streaming's
+    contract that the SINK owns. ``sf_dir`` unused (source/sink-layer
+    certification)."""
+    import json as _json
+
+    from personal_health_etl_pipeline_spark.plans.reference_surface import (
+        J13_END,
+        J13_START,
+    )
+    from personal_health_etl_pipeline_spark.sources.datasource import (
+        WRITE_FORMAT_NAME,
+        register,
+        register_writer,
+    )
+
+    register(spark)
+    register_writer(spark)
+    scratch = _scratch("dsstream_write_audit")
+    out = os.path.join(scratch, "out_jsonl")
+    ckpt = os.path.join(scratch, "ckpt")
+    stream = (
+        spark.readStream.format("oura_fixture")
+        .option("data_type", "heartrate")
+        .option("start", J13_START.isoformat())
+        .option("end", J13_END.isoformat())
+        .option("days_per_batch", "7")
+        .load()
+        # the JSONL sink serializes scalars: flatten the contributors
+        # struct before the Arrow->Python write boundary
+        .select(
+            "id",
+            "day",
+            "score",
+            F.col("contributors.deep_sleep").alias("deep_sleep"),
+            F.col("contributors.efficiency").alias("efficiency"),
+            F.col("contributors.latency").alias("latency"),
+            F.col("timestamp").alias("wire_ts"),
+        )
+    )
+    q = (
+        stream.writeStream.format(WRITE_FORMAT_NAME)
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    files = [os.path.join(out, f["name"]) for f in manifest["files"]]
+    back = spark.read.schema(
+        "day string, deep_sleep long, efficiency long, id string,"
+        " latency long, score long, wire_ts string"
+    ).json(files)
+    return back.select(
+        "id", "day", "score", "deep_sleep", "efficiency", "latency",
+        "wire_ts",
+    ).orderBy("day")
+
+
 # --- transformWithState: the Spark 4 stateful-processor API -------------
 
 def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -156,6 +156,13 @@ register("src_datasource_scan", rs.src_datasource_scan, rs.J13_ORACLE)
 # NEW r6: ...and as a Structured Streaming SOURCE (simple stream
 # reader; offset protocol certified by the same oracle)
 register("st_datasource_stream", au.st_datasource_stream, rs.J13_ORACLE)
+# NEW r9: the same pipe THROUGH the Python DataSource STREAM WRITER
+# (per-batch manifest merge with batch-id replay no-op) and back
+register(
+    "st_datasource_stream_write_audit",
+    au.st_datasource_stream_write_audit,
+    rs.J13_ORACLE,
+)
 # NEW r6: the stream COMPOSED with watermark + tumbling window + sink
 register(
     "st_datasource_window_agg",
@@ -815,6 +822,8 @@ register("a32_cohort_retention", an.a32_cohort_retention, an.A32_ORACLE)
 register("w12_funnel_steps", an.w12_funnel_steps, an.W12_ORACLE)
 # r9: the w3 x w12 composition — session-scoped ordered funnel
 register("w13_sessionized_funnel", an.w13_sessionized_funnel, an.W13_ORACLE)
+# r9: LATERAL correlated subquery — the top-k-per-group SQL front-end
+register("sql6_lateral_topk", an.sql6_lateral_topk, an.SQL6_ORACLE)
 
 
 # --- r9 head-window rotation -----------------------------------------

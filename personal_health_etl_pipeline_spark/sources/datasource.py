@@ -25,6 +25,7 @@ import datetime as dt
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -250,6 +251,50 @@ class JsonlLinesWriter(DataSourceWriter):
         pass
 
 
+class JsonlLinesStreamWriter(JsonlLinesWriter, DataSourceStreamWriter):
+    """Streaming twin of :class:`JsonlLinesWriter` — the STREAM-WRITER
+    quarter of the Python DataSource API (``df.writeStream.format(
+    "jsonl_lines")``). Task-side ``write`` is inherited unchanged
+    (temp-named part files, nothing visible until the driver
+    publishes); the per-micro-batch ``commit`` merges this batch's
+    files into the manifest EXACTLY ONCE: committed batch ids are
+    recorded in the manifest's ``batches`` list, and a re-delivered
+    batchId (checkpoint replay after a crash between sink commit and
+    offset commit — Structured Streaming's at-least-once window) is
+    a NO-OP, leaving its re-written part files as unreferenced
+    orphans the manifest protocol already ignores. That turns the
+    at-least-once replay into exactly-once VISIBILITY, the same
+    discipline as the SCD-2 upsert sink (streaming/upsert.py)."""
+
+    def commit(self, messages, batchId):
+        import json as _json
+        import os as _os
+
+        mpath = _os.path.join(self.path, "_MANIFEST.json")
+        prior = {"files": [], "total_rows": 0, "batches": []}
+        if _os.path.exists(mpath):
+            with open(mpath) as fh:
+                prior = _json.load(fh)
+        if batchId in prior.get("batches", []):
+            return  # replayed batch: already visible, keep exactly-once
+        done = [m for m in messages if m is not None]
+        files = prior.get("files", []) + [
+            {"name": m.filename, "rows": m.rows} for m in done
+        ]
+        manifest = {
+            "files": sorted(files, key=lambda f: f["name"]),
+            "total_rows": sum(f["rows"] for f in files),
+            "batches": sorted(prior.get("batches", []) + [batchId]),
+        }
+        with open(mpath, "w") as fh:
+            _json.dump(manifest, fh, sort_keys=True)
+
+    def abort(self, messages, batchId):  # pragma: no cover - failure path
+        # unpublished part files stay orphans; the manifest never
+        # references them, so the failed batch is invisible
+        pass
+
+
 class JsonlLinesDataSource(DataSource):
     """``df.write.format("jsonl_lines").option("path", ...).save()`` —
     the WRITER third of the Python DataSource API (reader and stream
@@ -270,6 +315,13 @@ class JsonlLinesDataSource(DataSource):
                 "jsonl_lines supports append only; use a fresh path"
             )
         return JsonlLinesWriter(self.options, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "jsonl_lines supports append only; use a fresh path"
+            )
+        return JsonlLinesStreamWriter(self.options, schema)
 
 
 def register_writer(spark) -> None:

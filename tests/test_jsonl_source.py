@@ -72,3 +72,39 @@ def test_read_registers_nothing_in_cache_manager(spark, landing):
         good.count()
         quarantine.count()
     assert jvm_cm.isEmpty(), "quarantine read leaked a CacheManager entry"
+
+
+def test_stream_writer_commit_is_batch_idempotent(tmp_path):
+    """JsonlLinesStreamWriter.commit publishes each batchId exactly
+    once: a checkpoint-replayed batch (same id, fresh part files) is a
+    visibility no-op — its orphan parts never enter the manifest."""
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from personal_health_etl_pipeline_spark.sources.datasource import (
+        JsonlCommitMessage,
+        JsonlLinesStreamWriter,
+    )
+
+    out = str(tmp_path / "sink")
+    import os
+
+    os.makedirs(out)
+    schema = StructType([StructField("event_id", LongType())])
+    w = JsonlLinesStreamWriter({"path": out}, schema)
+
+    w.commit([JsonlCommitMessage("part-b0.jsonl", 3)], 0)
+    w.commit([JsonlCommitMessage("part-b1.jsonl", 2)], 1)
+    # replay of batch 1 after a crash between sink and offset commit:
+    # the retried tasks wrote a NEW part file, but visibility must not
+    # change
+    w.commit([JsonlCommitMessage("part-b1-retry.jsonl", 2)], 1)
+
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        m = json.load(fh)
+    assert m["total_rows"] == 5
+    assert m["batches"] == [0, 1]
+    assert {f["name"] for f in m["files"]} == {
+        "part-b0.jsonl", "part-b1.jsonl"
+    }

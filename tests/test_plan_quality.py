@@ -1235,6 +1235,22 @@ class TestRound8EntryPlanShapes:
         assert ex.count("Exchange hashpartitioning") == 1, ex
         assert "Join" not in ex, ex
 
+    def test_lateral_topk_decorrelates_to_window(self, spark, sf_dir):
+        """sql6: the correlated LATERAL LIMIT must decorrelate into a
+        relational window top-k joined hash-wise — never a per-outer-
+        row re-execution (BNLJ/cartesian), which would be quadratic at
+        scale."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            sql6_lateral_topk,
+        )
+
+        df = sql6_lateral_topk(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "Window" in ex, ex
+        assert "BroadcastNestedLoopJoin" not in ex, ex
+        assert "CartesianProduct" not in ex, ex
+
     def test_sessionized_funnel_one_fact_shuffle(self, spark, sf_dir):
         """w13: sessionize window (user_id), the (user_id, session_seq)
         funnel windows AND the per-session aggregate all ride the ONE
