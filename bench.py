@@ -124,6 +124,8 @@ HEADLINE = (
     "w12_funnel_steps",
     # round-9 additions
     "w13_sessionized_funnel",
+    "sql6_lateral_topk",
+    "a33_approx_percentile_window",
 )
 
 

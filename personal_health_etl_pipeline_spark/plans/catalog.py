@@ -785,6 +785,13 @@ register(
 # (cohort, cents) frame (stats_surface.py module docstring)
 register("a30_ks_statistic", sts.a30_ks_statistic, sts.A30_ORACLE)
 register("a31_mannwhitney_u", sts.a31_mannwhitney_u, sts.A31_ORACLE)
+# NEW r9: the GK approximate-percentile sketch in its frame-bounded
+# exact regime (the 100 TB percentile path, convention-pinned)
+register(
+    "a33_approx_percentile_window",
+    sts.a33_approx_percentile_window,
+    sts.A33_ORACLE,
+)
 # NEW r8: cogroup().applyInPandas — the last uncertified Arrow-UDF
 # shape: per-aligned-group-pair pandas merge_asof vs the ASOF oracle
 register("j31_cogroup_pandas_asof", ts.j31_cogroup_pandas_asof, ts.J31_ORACLE)

@@ -598,3 +598,99 @@ SELECT cohort, n_a, n_b, r2_a,
         = 2 * n_a * n_b AS identity_ok
 FROM g ORDER BY cohort
 """
+
+
+# --- a33: approximate-percentile windows (the GK sketch surface) --------
+
+APCTL_FRAME = 30  # trailing frame rows; full frames only are emitted
+APCTL_ACCURACY = 1000  # >> frame size: the GK sketch's EXACT regime
+APCTL_PS = (0.25, 0.5, 0.9)
+
+
+def a33_approx_percentile_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``percentile_approx`` (the Greenwald-Khanna sketch — THE
+    percentile operator at 100 TB, where exact per-group sorts are
+    off the table) evaluated over a trailing {APCTL_FRAME}-row window
+    per user, certified EXACTLY: the frame bounds the observation
+    count at {APCTL_FRAME} <= accuracy={APCTL_ACCURACY}, so the GK
+    buffer never compresses and the sketch is in its exact regime BY
+    CONSTRUCTION — at any scale factor, because the frame (not the
+    corpus) bounds n. What the hash certifies is the sketch's exact-
+    regime RANK CONVENTION, pinned empirically (30/30 probes, r9) as
+    ``sorted[ceil(p*n) - 1]``: the oracle re-derives each percentile
+    by explicit sorted-frame indexing (list_sort + 1-based element
+    ``ceil(p*30)``), NOT via DuckDB's own quantile_disc, whose
+    ``floor(p*(n-1))`` convention diverges at e.g. (n=30, p=0.75).
+    Only FULL frames are emitted — partial frames at a partition head
+    would re-open the cross-engine convention gap at small n.
+
+    Scale shape: one user_id shuffle, one sort, one window pass (the
+    per-row frame re-aggregation is O(frame) like ts6's moving
+    median); delivery is the ts5 recipe — a 1-in-5 certified slice
+    with a sample-sized single-partition display sort. In production
+    the same expression with the corpus-sized group and a finite
+    accuracy is the documented approximate path (rank error <=
+    n/accuracy), which is what the operator exists for."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-(APCTL_FRAME - 1), Window.currentRow)
+    ps = ", ".join(str(p) for p in APCTL_PS)
+    qs = F.expr(
+        f"percentile_approx(cents, array({ps}), {APCTL_ACCURACY})"
+    ).over(frame)
+    d = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        qs.alias("q"),
+    )
+    return (
+        d.where(
+            (F.col("rn") >= APCTL_FRAME) & (F.col("event_id") % 5 == 0)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("q")[0].alias("p25_cents"),
+            F.col("q")[1].alias("p50_cents"),
+            F.col("q")[2].alias("p90_cents"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_id")
+    )
+
+
+def _apctl_idx(p: float) -> int:
+    import math
+
+    return math.ceil(p * APCTL_FRAME)  # 1-based sorted-frame index
+
+
+A33_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+win AS (
+  SELECT user_id, event_id,
+         list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN {APCTL_FRAME - 1} PRECEDING AND CURRENT ROW) AS vs,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM base
+)
+SELECT user_id, event_id,
+       list_sort(vs)[{_apctl_idx(0.25)}] AS p25_cents,
+       list_sort(vs)[{_apctl_idx(0.5)}] AS p50_cents,
+       list_sort(vs)[{_apctl_idx(0.9)}] AS p90_cents
+FROM win
+WHERE rn >= {APCTL_FRAME} AND event_id % 5 = 0
+ORDER BY event_id
+"""

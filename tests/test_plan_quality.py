@@ -1235,6 +1235,23 @@ class TestRound8EntryPlanShapes:
         assert ex.count("Exchange hashpartitioning") == 1, ex
         assert "Join" not in ex, ex
 
+    def test_approx_percentile_window_single_hash_shuffle(
+        self, spark, sf_dir
+    ):
+        """a33: one hashpartitioning exchange (user_id) feeding the
+        frame-bounded GK window; delivery is the bounded-slice single-
+        partition sort (no full-output range sort), no join."""
+        from personal_health_etl_pipeline_spark.plans.stats_surface import (
+            a33_approx_percentile_window,
+        )
+
+        df = a33_approx_percentile_window(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert ex.count("Exchange hashpartitioning") == 1, ex
+        assert "Exchange rangepartitioning" not in ex, ex
+        assert "Join" not in ex, ex
+
     def test_lateral_topk_decorrelates_to_window(self, spark, sf_dir):
         """sql6: the correlated LATERAL LIMIT must decorrelate into a
         relational window top-k joined hash-wise — never a per-outer-
