@@ -2852,3 +2852,65 @@ LATERAL (
 ) c
 ORDER BY n.n_name, acctbal_cents DESC, c_custkey
 """
+
+
+# --- f26: mapInArrow (the RecordBatch-iterator escape hatch) ------------
+
+
+def f26_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.mapInArrow`` — the last cell of the Arrow-boundary
+    matrix (mapInPandas / applyInPandas / cogroup / UDTF / scalar
+    pandas_udf+arrow_udf are all certified elsewhere): the Python
+    function sees raw ``pyarrow.RecordBatch`` iterators, zero pandas
+    materialization, which is the right escape hatch when the
+    per-batch logic is itself Arrow-native (codec shims, columnar
+    re-encodings, zero-copy handoffs to Arrow-based libraries).
+
+    The batch function is PURELY ROW-WISE (batch boundaries are a
+    physical accident and must not be observable — same discipline as
+    mm_*'s mapInPandas): integer xor/shift mixing and an ASCII
+    upper-case, all exact, computed with ``pyarrow.compute`` kernels.
+    Floats are deliberately absent: pyarrow's ``round`` defaults to
+    half-to-even while Spark/DuckDB round half-up, exactly the class
+    of silent convention skew this surface's entries exist to pin.
+
+    Scale shape: scan -> one Python (Arrow) stage -> no exchange; the
+    1-in-7 pushed slice bounds the Arrow transfer like f24/f25."""
+    import pyarrow as pa
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 7 == 0
+    ).select("event_id", "user_id", "event_type")
+
+    def mix(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            eid = b.column("event_id")
+            uid = b.column("user_id")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    eid,
+                    pc.bit_wise_xor(eid, uid),
+                    pc.add(pc.shift_left(uid, 1), pc.bit_wise_and(eid, 7)),
+                    pc.ascii_upper(b.column("event_type")),
+                ],
+                names=["event_id", "id_mix", "uid_code", "etype_uc"],
+            )
+
+    out = ev.mapInArrow(
+        mix,
+        "event_id long, id_mix long, uid_code long, etype_uc string",
+    )
+    return out.orderBy("event_id")
+
+
+F26_ORACLE = """
+SELECT event_id,
+       xor(event_id, user_id) AS id_mix,
+       (user_id * 2) + (event_id & 7) AS uid_code,
+       upper(event_type) AS etype_uc
+FROM events
+WHERE event_id % 7 = 0
+ORDER BY event_id
+"""

@@ -831,6 +831,8 @@ register("w12_funnel_steps", an.w12_funnel_steps, an.W12_ORACLE)
 register("w13_sessionized_funnel", an.w13_sessionized_funnel, an.W13_ORACLE)
 # r9: LATERAL correlated subquery — the top-k-per-group SQL front-end
 register("sql6_lateral_topk", an.sql6_lateral_topk, an.SQL6_ORACLE)
+# r9: mapInArrow — the RecordBatch-iterator cell of the Arrow matrix
+register("f26_map_in_arrow", an.f26_map_in_arrow, an.F26_ORACLE)
 
 
 # --- r9 head-window rotation -----------------------------------------

@@ -1235,6 +1235,20 @@ class TestRound8EntryPlanShapes:
         assert ex.count("Exchange hashpartitioning") == 1, ex
         assert "Join" not in ex, ex
 
+    def test_map_in_arrow_is_exchange_free_arrow_stage(self, spark, sf_dir):
+        """f26: scan -> MapInArrow -> sort; no pandas path, no
+        row-at-a-time Python, no exchange before the Python stage."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            f26_map_in_arrow,
+        )
+
+        df = f26_map_in_arrow(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "MapInArrow" in ex, ex
+        assert "BatchEvalPython" not in ex, ex
+        assert "Exchange hashpartitioning" not in ex, ex
+
     def test_approx_percentile_window_single_hash_shuffle(
         self, spark, sf_dir
     ):
