@@ -126,6 +126,7 @@ HEADLINE = (
     "w13_sessionized_funnel",
     "sql6_lateral_topk",
     "a33_approx_percentile_window",
+    "f26_map_in_arrow",
 )
 
 

@@ -84,6 +84,12 @@ HEAVY = (
     "m1_scd2_merge",
     "ts1_gap_fill_ffill",
     "ts9_autocorr",
+    # r9 new entries (drilled late-r9, merged into the artifact with
+    # the same protocol)
+    "w13_sessionized_funnel",
+    "sql6_lateral_topk",
+    "a33_approx_percentile_window",
+    "f26_map_in_arrow",
 )
 
 
