@@ -417,3 +417,55 @@ class TestRankStatsProperties:
             for v in set(a + b)
         )
         assert (r.n_a, r.n_b, r.d_scaled) == (na, nb, want)
+
+
+class TestApproxPercentileConvention:
+    @PROP
+    @given(
+        vals=st.lists(st.integers(0, 40), min_size=30, max_size=64),
+    )
+    def test_exact_regime_matches_sorted_index(
+        self, spark, vals, tmp_path_factory
+    ):
+        """a33's certified claim, as a property: in the exact regime
+        (frame n=30 <= accuracy) ``percentile_approx`` over a trailing
+        frame equals sorted_frame[ceil(p*30) - 1] for every emitted
+        full frame — including heavy ties (values drawn from 0..40,
+        so a 30-frame always has collisions)."""
+        import datetime as dt
+        import math
+
+        from personal_health_etl_pipeline_spark.plans.stats_surface import (
+            APCTL_FRAME,
+            APCTL_PS,
+            a33_approx_percentile_window,
+        )
+
+        root = str(tmp_path_factory.mktemp("apctl_prop"))
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), 1,
+             "view", v / 100.0, "{}")
+            for i, v in enumerate(vals)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(f"{root}/events.parquet")
+        got = {
+            r.event_id: (r.p25_cents, r.p50_cents, r.p90_cents)
+            for r in a33_approx_percentile_window(spark, root).collect()
+        }
+        for t in range(len(vals)):
+            if t + 1 < APCTL_FRAME or t % 5 != 0:
+                continue  # entry emits full frames on the 1-in-5 slice
+            frame = sorted(vals[t - APCTL_FRAME + 1 : t + 1])
+            want = tuple(
+                frame[math.ceil(p * APCTL_FRAME) - 1] for p in APCTL_PS
+            )
+            assert got[t] == want
+        emitted = {
+            t for t in range(len(vals))
+            if t + 1 >= APCTL_FRAME and t % 5 == 0
+        }
+        assert set(got) == emitted
