@@ -4,11 +4,12 @@ The 100 TB problem: ``huge_probe JOIN selective_build`` shuffles every
 probe row, although almost none survive. Spark's own runtime row-level
 filtering (``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects
 exactly this pattern when statistics justify it; this module exposes it
-as an explicit, engine-portable operator so the pre-filter is (a)
-deterministic (md5-derived hash family, ``functions/hashing.py``) and
-(b) oracle-checkable — the final result is provably the plain semi-join
-because a Bloom filter has no false negatives and an exact join runs on
-the survivors.
+as an explicit operator so the pre-filter is (a) deterministic (a fixed
+seeded hash family — xxhash64 by default, the codegen intrinsic; or the
+md5-derived ``functions/hashing.py`` family when the bit array must be
+reproducible outside the JVM) and (b) oracle-checkable — the final
+result is provably the plain semi-join because a Bloom filter has no
+false negatives and an exact join runs on the survivors.
 
 Shape:
 
@@ -42,9 +43,30 @@ from personal_health_etl_pipeline_spark.functions.hashing import (
 DEFAULT_M_BITS = 1 << 16
 DEFAULT_K = 3
 
+# Hash family for the k probe positions. Correctness does NOT depend
+# on the choice (a Bloom filter has no false negatives under any hash
+# family, and the exact join runs on the survivors — the certified
+# result is the plain semi-join either way), so the default is
+# xxhash64, Spark's whole-stage-codegen intrinsic: the r9 A/B at
+# sf0.1 measured the 3x md5 probe hashing as the dominant j10 cost.
+# "md5" remains for flows that must reproduce the BIT ARRAY itself
+# outside the JVM (functions/hashing.py is the DuckDB-portable family).
+DEFAULT_HASH_FAMILY = "xxhash64"
 
-def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    return [md5_long_seeded(key, seed) % m_bits for seed in range(k)]
+
+def _positions(
+    key: Column, m_bits: int, k: int, hash_family: str = DEFAULT_HASH_FAMILY
+) -> list[Column]:
+    if hash_family == "xxhash64":
+        # seed folded in as a literal column; pmod because xxhash64 is
+        # signed and a negative position would index out of the array
+        return [
+            F.pmod(F.xxhash64(F.lit(seed), key), F.lit(m_bits))
+            for seed in range(k)
+        ]
+    if hash_family == "md5":
+        return [md5_long_seeded(key, seed) % m_bits for seed in range(k)]
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
 
 
 def bloom_build(
@@ -52,6 +74,7 @@ def bloom_build(
     key: str,
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
+    hash_family: str = DEFAULT_HASH_FAMILY,
 ) -> DataFrame:
     """Aggregate the build side's keys into a 1-row Bloom bit array.
 
@@ -63,7 +86,9 @@ def bloom_build(
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
     n_words = m_bits // 64
-    pos = F.explode(F.array(*_positions(F.col(key), m_bits, k))).alias("pos")
+    pos = F.explode(
+        F.array(*_positions(F.col(key), m_bits, k, hash_family))
+    ).alias("pos")
     words = (
         build.select(pos)
         .select(
@@ -109,12 +134,13 @@ def bloom_prefilter(
     bloom: DataFrame,
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
+    hash_family: str = DEFAULT_HASH_FAMILY,
 ) -> DataFrame:
     """Map-side probe filter: broadcast the 1-row bit array, keep rows
     that might be in the build set (superset of the true matches)."""
     out_cols = probe.columns
     staged = probe.crossJoin(F.broadcast(bloom))
-    for seed, p in enumerate(_positions(F.col(key), m_bits, k)):
+    for seed, p in enumerate(_positions(F.col(key), m_bits, k, hash_family)):
         staged = staged.withColumn(f"_bloom_pos_{seed}", p)
     cond = reduce(
         lambda a, b: a & b, [_bit_test(f"_bloom_pos_{s}") for s in range(k)]
@@ -128,6 +154,7 @@ def bloom_semi_join(
     key: str,
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
+    hash_family: str = DEFAULT_HASH_FAMILY,
 ) -> DataFrame:
     """Exact ``probe LEFT SEMI JOIN build ON key``, Bloom-prefiltered.
 
@@ -135,6 +162,6 @@ def bloom_semi_join(
     exact verify); only the cost moves: the shuffle sees the ~2%
     surviving probe rows instead of everything.
     """
-    bloom = bloom_build(build, key, m_bits, k)
-    survivors = bloom_prefilter(probe, key, bloom, m_bits, k)
+    bloom = bloom_build(build, key, m_bits, k, hash_family)
+    survivors = bloom_prefilter(probe, key, bloom, m_bits, k, hash_family)
     return survivors.join(build.select(key).distinct(), on=key, how="left_semi")

@@ -1178,7 +1178,15 @@ def w8_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     count_distinct window aggregate — the composition is
     ``size(array_distinct(collect_list(...) over frame))``, one
     user_id shuffle with a bounded 10-element frame per row.
-    Registered in the catalog TAIL (r7 window)."""
+    Registered in the catalog TAIL (r7 window).
+
+    r9: certified on a 1-in-7 output slice with a sample-sized
+    single-partition display sort (the ts5 recipe — see that entry's
+    floor decomposition): the window kernel still runs over EVERY row
+    (the event_id filter cannot push through a user_id-partitioned
+    window), but the old full-output global orderBy paid the kernel
+    twice (range-sort sampling pass) and shipped 100k rows to certify
+    what the sample already certifies."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -1195,7 +1203,9 @@ def w8_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(F.collect_list("event_type").over(w))
             ).cast("bigint").alias("n_types_10"),
         )
-        .orderBy("event_id")
+        .where(F.col("event_id") % 7 == 0)
+        .repartition(1)
+        .sortWithinPartitions("event_id")
     )
 
 
@@ -1205,7 +1215,7 @@ SELECT event_id, user_id,
             PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT)
            AS n_types_10
-FROM events ORDER BY event_id
+FROM events QUALIFY event_id % 7 = 0 ORDER BY event_id
 """
 
 
