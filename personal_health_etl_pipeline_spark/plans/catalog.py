@@ -858,12 +858,23 @@ _HEAD = [
     "sql5_session_variables",
     "src_datasource_write_audit",
     "corpus_perplexity_filter",
+    # (a) new in r9, never driver-certified — the rotation rule puts
+    # these ahead of stale backfill
+    "w13_sessionized_funnel",
+    "sql6_lateral_topk",
+    "a33_approx_percentile_window",
+    "f26_map_in_arrow",
+    "st_datasource_stream_write_audit",
     # (b) implementation changed in r9: batched-BPE round semantics
-    # (ADVICE-r8 pair-poor-corpus divergence fix), BFS multi-hop join
-    # collapse, EWMA certification-slice work (VERDICT-r8 item 3)
+    # (ADVICE-r8 pair-poor-corpus divergence fix), broadcast-frontier
+    # BFS walk, EWMA certification slice (VERDICT-r8 item 3), w8
+    # slice-certified delivery (output changed), j10 intrinsic bloom
+    # hashes (plan changed)
     "text_bpe_train_batched",
     "graph_bfs_hops",
     "ts5_ewma_halflife",
+    "w8_windowed_distinct",
+    "j10_bloom_semi_join",
     # (c) family reps for families (a)-(b) leave uncovered, stalest
     # certified member first: c (only entry, r8), st (r3), dedup (r3),
     # ann (r3), emb (r4), mm (r3), sketch (r3), m (r5), dq (r5),
@@ -899,18 +910,14 @@ _HEAD = [
     "a3_count_probes",
     "w3_sessionize",
     "text_bpe_token_count",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "ann_brute_force_topk",
-    "text_repetition_stats",
-    "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    "decontaminate_ngram",
 ]
-# r10 head plan (rotate at round-10 start): (a) any entry new in r9;
+# r10 head plan (rotate at round-10 start): (a) any entry new in r10;
 # (b) impl-changed; (c) family reps; (d) backfill continues the stale
-# list: pii_scrub_emails, q12_late_shipment_priority (r3), the
-# remaining r3 band
+# list: the 7 entries displaced from the r9 head by the late-r9
+# additions (dedup_ngram_jaccard, dedup_simhash, ann_brute_force_topk,
+# text_repetition_stats, ann_ivf_topk, dedup_embedding_cosine,
+# decontaminate_ngram — all r3), then pii_scrub_emails,
+# q12_late_shipment_priority (r3), the remaining r3 band
 # (st_interval_join, st_interval_join_outer, st_enrich_static, a9,
 # w4, f2, corpus_sample_stratified, corpus_shard_plan,
 # mm_frame_sample, sketch_sample_quantiles), then the r4 band
