@@ -88,6 +88,7 @@ HEAVY = (
     # the same protocol)
     "w13_sessionized_funnel",
     "sql6_lateral_topk",
+    "j10_bloom_semi_join",
     "a33_approx_percentile_window",
     "f26_map_in_arrow",
 )
