@@ -469,3 +469,87 @@ class TestApproxPercentileConvention:
             if t + 1 >= APCTL_FRAME and t % 5 == 0
         }
         assert set(got) == emitted
+
+
+class TestSessionizedFunnelProperty:
+    @PROP
+    @given(
+        steps=st.lists(
+            st.tuples(
+                st.sampled_from([1, 10, 300, 2000]),  # 2000s > 30-min gap
+                st.sampled_from(["view", "click", "purchase", "other"]),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_matches_python_simulation(self, spark, steps, tmp_path_factory):
+        """w13 against a transparent simulation: gap-sessionize, then
+        per-session strictly-ordered funnel, then the per-stage
+        rollup — random event streams incl. pre-view clicks, re-entry
+        and cross-gap sequences."""
+        import datetime as dt
+
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            w13_sessionized_funnel,
+        )
+
+        t, rows, stream = 0, [], []
+        for i, (gap, etype) in enumerate(steps):
+            t += gap
+            rows.append(
+                (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t), 1,
+                 etype, 1.0, "{}")
+            )
+            stream.append((t * 1_000_000, etype))
+
+        # python reference
+        sessions, cur = [], [stream[0]]
+        for prev, nxt in zip(stream, stream[1:]):
+            if nxt[0] - prev[0] > 30 * 60 * 1_000_000:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        agg: dict = {}
+        for sess in sessions:
+            t1 = min((us for us, e in sess if e == "view"), default=None)
+            if t1 is None:
+                continue
+            t2 = min(
+                (us for us, e in sess if e == "click" and us > t1),
+                default=None,
+            )
+            t3 = None
+            if t2 is not None:
+                t3 = min(
+                    (us for us, e in sess if e == "purchase" and us > t2),
+                    default=None,
+                )
+            stage = 1 + (t2 is not None) + (t3 is not None)
+            a = agg.setdefault(stage, [0, 0, 0, False, False])
+            a[0] += 1
+            if t2 is not None:
+                a[1] += t2 - t1
+                a[3] = True
+            if t3 is not None:
+                a[2] += t3 - t1
+                a[4] = True
+
+        root = str(tmp_path_factory.mktemp("w13_prop"))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(f"{root}/events.parquet")
+        got = {
+            r.stage_reached: r
+            for r in w13_sessionized_funnel(spark, root).collect()
+        }
+        assert set(got) == set(agg)
+        for stage, (n, lat2, lat3, has2, has3) in agg.items():
+            r = got[stage]
+            assert r.n_sessions == n
+            assert r.n_users == 1
+            assert r.sum_lat2_us == (lat2 if has2 else None)
+            assert r.sum_lat3_us == (lat3 if has3 else None)
