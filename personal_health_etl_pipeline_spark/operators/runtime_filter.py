@@ -107,9 +107,16 @@ def bloom_build(
             F.element_at(F.col("wmap"), i.cast("int")), F.lit(0).cast("bigint")
         ),
     )
+    # The build parameters travel WITH the bit array as column metadata
+    # (schema-side only — no extra job, survives broadcast). A bit
+    # array built with one hash family but probed with another would
+    # produce FALSE NEGATIVES, breaking the module's central
+    # no-false-negatives guarantee; bloom_prefilter reads these back
+    # and refuses a mismatched probe (ADVICE-r9).
+    meta = {"m_bits": m_bits, "k": k, "hash_family": hash_family}
     return words.agg(
         F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("wmap")
-    ).select(dense.alias("words"))
+    ).select(dense.alias("words", metadata=meta))
 
 
 def _bit_test(pos_col: str, words_col: str = "words") -> Column:
@@ -132,12 +139,38 @@ def bloom_prefilter(
     probe: DataFrame,
     key: str,
     bloom: DataFrame,
-    m_bits: int = DEFAULT_M_BITS,
-    k: int = DEFAULT_K,
-    hash_family: str = DEFAULT_HASH_FAMILY,
+    m_bits: int | None = None,
+    k: int | None = None,
+    hash_family: str | None = None,
 ) -> DataFrame:
     """Map-side probe filter: broadcast the 1-row bit array, keep rows
-    that might be in the build set (superset of the true matches)."""
+    that might be in the build set (superset of the true matches).
+
+    The probe parameters default to the ones recorded in the bloom
+    DataFrame's column metadata by :func:`bloom_build` — probing with a
+    different hash family / m_bits / k than the array was built with
+    silently yields false negatives, so an explicit argument that
+    contradicts the recorded build parameters is a hard error, and the
+    explicit arguments are only *required* for a bit array that arrived
+    without metadata (e.g. read back from a sink that drops it)."""
+    recorded = (
+        dict(bloom.schema["words"].metadata or {})
+        if "words" in bloom.columns
+        else {}
+    )
+    for arg, name in ((m_bits, "m_bits"), (k, "k"),
+                      (hash_family, "hash_family")):
+        if arg is not None and name in recorded and arg != recorded[name]:
+            raise ValueError(
+                f"bloom_prefilter {name}={arg!r} contradicts the value "
+                f"recorded at build time ({recorded[name]!r}); probing "
+                "with mismatched parameters produces false negatives"
+            )
+    m_bits = m_bits if m_bits is not None else recorded.get(
+        "m_bits", DEFAULT_M_BITS)
+    k = k if k is not None else recorded.get("k", DEFAULT_K)
+    hash_family = hash_family if hash_family is not None else recorded.get(
+        "hash_family", DEFAULT_HASH_FAMILY)
     out_cols = probe.columns
     staged = probe.crossJoin(F.broadcast(bloom))
     for seed, p in enumerate(_positions(F.col(key), m_bits, k, hash_family)):
@@ -163,5 +196,7 @@ def bloom_semi_join(
     surviving probe rows instead of everything.
     """
     bloom = bloom_build(build, key, m_bits, k, hash_family)
-    survivors = bloom_prefilter(probe, key, bloom, m_bits, k, hash_family)
+    # prefilter reads the build parameters from the bloom's column
+    # metadata — by construction they cannot mismatch
+    survivors = bloom_prefilter(probe, key, bloom)
     return survivors.join(build.select(key).distinct(), on=key, how="left_semi")

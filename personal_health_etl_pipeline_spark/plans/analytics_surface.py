@@ -1171,14 +1171,39 @@ FROM ranked WHERE rn = 1 ORDER BY event_type
 """
 
 
+def windowed_distinct_full(events: DataFrame, n: int = 10) -> DataFrame:
+    """PRODUCTION form of the trailing-window distinct count: EVERY
+    event row, unsliced and unsorted (downstream consumers filter or
+    sort as needed). Per user, how many distinct event types the last
+    ``n`` events span. Spark has no count_distinct window aggregate —
+    the composition is ``size(array_distinct(collect_list(...) over
+    frame))``, one user_id shuffle with a bounded n-element frame per
+    row. The certified catalog entry :func:`w8_windowed_distinct`
+    slices this output 1-in-7 for delivery; full-output correctness is
+    pinned by the hand-computed test
+    ``tests/test_cdc_analytics.py::test_windowed_distinct_full_hand_computed``
+    plus the property test in ``tests/test_properties.py``."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(n - 1), 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.size(
+            F.array_distinct(F.collect_list("event_type").over(w))
+        ).cast("bigint").alias(f"n_types_{n}"),
+    )
+
+
 def w8_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DISTINCT-count over a trailing ROWS window (the variety
-    signal behind session anomaly detection): per user, how many
-    distinct event types the last 10 events span. Spark has no
-    count_distinct window aggregate — the composition is
-    ``size(array_distinct(collect_list(...) over frame))``, one
-    user_id shuffle with a bounded 10-element frame per row.
-    Registered in the catalog TAIL (r7 window).
+    signal behind session anomaly detection) — the CERTIFIED SLICE of
+    the full-output production twin :func:`windowed_distinct_full`
+    (which this delegates to, so the two cannot drift).
 
     r9: certified on a 1-in-7 output slice with a sample-sized
     single-partition display sort (the ts5 recipe — see that entry's
@@ -1186,23 +1211,12 @@ def w8_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the event_id filter cannot push through a user_id-partitioned
     window), but the old full-output global orderBy paid the kernel
     twice (range-sort sampling pass) and shipped 100k rows to certify
-    what the sample already certifies."""
-    from pyspark.sql import Window
-
+    what the sample already certifies. Rows with event_id % 7 != 0 are
+    covered by the twin's hand-computed + property tests (r10,
+    ADVICE-r9). Registered in the catalog TAIL (r7 window)."""
     events = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-9, 0)
-    )
     return (
-        events.select(
-            "event_id",
-            "user_id",
-            F.size(
-                F.array_distinct(F.collect_list("event_type").over(w))
-            ).cast("bigint").alias("n_types_10"),
-        )
+        windowed_distinct_full(events, n=10)
         .where(F.col("event_id") % 7 == 0)
         .repartition(1)
         .sortWithinPartitions("event_id")

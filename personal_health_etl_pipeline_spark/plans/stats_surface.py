@@ -607,6 +607,40 @@ APCTL_ACCURACY = 1000  # >> frame size: the GK sketch's EXACT regime
 APCTL_PS = (0.25, 0.5, 0.9)
 
 
+def approx_percentile_windows_full(
+    events: DataFrame,
+    frame_rows: int = APCTL_FRAME,
+    accuracy: int = APCTL_ACCURACY,
+    ps: tuple = APCTL_PS,
+) -> DataFrame:
+    """PRODUCTION form of the trailing-window approximate percentiles:
+    EVERY full-frame row, unsliced and unsorted. The certified catalog
+    entry :func:`a33_approx_percentile_window` slices this output
+    1-in-5 for delivery; full-output correctness is pinned by
+    ``tests/test_properties.py::test_approx_percentile_full_matches_sorted_frame``
+    over the unsliced rows. One user_id shuffle, one sort, one window
+    pass; per-row frame re-aggregation is O(frame)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-(frame_rows - 1), Window.currentRow)
+    ps_sql = ", ".join(str(p) for p in ps)
+    qs = F.expr(
+        f"percentile_approx(cents, array({ps_sql}), {accuracy})"
+    ).over(frame)
+    d = events.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        qs.alias("q"),
+    )
+    sel = [
+        F.col("q")[i].alias(f"p{int(p * 100)}_cents")
+        for i, p in enumerate(ps)
+    ]
+    return d.where(F.col("rn") >= frame_rows).select(
+        "user_id", "event_id", *sel
+    )
+
+
 def a33_approx_percentile_window(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -628,40 +662,23 @@ def a33_approx_percentile_window(
 
     Scale shape: one user_id shuffle, one sort, one window pass (the
     per-row frame re-aggregation is O(frame) like ts6's moving
-    median); delivery is the ts5 recipe — a 1-in-5 certified slice
-    with a sample-sized single-partition display sort. In production
-    the same expression with the corpus-sized group and a finite
-    accuracy is the documented approximate path (rank error <=
-    n/accuracy), which is what the operator exists for."""
+    median); delivery is the ts5 recipe — this is the CERTIFIED 1-in-5
+    SLICE of the full-output production twin
+    :func:`approx_percentile_windows_full` (which this delegates to,
+    so the two cannot drift; the twin's unsliced rows are pinned by
+    its property test). In production the same expression with the
+    corpus-sized group and a finite accuracy is the documented
+    approximate path (rank error <= n/accuracy), which is what the
+    operator exists for."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         "ts",
         F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    frame = w.rowsBetween(-(APCTL_FRAME - 1), Window.currentRow)
-    ps = ", ".join(str(p) for p in APCTL_PS)
-    qs = F.expr(
-        f"percentile_approx(cents, array({ps}), {APCTL_ACCURACY})"
-    ).over(frame)
-    d = ev.select(
-        "user_id",
-        "event_id",
-        F.row_number().over(w).alias("rn"),
-        qs.alias("q"),
-    )
     return (
-        d.where(
-            (F.col("rn") >= APCTL_FRAME) & (F.col("event_id") % 5 == 0)
-        )
-        .select(
-            "user_id",
-            "event_id",
-            F.col("q")[0].alias("p25_cents"),
-            F.col("q")[1].alias("p50_cents"),
-            F.col("q")[2].alias("p90_cents"),
-        )
+        approx_percentile_windows_full(ev)
+        .where(F.col("event_id") % 5 == 0)
         .repartition(1)
         .sortWithinPartitions("event_id")
     )

@@ -185,6 +185,61 @@ def register(spark) -> None:
 WRITE_FORMAT_NAME = "jsonl_lines"
 
 
+def _load_manifest(mpath: str) -> dict:
+    """Read ``_MANIFEST.json`` or return the empty manifest.
+
+    A manifest that exists but does not parse is a hard error, not an
+    empty dataset: silently starting over would unpublish every
+    previously committed batch. Because :func:`_publish_manifest` is
+    atomic (temp file + ``os.replace``), a corrupt manifest can only
+    mean out-of-band damage — surface it with recovery guidance
+    instead of letting a replayed commit crash on ``json.load`` with
+    no context."""
+    import json as _json
+    import os as _os
+
+    if not _os.path.exists(mpath):
+        return {"files": [], "total_rows": 0}
+    with open(mpath) as fh:
+        raw = fh.read()
+    try:
+        return _json.loads(raw)
+    except ValueError as exc:  # pragma: no cover - out-of-band damage
+        raise RuntimeError(
+            f"corrupt sink manifest {mpath!r}: {exc}. The manifest is "
+            "published atomically, so this indicates external damage. "
+            "To recover, rebuild it from the part files that should be "
+            "visible: list part-*.jsonl, count rows per file, and write "
+            '{"files": [{"name": ..., "rows": ...}, ...], "total_rows": '
+            "N} (plus the prior \"batches\" list for streaming sinks); "
+            "or delete the manifest AND all part files to reset the "
+            "dataset to empty."
+        ) from exc
+
+
+def _publish_manifest(mpath: str, manifest: dict) -> None:
+    """Atomically publish the manifest: write to a temp file in the
+    same directory, then ``os.replace`` over ``_MANIFEST.json``.
+
+    ``commit`` runs exactly in the sink-commit/offset-commit window the
+    batch-id replay dedup exists for — an in-place ``open(mpath, "w")``
+    that crashes mid-write would leave a truncated manifest,
+    unpublishing ALL previously committed batches and making the
+    replayed commit fail on parse instead of no-opping. Rename within
+    one directory is atomic on POSIX, so readers and replays see either
+    the old manifest or the new one, never a partial write."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    tmp = f"{mpath}.tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh, sort_keys=True)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    _os.replace(tmp, mpath)
+
+
 class JsonlCommitMessage(WriterCommitMessage):
     """Per-task commit message: which file this task wrote and how many
     rows it holds. Must be picklable — plain attributes only."""
@@ -224,7 +279,6 @@ class JsonlLinesWriter(DataSourceWriter):
         return JsonlCommitMessage(fname, n)
 
     def commit(self, messages):
-        import json as _json
         import os as _os
 
         done = [m for m in messages if m is not None]
@@ -234,16 +288,17 @@ class JsonlLinesWriter(DataSourceWriter):
         # instead of overwriting it — otherwise the earlier commit's
         # rows silently vanish for manifest-honoring readers, which
         # would contradict the sink's advertised append-only contract.
+        # The merge preserves keys it does not own (in particular the
+        # stream writer's ``batches`` exactly-once ledger): a batch
+        # append onto a stream-written path must not erase the
+        # committed-batch-id record, or a checkpoint-replayed streaming
+        # batch would double-publish.
         mpath = _os.path.join(self.path, "_MANIFEST.json")
-        if _os.path.exists(mpath):
-            with open(mpath) as fh:
-                files.extend(_json.load(fh).get("files", []))
-        manifest = {
-            "files": sorted(files, key=lambda f: f["name"]),
-            "total_rows": sum(f["rows"] for f in files),
-        }
-        with open(mpath, "w") as fh:
-            _json.dump(manifest, fh, sort_keys=True)
+        manifest = _load_manifest(mpath)
+        files.extend(manifest.get("files", []))
+        manifest["files"] = sorted(files, key=lambda f: f["name"])
+        manifest["total_rows"] = sum(f["rows"] for f in files)
+        _publish_manifest(mpath, manifest)
 
     def abort(self, messages):  # pragma: no cover - failure path
         # leave part files unpublished: no manifest means readers that
@@ -267,27 +322,21 @@ class JsonlLinesStreamWriter(JsonlLinesWriter, DataSourceStreamWriter):
     discipline as the SCD-2 upsert sink (streaming/upsert.py)."""
 
     def commit(self, messages, batchId):
-        import json as _json
         import os as _os
 
         mpath = _os.path.join(self.path, "_MANIFEST.json")
-        prior = {"files": [], "total_rows": 0, "batches": []}
-        if _os.path.exists(mpath):
-            with open(mpath) as fh:
-                prior = _json.load(fh)
+        prior = _load_manifest(mpath)
         if batchId in prior.get("batches", []):
             return  # replayed batch: already visible, keep exactly-once
         done = [m for m in messages if m is not None]
         files = prior.get("files", []) + [
             {"name": m.filename, "rows": m.rows} for m in done
         ]
-        manifest = {
-            "files": sorted(files, key=lambda f: f["name"]),
-            "total_rows": sum(f["rows"] for f in files),
-            "batches": sorted(prior.get("batches", []) + [batchId]),
-        }
-        with open(mpath, "w") as fh:
-            _json.dump(manifest, fh, sort_keys=True)
+        manifest = dict(prior)
+        manifest["files"] = sorted(files, key=lambda f: f["name"])
+        manifest["total_rows"] = sum(f["rows"] for f in files)
+        manifest["batches"] = sorted(prior.get("batches", []) + [batchId])
+        _publish_manifest(mpath, manifest)
 
     def abort(self, messages, batchId):  # pragma: no cover - failure path
         # unpublished part files stay orphans; the manifest never

@@ -190,3 +190,54 @@ def test_w13_session_reentry_and_strict_order(spark, tmp_path):
     assert got[3].sum_lat2_us == 10_000_000
     assert got[3].sum_lat3_us == 20_000_000
     assert 2 not in got
+
+
+class TestWindowedDistinctFull:
+    """Full-output coverage for the w8 production twin (ADVICE-r9:
+    the certified catalog entry slices 1-in-7; these tests pin every
+    row of the unsliced output)."""
+
+    def test_windowed_distinct_full_hand_computed(self, spark):
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            windowed_distinct_full,
+        )
+
+        rows = [
+            # user u1: types a,a,b,a,c over a 3-event trailing window
+            (1, "u1", "2024-01-01 00:00:01", "a"),
+            (2, "u1", "2024-01-01 00:00:02", "a"),
+            (3, "u1", "2024-01-01 00:00:03", "b"),
+            (4, "u1", "2024-01-01 00:00:04", "a"),
+            (5, "u1", "2024-01-01 00:00:05", "c"),
+            # user u2: single event; tie on ts broken by event_id
+            (6, "u2", "2024-01-01 00:00:01", "x"),
+            (8, "u2", "2024-01-01 00:00:02", "y"),
+            (7, "u2", "2024-01-01 00:00:02", "x"),
+        ]
+        events = spark.createDataFrame(
+            rows, "event_id long, user_id string, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            r.event_id: r.n_types_3
+            for r in windowed_distinct_full(events, n=3).collect()
+        }
+        # u1 windows: [a]=1, [a,a]=1, [a,a,b]=2, [a,b,a]=2, [b,a,c]=3
+        # u2 windows (ts,event_id order => 6,7,8): [x]=1, [x,x]=1, [x,x,y]=2
+        assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 1, 7: 1, 8: 2}
+
+    def test_slice_is_exactly_the_full_output_filtered(self, spark, sf_dir):
+        """The certified entry must be the production twin's rows with
+        event_id % 7 == 0 — no drift between delivery and production."""
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            w8_windowed_distinct,
+            windowed_distinct_full,
+        )
+        from personal_health_etl_pipeline_spark.plans.reference_surface import (
+            load_table,
+        )
+
+        full = windowed_distinct_full(load_table(spark, sf_dir, "events"))
+        expected = full.where(F.col("event_id") % 7 == 0)
+        got = w8_windowed_distinct(spark, sf_dir)
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0

@@ -108,3 +108,85 @@ def test_stream_writer_commit_is_batch_idempotent(tmp_path):
     assert {f["name"] for f in m["files"]} == {
         "part-b0.jsonl", "part-b1.jsonl"
     }
+
+
+def test_batch_append_preserves_stream_batch_ledger(tmp_path):
+    """ADVICE-r9: a batch append onto a path previously written by the
+    streaming sink must PRESERVE the manifest's ``batches``
+    exactly-once ledger — erasing it would let a checkpoint-replayed
+    streaming batch double-publish."""
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from personal_health_etl_pipeline_spark.sources.datasource import (
+        JsonlCommitMessage,
+        JsonlLinesStreamWriter,
+        JsonlLinesWriter,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    schema = StructType([StructField("event_id", LongType())])
+
+    sw = JsonlLinesStreamWriter({"path": out}, schema)
+    sw.commit([JsonlCommitMessage("part-b0.jsonl", 3)], 0)
+
+    bw = JsonlLinesWriter({"path": out}, schema)
+    bw.commit([JsonlCommitMessage("part-batch.jsonl", 4)])
+
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        m = json.load(fh)
+    assert m["batches"] == [0], "batch append erased the stream ledger"
+    assert m["total_rows"] == 7
+    assert {f["name"] for f in m["files"]} == {
+        "part-b0.jsonl", "part-batch.jsonl"
+    }
+
+    # and the replayed streaming batch is STILL a visibility no-op
+    sw.commit([JsonlCommitMessage("part-b0-retry.jsonl", 3)], 0)
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        m = json.load(fh)
+    assert m["total_rows"] == 7
+
+
+def test_manifest_publication_is_atomic_and_corruption_is_loud(tmp_path):
+    """ADVICE-r9: the manifest is published via temp-file +
+    ``os.replace`` (no window where readers see a partial write, and a
+    crashed commit leaves the OLD manifest intact), and a manifest
+    damaged out-of-band fails loudly with recovery guidance instead of
+    silently unpublishing every prior batch."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from personal_health_etl_pipeline_spark.sources.datasource import (
+        JsonlCommitMessage,
+        JsonlLinesWriter,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    schema = StructType([StructField("event_id", LongType())])
+    w = JsonlLinesWriter({"path": out}, schema)
+    w.commit([JsonlCommitMessage("part-a.jsonl", 1)])
+
+    # no temp litter: publication renamed the temp file away
+    assert [f for f in os.listdir(out) if ".tmp-" in f] == []
+    mpath = os.path.join(out, "_MANIFEST.json")
+    with open(mpath) as fh:
+        assert json.load(fh)["total_rows"] == 1
+
+    # out-of-band damage (impossible via the atomic publish path):
+    # the next commit must raise with recovery guidance, NOT reset the
+    # dataset to empty or crash on a bare json error
+    with open(mpath, "w") as fh:
+        fh.write('{"files": [truncated')
+    with pytest.raises(RuntimeError, match="corrupt sink manifest"):
+        w.commit([JsonlCommitMessage("part-b.jsonl", 1)])
+    # the damaged manifest was not clobbered by the failed commit
+    with open(mpath) as fh:
+        assert fh.read().startswith('{"files": [truncated')

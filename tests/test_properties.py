@@ -470,6 +470,44 @@ class TestApproxPercentileConvention:
         }
         assert set(got) == emitted
 
+    @PROP
+    @given(
+        vals=st.lists(st.integers(0, 40), min_size=5, max_size=48),
+    )
+    def test_approx_percentile_full_matches_sorted_frame(self, spark, vals):
+        """ADVICE-r9 convention: the UNSLICED production twin
+        (approx_percentile_windows_full) is pinned over EVERY emitted
+        row — full frames only, sorted_frame[ceil(p*n) - 1] per
+        percentile — so the 1-in-5 certified slice of a33 never leaves
+        uncovered rows."""
+        import datetime as dt
+        import math
+
+        from personal_health_etl_pipeline_spark.plans.stats_surface import (
+            approx_percentile_windows_full,
+        )
+
+        n = 5  # small frame: exact regime (n <= accuracy) at low cost
+        ps = (0.25, 0.5, 0.9)
+        ev = spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+                 1, v)
+                for i, v in enumerate(vals)
+            ],
+            "event_id long, ts timestamp, user_id long, cents long",
+        )
+        out = approx_percentile_windows_full(ev, frame_rows=n, ps=ps)
+        got = {
+            r.event_id: (r.p25_cents, r.p50_cents, r.p90_cents)
+            for r in out.collect()
+        }
+        want = {}
+        for t in range(n - 1, len(vals)):
+            frame = sorted(vals[t - n + 1 : t + 1])
+            want[t] = tuple(frame[math.ceil(p * n) - 1] for p in ps)
+        assert got == want
+
 
 class TestSessionizedFunnelProperty:
     @PROP

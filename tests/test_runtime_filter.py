@@ -64,3 +64,36 @@ def test_prefilter_plan_is_map_side(tables):
     # must be exchange-free; the build side below it aggregates 1024
     # words and may exchange freely.
     assert "Exchange" not in pre, pre
+
+
+def test_build_params_travel_with_bloom_and_mismatch_is_rejected(tables):
+    """ADVICE-r9: the bit array records its build parameters as column
+    metadata; probing defaults to them, and an explicit contradiction
+    (which would silently produce false negatives) is a hard error."""
+    import pytest
+
+    li, build = tables
+    bloom = bloom_build(build, "l_orderkey", m_bits=1 << 12, k=2,
+                        hash_family="md5")
+    meta = bloom.schema["words"].metadata
+    assert meta == {"m_bits": 1 << 12, "k": 2, "hash_family": "md5"}
+
+    # defaults read from metadata: identical survivors to explicit args
+    implicit = bloom_prefilter(li, "l_orderkey", bloom)
+    explicit = bloom_prefilter(li, "l_orderkey", bloom, m_bits=1 << 12,
+                               k=2, hash_family="md5")
+    assert implicit.exceptAll(explicit).count() == 0
+    assert explicit.exceptAll(implicit).count() == 0
+
+    # zero false negatives even at non-default params via the implicit
+    # path — the guarantee the metadata plumbing exists to protect
+    true_keys = build.select("l_orderkey").distinct()
+    missed = true_keys.join(implicit.select("l_orderkey").distinct(),
+                            "l_orderkey", "left_anti")
+    li_keys = li.select("l_orderkey").distinct()
+    assert missed.join(li_keys, "l_orderkey", "left_semi").count() == 0
+
+    with pytest.raises(ValueError, match="hash_family.*contradicts"):
+        bloom_prefilter(li, "l_orderkey", bloom, hash_family="xxhash64")
+    with pytest.raises(ValueError, match="m_bits.*contradicts"):
+        bloom_prefilter(li, "l_orderkey", bloom, m_bits=1 << 16)
