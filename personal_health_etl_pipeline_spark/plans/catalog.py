@@ -833,98 +833,97 @@ register("w13_sessionized_funnel", an.w13_sessionized_funnel, an.W13_ORACLE)
 register("sql6_lateral_topk", an.sql6_lateral_topk, an.SQL6_ORACLE)
 # r9: mapInArrow — the RecordBatch-iterator cell of the Arrow matrix
 register("f26_map_in_arrow", an.f26_map_in_arrow, an.F26_ORACLE)
+# r10: statistics-driven join strategy — ANALYZE TABLE row counts flow
+# through CBO and flip the dim-fact join to broadcast with no hint and
+# no AQE runtime conversion (three plan gates; VERDICT-r9 item 6)
+register(
+    "sql7_cbo_broadcast_audit", au.sql7_cbo_broadcast_audit, au.SQL7_ORACLE
+)
 
 
-# --- r9 head-window rotation -----------------------------------------
+# --- r10 head-window rotation ------------------------------------------
 # The rotation rule (adopted r4) as an EXPLICIT list: external
 # harnesses certify the FIRST ~50 entries in dict order, so the head
 # holds (a) every entry that has NEVER had a driver certification,
 # (b) every entry whose implementation changed this round, (c) one rep
 # of every family the head would otherwise miss (family guard in
 # tests/test_catalog.py), picking the stalest member, (d) remaining
-# slots = stalest-certification backfill in VERDICT-r8 priority order.
+# slots = stalest-certification backfill in VERDICT-r9 priority order.
 # Everything not listed keeps registration order after the head.
 _HEAD = [
-    # (a) the 11 never-driver-certified late-r8 entries (VERDICT-r8
-    # item 1 — pre-listed by name in the r8 plan below)
-    "a30_ks_statistic",
-    "a31_mannwhitney_u",
-    "a32_cohort_retention",
-    "w12_funnel_steps",
-    "j31_cogroup_pandas_asof",
-    "udtf_ngram_grid",
-    "f24_xml_parse",
-    "f25_scalar_udf_modes",
-    "sql5_session_variables",
-    "src_datasource_write_audit",
-    "corpus_perplexity_filter",
-    # (a) new in r9, never driver-certified — the rotation rule puts
-    # these ahead of stale backfill
-    "w13_sessionized_funnel",
-    "sql6_lateral_topk",
-    "a33_approx_percentile_window",
-    "f26_map_in_arrow",
-    "st_datasource_stream_write_audit",
-    # (b) implementation changed in r9: batched-BPE round semantics
-    # (ADVICE-r8 pair-poor-corpus divergence fix), broadcast-frontier
-    # BFS walk, EWMA certification slice (VERDICT-r8 item 3), w8
-    # slice-certified delivery (output changed), j10 intrinsic bloom
-    # hashes (plan changed)
-    "text_bpe_train_batched",
-    "graph_bfs_hops",
-    "ts5_ewma_halflife",
-    "w8_windowed_distinct",
+    # (a) new in r10, never driver-certified: the CBO statistics-
+    # driven broadcast audit (VERDICT-r9 item 6)
+    "sql7_cbo_broadcast_audit",
+    # (b) implementation changed in r10: the ADVICE-r9 fixes — bloom
+    # build-parameter metadata plumbing (j10's plan), the w8/a33
+    # full-output-twin delegation refactors, and the atomic-manifest /
+    # batches-ledger-preserving DataSource commit paths that both
+    # write audits exercise end-to-end
     "j10_bloom_semi_join",
-    # (c) family reps for families (a)-(b) leave uncovered, stalest
-    # certified member first: c (only entry, r8), st (r3), dedup (r3),
-    # ann (r3), emb (r4), mm (r3), sketch (r3), m (r5), dq (r5),
-    # p (r5), layout (r6), s (r6)
+    "w8_windowed_distinct",
+    "a33_approx_percentile_window",
+    "src_datasource_write_audit",
+    "st_datasource_stream_write_audit",
+    # (c) family reps for families (a)-(b)+(d) leave uncovered,
+    # stalest certified member first: p (r5), c (only entry), emb
+    # (r5), m (r6), dq (r5), graph (r6), layout (r7), s (r7), udtf
+    # (r7)
+    "p6_new_dates_antijoin",
     "c3_schema_align",
-    "p3_prefix_columns",
-    "st_tumbling_window_agg",
-    "dedup_minhash_lsh",
-    "ann_lsh_topk",
-    "emb_int8_quantize",
-    "mm_decode_features",
-    "sketch_kmv_distinct",
-    "m1_scd2_merge",
-    "dq2_column_profile",
-    "layout_vacuum_audit",
-    "s6_raw_zone_pruned_scan",
-    # (d) stalest backfill (VERDICT-r8 priority order): the r2 pair,
-    # the full r1 q-sweep, then the r3 band up to the 50-slot window
-    "a8_exact_percentiles",
-    "a10_corr_stats",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q14_conditional_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_distribution",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_heavy_suppliers",
-    "q21_blocking_suppliers",
-    "j1_multiway_outer_combine",
-    "so1_set_ops",
-    "corpus_curate_pipeline",
-    "a3_count_probes",
-    "w3_sessionize",
-    "text_bpe_token_count",
+    "emb_centroids",
+    "m3_scd2_delete_merge",
+    "dq3_key_skew_report",
+    "graph_pagerank",
+    "layout_zorder_audit",
+    "s8_schema_evolution_audit",
+    "udtf_token_runs",
+    # (d) stalest backfill: the ENTIRE r3 band (VERDICT-r9 item 1's
+    # 20-entry list, drained this round) ...
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_brute_force_topk",
+    "text_repetition_stats",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "decontaminate_ngram",
+    "pii_scrub_emails",
+    "a9_price_histogram",
+    "j4_asof_last_click",
+    "st_interval_join",
+    "st_interval_join_outer",
+    "st_enrich_static",
+    "w4_rank_lag_lead",
+    "f2_date_coerce",
+    "corpus_sample_stratified",
+    "corpus_shard_plan",
+    "mm_frame_sample",
+    "sketch_sample_quantiles",
+    "q12_late_shipment_priority",
+    # (d) ... then the r4 band in ledger order, as many as fit
+    "q1_pricing_summary",
+    "j9_oura_end_to_end",
+    "ts2_rolling_zscore",
+    "corpus_mix_temperature",
+    "text_pmi_top_pairs",
+    "text_zipf_slope",
+    "j11_pit_feature_join",
+    "a14_decile_buckets",
+    "dedup_containment",
+    "j12_fuzzy_blocked_match",
+    "f1_flatten_struct",
+    "dedup_substring_spans",
+    "corpus_sample_weighted",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
-# r10 head plan (rotate at round-10 start): (a) any entry new in r10;
-# (b) impl-changed; (c) family reps; (d) backfill continues the stale
-# list: the 7 entries displaced from the r9 head by the late-r9
-# additions (dedup_ngram_jaccard, dedup_simhash, ann_brute_force_topk,
-# text_repetition_stats, ann_ivf_topk, dedup_embedding_cosine,
-# decontaminate_ngram — all r3), then pii_scrub_emails,
-# q12_late_shipment_priority (r3), the remaining r3 band
-# (st_interval_join, st_interval_join_outer, st_enrich_static, a9,
-# w4, f2, corpus_sample_stratified, corpus_shard_plan,
-# mm_frame_sample, sketch_sample_quantiles), then the r4 band
-# (q1, j9-j12, ts2, corpus_mix_temperature, text_pmi/zipf/vocab/
-# token/quality/langid/fingerprint/tfidf, a11-a14, w5, dedup_
-# containment/substring_spans, ann_pq/ivfpq, mm_byte_stats,
-# emb_int8 if not re-certified, f1, j7, ...).
+# r11 head plan (rotate at round-11 start): (a) any entry new in r11;
+# (b) impl-changed; (c) family reps; (d) backfill = the 13 r4-band
+# entries that did not fit this round (mm_byte_stats,
+# corpus_chunk_documents, text_vocab_oov, j7_salted_user_enrich,
+# a11_pivot_event_types, a12_unpivot_lineitem_charges, w5_event_funnel,
+# a13_cohort_retention, text_token_stats, text_quality_score,
+# text_langid, text_fingerprint, text_tfidf_top_terms), then the r5
+# band stalest-first.
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50
