@@ -288,7 +288,17 @@ def main() -> None:
         "detail": "BENCH_LAST.json",
     }
     print(payload)
-    print(json.dumps(final_line))
+    final_json = json.dumps(final_line)
+    # regression guard for the rounds-5-8 parse failure: the driver
+    # tail-captures ~2 KB of stdout and parses the LAST line, so the
+    # final line must stay far under that window no matter how many
+    # queries join the headline set
+    assert len(final_json) < 1024, (
+        f"final bench line grew to {len(final_json)} bytes — it must "
+        "stay under 1 KB so the driver's bounded tail capture can "
+        "always parse it; move detail to BENCH_LAST.json"
+    )
+    print(final_json)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_LAST.json"),

@@ -91,7 +91,48 @@ HEAVY = (
     "j10_bloom_semi_join",
     "a33_approx_percentile_window",
     "f26_map_in_arrow",
+    # r10 extension (VERDICT r9 item 4): the real-stream audit — runs
+    # actual foreachBatch micro-batches over the sf corpus, so the
+    # drill measures stream machinery + state store at 10x input
+    "st_scd2_upsert_state",
 )
+
+# r10 extension (VERDICT r9 item 4): the multimodal family's fixture is
+# FIXED-SIZE by construction (synth_media_df n=300 — sf_dir is unused),
+# so sf1-vs-sf0.1 would measure nothing. The untested axis is
+# Arrow-batch scaling: the SAME kernels at 10x the fixture size. These
+# run on their own (n, 10n) axis and land in the artifact under
+# "mm_fixture_axis" with the same median-of-3 protocol.
+MM_N = 300
+
+
+def _mm_kernels():
+    from pyspark.sql import functions as F
+
+    from personal_health_etl_pipeline_spark.operators import (
+        multimodal as MM,
+    )
+
+    def decode_features(spark, n):
+        media = MM.synth_media_df(spark, n=n)
+        return (
+            MM.decode_media(media)
+            .join(MM.extract_features(media), "media_id")
+            .select(
+                "media_id",
+                "payload_digest",
+                F.posexplode("features").alias("bucket", "bucket_frac"),
+            )
+        )
+
+    def audio_energy(spark, n):
+        media = MM.synth_media_df(spark, n=n, real_audio=True)
+        return MM.audio_window_energy(media)
+
+    return {
+        "mm_decode_features": decode_features,
+        "mm_audio_energy": audio_energy,
+    }
 
 
 # Standing analysis written into the artifact (r8 verdict-verified;
@@ -120,6 +161,14 @@ NOTES = {
         "ann_brute_force_topk (~8-10x) IS the linear baseline (brute "
         "force must scale with rows); index-backed ANN variants and "
         "the artifact-pattern entries scale 0.8-4x."
+    ),
+    "mm_fixture_axis": (
+        "the multimodal entries read a FIXED synth fixture (sf_dir "
+        "unused), so their scale axis is the fixture size: the same "
+        "mapInPandas kernels at n=300 vs n=3000 measure Arrow-batch "
+        "transfer + per-batch Python decode scaling (VERDICT r9 "
+        "item 4). Expected ~linear-or-better: batches amortize the "
+        "worker round trip at larger n."
     ),
 }
 
@@ -159,11 +208,33 @@ def main() -> None:
         }
         for n in HEAVY
     }
+
+    # multimodal fixture axis: same kernels at n and 10n (see MM_N note)
+    mm = _mm_kernels()
+    mm_report: dict[str, dict] = {}
+    for name, fn in mm.items():
+        fn(spark, MM_N).collect()  # warm
+        fn(spark, MM_N * 10).collect()
+        times: dict[int, list[float]] = {MM_N: [], MM_N * 10: []}
+        for _ in range(3):
+            for size in (MM_N, MM_N * 10):
+                t0 = time.perf_counter()
+                fn(spark, size).collect()
+                times[size].append(time.perf_counter() - t0)
+        lo = round(sorted(times[MM_N])[1], 3)
+        hi = round(sorted(times[MM_N * 10])[1], 3)
+        mm_report[name] = {
+            f"n{MM_N}": lo,
+            f"n{MM_N * 10}": hi,
+            "ratio": round(hi / lo, 2) if lo else None,
+        }
+
     payload = {
         "metric": "scale_drill_sf1_vs_sf0.1",
         "rows_ratio": 10,
         "protocol": "median-of-3 after warm pass, gc per pass",
         "queries": report,
+        "mm_fixture_axis": mm_report,
         "superlinear": sorted(
             n for n, r in report.items() if r["ratio"] and r["ratio"] > 12
         ),
