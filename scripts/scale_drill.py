@@ -95,6 +95,48 @@ HEAVY = (
     # actual foreachBatch micro-batches over the sf corpus, so the
     # drill measures stream machinery + state store at 10x input
     "st_scd2_upsert_state",
+    # r10 depth extension: EVERY remaining bench-headline entry that
+    # reads the sf corpus, so drill coverage == headline coverage
+    # (only j9_oura_end_to_end stays out — fixed-size Oura fixture,
+    # sf_dir unused, like the mm entries which get their own axis)
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q7_nation_trade_volume",
+    "q16_supplier_part_distribution",
+    "j4_asof_last_click",
+    "j5_views_before_purchase",
+    "j1_multiway_outer_combine",
+    "w1_rolling_7day_revenue",
+    "st_sliding_window_agg",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "emb_centroids",
+    "mm_byte_stats",
+    "decontaminate_ngram",
+    "text_repetition_stats",
+    "pii_scrub_emails",
+    "emb_kmeans_assign",
+    "corpus_pack_sequences",
+    "dedup_incremental_lookup",
+    "text_pmi_top_pairs",
+    "emb_covariance",
+    "corpus_dsir_weights",
+    "text_nb_langid",
+    "text_bpe_learned_segment",
+    "dq4_column_profile_hll",
+    "ann_pq_persisted_probe",
+    "sketch_kmv_set_ops",
+    "text_phrase_topk",
+    "ann_filtered_topk",
+    "text_hashing_tf",
+    "corpus_shuffle_deterministic",
+    "dq7_benford_deviation",
+    "a26_histogram_fixed_bins",
+    "w10_ranking_function_sweep",
+    "ann_recall_report",
 )
 
 # r10 extension (VERDICT r9 item 4): the multimodal family's fixture is
