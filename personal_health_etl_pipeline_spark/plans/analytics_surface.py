@@ -1809,10 +1809,15 @@ def w10_ranking_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "cents",
         "quartile",
+        # rank()/row_number() return 32-bit INT: the ppm scale-up MUST
+        # promote to BIGINT BEFORE the multiply, or partitions past
+        # ~2147 rows overflow under ANSI mode — caught by the r10 sf1
+        # drill (1000000 * rn blew up at rn > 2^31/1e6), invisible at
+        # sf0.1 where the 1-in-13 slice keeps partitions under 2k rows
         F.expr(
-            "CAST(1000000 * (rk - 1) AS BIGINT) div greatest(n - 1, 1)"
+            "1000000 * CAST(rk - 1 AS BIGINT) div greatest(n - 1, 1)"
         ).alias("pct_rank_ppm"),
-        F.expr("CAST(1000000 * rn AS BIGINT) div n").alias("cume_ppm"),
+        F.expr("1000000 * CAST(rn AS BIGINT) div n").alias("cume_ppm"),
         "third_cents",
         "lead2_cents",
     ).orderBy("event_type", "cents", "event_id")

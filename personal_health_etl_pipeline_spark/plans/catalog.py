@@ -864,6 +864,10 @@ _HEAD = [
     "a33_approx_percentile_window",
     "src_datasource_write_audit",
     "st_datasource_stream_write_audit",
+    # (b) late-r10 impl change: the sf1 drill's depth extension caught
+    # a 32-bit overflow in w10's ppm scale-up (rank() is INT; the
+    # multiply must promote FIRST) — fixed and re-certified this round
+    "w10_ranking_function_sweep",
     # (c) family reps for families (a)-(b)+(d) leave uncovered,
     # stalest certified member first: p (r5), c (only entry), emb
     # (r5), m (r6), dq (r5), graph (r6), layout (r7), s (r7), udtf
@@ -914,11 +918,11 @@ _HEAD = [
     "dedup_substring_spans",
     "corpus_sample_weighted",
     "ann_pq_topk",
-    "ann_ivfpq_topk",
 ]
 # r11 head plan (rotate at round-11 start): (a) any entry new in r11;
-# (b) impl-changed; (c) family reps; (d) backfill = the 13 r4-band
-# entries that did not fit this round (mm_byte_stats,
+# (b) impl-changed; (c) family reps; (d) backfill = ann_ivfpq_topk
+# (displaced from the r10 head by the late-r10 w10 overflow fix),
+# then the 13 r4-band entries that did not fit this round (mm_byte_stats,
 # corpus_chunk_documents, text_vocab_oov, j7_salted_user_enrich,
 # a11_pivot_event_types, a12_unpivot_lineitem_charges, w5_event_funnel,
 # a13_cohort_retention, text_token_stats, text_quality_score,

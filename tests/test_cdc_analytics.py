@@ -241,3 +241,44 @@ class TestWindowedDistinctFull:
         got = w8_windowed_distinct(spark, sf_dir)
         assert got.exceptAll(expected).count() == 0
         assert expected.exceptAll(got).count() == 0
+
+
+def test_w10_ppm_survives_large_partitions(spark, tmp_path):
+    """Regression for the r10 sf1-drill find: rank()/row_number() are
+    32-bit INT, so w10's ppm scale-up must promote to BIGINT BEFORE
+    multiplying — `1000000 * rn` overflows under ANSI mode once a
+    partition exceeds ~2147 rows. One event_type with 2500 surviving
+    rows (> 2^31 / 1e6) reproduces the blow-up on the unfixed code."""
+    import datetime as dt
+
+    from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+        w10_ranking_function_sweep,
+    )
+
+    n = 2500
+    rows = [
+        # event_id multiples of 13 so every row survives w10's slice
+        (i * 13, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+         1, "view", float(i % 997), "{}")
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = w10_ranking_function_sweep(spark, str(tmp_path))
+    got = {r.event_id: r.cume_ppm for r in out.collect()}
+    assert len(got) == n
+    # full transparent simulation: rank order is (cents, event_id);
+    # every rn from 1..2500 is exercised, so rows 2148..2500 — whose
+    # unpromoted multiply exceeds 2^31 — are all value-checked
+    order = sorted(
+        ((float(i % 997) * 100, i * 13) for i in range(n))
+    )
+    want = {
+        eid: 1_000_000 * rn // n
+        for rn, (_, eid) in enumerate(order, start=1)
+    }
+    assert got == want
+    assert max(got.values()) == 1_000_000  # rn == n survived the math
