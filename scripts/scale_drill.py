@@ -212,6 +212,17 @@ NOTES = {
         "item 4). Expected ~linear-or-better: batches amortize the "
         "worker round trip at larger n."
     ),
+    "r10_drill_find": (
+        "the depth extension (HEAVY grown to 89 sf-scaling entries = "
+        "full bench-headline coverage) caught a REAL scale bug on its "
+        "first run: w10_ranking_function_sweep's ppm scale-up "
+        "multiplied '1000000 * rn' in 32-bit INT (rank functions "
+        "return INT) and overflowed under ANSI mode once a window "
+        "partition passed ~2147 rows — invisible at sf0.1, fatal at "
+        "sf1. Fixed by promoting to BIGINT before the multiply; "
+        "2500-row single-partition regression test value-checks every "
+        "rank (tests/test_cdc_analytics.py)."
+    ),
 }
 
 
