@@ -1462,3 +1462,52 @@ class TestBpeBatchedRounds:
             batch = merges[r * BPE_BATCH_K : (r + 1) * BPE_BATCH_K]
             syms = [s for p in batch for s in p]
             assert len(syms) == len(set(syms)), batch
+
+
+class TestCboStatisticsDrivenBroadcast:
+    """sql7's three causal gates, exercised as localized tests (the
+    entry itself raises if any gate fails — these pin each gate's
+    failure to a named test instead of one opaque AssertionError)."""
+
+    def test_entry_passes_all_gates_and_stats_rowcount_is_true_count(
+        self, spark, sf_dir
+    ):
+        from personal_health_etl_pipeline_spark.plans.audit_surface import (
+            sql7_cbo_broadcast_audit,
+        )
+
+        out = sql7_cbo_broadcast_audit(spark, sf_dir).collect()
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        true_rows = nation.count()
+        assert out, "audit returned no rows"
+        assert all(r.dim_rows_stat == true_rows for r in out), (
+            "ANALYZE's rowCount statistic disagrees with COUNT(*)"
+        )
+        # conf hygiene: the entry restored what it touched
+        assert spark.conf.get("spark.sql.cbo.enabled") == "false"
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+    def test_no_stats_means_no_rowcount(self, spark, sf_dir):
+        """Counter-factual for gate 1: an UNanalyzed external table has
+        no rowCount in its optimized-plan stats, so a defined rowCount
+        is proof ANALYZE ran (file-size fallback gives bytes only)."""
+        db = "sql7_gate_test"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.nation_nostats")
+        spark.sql(
+            f"CREATE TABLE {db}.nation_nostats USING parquet "
+            f"LOCATION '{sf_dir}/nation.parquet'"
+        )
+        old = spark.conf.get("spark.sql.cbo.enabled")
+        try:
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            stats = (
+                spark.table(f"{db}.nation_nostats")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert not stats.rowCount().isDefined()
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", old)
+            spark.sql(f"DROP TABLE IF EXISTS {db}.nation_nostats")
