@@ -293,11 +293,14 @@ def main() -> None:
     # tail-captures ~2 KB of stdout and parses the LAST line, so the
     # final line must stay far under that window no matter how many
     # queries join the headline set
-    assert len(final_json) < 1024, (
-        f"final bench line grew to {len(final_json)} bytes — it must "
-        "stay under 1 KB so the driver's bounded tail capture can "
-        "always parse it; move detail to BENCH_LAST.json"
-    )
+    # explicit raise, not assert: python -O strips asserts, which would
+    # silently disable this protection (ADVICE-r10)
+    if len(final_json) >= 1024:
+        raise RuntimeError(
+            f"final bench line grew to {len(final_json)} bytes — it must "
+            "stay under 1 KB so the driver's bounded tail capture can "
+            "always parse it; move detail to BENCH_LAST.json"
+        )
     print(final_json)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -150,14 +150,18 @@ def bloom_prefilter(
     DataFrame's column metadata by :func:`bloom_build` — probing with a
     different hash family / m_bits / k than the array was built with
     silently yields false negatives, so an explicit argument that
-    contradicts the recorded build parameters is a hard error, and the
-    explicit arguments are only *required* for a bit array that arrived
-    without metadata (e.g. read back from a sink that drops it)."""
+    contradicts the recorded build parameters is a hard error, and for a
+    bit array that arrived without metadata (e.g. read back from a sink
+    that drops it) every build parameter MUST be passed explicitly —
+    falling back to module defaults there would silently produce false
+    negatives for any non-default build, so that is a hard error too
+    (ADVICE-r10)."""
     recorded = (
         dict(bloom.schema["words"].metadata or {})
         if "words" in bloom.columns
         else {}
     )
+    resolved: dict[str, int | str] = {}
     for arg, name in ((m_bits, "m_bits"), (k, "k"),
                       (hash_family, "hash_family")):
         if arg is not None and name in recorded and arg != recorded[name]:
@@ -166,11 +170,19 @@ def bloom_prefilter(
                 f"recorded at build time ({recorded[name]!r}); probing "
                 "with mismatched parameters produces false negatives"
             )
-    m_bits = m_bits if m_bits is not None else recorded.get(
-        "m_bits", DEFAULT_M_BITS)
-    k = k if k is not None else recorded.get("k", DEFAULT_K)
-    hash_family = hash_family if hash_family is not None else recorded.get(
-        "hash_family", DEFAULT_HASH_FAMILY)
+        value = arg if arg is not None else recorded.get(name)
+        if value is None:
+            raise ValueError(
+                f"bloom_prefilter: the bit array carries no recorded "
+                f"{name} and none was passed; a bloom persisted through "
+                "a metadata-dropping sink must be probed with explicit "
+                "m_bits/k/hash_family — guessing defaults would yield "
+                "silent false negatives for a non-default build"
+            )
+        resolved[name] = value
+    m_bits = int(resolved["m_bits"])
+    k = int(resolved["k"])
+    hash_family = str(resolved["hash_family"])
     out_cols = probe.columns
     staged = probe.crossJoin(F.broadcast(bloom))
     for seed, p in enumerate(_positions(F.col(key), m_bits, k, hash_family)):

@@ -1640,7 +1640,7 @@ def sql7_cbo_broadcast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "physical-execution choices" as a certified entry (the hint-based
     half already lives in tests/test_plan_quality.py).
 
-    Three plan gates make the causality airtight:
+    Four plan gates make the causality airtight:
 
     1. **Statistics flow**: the dimension's optimized-plan stats carry
        a DEFINED rowCount (only ``ANALYZE`` produces one — file-size
@@ -1659,6 +1659,19 @@ def sql7_cbo_broadcast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
        threshold; a statistics-driven broadcast does not. The control
        failing to degrade means something other than statistics chose
        the strategy, and the entry raises.
+    4. **Negative control — ANALYZE itself, not file-size luck**
+       (ADVICE-r10): gates 2-3 alone can't distinguish catalog
+       statistics from the plain file-size fallback, because the tiny
+       dimension's raw bytes are already under the threshold. So with
+       ``spark.sql.sources.fileCompressionFactor`` inflated until the
+       file-size estimate is terabytes (far over any threshold), the
+       ANALYZEd dimension must STILL broadcast (catalog stats, written
+       by ANALYZE, bypass the file-size path entirely) while an
+       identical unanalyzed shell over the same parquet files must
+       plan ``SortMergeJoin``. Both probes join the UNanalyzed fact
+       shell (otherwise the analyzed, genuinely-tiny fact side would
+       broadcast instead), so the only difference between the two
+       plans is the dimension's ANALYZE — that is the isolation.
 
     At 100 TB this is the mechanism that picks broadcast for the
     thousands of dim-fact joins nobody hand-hints: keep ``ANALYZE``
@@ -1668,17 +1681,25 @@ def sql7_cbo_broadcast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     db = "sql7_cbo_audit"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-    for t in ("nation", "customer"):
+    # nation_nostats: an identical shell over the SAME parquet files,
+    # never ANALYZEd — the gate-4 negative control
+    for t, loc in (
+        ("nation", "nation"),
+        ("nation_nostats", "nation"),
+        ("customer", "customer"),
+        ("customer_nostats", "customer"),
+    ):
         spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
         spark.sql(
             f"CREATE TABLE {db}.{t} USING parquet "
-            f"LOCATION '{sf_dir}/{t}.parquet'"
+            f"LOCATION '{sf_dir}/{loc}.parquet'"
         )
     spark.sql(f"ANALYZE TABLE {db}.nation COMPUTE STATISTICS FOR ALL COLUMNS")
     spark.sql(f"ANALYZE TABLE {db}.customer COMPUTE STATISTICS")
 
     old_cbo = spark.conf.get("spark.sql.cbo.enabled")
     old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_ccf = spark.conf.get("spark.sql.sources.fileCompressionFactor")
     try:
         spark.conf.set("spark.sql.cbo.enabled", "true")
 
@@ -1697,11 +1718,13 @@ def sql7_cbo_broadcast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         dim_rows = int(str(dim_stats.rowCount().get()))
 
-        def _join() -> DataFrame:
+        def _join(
+            dim: str = "nation", fact: str = "customer"
+        ) -> DataFrame:
             return (
-                spark.table(f"{db}.customer")
+                spark.table(f"{db}.{fact}")
                 .join(
-                    spark.table(f"{db}.nation"),
+                    spark.table(f"{db}.{dim}"),
                     F.col("c_nationkey") == F.col("n_nationkey"),
                 )
                 .groupBy("n_name")
@@ -1736,6 +1759,55 @@ def sql7_cbo_broadcast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
 
+        # gate 4 (ADVICE-r10): isolate ANALYZE from the file-size
+        # fallback. Inflate the raw-size estimate until it alone could
+        # never license a broadcast; the ANALYZEd dim must still
+        # broadcast (catalog stats bypass the file-size path) while the
+        # unanalyzed shell over the SAME files must degrade to SMJ.
+        # Both probes join against the UNanalyzed fact shell so the
+        # (ANALYZEd, tiny) fact can't be the side that broadcasts —
+        # nation's ANALYZE is the only delta between the two plans.
+        spark.conf.set(
+            "spark.sql.sources.fileCompressionFactor", "1000000000"
+        )
+        gate4_tables = (
+            "nation", "nation_nostats", "customer", "customer_nostats",
+        )
+        for t in gate4_tables:
+            spark.catalog.refreshTable(f"{db}.{t}")
+        analyzed_inflated = (
+            _join(fact="customer_nostats")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        nostats_inflated = (
+            _join("nation_nostats", fact="customer_nostats")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "BroadcastHashJoin" not in analyzed_inflated:
+            raise AssertionError(
+                "the ANALYZEd dimension lost its broadcast under an "
+                "inflated file-size estimate — the gate-2 broadcast "
+                "was file-size luck, not catalog statistics:\n"
+                + analyzed_inflated
+            )
+        if (
+            "BroadcastHashJoin" in nostats_inflated
+            or "SortMergeJoin" not in nostats_inflated
+        ):
+            raise AssertionError(
+                "the unanalyzed control shell still broadcast under an "
+                "inflated file-size estimate — something other than "
+                "ANALYZE statistics chose the strategy:\n"
+                + nostats_inflated
+            )
+        spark.conf.set("spark.sql.sources.fileCompressionFactor", old_ccf)
+        for t in gate4_tables:
+            spark.catalog.refreshTable(f"{db}.{t}")
+
         gated = out.withColumn(
             "dim_rows_stat", F.lit(dim_rows).cast("bigint")
         ).orderBy("n_name")
@@ -1745,6 +1817,7 @@ def sql7_cbo_broadcast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old_cbo)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.sources.fileCompressionFactor", old_ccf)
 
 
 SQL7_ORACLE = """

@@ -213,7 +213,7 @@ NOTES = {
         "worker round trip at larger n."
     ),
     "r10_drill_find": (
-        "the depth extension (HEAVY grown to 89 sf-scaling entries = "
+        f"the depth extension (HEAVY grown to {len(HEAVY)} entries = "
         "full bench-headline coverage) caught a REAL scale bug on its "
         "first run: w10_ranking_function_sweep's ppm scale-up "
         "multiplied '1000000 * rn' in 32-bit INT (rank functions "

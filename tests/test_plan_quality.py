@@ -1465,7 +1465,7 @@ class TestBpeBatchedRounds:
 
 
 class TestCboStatisticsDrivenBroadcast:
-    """sql7's three causal gates, exercised as localized tests (the
+    """sql7's four causal gates, exercised as localized tests (the
     entry itself raises if any gate fails — these pin each gate's
     failure to a named test instead of one opaque AssertionError)."""
 
@@ -1511,3 +1511,59 @@ class TestCboStatisticsDrivenBroadcast:
         finally:
             spark.conf.set("spark.sql.cbo.enabled", old)
             spark.sql(f"DROP TABLE IF EXISTS {db}.nation_nostats")
+
+    def test_gate4_analyze_not_filesize_licenses_the_broadcast(
+        self, spark, sf_dir
+    ):
+        """Gate 4 in isolation (ADVICE-r10): the tiny dim's raw bytes
+        are under the default threshold, so gates 2-3 alone can't tell
+        catalog statistics from file-size luck. With the file-size
+        estimate inflated to terabytes, the ANALYZEd table must still
+        broadcast (catalog stats bypass the file-size path) while an
+        identical unanalyzed shell over the same parquet must plan
+        SortMergeJoin — the only delta between the plans is ANALYZE."""
+        db = "sql7_gate4_test"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        for t in ("nation_an", "nation_no", "customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        for t, loc in (
+            ("nation_an", "nation"),
+            ("nation_no", "nation"),
+            ("customer", "customer"),
+        ):
+            spark.sql(
+                f"CREATE TABLE {db}.{t} USING parquet "
+                f"LOCATION '{sf_dir}/{loc}.parquet'"
+            )
+        spark.sql(
+            f"ANALYZE TABLE {db}.nation_an COMPUTE STATISTICS "
+            "FOR ALL COLUMNS"
+        )
+        old_cbo = spark.conf.get("spark.sql.cbo.enabled")
+        old_ccf = spark.conf.get("spark.sql.sources.fileCompressionFactor")
+        try:
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            spark.conf.set(
+                "spark.sql.sources.fileCompressionFactor", "1000000000"
+            )
+            for t in ("nation_an", "nation_no", "customer"):
+                spark.catalog.refreshTable(f"{db}.{t}")
+
+            def _plan(dim: str) -> str:
+                j = spark.table(f"{db}.customer").join(
+                    spark.table(f"{db}.{dim}"),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                )
+                return j._jdf.queryExecution().executedPlan().toString()
+
+            analyzed, nostats = _plan("nation_an"), _plan("nation_no")
+            assert "BroadcastHashJoin" in analyzed, analyzed
+            assert "BroadcastHashJoin" not in nostats, nostats
+            assert "SortMergeJoin" in nostats, nostats
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+            spark.conf.set(
+                "spark.sql.sources.fileCompressionFactor", old_ccf
+            )
+            for t in ("nation_an", "nation_no", "customer"):
+                spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")

@@ -97,3 +97,27 @@ def test_build_params_travel_with_bloom_and_mismatch_is_rejected(tables):
         bloom_prefilter(li, "l_orderkey", bloom, hash_family="xxhash64")
     with pytest.raises(ValueError, match="m_bits.*contradicts"):
         bloom_prefilter(li, "l_orderkey", bloom, m_bits=1 << 16)
+
+
+def test_metadataless_bloom_requires_explicit_params(tables):
+    """ADVICE-r10: a bit array persisted through a metadata-dropping
+    sink must be probed with EXPLICIT m_bits/k/hash_family — silently
+    defaulting would produce false negatives for any non-default build,
+    so the metadata-less implicit path is a hard error, and the fully
+    explicit probe of the same stripped array stays exact."""
+    li, build = tables
+    bloom = bloom_build(build, "l_orderkey", m_bits=1 << 12, k=2,
+                        hash_family="md5")
+    stripped = bloom.withMetadata("words", {})
+    assert dict(stripped.schema["words"].metadata or {}) == {}
+
+    with pytest.raises(ValueError, match="no recorded m_bits"):
+        bloom_prefilter(li, "l_orderkey", stripped)
+    # partial args don't rescue it: the remaining params still raise
+    with pytest.raises(ValueError, match="no recorded k"):
+        bloom_prefilter(li, "l_orderkey", stripped, m_bits=1 << 12)
+
+    explicit = bloom_prefilter(li, "l_orderkey", stripped, m_bits=1 << 12,
+                               k=2, hash_family="md5")
+    true_matches = li.join(build.distinct(), "l_orderkey", "left_semi")
+    assert true_matches.exceptAll(explicit).count() == 0
