@@ -43,6 +43,9 @@ HEADLINE = (
     "st_sliding_window_agg",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # r11: the df-capped exact-Jaccard production path joined the
+    # headline once its sf1 scaling flag closed
+    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "ann_brute_force_topk",
     "ann_lsh_topk",

@@ -138,6 +138,34 @@ def jaccard(a: Column, b: Column, round_to: int = 4) -> Column:
 # task. The chain keeps the bucket connected for grouping at O(N) pairs.
 LSH_BUCKET_CAP = 256
 
+# The exact-verify joins broadcast the candidate pairs (then the
+# candidate + shingle-array intermediate) only when the pair set is
+# MEASURED small; above this the verify runs as ordinary shuffle joins
+# instead of OOMing the driver at an extreme-dup-rate corpus
+# (VERDICT-r10 item 3 codified the previously-manual fallback). With
+# the shingle arrays attached, 65536 rows is ~tens of MB of broadcast.
+VERIFY_BROADCAST_MAX_CANDIDATES = 65_536
+
+
+def _gated_candidates(candidates: DataFrame, max_broadcast_rows: int | None):
+    """Materialize the candidate pairs once and pick the verify shape.
+
+    ``localCheckpoint`` truncates the sketch lineage, so the count and
+    both verify joins reuse the same materialized bytes — the gate
+    costs one cheap count, never a pipeline re-run. Returns the
+    reusable frame plus a hint function: ``F.broadcast`` when the
+    measured count fits ``max_broadcast_rows``, identity (shuffle
+    join; AQE may still convert it at runtime) when it does not.
+    ``max_broadcast_rows=None`` keeps the unconditional hint for
+    callers that bound the candidate set structurally.
+    """
+    if max_broadcast_rows is None:
+        return candidates, F.broadcast
+    cand = candidates.localCheckpoint(eager=True)
+    if cand.count() <= max_broadcast_rows:
+        return cand, F.broadcast
+    return cand, lambda df: df
+
 
 def pair_gen_sql(ms: str, cap: int) -> str:
     """SQL expr emitting candidate pairs from a sorted bucket-member
@@ -171,6 +199,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     bucket_cap: int | None = LSH_BUCKET_CAP,
+    max_broadcast_rows: int | None = VERIFY_BROADCAST_MAX_CANDIDATES,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard. Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
@@ -181,6 +210,10 @@ def minhash_lsh_pairs(
     set. ``bucket_cap=None`` keeps the shuffle-free first-matching-band
     dedup but is quadratic in the largest bucket — only safe when the
     corpus is known not to contain degenerate near-identical masses.
+
+    ``max_broadcast_rows`` gates the verify-join broadcast on the
+    MEASURED candidate count (see :func:`_gated_candidates`); pass
+    ``None`` to force the unconditional hint.
     """
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
@@ -248,24 +281,26 @@ def minhash_lsh_pairs(
             .dropDuplicates()
         )
     # verification joins fetch shingle sets only for surviving pairs;
-    # the candidate set is tiny relative to the corpus — broadcast it
-    # (then the candidate+sh_a intermediate) so the shingle table
-    # streams map-side and nothing big ever shuffles. If candidates
-    # outgrow the broadcast limit at extreme dup rates, drop the hints
-    # and these become ordinary shuffle joins.
+    # the candidate set is normally tiny relative to the corpus, so it
+    # broadcasts (then the candidate+sh_a intermediate) and the shingle
+    # table streams map-side with nothing big ever shuffling — but the
+    # hint is GATED on the measured candidate count, so an extreme-dup
+    # corpus degrades to ordinary shuffle joins instead of eating the
+    # driver (VERDICT-r10 item 3).
     #
     # Join the RAW doc table and shingle AFTER the join: the shingle +
     # md5 projection is the pipeline's dominant per-row cost, and
     # projecting it before the join would re-run it over the whole
     # corpus on both verification passes (3x total with the sketch
     # pass); post-join it runs only on the ~|candidates| surviving rows.
+    cand, hint = _gated_candidates(candidates, max_broadcast_rows)
     with_a = docs.join(
-        F.broadcast(candidates), docs["_id"] == F.col("id_a")
+        hint(cand), docs["_id"] == F.col("id_a")
     ).select(
         "id_a", "id_b", distinct_shingles(text_col, shingle_n).alias("sh_a")
     )
     return (
-        docs.join(F.broadcast(with_a), docs["_id"] == F.col("id_b"))
+        docs.join(hint(with_a), docs["_id"] == F.col("id_b"))
         # sh_b gets its own projection: jaccard references each side
         # twice, and an inlined shingle expression would re-evaluate
         # per reference (same CollapseProject note as shingle_hashes)
@@ -424,6 +459,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    max_broadcast_rows: int | None = VERIFY_BROADCAST_MAX_CANDIDATES,
 ) -> DataFrame:
     """Exact near-dup pairs: inverted index on shingles -> shared counts
     -> Jaccard filter. O(collisions), the ground truth for the sketches.
@@ -431,19 +467,40 @@ def ngram_jaccard_pairs(
     ``max_df`` is the standard scale mitigation: shingles present in
     more than ``max_df`` docs are dropped from the *index* (a shingle
     with document frequency d contributes d^2 join rows, so one
-    ubiquitous shingle is a quadratic hot key). Candidates then come
-    from rare-shingle collisions only, and Jaccard is re-verified
-    EXACTLY over the full shingle sets, so surviving pairs score
-    identically to the uncapped path. The only reachable loss is a pair
-    sharing *no* rare shingle at all — at threshold 0.8 that means
-    near-identical docs made entirely of corpus-ubiquitous content,
-    which is the degenerate case the capped MinHash path
-    (:func:`minhash_lsh_pairs`) is built for.
+    ubiquitous shingle is a quadratic hot key). The capped path is
+    filter-verify (r11 redesign — the old any-shared-rare-shingle
+    candidate set grew to millions of pairs and sank the verify
+    broadcast):
+
+    1. shared counts over the CAPPED index — the same one-shuffle
+       inverted-index shape as the uncapped path, but every join key
+       now has df <= max_df, so the quadratic hot key is gone by
+       construction;
+    2. a lossless exact upper bound prunes candidates before any
+       shingle-array work: shared_full <= shared_rare +
+       min(hot_a, hot_b) and J(s) = s/(na+nb-s) is increasing in s,
+       so a pair whose bound cannot reach the (rounding-relaxed)
+       threshold can never pass the final filter. When the corpus has
+       no hot shingles at all the bound IS the final score and the
+       verify stage only confirms;
+    3. exact Jaccard over the FULL shingle sets for survivors — the
+       capped index and the bound decide only who gets compared,
+       never the score, so surviving pairs score identically to the
+       uncapped path.
+
+    The only reachable loss is a pair sharing *no* rare shingle at all
+    — at threshold 0.8 that means near-identical docs made entirely of
+    corpus-ubiquitous content, which is the degenerate case the capped
+    MinHash path (:func:`minhash_lsh_pairs`) is built for.
+
+    ``max_broadcast_rows`` gates the verify-join broadcast on the
+    measured survivor count (see :func:`_gated_candidates`).
     """
-    sh = spread(
+    raw = spread(
         df.select(F.col(id_col).alias("_id"), F.col(text_col)),
         min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
-    ).select(
+    )
+    sh = raw.select(
         "_id",
         distinct_shingles(text_col, shingle_n).alias("_sh"),
     ).where(F.size("_sh") > 0)
@@ -460,26 +517,80 @@ def ngram_jaccard_pairs(
         )
         idx = inv.join(F.broadcast(hot), "tok", "left_anti")
         a, b = idx.alias("a"), idx.alias("b")
-        candidates = (
+        shared_rare = (
             a.join(
                 b,
                 (F.col("a.tok") == F.col("b.tok"))
                 & (F.col("a._id") < F.col("b._id")),
             )
-            .select(
-                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-            )
-            .distinct()
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared_rare"))
         )
-        # exact verification over FULL shingle sets (same broadcast-
-        # verify shape as minhash_lsh_pairs): capped index decides only
-        # who gets compared, never the score
-        with_a = sh.select(
-            F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
-        ).join(F.broadcast(candidates), "id_a")
+        # per-doc totals: full shingle count and how many of them are
+        # hot (docs whose every shingle is hot never reach shared_rare
+        # and are the documented loss case). Counted from the HOT side
+        # (semi-join then groupBy), not by re-aggregating the rare
+        # index: when the corpus has no hot shingles AQE propagates the
+        # empty broadcast and this branch costs nothing.
+        hot_counts = (
+            inv.join(F.broadcast(hot), "tok", "left_semi")
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("_nh_raw"))
+        )
+        counts = sizes.join(hot_counts, "_id", "left").select(
+            "_id",
+            "_n",
+            F.coalesce(F.col("_nh_raw"), F.lit(0)).alias("_nh"),
+        )
+        # the final filter compares the 4-decimal ROUNDED score, so a
+        # true Jaccard as low as threshold - 5e-5 still rounds in; the
+        # bound uses that relaxed threshold (plus float slack) to stay
+        # strictly conservative
+        t_ub = threshold - 6e-5
+        ca, cb = counts.alias("ca"), counts.alias("cb")
+        survivors = (
+            shared_rare.join(ca, F.col("id_a") == F.col("ca._id"))
+            .join(cb, F.col("id_b") == F.col("cb._id"))
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("shared_rare")
+                    + F.least(F.col("ca._nh"), F.col("cb._nh"))
+                ).alias("s_ub"),
+                (F.col("ca._n") + F.col("cb._n")).alias("n_sum"),
+            )
+            .where(
+                F.col("s_ub") * F.lit(1.0 + t_ub)
+                >= F.lit(t_ub) * F.col("n_sum")
+            )
+            .select("id_a", "id_b")
+        )
+        # exact verification over FULL shingle sets: broadcast gated on
+        # the measured survivor count (VERDICT-r10 item 3). Join the
+        # RAW doc frame and shingle AFTER the join (the minhash verify
+        # pattern): the shingle projection runs only on the
+        # ~|survivors| rows, not over the whole corpus a 3rd/4th time.
+        cand, hint = _gated_candidates(survivors, max_broadcast_rows)
+        with_a = raw.join(
+            hint(cand), raw["_id"] == F.col("id_a")
+        ).select(
+            "id_a",
+            "id_b",
+            distinct_shingles(text_col, shingle_n).alias("sh_a"),
+        )
         return (
-            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-            .join(F.broadcast(with_a), "id_b")
+            raw.join(hint(with_a), raw["_id"] == F.col("id_b"))
+            # sh_b projected separately: jaccard references each side
+            # twice and an inlined shingle expression re-evaluates per
+            # reference (CollapseProject keeps a multiply-referenced
+            # alias as its own projection)
+            .select(
+                "id_a",
+                "id_b",
+                "sh_a",
+                distinct_shingles(text_col, shingle_n).alias("sh_b"),
+            )
             .select(
                 "id_a",
                 "id_b",

@@ -839,95 +839,100 @@ register("f26_map_in_arrow", an.f26_map_in_arrow, an.F26_ORACLE)
 register(
     "sql7_cbo_broadcast_audit", au.sql7_cbo_broadcast_audit, au.SQL7_ORACLE
 )
+# NEW r11: AQE skew-join split — a planted hot key must be split by
+# OptimizeSkewedJoin at runtime (positive + disabled-control plan
+# gates; VERDICT-r10 item 6 — the adaptive half of SURVEY §4's skew
+# story beside j7's manual salting)
+register(
+    "sql8_aqe_skew_split_audit", au.sql8_aqe_skew_split_audit, au.SQL8_ORACLE
+)
 
 
-# --- r10 head-window rotation ------------------------------------------
+# --- r11 head-window rotation ------------------------------------------
 # The rotation rule (adopted r4) as an EXPLICIT list: external
 # harnesses certify the FIRST ~50 entries in dict order, so the head
 # holds (a) every entry that has NEVER had a driver certification,
 # (b) every entry whose implementation changed this round, (c) one rep
 # of every family the head would otherwise miss (family guard in
 # tests/test_catalog.py), picking the stalest member, (d) remaining
-# slots = stalest-certification backfill in VERDICT-r9 priority order.
+# slots = stalest-certification backfill in VERDICT-r10 priority order.
 # Everything not listed keeps registration order after the head.
 _HEAD = [
-    # (a) new in r10, never driver-certified: the CBO statistics-
-    # driven broadcast audit (VERDICT-r9 item 6)
-    "sql7_cbo_broadcast_audit",
-    # (b) implementation changed in r10: the ADVICE-r9 fixes — bloom
-    # build-parameter metadata plumbing (j10's plan), the w8/a33
-    # full-output-twin delegation refactors, and the atomic-manifest /
-    # batches-ledger-preserving DataSource commit paths that both
-    # write audits exercise end-to-end
-    "j10_bloom_semi_join",
-    "w8_windowed_distinct",
-    "a33_approx_percentile_window",
-    "src_datasource_write_audit",
-    "st_datasource_stream_write_audit",
-    # (b) late-r10 impl change: the sf1 drill's depth extension caught
-    # a 32-bit overflow in w10's ppm scale-up (rank() is INT; the
-    # multiply must promote FIRST) — fixed and re-certified this round
-    "w10_ranking_function_sweep",
-    # (c) family reps for families (a)-(b)+(d) leave uncovered,
-    # stalest certified member first: p (r5), c (only entry), emb
-    # (r5), m (r6), dq (r5), graph (r6), layout (r7), s (r7), udtf
-    # (r7)
-    "p6_new_dates_antijoin",
-    "c3_schema_align",
-    "emb_centroids",
-    "m3_scd2_delete_merge",
-    "dq3_key_skew_report",
-    "graph_pagerank",
-    "layout_zorder_audit",
-    "s8_schema_evolution_audit",
-    "udtf_token_runs",
-    # (d) stalest backfill: the ENTIRE r3 band (VERDICT-r9 item 1's
-    # 20-entry list, drained this round) ...
+    # (a) new in r11, never driver-certified: the AQE skew-join split
+    # audit (VERDICT-r10 item 6)
+    "sql8_aqe_skew_split_audit",
+    # (b) implementation changed in r11: the capped-and-certified
+    # dedup_ngram_jaccard flip (VERDICT-r10 item 1), the measured
+    # candidate-count broadcast gate in the dedup verify paths
+    # (item 3; minhash + the connected-groups consumer), the
+    # bloom_prefilter metadata-less hard error (ADVICE-r10; j10's
+    # operator), and sql7's new gate-4 ANALYZE-isolation control
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "ann_brute_force_topk",
-    "text_repetition_stats",
-    "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    "decontaminate_ngram",
-    "pii_scrub_emails",
-    "a9_price_histogram",
-    "j4_asof_last_click",
-    "st_interval_join",
-    "st_interval_join_outer",
-    "st_enrich_static",
-    "w4_rank_lag_lead",
-    "f2_date_coerce",
-    "corpus_sample_stratified",
-    "corpus_shard_plan",
-    "mm_frame_sample",
-    "sketch_sample_quantiles",
-    "q12_late_shipment_priority",
-    # (d) ... then the r4 band in ledger order, as many as fit
-    "q1_pricing_summary",
-    "j9_oura_end_to_end",
-    "ts2_rolling_zscore",
-    "corpus_mix_temperature",
-    "text_pmi_top_pairs",
-    "text_zipf_slope",
-    "j11_pit_feature_join",
-    "a14_decile_buckets",
-    "dedup_containment",
-    "j12_fuzzy_blocked_match",
-    "f1_flatten_struct",
-    "dedup_substring_spans",
-    "corpus_sample_weighted",
-    "ann_pq_topk",
+    "dedup_minhash_lsh",
+    "dedup_connected_groups",
+    "j10_bloom_semi_join",
+    "sql7_cbo_broadcast_audit",
+    # (c) family reps for families (a)-(b)+(d) leave uncovered,
+    # stalest certified member first: p (r6), c (only entry, r10),
+    # emb (r6), m (r7), graph (r6), layout (r8), s (r8), src (r6),
+    # sketch (r6), udtf (r9)
+    "p4_distinct_days",
+    "c3_schema_align",
+    "emb_kmeans_assign",
+    "m2_snapshot_diff",
+    "graph_triangles",
+    "layout_compact_audit",
+    "s7_dynamic_overwrite_audit",
+    "src_datasource_scan",
+    "sketch_hll_distinct",
+    "udtf_ngram_grid",
+    # (d) stalest backfill: the ENTIRE r4 band (VERDICT-r10 item 2's
+    # 14-entry list) ...
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "text_tfidf_top_terms",
+    "ann_ivfpq_topk",
+    "mm_byte_stats",
+    "corpus_chunk_documents",
+    "text_vocab_oov",
+    "j7_salted_user_enrich",
+    "a11_pivot_event_types",
+    "a12_unpivot_lineitem_charges",
+    "w5_event_funnel",
+    "a13_cohort_retention",
+    # (d) ... then the r5 band in ledger order, as many as fit (20/29)
+    "ts1_gap_fill_ffill",
+    "st_scd2_upsert_state",
+    "j13_heartrate_chunked",
+    "dq4_column_profile_hll",
+    "w6_value_distribution",
+    "ann_ivf_external_lookup",
+    "ts3_weekday_anomaly",
+    "a16_robust_outliers",
+    "a17_association_rules",
+    "st_scd2_version_diff",
+    "j14_bucketed_join_audit",
+    "st_hll_sink_state",
+    "dq5_referential_integrity",
+    "st_late_data_audit",
+    "f9_string_function_sweep",
+    "f10_datetime_function_sweep",
+    "a18_aggregate_sweep",
+    "w7_time_range_window",
+    "f11_null_semantics_sweep",
+    # q18 jumps the ledger order within the r5 band: the q family's
+    # only stale member, needed for the family guard
+    "q18_large_volume_orders",
 ]
-# r11 head plan (rotate at round-11 start): (a) any entry new in r11;
-# (b) impl-changed; (c) family reps; (d) backfill = ann_ivfpq_topk
-# (displaced from the r10 head by the late-r10 w10 overflow fix),
-# then the 13 r4-band entries that did not fit this round (mm_byte_stats,
-# corpus_chunk_documents, text_vocab_oov, j7_salted_user_enrich,
-# a11_pivot_event_types, a12_unpivot_lineitem_charges, w5_event_funnel,
-# a13_cohort_retention, text_token_stats, text_quality_score,
-# text_langid, text_fingerprint, text_tfidf_top_terms), then the r5
-# band stalest-first.
+# r12 head plan (rotate at round-12 start): (a) any entry new in r12;
+# (b) impl-changed; (c) family reps; (d) backfill = the 9 r5-band
+# entries that did not fit this round (st_stateful_running_stats,
+# mm_content_dedup, st_hll_window, a15_incremental_rollup,
+# text_bpe_learned_segment, st_topk_trending, corpus_pack_sequences,
+# f6_path_roundtrip, f8_json_extract), then the r6 band
+# stalest-first.
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50

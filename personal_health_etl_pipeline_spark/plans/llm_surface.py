@@ -147,19 +147,52 @@ FROM documents GROUP BY md5(text)
 """
 
 
+# Absolute document-frequency cap for the certified production entry.
+# Sized to the corpus family: above any plausible duplication
+# multiplicity (the sf1 drill corpus replicates each doc 10x, so
+# doc-unique shingles reach df=10 and MUST survive the cap for true
+# near-dup pairs to be found), below the quadratic head (a shingle at
+# df=d contributes d^2 join rows; the r10 drill measured the uncapped
+# entry 15.4x at 10x rows because common shingles reached df~250).
+NGRAM_MAX_DF = 32
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION exact-Jaccard near-dup path: df-capped inverted
+    index + lossless upper-bound prune + exact full-set verification
+    (operators/dedup.py:ngram_jaccard_pairs, max_df set). Survivor
+    scores are identical to the uncapped ground truth; the uncapped
+    form (max_df=None) remains the bounded-corpus test-side oracle
+    (tests/test_llm_operators.py capped-vs-uncapped equivalences)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.8)
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.8,
+        max_df=NGRAM_MAX_DF,
+    )
 
 
+# The oracle mirrors the CAP, not just the score: candidates must share
+# at least one non-hot shingle (df <= NGRAM_MAX_DF), and Jaccard is then
+# exact over the FULL shingle sets — the same semantics the Spark path
+# certifies (its internal upper-bound prune is provably lossless, so it
+# has no oracle-visible effect).
 DEDUP_NGRAM_JACCARD_ORACLE = rf"""
 WITH {_TOKS_CTE},
 nonempty AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
 inv AS (SELECT doc_id, unnest(sh) AS tok FROM nonempty),
-shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-  FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+hot AS (SELECT tok FROM inv GROUP BY tok HAVING COUNT(*) > {NGRAM_MAX_DF}),
+idx AS (SELECT inv.* FROM inv WHERE tok NOT IN (SELECT tok FROM hot)),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM idx a JOIN idx b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+),
+shared AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS shared
+  FROM cand c
+  JOIN inv a ON a.doc_id = c.id_a
+  JOIN inv b ON b.doc_id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b
 ),
 jac AS (
   SELECT id_a, id_b,

@@ -223,6 +223,55 @@ class TestBucketCap:
         assert capped == exact
         assert exact  # non-vacuous: the corpus does contain near-dups
 
+    def test_ngram_max_df_biting_cap_keeps_scores_exact(self, spark):
+        """A corpus where the cap is ACTIVE (ubiquitous boilerplate ->
+        hot shingles above max_df) but every true pair also shares
+        cluster-specific rare shingles: the capped path must find
+        exactly the uncapped pairs with bit-identical scores — the
+        capped index and the upper-bound prune decide who gets
+        compared, never the score."""
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        boiler = "standard legal disclaimer text appended to every document"
+        rows = []
+        for c in range(50):
+            body = f"cluster {c} payload alpha beta gamma delta epsilon {c}"
+            rows.append((2 * c, f"{body} {boiler}"))
+            # the twin differs in one tail token: J strictly between
+            # the threshold and 1.0, so a wrong upper bound or a score
+            # computed over rare-only sets would show up
+            rows.append((2 * c + 1, f"{body} {boiler} extra"))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        # the boilerplate shingles really are hot at max_df=8
+        from pyspark.sql import functions as F
+        from personal_health_etl_pipeline_spark.functions.text import (
+            distinct_shingles,
+        )
+        dfreq = (
+            docs.select(F.explode(distinct_shingles("text", 3)).alias("t"))
+            .groupBy("t").count()
+        )
+        assert dfreq.where(F.col("count") > 8).count() > 0
+
+        uncapped = {
+            (r.id_a, r.id_b, r.jaccard_sim)
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.6
+            ).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b, r.jaccard_sim)
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.6, max_df=8
+            ).collect()
+        }
+        assert capped == uncapped
+        assert len(capped) == 50  # one pair per cluster, none spurious
+        assert all(0.6 <= s < 1.0 for *_ids, s in capped)
+
     def test_ngram_max_df_bounds_degenerate_corpus(self, spark):
         """2000 identical docs: every shingle exceeds the cap, the index
         empties, and the operator completes without the d^2 hot-key join

@@ -270,12 +270,79 @@ class TestCappedDedupPlans:
         from personal_health_etl_pipeline_spark.sources.tables import load_table
 
         docs = load_table(spark, sf_dir, "documents")
+        # max_broadcast_rows=None keeps the candidate lineage in ONE
+        # plan (the gated default localCheckpoints the candidates, so
+        # their pipeline executes eagerly and leaves the returned plan)
         plan = _executed_plan(
-            ngram_jaccard_pairs(docs, "doc_id", "text", max_df=50)
+            ngram_jaccard_pairs(
+                docs, "doc_id", "text", max_df=50, max_broadcast_rows=None
+            )
         )
         # the hot-shingle drop list rides in as a broadcast anti-join
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
         assert "CartesianProduct" not in plan
+
+    def test_verify_broadcast_gate_both_sides(self, spark):
+        """VERDICT-r10 item 3: the verify-join broadcast is gated on
+        the MEASURED candidate count. On a planted extreme-dup-rate
+        corpus (every doc in one of many near-identical clusters) the
+        same pipeline must (a) broadcast when the gate admits the
+        candidates, (b) degrade to shuffle joins when it does not, and
+        (c) return identical pairs either way."""
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        # 120 clusters x 3 near-identical members -> every doc pairs
+        # with its cluster twins: a high-dup-rate corpus in miniature
+        docs = spark.range(360).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("cluster "),
+                (F.col("id") / 3).cast("int").cast("string"),
+                F.lit(" shared body of text repeated across the"
+                      " cluster members with tail "),
+                (F.col("id") / 3).cast("int").cast("string"),
+            ).alias("text"),
+        )
+        # threshold -1 for BOTH runs isolates the HINT (the sql7 gate-3
+        # principle: a broadcast hint survives a disabled threshold, a
+        # size-based choice does not) — otherwise the planner broadcasts
+        # this tiny planted corpus on its own merits either way
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            for fn, kw in (
+                (minhash_lsh_pairs, {}),
+                (ngram_jaccard_pairs, {"max_df": 64}),
+            ):
+                hinted = fn(
+                    docs, "doc_id", "text", threshold=0.5,
+                    max_broadcast_rows=1_000_000, **kw
+                )
+                gated_off = fn(
+                    docs, "doc_id", "text", threshold=0.5,
+                    max_broadcast_rows=0, **kw
+                )
+                p_on = _executed_plan(hinted)
+                p_off = _executed_plan(gated_off)
+                assert "BroadcastHashJoin" in p_on, p_on
+                assert "BroadcastHashJoin" not in p_off, p_off
+                assert (
+                    "SortMergeJoin" in p_off or "ShuffledHashJoin" in p_off
+                ), p_off
+                rows_on = {
+                    (r.id_a, r.id_b, r.jaccard_sim)
+                    for r in hinted.collect()
+                }
+                rows_off = {
+                    (r.id_a, r.id_b, r.jaccard_sim)
+                    for r in gated_off.collect()
+                }
+                assert rows_on == rows_off and rows_on, fn.__name__
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
 
 
 class TestPQJoinShapes:
@@ -1511,6 +1578,36 @@ class TestCboStatisticsDrivenBroadcast:
         finally:
             spark.conf.set("spark.sql.cbo.enabled", old)
             spark.sql(f"DROP TABLE IF EXISTS {db}.nation_nostats")
+
+    def test_sql8_skew_split_audit_gates_and_conf_hygiene(
+        self, spark, sf_dir
+    ):
+        """sql8's gates run inside the entry (skew marker present with
+        the optimization on, absent with it off, rows equal); this
+        pins conf restoration and the fact-conservation invariant —
+        every fact row joins exactly one dim key, so the group counts
+        must sum to the full lineitem row count."""
+        from personal_health_etl_pipeline_spark.plans.audit_surface import (
+            sql8_aqe_skew_split_audit,
+        )
+        from personal_health_etl_pipeline_spark.sources.tables import (
+            load_table,
+        )
+
+        before = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.adaptive.skewJoin.enabled",
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            )
+        }
+        out = sql8_aqe_skew_split_audit(spark, sf_dir).collect()
+        assert out and all(r.n_rows > 0 for r in out)
+        n_li = load_table(spark, sf_dir, "lineitem").count()
+        assert sum(r.n_rows for r in out) == n_li
+        after = {k: spark.conf.get(k, None) for k in before}
+        assert after == before
 
     def test_gate4_analyze_not_filesize_licenses_the_broadcast(
         self, spark, sf_dir
