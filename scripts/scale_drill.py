@@ -95,6 +95,10 @@ HEAVY = (
     # actual foreachBatch micro-batches over the sf corpus, so the
     # drill measures stream machinery + state store at 10x input
     "st_scd2_upsert_state",
+    # r11 new entry: the AQE skew-split audit scales with sf (planted
+    # hot key grows with lineitem; split count grows ~linearly with
+    # the hot partition's bytes at the fixed 4kb advisory)
+    "sql8_aqe_skew_split_audit",
     # r10 depth extension: EVERY remaining bench-headline entry that
     # reads the sf corpus, so drill coverage == headline coverage
     # (only j9_oura_end_to_end stays out — fixed-size Oura fixture,
