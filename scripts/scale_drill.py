@@ -99,6 +99,16 @@ HEAVY = (
     # hot key grows with lineitem; split count grows ~linearly with
     # the hot partition's bytes at the fixed 4kb advisory)
     "sql8_aqe_skew_split_audit",
+    # r11 extension (VERDICT-r10 item 7): the r10-certified audit
+    # entries whose inputs scale with sf — write+read-back layout,
+    # schema-evolution merge scan, the Python DataSource writer pass,
+    # and the ANALYZE+CBO audit (customer grows 10x). Only
+    # st_datasource_stream_write_audit stays out: sf_dir unused by
+    # construction (source/sink-layer certification).
+    "layout_zorder_audit",
+    "s8_schema_evolution_audit",
+    "src_datasource_write_audit",
+    "sql7_cbo_broadcast_audit",
     # r10 depth extension: EVERY remaining bench-headline entry that
     # reads the sf corpus, so drill coverage == headline coverage
     # (only j9_oura_end_to_end stays out — fixed-size Oura fixture,
@@ -190,19 +200,36 @@ NOTES = {
         "per-replica prefix token, embeddings rotated per replica"
     ),
     "superlinear_explained": {
-        "dedup_ngram_jaccard": (
+        "duplicate_heavy_corpus": (
             "the per-replica text salt ('r{k} ' prefix) leaves shingle "
             "sets ~identical, so cross-replica docs are GENUINE "
-            "near-duplicates: the true answer grows ~973x (256 -> "
-            "249142 pairs) while wall clock grows ~13-19x — per OUTPUT "
-            "ROW the engine is far more efficient at sf1. Same effect "
-            "drives dedup_simhash / dedup_setsim_prefix / "
-            "dedup_minhash_lsh ratios (8-11x). Not a plan defect: the "
-            "duplicate-heavy-corpus stress case; banded/prefix-filter "
-            "candidate generation held (249k survivors of 1.25e9 "
-            "possible pairs — no all-pairs blowup)."
+            "near-duplicates: true answers grow ~100-1000x while wall "
+            "clock grows ~8-11x — per OUTPUT ROW the engine is far "
+            "more efficient at sf1. This drives the dedup_simhash / "
+            "dedup_setsim_prefix / dedup_minhash_lsh ratios. Not a "
+            "plan defect: the duplicate-heavy-corpus stress case; "
+            "banded/prefix-filter candidate generation held (no "
+            "all-pairs blowup over the 1.25e9 possible pairs)."
         ),
     },
+    "r11_ngram_cap_flip": (
+        "dedup_ngram_jaccard now runs the max_df=32 capped "
+        "filter-verify path (VERDICT-r10 item 1): the r10 entry was "
+        "the UNCAPPED inverted-index self-join and measured 15.4x at "
+        "10x rows (a shingle with df=d contributes d^2 join rows). "
+        "The capped redesign is ~5x at 10x rows — out of the "
+        "superlinear list. Semantics note, measured honestly: on THIS "
+        "replica-built corpus every shingle's df inflates ~10x, so "
+        "the cap actively bites at sf1 — the capped entry returns "
+        "63731 pairs vs the uncapped ground truth's 249142; the "
+        "missing pairs are exactly the documented loss case (docs "
+        "sharing NO rare shingle — near-identical masses of "
+        "corpus-ubiquitous content), which the capped MinHash path "
+        "owns by design. Surviving pairs score IDENTICALLY to the "
+        "uncapped truth (exact re-verify over full shingle sets; "
+        "tests/test_llm_operators.py proves score-exactness under a "
+        "biting cap)."
+    ),
     "linear_reference": (
         "ann_brute_force_topk (~8-10x) IS the linear baseline (brute "
         "force must scale with rows); index-backed ANN variants and "
