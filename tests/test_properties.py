@@ -591,3 +591,86 @@ class TestSessionizedFunnelProperty:
             assert r.n_users == 1
             assert r.sum_lat2_us == (lat2 if has2 else None)
             assert r.sum_lat3_us == (lat3 if has3 else None)
+
+
+class TestCappedNgramJaccardProperty:
+    """The r11 capped filter-verify redesign's exact characterization
+    (operators/dedup.py:ngram_jaccard_pairs): against the uncapped
+    ground truth U, the capped output must equal EXACTLY
+
+        { pair in U : the pair shares >= 1 rare shingle }
+
+    with bit-identical (4-decimal-rounded) scores. This pins all three
+    capped-path claims at once across arbitrary corpora: the df-capped
+    index only ever drops pairs whose every shared shingle is hot (the
+    documented loss case), the upper-bound prune is LOSSLESS (a
+    too-tight bound would drop a reachable pair and break equality),
+    and the exact re-verify never changes a score (a rare-only score
+    would differ from U's full-set score). The planted-corpus test in
+    test_llm_operators.py covers the designed case; this drives the
+    space — all-hot corpora (index empties), boundary Jaccards at the
+    rounding edge, single-token overlaps, identical docs."""
+
+    @PROP
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(
+                    "alpha beta gamma delta eps zeta eta theta".split()
+                ),
+                min_size=3,
+                max_size=9,
+            ),
+            min_size=4,
+            max_size=12,
+        ),
+        max_df=st.integers(min_value=1, max_value=5),
+        threshold=st.sampled_from([0.25, 0.5, 0.8]),
+    )
+    def test_capped_equals_uncapped_restricted_to_rare_sharing(
+        self, spark, docs, max_df, threshold
+    ):
+        from personal_health_etl_pipeline_spark.functions.text import (
+            distinct_shingles,
+        )
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        frame = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        uncapped = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in ngram_jaccard_pairs(
+                frame, "doc_id", "text", threshold=threshold
+            ).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in ngram_jaccard_pairs(
+                frame, "doc_id", "text", threshold=threshold, max_df=max_df
+            ).collect()
+        }
+        # ground-truth shingle sets from the engine's own shingler, so
+        # the python-side df/rarity math can't drift from the operator
+        sh = {
+            r.doc_id: set(r.sh)
+            for r in frame.select(
+                "doc_id", distinct_shingles("text", 3).alias("sh")
+            ).collect()
+        }
+        df_count: dict[str, int] = {}
+        for toks in sh.values():
+            for t in toks:
+                df_count[t] = df_count.get(t, 0) + 1
+        expected = {
+            pair: score
+            for pair, score in uncapped.items()
+            if any(
+                df_count[t] <= max_df
+                for t in sh[pair[0]] & sh[pair[1]]
+            )
+        }
+        assert capped == expected
