@@ -508,14 +508,34 @@ def ngram_jaccard_pairs(
     inv = sh.select("_id", F.explode("_sh").alias("tok"))
     if max_df is not None:
         # hot shingles are few by construction (each must appear in
-        # > max_df docs), so the drop-list broadcasts
+        # > max_df docs), so the drop-list broadcasts. A NON-EAGER
+        # localCheckpoint severs its lineage: four downstream consumers
+        # reference hot (the anti-join, both self-join sides through
+        # it, and the per-doc hot counter), and without the checkpoint
+        # each re-derived the full inverted-index aggregation — the
+        # entry plan re-scanned + re-shingled the documents table 15
+        # times; with it, 8. Interleaved single-session A/B measured
+        # this PERFORMANCE-NEUTRAL locally (sf0.1 2.46 vs 2.39 s, sf1
+        # 15.6 vs 15.0 s medians, overlapping distributions — the sf
+        # corpora are page-cached, so duplicate scans cost ~nothing on
+        # one node). Kept anyway: at cluster scale the corpus does NOT
+        # page-cache and per-pass I/O is the binding cost, so halving
+        # the scan count is the right shape; hot is O(distinct hot
+        # tokens), trivially materializable. EAGER checkpoints here
+        # and on the per-doc counts frame were tried and REJECTED by
+        # the same A/B (sf1 20.3 s / 17.9 s vs 15.5 s): serialized
+        # materialization jobs cost real wall-clock, a severed lineage
+        # alone costs none.
         hot = (
             inv.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > max_df)
-            .select("tok")
+            .select("tok", F.lit(1).alias("_hot"))
+            .localCheckpoint(eager=False)
         )
-        idx = inv.join(F.broadcast(hot), "tok", "left_anti")
+        idx = inv.join(
+            F.broadcast(hot.select("tok")), "tok", "left_anti"
+        )
         a, b = idx.alias("a"), idx.alias("b")
         shared_rare = (
             a.join(
@@ -526,21 +546,22 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("shared_rare"))
         )
-        # per-doc totals: full shingle count and how many of them are
-        # hot (docs whose every shingle is hot never reach shared_rare
-        # and are the documented loss case). Counted from the HOT side
-        # (semi-join then groupBy), not by re-aggregating the rare
-        # index: when the corpus has no hot shingles AQE propagates the
-        # empty broadcast and this branch costs nothing.
-        hot_counts = (
-            inv.join(F.broadcast(hot), "tok", "left_semi")
+        # per-doc totals in ONE corpus pass: full shingle count (_n,
+        # replaces the separate sizes scan) and how many of them are
+        # hot (_nh — docs whose every shingle is hot never reach
+        # shared_rare and are the documented loss case). The broadcast
+        # left join marks hot membership, count(_hot) counts the
+        # non-nulls. NOT checkpointed: the survivor bound references it
+        # through two aliases (ca/cb) and each duplicate costs a corpus
+        # pass, but those passes pipeline inside the main job — the
+        # measured A/B above showed materializing this frame loses.
+        counts = (
+            inv.join(F.broadcast(hot), "tok", "left")
             .groupBy("_id")
-            .agg(F.count(F.lit(1)).alias("_nh_raw"))
-        )
-        counts = sizes.join(hot_counts, "_id", "left").select(
-            "_id",
-            "_n",
-            F.coalesce(F.col("_nh_raw"), F.lit(0)).alias("_nh"),
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.count("_hot").alias("_nh"),
+            )
         )
         # the final filter compares the 4-decimal ROUNDED score, so a
         # true Jaccard as low as threshold - 5e-5 still rounds in; the
