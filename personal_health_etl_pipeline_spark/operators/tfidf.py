@@ -38,9 +38,20 @@ def tfidf_top_terms(
     toks = spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
         "_id", F.explode(tokens(text_col)).alias("term")
     )
-    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize tf ONCE (non-eager checkpoint, the capped-ngram
+    # pattern): its three consumers (df_t, n_docs, the scored join)
+    # otherwise each re-derive the tokenize+explode+shuffle — the r11
+    # scan audit measured 3 identical corpus scans collapsing to 1.
+    # n_docs comes from tf rather than toks: tf keeps every doc with
+    # >= 1 token, so the distinct-doc count is identical and it reads
+    # the materialized frame instead of a third corpus pass.
+    tf = (
+        toks.groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = toks.select("_id").distinct().agg(
+    n_docs = tf.select("_id").distinct().agg(
         F.count(F.lit(1)).alias("n_docs")
     )
     scored = (
