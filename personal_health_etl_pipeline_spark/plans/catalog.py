@@ -927,12 +927,17 @@ _HEAD = [
     "q18_large_volume_orders",
 ]
 # r12 head plan (rotate at round-12 start): (a) any entry new in r12;
-# (b) impl-changed; (c) family reps; (d) backfill = the 9 r5-band
-# entries that did not fit this round (st_stateful_running_stats,
-# mm_content_dedup, st_hll_window, a15_incremental_rollup,
-# text_bpe_learned_segment, st_topk_trending, corpus_pack_sequences,
-# f6_path_roundtrip, f8_json_extract), then the r6 band
-# stalest-first.
+# (b) impl-changed — the r11 scan audit (scripts/scan_audit.py)
+# scheduled two fixes whose entries must therefore enter the r12 head:
+# text_pmi_top_pairs (tokenized corpus re-derived 3x — one tokenize
+# pass or checkpoint the token frame, the tfidf_top_terms pattern) and
+# sketch_kmv_set_ops (~2.5 identical event scans — per-subset sketches
+# from ONE pass via conditional aggregation); (c) family reps; (d)
+# backfill = the 9 r5-band entries that did not fit this round
+# (st_stateful_running_stats, mm_content_dedup, st_hll_window,
+# a15_incremental_rollup, text_bpe_learned_segment, st_topk_trending,
+# corpus_pack_sequences, f6_path_roundtrip, f8_json_extract), then the
+# r6 band stalest-first.
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50
