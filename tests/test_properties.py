@@ -674,3 +674,58 @@ class TestCappedNgramJaccardProperty:
             )
         }
         assert capped == expected
+
+
+class TestMinhashPrecisionProperty:
+    """MinHash banding is probabilistic in RECALL only: the exact-
+    Jaccard verify stage must make every emitted pair exactly correct.
+    Against the uncapped inverted-index ground truth U, for arbitrary
+    corpora: minhash output ⊆ U, with bit-identical 4-decimal scores
+    (a pair emitted by a colliding band but scoring under threshold —
+    or scoring differently than the full-set Jaccard — would break
+    subset equality on the (id_a, id_b, score) triple). Complements
+    TestCappedNgramJaccardProperty, which pins the capped path."""
+
+    @PROP
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(
+                    "alpha beta gamma delta eps zeta eta theta".split()
+                ),
+                min_size=3,
+                max_size=9,
+            ),
+            min_size=4,
+            max_size=12,
+        ),
+        threshold=st.sampled_from([0.5, 0.8]),
+    )
+    def test_every_emitted_pair_is_exactly_true(
+        self, spark, docs, threshold
+    ):
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        frame = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        truth = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in ngram_jaccard_pairs(
+                frame, "doc_id", "text", threshold=threshold
+            ).collect()
+        }
+        got = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in minhash_lsh_pairs(
+                frame, "doc_id", "text", threshold=threshold
+            ).collect()
+        }
+        assert set(got) <= set(truth)
+        for pair, score in got.items():
+            assert score == truth[pair]
+            assert score >= threshold
