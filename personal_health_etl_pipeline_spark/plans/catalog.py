@@ -866,12 +866,18 @@ _HEAD = [
     # candidate-count broadcast gate in the dedup verify paths
     # (item 3; minhash + the connected-groups consumer), the
     # bloom_prefilter metadata-less hard error (ADVICE-r10; j10's
-    # operator), and sql7's new gate-4 ANALYZE-isolation control
+    # operator), sql7's new gate-4 ANALYZE-isolation control, and the
+    # two scan-audit fixes landed mid-round (bounded-frame
+    # checkpoints in pmi + kmv — the w10-in-r10 precedent: an impl
+    # change rotates into the head the round it lands, displacing the
+    # two tail backfill slots w7/f11 back to the r12 plan)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_connected_groups",
     "j10_bloom_semi_join",
     "sql7_cbo_broadcast_audit",
+    "text_pmi_top_pairs",
+    "sketch_kmv_set_ops",
     # (c) family reps for families (a)-(b)+(d) leave uncovered,
     # stalest certified member first: p (r6), c (only entry, r10),
     # emb (r6), m (r7), graph (r6), layout (r8), s (r8), src (r6),
@@ -920,24 +926,19 @@ _HEAD = [
     "f9_string_function_sweep",
     "f10_datetime_function_sweep",
     "a18_aggregate_sweep",
-    "w7_time_range_window",
-    "f11_null_semantics_sweep",
     # q18 jumps the ledger order within the r5 band: the q family's
     # only stale member, needed for the family guard
     "q18_large_volume_orders",
 ]
 # r12 head plan (rotate at round-12 start): (a) any entry new in r12;
-# (b) impl-changed — the r11 scan audit (scripts/scan_audit.py)
-# scheduled two fixes whose entries must therefore enter the r12 head:
-# text_pmi_top_pairs (tokenized corpus re-derived 3x — one tokenize
-# pass or checkpoint the token frame, the tfidf_top_terms pattern) and
-# sketch_kmv_set_ops (~2.5 identical event scans — per-subset sketches
-# from ONE pass via conditional aggregation); (c) family reps; (d)
-# backfill = the 9 r5-band entries that did not fit this round
-# (st_stateful_running_stats, mm_content_dedup, st_hll_window,
-# a15_incremental_rollup, text_bpe_learned_segment, st_topk_trending,
-# corpus_pack_sequences, f6_path_roundtrip, f8_json_extract), then the
-# r6 band stalest-first.
+# (b) impl-changed (the r11 scan-audit fixes originally scheduled here
+# were instead landed AND head-rotated mid-r11, displacing w7/f11);
+# (c) family reps; (d) backfill = w7_time_range_window and
+# f11_null_semantics_sweep (displaced from the r11 head), the 9
+# r5-band entries that did not fit r11 (st_stateful_running_stats,
+# mm_content_dedup, st_hll_window, a15_incremental_rollup,
+# text_bpe_learned_segment, st_topk_trending, corpus_pack_sequences,
+# f6_path_roundtrip, f8_json_extract), then the r6 band stalest-first.
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50

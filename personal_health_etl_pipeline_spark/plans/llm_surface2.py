@@ -995,7 +995,18 @@ def text_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s.a", "s.b")
     )
-    cnt_ab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    # materialize the bounded pair table ONCE (non-eager checkpoint,
+    # the r11 scan-audit pattern): its four consumers (c_a, c_b, the
+    # total, and the pmi base) otherwise each re-derive the tokenize +
+    # bigram explode + count shuffle — the audit measured 3 identical
+    # corpus scans; the checkpoint makes the docstring's "marginals
+    # derive from the bounded pair table, never from re-exploding the
+    # corpus" physically true, not just logically
+    cnt_ab = (
+        bg.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
     cnt_a = cnt_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     cnt_b = cnt_ab.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
     total = cnt_ab.agg(F.sum("c_ab").alias("n_total"))

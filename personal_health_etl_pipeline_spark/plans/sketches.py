@@ -664,9 +664,17 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer->double->floor recipe as ``sketch_kmv_distinct``, so every
     value hash-matches DuckDB."""
     events = load_table(spark, sf_dir, "events")
-    d = events.select(
-        "event_type", md5_long("user_id").alias("h")
-    ).distinct()
+    # materialize the distinct pass ONCE (non-eager checkpoint, the
+    # r11 scan-audit pattern): three consumers (the type table and
+    # both pair-join sides) otherwise each re-derive the events scan +
+    # md5 + distinct shuffle (~2.5 identical scans measured); the
+    # frame is O(distinct (type, user)) — bounded — and the checkpoint
+    # makes the docstring's "one distinct pass" physically true
+    d = (
+        events.select("event_type", md5_long("user_id").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     types = d.select("event_type").distinct()
     pairs = (
         types.alias("x")

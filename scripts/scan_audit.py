@@ -47,18 +47,12 @@ ALLOWED = {
     "m1_scd2_merge": "SCD-2 merge compares current snapshot vs incoming",
 }
 # audited r11 — genuine findings, scheduled into a future head window
-# (the rotation rule requires impl changes to re-certify same round):
-SCHEDULED = {
-    "text_pmi_top_pairs": (
-        "r12: the tokenized corpus scan repeats 4x (unigram counts, "
-        "bigram counts, totals each re-derive it) — collapse to one "
-        "tokenize pass or checkpoint the token frame"
-    ),
-    "sketch_kmv_set_ops": (
-        "r12: ~2.5 identical event scans — the per-subset sketches can "
-        "come from ONE pass via conditional aggregation"
-    ),
-}
+# (the rotation rule requires impl changes to re-certify same round).
+# The two r11 findings (text_pmi_top_pairs x3, sketch_kmv_set_ops
+# x2.5) were instead FIXED mid-r11 with bounded-frame non-eager
+# checkpoints and head-rotated for same-round certification — the
+# list is empty until the audit finds something new:
+SCHEDULED: dict[str, str] = {}
 
 
 def _scan_sigs(df) -> tuple[Counter, int]:
