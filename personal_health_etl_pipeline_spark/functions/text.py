@@ -108,20 +108,45 @@ def quality_score(col: Column | str, round_to: int = 6) -> Column:
     0.4 * type_token_ratio       — lexical diversity
     0.3 * min(avg_token_len/8,1) — word-length credit
 
-    All inputs are exact integers, so the double arithmetic is
-    IEEE-deterministic and oracle-exact.
-    """
-    def _score(t: Column) -> Column:
-        n = F.size(t).cast("double")
-        ttr = F.size(F.array_distinct(t)).cast("double") / n
-        avg_len = sum_token_lengths(t).cast("double") / n
-        return (
-            0.3 * F.least(n / 100.0, F.lit(1.0))
-            + 0.4 * ttr
-            + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
+    Rounding is EXACT RATIONAL half-up, not double-then-round: with
+    n tokens, d distinct tokens and s total token characters, the
+    score is the rational N/D with
+
+        N = 6*n*min(n,100) + 800*d + 75*min(s, 8*n),   D = 2000*n
+
+    (the three weighted terms over the common denominator), and the
+    emitted value is round_half_up(N/D, round_to) computed in bigint:
+    q_scaled = (2*N*10^r + D) div (2*D), then ONE double division by
+    10^r. The r11 cross-sf parity sweep caught the old recipe
+    (assemble in doubles, then ROUND(x, 6)) diverging from DuckDB by
+    one 6th-decimal digit at sf0.1: both engines computed the same
+    double, but Spark's BigDecimal half-up and DuckDB's multiply-rint
+    disagree when the true value sits on a rounding boundary that the
+    binary double straddles. Integer arithmetic removes the boundary:
+    both engines divide the same exact integers. The div trick
+    (A - A mod B)/B stays exact in IEEE doubles because A <= ~4e14 and
+    the quotient <= 10^r are both under 2^53. Docs with zero tokens
+    yield NULL (previously NaN; unreachable on the shipped corpora —
+    every document has text)."""
+
+    def _scaled(t: Column) -> Column:
+        n = F.size(t).cast("bigint")
+        d = F.size(F.array_distinct(t)).cast("bigint")
+        s = sum_token_lengths(t)
+        num = (
+            F.lit(6) * n * F.least(n, F.lit(100))
+            + F.lit(800) * d
+            + F.lit(75) * F.least(s, F.lit(8) * n)
+        )
+        den = F.lit(2000) * n
+        a = F.lit(2) * num * F.lit(10 ** round_to) + den
+        b = F.lit(2) * den
+        q_scaled = ((a - a % b) / b).cast("bigint")
+        return F.when(
+            n > 0, q_scaled.cast("double") / F.lit(float(10 ** round_to))
         )
 
-    return _once(tokens(col), lambda t: F.round(_score(t), round_to))
+    return _once(tokens(col), _scaled)
 
 
 # --- language ID (stopword-overlap heuristic) -------------------------

@@ -95,17 +95,43 @@ def rolling_zscore(
     w = part.orderBy(order_col).rowsBetween(-(window - 1), 0)
     x = F.col(cents_col)
     s1 = F.sum(x).over(w)
-    s2 = F.sum(x * x).over(w)
+    # Σx² and the variance numerator run in DECIMAL(38,0), not bigint:
+    # the r11 cross-sf parity sweep caught the bigint envelope breaking
+    # at sf0.1 (daily rev_c ~1.2e9 cents -> Σx² ~9.8e18 and (Σx)²
+    # ~7e19, both past int64's 9.2e18 — invisible at the sf0.01 gate,
+    # the w10 overflow lesson again). DECIMAL(38,0) holds ~1e38: safe
+    # past sf100 (n·Σx² ~7e23 at 1.2e11 cents/day). The DuckDB oracle
+    # mirrors with HUGEINT; both engines cast the SAME exact integer
+    # to double once, so the results stay bit-identical.
+    xd = x.cast("decimal(38,0)")
+    s2 = F.sum(xd * xd).over(w)
     n = F.count(x).over(w)
     mean_c = s1.cast("double") / n.cast("double")
-    # n*Σx² − (Σx)² is an exact bigint (see module docstring envelope)
-    var_c2 = (n * s2 - s1 * s1).cast("double") / (n * n).cast("double")
+    var_c2 = (
+        (n.cast("decimal(38,0)") * s2 - s1.cast("decimal(38,0)") * s1.cast("decimal(38,0)"))
+        .cast("double")
+        / (n * n).cast("double")
+    )
     std_c = F.sqrt(var_c2)
     z = F.when(std_c > 0, (x.cast("double") - mean_c) / std_c)
+
+    # 6-decimal rounding via floor(x*1e6 + 0.5)/1e6, NOT round(x, 6):
+    # at sf1 roll_std reaches ~2e7 dollars, where 6 decimals is the
+    # 16th significant digit and the engines' ROUND implementations
+    # (Spark BigDecimal half-up on the decimal expansion vs DuckDB
+    # multiply-rint) disagree on boundary doubles (r11 sf1 probe:
+    # 19959081.769943 vs ...944). floor is method-free: multiply and
+    # add are correctly-rounded IEEE ops on bit-identical inputs
+    # (x*1e6 ~ 2e13 < 2^53), so both engines floor the SAME double.
+    def _r6(c):
+        return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+            "double"
+        ) / F.lit(1_000_000.0)
+
     out = [
-        F.round(mean_c / 100.0, 6).alias("roll_mean"),
-        F.round(std_c / 100.0, 6).alias("roll_std"),
-        F.round(z, 6).alias("z"),
+        _r6(mean_c / 100.0).alias("roll_mean"),
+        _r6(std_c / 100.0).alias("roll_std"),
+        _r6(z).alias("z"),
         F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
     ]
     return df.select(*df.columns, *out)

@@ -878,6 +878,17 @@ _HEAD = [
     "sql7_cbo_broadcast_audit",
     "text_pmi_top_pairs",
     "sketch_kmv_set_ops",
+    # ... and the r11 cross-sf parity sweep fixes (full-catalog
+    # differential at sf0.1, not just the driver's sf0.01): ts2's
+    # rolling moments promoted to decimal(38)/HUGEINT (Σx² and (Σx)²
+    # broke int64 at sf0.1 — the w10 overflow class), and
+    # quality_score flipped to exact-rational half-up rounding (the
+    # double-then-ROUND recipe diverged from DuckDB by one 6th-decimal
+    # digit at a boundary row); text_quality_score was already in the
+    # head, its two consumers and ts2 rotate in here
+    "ts2_rolling_zscore",
+    "corpus_curate_pipeline",
+    "corpus_token_budget",
     # (c) family reps for families (a)-(b)+(d) leave uncovered,
     # stalest certified member first: p (r6), c (only entry, r10),
     # emb (r6), m (r7), graph (r6), layout (r8), s (r8), src (r6),
@@ -921,11 +932,8 @@ _HEAD = [
     "st_scd2_version_diff",
     "j14_bucketed_join_audit",
     "st_hll_sink_state",
-    "dq5_referential_integrity",
     "st_late_data_audit",
     "f9_string_function_sweep",
-    "f10_datetime_function_sweep",
-    "a18_aggregate_sweep",
     # q18 jumps the ledger order within the r5 band: the q family's
     # only stale member, needed for the family guard
     "q18_large_volume_orders",
@@ -933,8 +941,10 @@ _HEAD = [
 # r12 head plan (rotate at round-12 start): (a) any entry new in r12;
 # (b) impl-changed (the r11 scan-audit fixes originally scheduled here
 # were instead landed AND head-rotated mid-r11, displacing w7/f11);
-# (c) family reps; (d) backfill = w7_time_range_window and
-# f11_null_semantics_sweep (displaced from the r11 head), the 9
+# (c) family reps; (d) backfill = the five entries displaced from the
+# r11 head by mid-round fixes (w7_time_range_window,
+# f11_null_semantics_sweep, a18_aggregate_sweep,
+# f10_datetime_function_sweep, dq5_referential_integrity), the 9
 # r5-band entries that did not fit r11 (st_stateful_running_stats,
 # mm_content_dedup, st_hll_window, a15_incremental_rollup,
 # text_bpe_learned_segment, st_topk_trending, corpus_pack_sequences,

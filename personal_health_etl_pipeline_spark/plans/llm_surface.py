@@ -72,13 +72,19 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_QUALITY_ORACLE = rf"""
 WITH {_TOKS_CTE}
+-- exact rational half-up (r11 cross-sf sweep fix): same bigint
+-- formula as functions/text.py:quality_score — N/D with
+-- N = 6n*min(n,100) + 800d + 75*min(s,8n), D = 2000n, rounded via
+-- (2*N*10^6 + D) // (2*D); double-then-ROUND diverged at boundaries
 SELECT doc_id,
-       ROUND(
-         0.3 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
-         + 0.4 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
-         + 0.3 * least((CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-                        / CAST(len(t) AS DOUBLE)) / 8.0, 1.0),
-         6) AS quality
+       (CASE WHEN len(t) > 0 THEN
+  CAST((2 * (6 * len(t) * least(len(t), 100)
+             + 800 * len(list_distinct(t))
+             + 75 * least(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT),
+                          8 * len(t)))
+        * 1000000 + 2000 * len(t))
+       // (4000 * len(t)) AS DOUBLE) / 1000000.0
+  END) AS quality
 FROM toks
 """
 

@@ -707,12 +707,14 @@ kept AS (
 ),
 scored AS (
   SELECT kept.lang, len(t) AS n_tok,
-         ROUND(
-           0.3 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
-           + 0.4 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
-           + 0.3 * least((CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-                          / CAST(len(t) AS DOUBLE)) / 8.0, 1.0),
-           6) AS q
+         (CASE WHEN len(t) > 0 THEN
+  CAST((2 * (6 * len(t) * least(len(t), 100)
+             + 800 * len(list_distinct(t))
+             + 75 * least(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT),
+                          8 * len(t)))
+        * 1000000 + 2000 * len(t))
+       // (4000 * len(t)) AS DOUBLE) / 1000000.0
+  END) AS q
   FROM kept JOIN toks ON kept.doc_id = toks.doc_id
 )
 SELECT lang,
@@ -1210,12 +1212,16 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # same quality expression as TEXT_QUALITY_ORACLE (llm_surface.py)
-_Q_SQL = """ROUND(
-  0.3 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
-  + 0.4 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
-  + 0.3 * least((CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-                 / CAST(len(t) AS DOUBLE)) / 8.0, 1.0),
-  6)"""
+# exact-integer quality twin of functions/text.py:quality_score
+# (r11 cross-sf sweep fix — see TEXT_QUALITY_ORACLE)
+_Q_SQL = """(CASE WHEN len(t) > 0 THEN
+  CAST((2 * (6 * len(t) * least(len(t), 100)
+             + 800 * len(list_distinct(t))
+             + 75 * least(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT),
+                          8 * len(t)))
+        * 1000000 + 2000 * len(t))
+       // (4000 * len(t)) AS DOUBLE) / 1000000.0
+  END)"""
 
 CORPUS_TOKEN_BUDGET_ORACLE = rf"""
 WITH {_TOKS_CTE},

@@ -184,24 +184,30 @@ WITH daily AS (
          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
   FROM orders GROUP BY 1
 ), rolled AS (
+  -- moments in HUGEINT (the engine's decimal(38,0) twin): Σx² and
+  -- (Σx)² pass int64 already at sf0.1 (r11 cross-sf sweep find)
   SELECT day, rev_c,
          CAST(SUM(rev_c) OVER w AS BIGINT) AS s1,
-         CAST(SUM(rev_c * rev_c) OVER w AS BIGINT) AS s2,
+         SUM(CAST(rev_c AS HUGEINT) * rev_c) OVER w AS s2,
          CAST(COUNT(rev_c) OVER w AS BIGINT) AS n
   FROM daily
   WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 ), stats AS (
   SELECT day, rev_c,
          CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
-         sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)) AS std_c
+         sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+              / CAST(n * n AS DOUBLE)) AS std_c
   FROM rolled
 )
+-- floor-based 6-decimal rounding, matching the engine: ROUND(x, 6)
+-- diverges between engines at 16-significant-digit magnitudes
 SELECT day,
        ROUND(CAST(rev_c AS DOUBLE) / 100.0, 2) AS revenue,
-       ROUND(mean_c / 100.0, 6) AS roll_mean,
-       ROUND(std_c / 100.0, 6) AS roll_std,
-       ROUND(CASE WHEN std_c > 0
-             THEN (CAST(rev_c AS DOUBLE) - mean_c) / std_c END, 6) AS z,
+       floor(mean_c / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS roll_mean,
+       floor(std_c / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS roll_std,
+       floor((CASE WHEN std_c > 0
+              THEN (CAST(rev_c AS DOUBLE) - mean_c) / std_c END)
+             * 1000000.0 + 0.5) / 1000000.0 AS z,
        COALESCE(abs(CASE WHEN std_c > 0
              THEN (CAST(rev_c AS DOUBLE) - mean_c) / std_c END) > 2.0,
              FALSE) AS is_anomaly
