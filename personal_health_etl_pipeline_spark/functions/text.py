@@ -123,9 +123,11 @@ def quality_score(col: Column | str, round_to: int = 6) -> Column:
     double, but Spark's BigDecimal half-up and DuckDB's multiply-rint
     disagree when the true value sits on a rounding boundary that the
     binary double straddles. Integer arithmetic removes the boundary:
-    both engines divide the same exact integers. The div trick
-    (A - A mod B)/B stays exact in IEEE doubles because A <= ~4e14 and
-    the quotient <= 10^r are both under 2^53. Docs with zero tokens
+    both engines divide the same exact integers. The quotient uses
+    Spark's native integral division (``div``, IntegralDivide — exact
+    for any bigint), so there is no sub-2^53 envelope to document or
+    enforce (ADVICE-r11: the earlier (A - A mod B)/B double recipe was
+    exact only for docs under ~2e6 tokens). Docs with zero tokens
     yield NULL (previously NaN; unreachable on the shipped corpora —
     every document has text)."""
 
@@ -141,7 +143,7 @@ def quality_score(col: Column | str, round_to: int = 6) -> Column:
         den = F.lit(2000) * n
         a = F.lit(2) * num * F.lit(10 ** round_to) + den
         b = F.lit(2) * den
-        q_scaled = ((a - a % b) / b).cast("bigint")
+        q_scaled = F.call_function("div", a, b)
         return F.when(
             n > 0, q_scaled.cast("double") / F.lit(float(10 ** round_to))
         )

@@ -88,11 +88,27 @@ def _generate(con, SRC: str, DST: str) -> None:
             ) TO '{out}' (FORMAT PARQUET)
             """
         )
-        mx = con.execute(
-            f"SELECT MAX(c) FROM (SELECT COUNT(*) c FROM "
+        mx, total = con.execute(
+            f"SELECT MAX(c), SUM(c) FROM (SELECT COUNT(*) c FROM "
             f"read_parquet('{out}') GROUP BY {key})"
-        ).fetchone()[0]
-        print(f"{table}: skewed ({key} hot-group size {mx})")
+        ).fetchone()
+        # ADVICE-r11: `pk % 10 < 4` only yields 40% if the primary key
+        # is dense/uniform mod 10. If a corpus generator ever emits a
+        # strided or offset pk (all-even, 1000-step ids), the planted
+        # fraction silently becomes 0%/80% and every drill ratio
+        # downstream mismeasures. Assert the ACHIEVED fraction.
+        target = HOT_FRACTION_LT / HOT_FRACTION_MOD
+        achieved = mx / total
+        if abs(achieved - target) > 0.05:
+            raise RuntimeError(
+                f"{table}: planted hot fraction {achieved:.3f} is not "
+                f"{target:.1f}±0.05 — {key} ids are not dense/uniform "
+                f"mod {HOT_FRACTION_MOD}; fix the membership predicate"
+            )
+        print(
+            f"{table}: skewed ({key} hot-group size {mx}, "
+            f"fraction {achieved:.3f})"
+        )
     print(f"skewed twin ready at {DST}")
 
 

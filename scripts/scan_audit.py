@@ -78,8 +78,15 @@ def main() -> None:
         df = CATALOG[name][0](spark, SF)
         df.collect()
         sigs, _ = _scan_sigs(df)
-        factors.append(max(sigs.values()))
-    factor = min(factors) or 1
+        # ADVICE-r11: a control whose executed plan prints no
+        # "FileScan parquet" line (cached, pruned, or a plan-string
+        # format change) must not kill the audit — warn and skip it.
+        peak = max(sigs.values(), default=0)
+        if peak == 0:
+            print(f"WARN control {name}: no FileScan lines — skipped")
+            continue
+        factors.append(peak)
+    factor = min(factors, default=1) or 1
     print(f"calibration: single-scan control prints x{factor}")
 
     flagged = []
