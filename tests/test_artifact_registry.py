@@ -1,0 +1,55 @@
+"""The session-artifact registry must stay complete (VERDICT-r11 #2).
+
+Every module-level ``_*_MEMO`` dict under ``plans/`` is a session-
+memoized build whose cost lands on whichever query touches it first —
+unless ``plans/artifacts.py`` registers a forcing function for it so
+``bench.py`` can pre-build and time it as its own line item. A new
+memo added without a registry entry silently re-opens the r11
+order-dependent-attribution hole; this test makes that loud.
+"""
+
+from __future__ import annotations
+
+import importlib
+import pkgutil
+
+from personal_health_etl_pipeline_spark.plans import artifacts
+import personal_health_etl_pipeline_spark.plans as plans_pkg
+
+
+def _memo_dicts() -> set[tuple[str, str]]:
+    found = set()
+    for mod_info in pkgutil.iter_modules(plans_pkg.__path__):
+        mod_name = f"{plans_pkg.__name__}.{mod_info.name}"
+        mod = importlib.import_module(mod_name)
+        for attr, value in vars(mod).items():
+            if attr.endswith("_MEMO") and isinstance(value, dict):
+                found.add((mod_name, attr))
+    return found
+
+
+def test_every_plans_memo_is_registered_or_exempt():
+    covered = set()
+    for fn in artifacts.SESSION_ARTIFACTS.values():
+        for ref in fn.covers:
+            mod, name = ref.split(":")
+            covered.add((mod, name))
+    exempt = set(artifacts.EXEMPT)
+    memos = _memo_dicts()
+    missing = memos - covered - exempt
+    assert not missing, (
+        f"plans memo dicts with no artifact-registry entry: "
+        f"{sorted(missing)} — register a forcing fn in plans/artifacts.py "
+        f"or add an EXEMPT row with a reason"
+    )
+    stale = (covered | exempt) - memos
+    assert not stale, (
+        f"artifact-registry rows pointing at memo dicts that no longer "
+        f"exist: {sorted(stale)}"
+    )
+
+
+def test_registry_forcing_functions_are_callable():
+    for name, fn in artifacts.SESSION_ARTIFACTS.items():
+        assert callable(fn), name
+        assert fn.covers, f"{name} declares no covered memo dicts"
