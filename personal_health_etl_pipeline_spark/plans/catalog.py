@@ -846,6 +846,12 @@ register(
 register(
     "sql8_aqe_skew_split_audit", au.sql8_aqe_skew_split_audit, au.SQL8_ORACLE
 )
+# NEW r12: dynamic partition pruning — a partitioned fact scan must be
+# pruned AT RUNTIME by a dynamicpruningexpression derived from the
+# dimension filter's broadcast, with a disabled-control plan gate and
+# identical rows both ways (VERDICT-r11 item 3 — the dynamic half of
+# SURVEY §4's partition-pruning claim beside s6's static half)
+register("sql9_dpp_audit", au.sql9_dpp_audit, au.SQL9_ORACLE)
 
 
 # --- r11 head-window rotation ------------------------------------------
