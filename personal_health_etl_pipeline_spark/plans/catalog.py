@@ -854,107 +854,92 @@ register(
 register("sql9_dpp_audit", au.sql9_dpp_audit, au.SQL9_ORACLE)
 
 
-# --- r11 head-window rotation ------------------------------------------
+# --- r12 head-window rotation ------------------------------------------
 # The rotation rule (adopted r4) as an EXPLICIT list: external
 # harnesses certify the FIRST ~50 entries in dict order, so the head
 # holds (a) every entry that has NEVER had a driver certification,
 # (b) every entry whose implementation changed this round, (c) one rep
 # of every family the head would otherwise miss (family guard in
 # tests/test_catalog.py), picking the stalest member, (d) remaining
-# slots = stalest-certification backfill in VERDICT-r10 priority order.
-# Everything not listed keeps registration order after the head.
+# slots = stalest-certification backfill in VERDICT-r11 priority order
+# (the 14 r5-stale entries first, then the r6 band in its ledger
+# order). Everything not listed keeps registration order after the
+# head.
 _HEAD = [
-    # (a) new in r11, never driver-certified: the AQE skew-join split
-    # audit (VERDICT-r10 item 6)
-    "sql8_aqe_skew_split_audit",
-    # (b) implementation changed in r11: the capped-and-certified
-    # dedup_ngram_jaccard flip (VERDICT-r10 item 1), the measured
-    # candidate-count broadcast gate in the dedup verify paths
-    # (item 3; minhash + the connected-groups consumer), the
-    # bloom_prefilter metadata-less hard error (ADVICE-r10; j10's
-    # operator), sql7's new gate-4 ANALYZE-isolation control, and the
-    # two scan-audit fixes landed mid-round (bounded-frame
-    # checkpoints in pmi + kmv — the w10-in-r10 precedent: an impl
-    # change rotates into the head the round it lands, displacing the
-    # two tail backfill slots w7/f11 back to the r12 plan)
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_connected_groups",
-    "j10_bloom_semi_join",
-    "sql7_cbo_broadcast_audit",
-    "text_pmi_top_pairs",
-    "sketch_kmv_set_ops",
-    # ... and the r11 cross-sf parity sweep fixes (full-catalog
-    # differential at sf0.1, not just the driver's sf0.01): ts2's
-    # rolling moments promoted to decimal(38)/HUGEINT (Σx² and (Σx)²
-    # broke int64 at sf0.1 — the w10 overflow class), and
-    # quality_score flipped to exact-rational half-up rounding (the
-    # double-then-ROUND recipe diverged from DuckDB by one 6th-decimal
-    # digit at a boundary row); text_quality_score was already in the
-    # head, its two consumers and ts2 rotate in here
-    "ts2_rolling_zscore",
-    "corpus_curate_pipeline",
-    "corpus_token_budget",
-    # (c) family reps for families (a)-(b)+(d) leave uncovered,
-    # stalest certified member first: p (r6), c (only entry, r10),
-    # emb (r6), m (r7), graph (r6), layout (r8), s (r8), src (r6),
-    # sketch (r6), udtf (r9)
-    "p4_distinct_days",
-    "c3_schema_align",
-    "emb_kmeans_assign",
-    "m2_snapshot_diff",
-    "graph_triangles",
-    "layout_compact_audit",
-    "s7_dynamic_overwrite_audit",
-    "src_datasource_scan",
-    "sketch_hll_distinct",
-    "udtf_ngram_grid",
-    # (d) stalest backfill: the ENTIRE r4 band (VERDICT-r10 item 2's
-    # 14-entry list) ...
-    "text_token_stats",
+    # (a) new in r12, never driver-certified: the dynamic-partition-
+    # pruning audit (VERDICT-r11 item 3)
+    "sql9_dpp_audit",
+    # (b) implementation changed in r12: quality_score's half-up
+    # rounding moved from the sub-2^53 (a - a%b)/b double recipe to
+    # Spark's exact integral division (ADVICE-r11 item 1)
     "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "text_tfidf_top_terms",
-    "ann_ivfpq_topk",
-    "mm_byte_stats",
-    "corpus_chunk_documents",
-    "text_vocab_oov",
-    "j7_salted_user_enrich",
-    "a11_pivot_event_types",
-    "a12_unpivot_lineitem_charges",
-    "w5_event_funnel",
-    "a13_cohort_retention",
-    # (d) ... then the r5 band in ledger order, as many as fit (20/29)
-    "ts1_gap_fill_ffill",
-    "st_scd2_upsert_state",
-    "j13_heartrate_chunked",
-    "dq4_column_profile_hll",
-    "w6_value_distribution",
-    "ann_ivf_external_lookup",
-    "ts3_weekday_anomaly",
-    "a16_robust_outliers",
-    "a17_association_rules",
-    "st_scd2_version_diff",
-    "j14_bucketed_join_audit",
-    "st_hll_sink_state",
-    "st_late_data_audit",
-    "f9_string_function_sweep",
-    # q18 jumps the ledger order within the r5 band: the q family's
-    # only stale member, needed for the family guard
-    "q18_large_volume_orders",
+    # (d-first, per VERDICT-r11 item 1: the full 14-entry r5-stale
+    # band, in ledger order)
+    "a15_incremental_rollup",
+    "a18_aggregate_sweep",
+    "corpus_pack_sequences",
+    "dq5_referential_integrity",
+    "f10_datetime_function_sweep",
+    "f11_null_semantics_sweep",
+    "f6_path_roundtrip",
+    "f8_json_extract",
+    "mm_content_dedup",
+    "st_hll_window",
+    "st_stateful_running_stats",
+    "st_topk_trending",
+    "text_bpe_learned_segment",
+    "w7_time_range_window",
+    # (c) family reps for families (a)-(b)-(d) leave uncovered,
+    # stalest certified member first: c (only entry, r11),
+    # emb (r7), sketch (r8), m (r8), graph (r7), layout (r9),
+    # src (r7), s (r9), udtf (r10)
+    "c3_schema_align",
+    "emb_random_projection",
+    "sketch_countmin_heavy",
+    "m4_incremental_agg_merge",
+    "graph_jaccard_similarity",
+    "layout_vacuum_audit",
+    "src_jsonl_quarantine_audit",
+    "s6_raw_zone_pruned_scan",
+    "udtf_token_runs",
+    # (d) ... then the r6 band in its CORRECTNESS_r06 ledger order,
+    # as many as fit (25/36) — with one swap: p5_exists_probe jumps
+    # q7 for the p-family guard (q is already covered five times
+    # over by q2-q6)
+    "j15_oura_day_full_width",
+    "j16_detailed_transform",
+    "mm_resize_decode",
+    "text_bm25_topk",
+    "a19_grouped_apply_center",
+    "st_datasource_stream",
+    "dedup_setsim_prefix",
+    "dq6_psi_drift",
+    "f12_collection_function_sweep",
+    "text_nb_langid",
+    "corpus_dsir_weights",
+    "dedup_substring_cut",
+    "ann_ivf_kmeans_topk",
+    "text_bpe_apply_corpus",
+    "corpus_split_groupsafe",
+    "dedup_incremental_lookup",
+    "ts4_seasonal_decompose",
+    "corpus_eval_overlap",
+    "st_datasource_window_agg",
+    "q2_min_price_line",
+    "q3_shipping_priority",
+    "q4_late_ship_priority",
+    "q5_region_volume",
+    "q6_revenue_delta",
+    "p5_exists_probe",
 ]
-# r12 head plan (rotate at round-12 start): (a) any entry new in r12;
-# (b) impl-changed (the r11 scan-audit fixes originally scheduled here
-# were instead landed AND head-rotated mid-r11, displacing w7/f11);
-# (c) family reps; (d) backfill = the five entries displaced from the
-# r11 head by mid-round fixes (w7_time_range_window,
-# f11_null_semantics_sweep, a18_aggregate_sweep,
-# f10_datetime_function_sweep, dq5_referential_integrity), the 9
-# r5-band entries that did not fit r11 (st_stateful_running_stats,
-# mm_content_dedup, st_hll_window, a15_incremental_rollup,
-# text_bpe_learned_segment, st_topk_trending, corpus_pack_sequences,
-# f6_path_roundtrip, f8_json_extract), then the r6 band stalest-first.
+# r13 head plan (rotate at round-13 start): (a) any entry new in r13;
+# (b) impl-changed in r13; (c) family reps; (d) backfill = the 11
+# r6-band entries that did not fit r12 (q7_nation_trade_volume,
+# q8_market_share, q22_idle_rich_customers, f5_date_range_explode,
+# w1_rolling_7day_revenue, w2_topk_per_group, a1_watermark,
+# a4_union_distinct_days, st_sliding_window_agg,
+# st_session_window_agg, sql1_nation_year_revenue), then the r7 band
+# stalest-first.
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50

@@ -230,6 +230,19 @@ NOTES = {
         "tests/test_llm_operators.py proves score-exactness under a "
         "biting cap)."
     ),
+    "sql5_output_driven": (
+        "sql5_session_variables' ~9x ratio (r11: 9.23x at 10x rows) "
+        "is OUTPUT-driven, verified r12: the threshold predicate "
+        "keeps 99.92% of orders (149,880 rows at sf0.1 -> 1,498,800 "
+        "at sf1, exactly 10x), and the entry ends in a global ORDER "
+        "BY o_orderkey plus a driver collect of the full filtered "
+        "result — rows out, sort width and driver transfer all grow "
+        "10x, so near-10x wall clock IS the linear envelope, same "
+        "class as ann_brute_force_topk below. The entry exists to "
+        "certify DECLARE/SET VAR semantics (both read sites), not a "
+        "reduction; the variable still folds to a pushed parquet "
+        "predicate (plan-gated in tests)."
+    ),
     "linear_reference": (
         "ann_brute_force_topk (~8-10x) IS the linear baseline (brute "
         "force must scale with rows); index-backed ANN variants and "
