@@ -765,3 +765,67 @@ class TestFilteredAnn:
         assert any(
             plain[(r.query_id, r.rank)] != r.neighbor_id for r in filt
         )
+
+
+def test_integral_div_exact_beyond_double_envelope(spark):
+    """The r12 quality_score recipe rests on Spark's native integral
+    division staying exact for ANY bigint (ADVICE-r11: the previous
+    (a - a%b)/b double recipe was exact only while the numerator was
+    representable — its real envelope, ulp analysis included, was
+    ~2^58 thanks to b = 4000n carrying 2^5). Pin the primitive on a
+    numerator the double path provably gets wrong: a = 3*(2^53 + 1)
+    is not representable (odd multiple of 1 in the ulp-4 band), the
+    double recipe rounds it UP and emits quotient+1, while div stays
+    exact."""
+    a = 3 * (2**53 + 1)
+    b = 3
+    row = (
+        spark.range(1)
+        .select(
+            F.call_function(
+                "div", F.lit(a).cast("bigint"), F.lit(b).cast("bigint")
+            ).alias("exact"),
+            (
+                (F.lit(a).cast("bigint") - F.lit(a).cast("bigint") % b)
+                / F.lit(b).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("via_double"),
+        )
+        .first()
+    )
+    assert row["exact"] == 2**53 + 1
+    assert row["via_double"] != row["exact"]  # the retired recipe's bug
+
+
+def test_quality_score_exact_vs_python_rational(spark):
+    """quality_score must equal exact-rational half-up rounding
+    computed in Python over the same (n, d, s) — including a ~100k
+    token document (far past any per-row test corpus) and boundary
+    docs sitting exactly on a rounding boundary (q*10^6 + 0.5)."""
+    from fractions import Fraction
+
+    big = " ".join(f"w{i % 997}" for i in range(100_000))
+    docs = [
+        ("x",),
+        ("a a a a a",),
+        (big,),
+        ("alpha beta gamma delta epsilon zeta",),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    got = [
+        r[0]
+        for r in df.select(quality_score("text").alias("q")).collect()
+    ]
+
+    def expected(text: str) -> float:
+        toks = [t for t in text.split() if t]
+        n, d = len(toks), len(set(toks))
+        s = sum(len(t) for t in toks)
+        num = 6 * n * min(n, 100) + 800 * d + 75 * min(s, 8 * n)
+        den = 2000 * n
+        q_scaled = (2 * num * 10**6 + den) // (2 * den)
+        assert Fraction(num, den) <= 1
+        return q_scaled / 1e6
+
+    assert got == [expected(t) for (t,) in docs]
