@@ -99,6 +99,10 @@ HEAVY = (
     # hot key grows with lineitem; split count grows ~linearly with
     # the hot partition's bytes at the fixed 4kb advisory)
     "sql8_aqe_skew_split_audit",
+    # r12 new entry: the DPP audit scales with sf (orders written
+    # partitioned then scanned 2x; the pruned read stays 3/12 of the
+    # fact at every sf)
+    "sql9_dpp_audit",
     # r11 extension (VERDICT-r10 item 7): the r10-certified audit
     # entries whose inputs scale with sf — write+read-back layout,
     # schema-evolution merge scan, the Python DataSource writer pass,
