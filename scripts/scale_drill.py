@@ -262,8 +262,8 @@ NOTES = {
     ),
     "r10_drill_find": (
         "the r10 depth extension (HEAVY grown to 90 entries = full "
-        f"bench-headline coverage then; {len(HEAVY)} as of r11 with "
-        "the scaling audit entries) caught a REAL scale bug on its "
+        f"bench-headline coverage then; {len(HEAVY)} now, with the "
+        "scaling audit entries) caught a REAL scale bug on its "
         "first run: w10_ranking_function_sweep's ppm scale-up "
         "multiplied '1000000 * rn' in 32-bit INT (rank functions "
         "return INT) and overflowed under ANSI mode once a window "
