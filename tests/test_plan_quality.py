@@ -1777,3 +1777,52 @@ class TestDynamicPartitionPruning:
             assert _files_read("false") == 12
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+    def test_partitioned_layout_roundtrips_for_duckdb(self, spark, sf_dir):
+        """sql9's oracle computes from the UNPARTITIONED source (the
+        sql7/sql8 convention); that shortcut is sound only if the
+        partitioned write/read round-trips values exactly for BOTH
+        engines. Write the same layout, read it back with DuckDB's
+        hive partitioning, and compare the full row multiset against
+        Spark's read of the same directories."""
+        import os
+        import shutil
+        import tempfile
+
+        import duckdb
+
+        from personal_health_etl_pipeline_spark.sources.tables import (
+            load_table,
+        )
+
+        root = tempfile.mkdtemp(prefix="dpp_roundtrip_test_")
+        try:
+            (
+                load_table(spark, sf_dir, "orders")
+                .select(
+                    "o_orderkey",
+                    F.expr(
+                        "CAST(round(o_totalprice * 100) AS BIGINT)"
+                    ).alias("cents"),
+                    F.month("o_orderdate").alias("omonth"),
+                )
+                .repartition("omonth")
+                .write.partitionBy("omonth")
+                .parquet(os.path.join(root, "fact"))
+            )
+            s_rows = sorted(
+                (r.o_orderkey, r.cents, int(r.omonth))
+                for r in spark.read.parquet(
+                    os.path.join(root, "fact")
+                ).collect()
+            )
+            d_rows = sorted(
+                (int(k), int(c), int(m))
+                for k, c, m in duckdb.sql(
+                    f"SELECT o_orderkey, cents, omonth FROM read_parquet("
+                    f"'{root}/fact/*/*.parquet', hive_partitioning=1)"
+                ).fetchall()
+            )
+            assert s_rows == d_rows and len(s_rows) > 0
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
