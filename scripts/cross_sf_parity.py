@@ -11,13 +11,18 @@ digit at a boundary row. Run it each round after impl changes; pass a
 scratch corpus dir (e.g. .scratch/sf1) to probe a deeper scale for a
 targeted subset.
 
-Usage:  python scripts/cross_sf_parity.py [sf_dir] [--only a,b,c]
+Usage:  python scripts/cross_sf_parity.py [sf_dir] [--only a,b,c|--envelope]
 
-``--only`` restricts the sweep to a comma-separated entry subset —
-the r12 use: probing the INTEGER-ENVELOPE families (power sums,
-windowed moments, rank arithmetic) one decade deeper at .scratch/sf1,
-since the overflow class reappears at each decade (w10 broke at sf1,
-ts2 at sf0.1; VERDICT-r11 item 5).
+``--only`` restricts the sweep to a comma-separated entry subset;
+``--envelope`` is the standing shorthand for the INTEGER-ENVELOPE
+families (power sums, windowed moments, rank arithmetic) — the
+overflow class reappears one decade at a time (w10 broke at sf1, ts2
+at sf0.1; VERDICT-r11 item 5), so each round re-probes the class one
+decade past the biggest corpus that changed:
+
+    python scripts/cross_sf_parity.py .scratch/sf1 --envelope
+
+r12 result: 16/16 green at sf1.
 """
 
 from __future__ import annotations
@@ -34,9 +39,39 @@ from personal_health_etl_pipeline_spark.plans.catalog import CATALOG  # noqa: E4
 from tests.parity import check_query  # noqa: E402
 
 
+# the integer-envelope watch list: every entry whose arithmetic holds
+# power sums, windowed moments, or rank products in fixed-width
+# integers (the class w10/ts2 overflowed in); membership reviewed when
+# entries join the catalog
+ENVELOPE = (
+    "a10_corr_stats",
+    "a27_chisq_independence",
+    "a28_welch_ttest",
+    "a29_ols_slope",
+    "a30_ks_statistic",
+    "a31_mannwhitney_u",
+    "a33_approx_percentile_window",
+    "ts2_rolling_zscore",
+    "ts4_seasonal_decompose",
+    "ts5_ewma_halflife",
+    "ts9_autocorr",
+    "w8_windowed_distinct",
+    "w10_ranking_function_sweep",
+    "text_quality_score",
+    "sketch_sample_quantiles",
+    "emb_covariance",
+)
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    args = [
+        a
+        for a in sys.argv[1:]
+        if not a.startswith("--only") and a != "--envelope"
+    ]
     only = [a for a in sys.argv[1:] if a.startswith("--only")]
+    if "--envelope" in sys.argv[1:]:
+        only = ["--only=" + ",".join(ENVELOPE)]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     names = list(CATALOG)
     if only:
