@@ -139,9 +139,14 @@ def _f_pq_index(spark, sf_dir):
     ("personal_health_etl_pipeline_spark.plans.llm_surface:_PQ_PROBE_MEMO",),
 )
 def _f_pq_probe(spark, sf_dir):
+    # both query batches the catalog probes with: the persisted-probe
+    # entry (seed 13) and the external-top-k entry (seed 7) — the
+    # headline-coverage test in tests/test_artifact_registry.py caught
+    # the second one missing on this registry's first round
     from personal_health_etl_pipeline_spark.plans import llm_surface as l
 
     l._pq_probe_artifact(spark, sf_dir, l.PQ_PERS_SEED, l.PQ_PERS_QUERIES)
+    l._pq_probe_artifact(spark, sf_dir, l.PQ_EXT_SEED, l.PQ_EXT_QUERIES)
 
 
 @_register(

@@ -53,3 +53,39 @@ def test_registry_forcing_functions_are_callable():
     for name, fn in artifacts.SESSION_ARTIFACTS.items():
         assert callable(fn), name
         assert fn.covers, f"{name} declares no covered memo dicts"
+
+
+def test_force_all_covers_every_headline_memo_insertion(spark):
+    """After force_all, running the ENTIRE bench headline must insert
+    no new key into any plans memo dict (EXEMPT ones aside) — i.e. the
+    registry builds everything the headline actually consumes, with
+    the parameter combinations the entries really use. A future entry
+    that memoizes under a new key (say a third centroid (k, updates)
+    combination) fails here instead of silently re-opening the
+    order-dependent attribution hole in bench timings."""
+    import importlib
+
+    import bench
+    from personal_health_etl_pipeline_spark.plans.catalog import CATALOG
+
+    sf_dir = "/root/testdata/sf0.001"
+    exempt_names = {name for _, name in artifacts.EXEMPT}
+    memos = {
+        (mod_name, attr): vars(importlib.import_module(mod_name))[attr]
+        for mod_name, attr in _memo_dicts()
+        if attr not in exempt_names
+    }
+    artifacts.force_all(spark, sf_dir)
+    before = {k: set(d.keys()) for k, d in memos.items()}
+    for name in bench.HEADLINE:
+        CATALOG[name][0](spark, sf_dir).collect()
+    grew = {
+        k: sorted(set(d.keys()) - before[k])
+        for k, d in memos.items()
+        if set(d.keys()) - before[k]
+    }
+    assert not grew, (
+        f"headline entries inserted memo keys force_all did not build: "
+        f"{grew} — add the missing parameter combination to the "
+        f"registry forcing fn in plans/artifacts.py"
+    )
