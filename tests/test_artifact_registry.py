@@ -77,8 +77,17 @@ def test_force_all_covers_every_headline_memo_insertion(spark):
     }
     artifacts.force_all(spark, sf_dir)
     before = {k: set(d.keys()) for k, d in memos.items()}
-    for name in bench.HEADLINE:
-        CATALOG[name][0](spark, sf_dir).collect()
+    try:
+        for name in bench.HEADLINE:
+            CATALOG[name][0](spark, sf_dir).collect()
+    finally:
+        # emb_covariance registers its documented d²-bounded partials
+        # cache in the session CacheManager (intended design,
+        # operators/linalg.py:covariance_matrix — one deduped entry,
+        # a few KB); running 89 entries in the SHARED test session
+        # must not leave that state for later tests that assert an
+        # empty CacheManager (test_jsonl_source's leak regression)
+        spark.catalog.clearCache()
     grew = {
         k: sorted(set(d.keys()) - before[k])
         for k, d in memos.items()
