@@ -132,6 +132,37 @@ HEADLINE = (
     "f26_map_in_arrow",
 )
 
+# Heavy-subset membership rule (VERDICT-r12 item 6). The subset exists
+# because the naive headline total is dominated by sub-50 ms oracle
+# queries where Spark pays its fixed scheduling floor; the subset is
+# the comparison that scales with data volume. Membership was
+# originally computed live ("DuckDB oracle median >= 1 s this run"),
+# which made the ratio incomparable round-over-round: the ORACLE moves
+# across driver machine windows, so borderline ~1 s entries flapped in
+# and out (14 members in r11, 12 in r12 — the 0.172 -> 0.22 "drift"
+# was membership change, not code). The membership is therefore PINNED
+# to the union of the r11 and r12 live-rule members; the live rule's
+# current members are still emitted (heavy_subset.rule_members_now in
+# BENCH_LAST.json) so drift stays visible. Revisit the pin only if the
+# live rule diverges by more than ~2 entries for consecutive rounds.
+HEAVY_PINNED = (
+    "ann_lsh_topk",
+    "ann_recall_report",
+    "corpus_split_groupsafe",
+    "dedup_embedding_cosine",
+    "dedup_incremental_lookup",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_setsim_prefix",
+    "dedup_simhash",
+    "dedup_substring_cut",
+    "graph_kcore",
+    "graph_pagerank",
+    "text_bpe_learned_segment",
+    "text_bpe_train_batched",
+)
+assert set(HEAVY_PINNED) <= set(HEADLINE)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -252,14 +283,15 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - environment-dependent
         print(f"oracle baseline skipped: {exc!r}", file=sys.stderr)
     median_total = round(sum(medians.values()), 3)
-    # data-weighted subset: queries where the BASELINE does >= 1 s of
-    # real work. The naive total is dominated by sub-50 ms oracle
-    # queries where Spark pays its fixed scheduling floor; this subset
-    # is the comparison that scales with data volume (see README
-    # "Benchmarking notes").
-    heavy = [n for n in oracle_medians if oracle_medians[n] >= 1.0]
+    # data-weighted subset: PINNED membership (see HEAVY_PINNED above);
+    # the live >=1 s rule's current members ride along for drift
+    # visibility only (see README "Benchmarking notes").
+    heavy = [n for n in HEAVY_PINNED if n in oracle_medians]
     heavy_spark = round(sum(medians[n] for n in heavy), 3)
     heavy_oracle = round(sum(oracle_medians[n] for n in heavy), 3)
+    rule_members_now = sorted(
+        n for n in oracle_medians if oracle_medians[n] >= 1.0
+    )
 
     summary = {
         "metric": "headline_queries_total_wall_clock",
@@ -278,6 +310,8 @@ def main() -> None:
         else None,
         "heavy_subset": {
             "queries": heavy,
+            "membership": "pinned (HEAVY_PINNED, r11-r12 union)",
+            "rule_members_now": rule_members_now,
             "spark_total": heavy_spark,
             "oracle_total": heavy_oracle,
             "ratio": round(heavy_spark / heavy_oracle, 3)

@@ -854,92 +854,91 @@ register(
 register("sql9_dpp_audit", au.sql9_dpp_audit, au.SQL9_ORACLE)
 
 
-# --- r12 head-window rotation ------------------------------------------
+# --- r13 head-window rotation ------------------------------------------
 # The rotation rule (adopted r4) as an EXPLICIT list: external
 # harnesses certify the FIRST ~50 entries in dict order, so the head
 # holds (a) every entry that has NEVER had a driver certification,
 # (b) every entry whose implementation changed this round, (c) one rep
 # of every family the head would otherwise miss (family guard in
 # tests/test_catalog.py), picking the stalest member, (d) remaining
-# slots = stalest-certification backfill in VERDICT-r11 priority order
-# (the 14 r5-stale entries first, then the r6 band in its ledger
-# order). Everything not listed keeps registration order after the
-# head.
+# slots = stalest-certification backfill (VERDICT-r12 item 2: the 11
+# r6-band entries first, then the r7 band in its CORRECTNESS_r07
+# ledger order, as many as fit). Everything not listed keeps
+# registration order after the head.
 _HEAD = [
-    # (a) new in r12, never driver-certified: the dynamic-partition-
-    # pruning audit (VERDICT-r11 item 3)
-    "sql9_dpp_audit",
-    # (b) implementation changed in r12: quality_score's half-up
-    # rounding moved from the sub-2^53 (a - a%b)/b double recipe to
-    # Spark's exact integral division (ADVICE-r11 item 1)
-    "text_quality_score",
-    # (d-first, per VERDICT-r11 item 1: the full 14-entry r5-stale
-    # band, in ledger order)
-    "a15_incremental_rollup",
-    "a18_aggregate_sweep",
-    "corpus_pack_sequences",
-    "dq5_referential_integrity",
-    "f10_datetime_function_sweep",
-    "f11_null_semantics_sweep",
-    "f6_path_roundtrip",
-    "f8_json_extract",
-    "mm_content_dedup",
-    "st_hll_window",
-    "st_stateful_running_stats",
-    "st_topk_trending",
-    "text_bpe_learned_segment",
-    "w7_time_range_window",
-    # (c) family reps for families (a)-(b)-(d) leave uncovered,
-    # stalest certified member first: c (only entry, r11),
-    # emb (r7), sketch (r8), m (r8), graph (r7), layout (r9),
-    # src (r7), s (r9), udtf (r10)
+    # (a) new in r13: none — breadth frozen at 268 (VERDICT-r12
+    # item 7). (b) impl-changed in r13: none so far (this round's
+    # code changes are scripts/tests/bench accounting only).
+    # (d-first, per VERDICT-r12 item 2: the full 11-entry r6-stale
+    # band, in its ledger order)
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q22_idle_rich_customers",
+    "f5_date_range_explode",
+    "w1_rolling_7day_revenue",
+    "w2_topk_per_group",
+    "a1_watermark",
+    "a4_union_distinct_days",
+    "st_sliding_window_agg",
+    "st_session_window_agg",
+    "sql1_nation_year_revenue",
+    # (c) family reps for families the r6+r7 backfill leaves
+    # uncovered, stalest certified member of each: c (r12, sole
+    # member), emb (r8), mm (r8), corpus (r8), sketch (r9), m (r9),
+    # layout (r10), src (r8), s (r10), udtf (r11)
     "c3_schema_align",
-    "emb_random_projection",
-    "sketch_countmin_heavy",
-    "m4_incremental_agg_merge",
-    "graph_jaccard_similarity",
-    "layout_vacuum_audit",
-    "src_jsonl_quarantine_audit",
-    "s6_raw_zone_pruned_scan",
-    "udtf_token_runs",
-    # (d) ... then the r6 band in its CORRECTNESS_r06 ledger order,
-    # as many as fit (25/36) — with one swap: p5_exists_probe jumps
-    # q7 for the p-family guard (q is already covered five times
-    # over by q2-q6)
-    "j15_oura_day_full_width",
-    "j16_detailed_transform",
-    "mm_resize_decode",
-    "text_bm25_topk",
-    "a19_grouped_apply_center",
-    "st_datasource_stream",
-    "dedup_setsim_prefix",
-    "dq6_psi_drift",
-    "f12_collection_function_sweep",
-    "text_nb_langid",
-    "corpus_dsir_weights",
-    "dedup_substring_cut",
-    "ann_ivf_kmeans_topk",
-    "text_bpe_apply_corpus",
-    "corpus_split_groupsafe",
-    "dedup_incremental_lookup",
-    "ts4_seasonal_decompose",
-    "corpus_eval_overlap",
-    "st_datasource_window_agg",
-    "q2_min_price_line",
-    "q3_shipping_priority",
-    "q4_late_ship_priority",
-    "q5_region_volume",
-    "q6_revenue_delta",
-    "p5_exists_probe",
+    "emb_covariance",
+    "mm_audio_energy",
+    "corpus_shuffle_deterministic",
+    "sketch_kmv_distinct",
+    "m1_scd2_merge",
+    "layout_zorder_audit",
+    "src_format_roundtrip_audit",
+    "s8_schema_evolution_audit",
+    "udtf_ngram_grid",
+    # (d) ... then the r7 band in its CORRECTNESS_r07 ledger order,
+    # as many as fit (29/36). The 7 skipped, chosen from the band's
+    # tail so every skipped entry's family stays covered by an
+    # earlier member (j3, j2, f3, q9, ann_pq_external_topk,
+    # ann_pq_persisted_probe, text_bigram_logprob), are the r14
+    # backfill; dedup_semantic / p2 / dq1 are sole family reps in the
+    # band and therefore kept over tail order.
+    "a20_exact_mode",
+    "f13_bitwise_function_sweep",
+    "j17_spo2_id_day",
+    "text_phrase_topk",
+    "f14_lambda_function_sweep",
+    "ann_filtered_topk",
+    "j18_universe_sample_join",
+    "f15_url_parse_sweep",
+    "j19_asof_forward_tolerance",
+    "j20_detailed_sleep",
+    "ann_range_search",
+    "ts6_moving_median",
+    "w9_interval_concurrency",
+    "a21_event_transitions",
+    "ts7_cusum_changepoint",
+    "ts8_ohlc_bars",
+    "j21_nullsafe_join",
+    "graph_sssp_weighted",
+    "a22_weighted_median",
+    "f17_map_function_sweep",
+    "st_scd2_restart_idempotent",
+    "sql2_correlated_subqueries",
+    "f19_error_safe_arithmetic",
+    "graph_label_propagation",
+    "a24_trimmed_mean",
+    "a25_rollup_count_distinct",
+    "dedup_semantic",
+    "p2_halfopen_range",
+    "dq1_expectations_report",
 ]
-# r13 head plan (rotate at round-13 start): (a) any entry new in r13;
-# (b) impl-changed in r13; (c) family reps; (d) backfill = the 11
-# r6-band entries that did not fit r12 (q7_nation_trade_volume,
-# q8_market_share, q22_idle_rich_customers, f5_date_range_explode,
-# w1_rolling_7day_revenue, w2_topk_per_group, a1_watermark,
-# a4_union_distinct_days, st_sliding_window_agg,
-# st_session_window_agg, sql1_nation_year_revenue), then the r7 band
-# stalest-first.
+# r14 head plan (rotate at round-14 start): (a) any entry new in r14;
+# (b) impl-changed in r14; (c) family reps; (d) backfill = the 7
+# r7-band entries that did not fit r13 (j3_duplicate_day_conflicts,
+# j2_range_overlap_join, f3_timestamp_coerce, q9_product_profit,
+# ann_pq_external_topk, ann_pq_persisted_probe, text_bigram_logprob),
+# then the r8 band stalest-first.
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50

@@ -64,18 +64,25 @@ ENVELOPE = (
 
 
 def main() -> None:
-    args = [
-        a
-        for a in sys.argv[1:]
-        if not a.startswith("--only") and a != "--envelope"
-    ]
-    only = [a for a in sys.argv[1:] if a.startswith("--only")]
-    if "--envelope" in sys.argv[1:]:
-        only = ["--only=" + ",".join(ENVELOPE)]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Full-catalog DuckDB differential at a bigger sf."
+    )
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--only", help="comma-separated entry subset")
+    ap.add_argument(
+        "--envelope",
+        action="store_true",
+        help="shorthand for the integer-envelope watch list",
+    )
+    ns = ap.parse_args()
+    sf_dir = ns.sf_dir
     names = list(CATALOG)
-    if only:
-        wanted = only[0].split("=", 1)[-1].split(",")
+    wanted = list(ENVELOPE) if ns.envelope else (
+        ns.only.split(",") if ns.only else None
+    )
+    if wanted is not None:
         unknown = sorted(set(wanted) - set(names))
         if unknown:
             raise SystemExit(f"--only names not in catalog: {unknown}")

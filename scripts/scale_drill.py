@@ -278,9 +278,13 @@ NOTES = {
 def bench_at(spark, sf_dir: str) -> dict[str, float]:
     for name in HEAVY:  # warm pass: plan + codegen + artifacts
         CATALOG[name][0](spark, sf_dir).collect()
-    _touch_artifacts(spark, sf_dir)
     trials: dict[str, list[float]] = {n: [] for n in HEAVY}
     for _ in range(3):
+        # re-touch before EVERY timed pass (mirrors bench.py): if
+        # session state were ever dropped mid-drill, the rebuild must
+        # land here, never inside a per-query window (memo-guarded
+        # no-ops otherwise — ADVICE-r12)
+        _touch_artifacts(spark, sf_dir)
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
         for name in HEAVY:

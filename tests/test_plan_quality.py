@@ -1699,8 +1699,11 @@ class TestDynamicPartitionPruning:
     def test_dpp_prunes_the_fact_scan_files(self, spark, sf_dir):
         """Beyond the marker: the pruned run must TOUCH fewer fact
         files than the unpruned control — read both executed plans'
-        scan metrics ("number of files read") and require 3 vs 12.
-        This is the physical effect the marker promises."""
+        scan metrics ("number of files read") and require exactly the
+        quarter-2 partition-directory file count vs the full layout's
+        (derived from the written layout, not hard-coded — ADVICE-r12;
+        on the shipped corpora that is 3 vs 12). This is the physical
+        effect the marker promises."""
         import os
         import shutil
         import tempfile
@@ -1773,8 +1776,28 @@ class TestDynamicPartitionPruning:
                         old,
                     )
 
-            assert _files_read("true") == 3
-            assert _files_read("false") == 12
+            # expected counts come from the layout actually written:
+            # data files under omonth=4..6 dirs for the pruned run,
+            # every partition dir's data files for the control
+            fact_root = os.path.join(root, "fact")
+            part_dirs = {
+                d: [
+                    f
+                    for f in os.listdir(os.path.join(fact_root, d))
+                    if f.endswith(".parquet")
+                ]
+                for d in os.listdir(fact_root)
+                if d.startswith("omonth=")
+            }
+            q2_files = sum(
+                len(fs)
+                for d, fs in part_dirs.items()
+                if int(d.split("=")[1]) in (4, 5, 6)
+            )
+            all_files = sum(len(fs) for fs in part_dirs.values())
+            assert q2_files and all_files > q2_files, part_dirs
+            assert _files_read("true") == q2_files
+            assert _files_read("false") == all_files
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
