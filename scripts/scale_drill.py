@@ -260,6 +260,36 @@ NOTES = {
         "item 4). Expected ~linear-or-better: batches amortize the "
         "worker round trip at larger n."
     ),
+    "artifact_builds_measured_r13": (
+        "the two largest artifact-build lines in the r12 sf1 drill "
+        "(llm.pq_index 6.67x, llm.pq_probe_batch 4.28x at 10x rows) "
+        "are stage-attributed by scripts/pq_build_stages.py (one "
+        "session, warm pass, both sfs; r13 run): pq_index is "
+        "DOMINATED by the per-row ADC code assignment "
+        "(_pq_data_codes_expr: m_sub x PQ_K distance evals per "
+        "vector, JVM codegen) at 2.35 s -> 20.9 s = x8.89, with the "
+        "codebook hash-sample x7.37 and all three parquet writes "
+        "FLAT (x0.9-1.2) — there is NO k-means/training iteration in "
+        "this build (the codebook is hash-sampled; k-means lives in "
+        "the separate clustering.kmeans_centroids artifact), so the "
+        "envelope is pure linearity in rows and the overall 6.67x is "
+        "SUB-linear because the flat writes and fixed job overheads "
+        "amortize. pq_probe_batch is dominated by the rows x "
+        "n_queries ADC shortlist scan (0.90 s -> 5.33 s = x5.93, "
+        "linear in rows at fixed query count) over a FLAT bounded "
+        "query-side encode (x1.22); overall 4.28x is the same "
+        "amortized-linear shape. Verified causes, not guesses "
+        "(VERDICT-r12 item 4)."
+    ),
+    "f25_linear_envelope": (
+        "f25_scalar_udf_modes' 10.64x at 10x rows IS the linear "
+        "envelope, same class as sql5/ann_brute_force: the entry is "
+        "a one-pass vectorized projection (scan -> ArrowEvalPython "
+        "-> project, no shuffle, no reduction) whose three per-row "
+        "Arrow kernels and output rows both scale exactly with "
+        "input rows — near-10x wall clock is the expected shape for "
+        "a per-row certificate with nothing to amortize."
+    ),
     "r10_drill_find": (
         "the r10 depth extension (HEAVY grown to 90 entries = full "
         f"bench-headline coverage then; {len(HEAVY)} now, with the "
