@@ -729,3 +729,80 @@ class TestMinhashPrecisionProperty:
         for pair, score in got.items():
             assert score == truth[pair]
             assert score >= threshold
+
+
+class TestSetsimPrefixExactness:
+    """AllPairs/PPJoin prefix filtering claims ZERO false negatives —
+    a completeness guarantee (unlike LSH recall), so the property is
+    full EQUALITY with brute force, not subset: for arbitrary corpora
+    and thresholds,
+
+        setsim_prefix_pairs(docs)  ==  brute-force exact Jaccard
+
+    as an (id_a, id_b) -> 4-decimal-score dict. Hypothesis drives the
+    edges a planted corpus misses: docs too short to shingle (empty
+    sets must never pair, not pair-with-everything), identical docs,
+    exact-boundary Jaccards where the integer accept and the exact
+    rational prefix ceil both matter (an IEEE ``0.8*n`` ceil is off by
+    one exactly at multiples of 5), and thresholds at both extremes
+    (1/1 keeps only identical sets; 1/3 makes prefixes long and the
+    candidate set dense). Complements test_setsim.py's seeded
+    neardup corpus with the generated space."""
+
+    @PROP
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(
+                    "alpha beta gamma delta eps zeta eta theta".split()
+                ),
+                min_size=1,  # < shingle_n -> EMPTY set edge included
+                max_size=9,
+            ),
+            min_size=2,
+            max_size=10,
+        ),
+        threshold=st.sampled_from([(1, 3), (1, 2), (4, 5), (1, 1)]),
+    )
+    def test_equals_brute_force_for_arbitrary_corpora(
+        self, spark, docs, threshold
+    ):
+        import itertools
+
+        from personal_health_etl_pipeline_spark.operators.dedup import (
+            setsim_prefix_pairs,
+        )
+
+        num, den = threshold
+        n = 3
+        sets = {}
+        for i, toks in enumerate(docs):
+            sh = {
+                " ".join(toks[j : j + n])
+                for j in range(len(toks) - n + 1)
+            }
+            if sh:
+                sets[i] = sh
+        truth = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if den * inter >= num * union:
+                truth[(a, b)] = round(inter / union, 4)
+
+        frame = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in setsim_prefix_pairs(
+                frame,
+                "doc_id",
+                "text",
+                shingle_n=n,
+                threshold_num=num,
+                threshold_den=den,
+            ).collect()
+        }
+        assert got == truth
