@@ -806,3 +806,56 @@ class TestSetsimPrefixExactness:
             ).collect()
         }
         assert got == truth
+
+
+class TestConnectedComponentsProperty:
+    """connected_components vs a Python union-find over arbitrary edge
+    lists: the returned map must label EVERY node appearing in any
+    edge with exactly the minimum node id of its component. The
+    example tests in test_graph.py pin shapes (paths, chains, empty);
+    this drives the space — duplicate edges, self-loops, reversed
+    duplicates, edges landing on shared nodes in any order — where the
+    large-star/small-star + pointer-jumping loop could in principle
+    mislabel or lose a node."""
+
+    @PROP
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=12),
+                st.integers(min_value=0, max_value=12),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_matches_python_union_find(self, spark, edges):
+        from personal_health_etl_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        groups = {}
+        for node in parent:
+            groups.setdefault(find(node), set()).add(node)
+        truth = {
+            node: min(members)
+            for members in groups.values()
+            for node in members
+        }
+
+        frame = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.node: r.component
+            for r in connected_components(frame).collect()
+        }
+        assert got == truth
