@@ -859,3 +859,67 @@ class TestConnectedComponentsProperty:
             for r in connected_components(frame).collect()
         }
         assert got == truth
+
+
+class TestWeightedMedianProperty:
+    """a22's two-phase bucketed weighted median vs the direct Python
+    definition — lower weighted median: the smallest price p with
+    2 * sum(weight | price <= p) >= total weight, per flag. The
+    bucketed composition (static price grid, exclusive bucket-prefix
+    offsets, per-bucket cumulative windows) must be invisible: prices
+    are drawn wide enough to span MULTIPLE 200k-cent buckets and
+    tie-heavy enough that a tie group's internal row order could leak
+    (only its END cumulative weight may decide membership). Zero
+    weights and single-row groups ride along as edges."""
+
+    @PROP
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["A", "N", "R"]),
+                # dollars; x100 -> cents spans ~0..1.2e6 = many buckets,
+                # coarse grid forces frequent exact price ties
+                st.integers(min_value=0, max_value=12).map(
+                    lambda k: k * 997.0
+                ),
+                st.integers(min_value=0, max_value=5).map(
+                    float
+                ),  # quantity/weight
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_matches_python_lower_weighted_median(self, spark, rows):
+        import tempfile
+
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            a22_weighted_median,
+        )
+
+        root = tempfile.mkdtemp(prefix="wmed_prop_")
+        spark.createDataFrame(
+            rows, "l_returnflag string, l_extendedprice double,"
+            " l_quantity double",
+        ).write.mode("overwrite").parquet(f"{root}/lineitem.parquet")
+
+        truth = {}
+        flags = {f for f, _, _ in rows}
+        for flag in flags:
+            grp = [
+                (round(p * 100), int(round(q)))
+                for f, p, q in rows
+                if f == flag
+            ]
+            tot = sum(w for _, w in grp)
+            for price in sorted({p for p, _ in grp}):
+                cum = sum(w for p, w in grp if p <= price)
+                if 2 * cum >= tot:
+                    truth[flag] = (price, tot)
+                    break
+
+        got = {
+            r.l_returnflag: (r.wmedian_cents, r.total_weight)
+            for r in a22_weighted_median(spark, root).collect()
+        }
+        assert got == truth
