@@ -923,3 +923,71 @@ class TestWeightedMedianProperty:
             for r in a22_weighted_median(spark, root).collect()
         }
         assert got == truth
+
+
+class TestTrimmedMeanProperty:
+    """a24's bucket-offset global ranks vs the direct definition: sort
+    each flag's prices, drop floor(n/10) from each end, average the
+    rest — the sum and count of kept rows must be EXACT integers and
+    tie-order-invariant (ranks at the trim boundary can fall either
+    side of the cut only among rows carrying the same price). Prices
+    come from a coarse tied grid spanning multiple 200k-cent buckets
+    so the two-phase offsets, the in-bucket row_number, and boundary
+    ties are all exercised; group sizes cross the n=10 and n=20 trim
+    steps."""
+
+    @PROP
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["A", "N"]),
+                st.integers(min_value=0, max_value=12).map(
+                    lambda k: k * 997.0
+                ),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_matches_python_sorted_trim(self, spark, rows):
+        import tempfile
+
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            a24_trimmed_mean,
+        )
+
+        root = tempfile.mkdtemp(prefix="trim_prop_")
+        spark.createDataFrame(
+            [
+                (flag, float(price), i + 1, 1)
+                for i, (flag, price) in enumerate(rows)
+            ],
+            "l_returnflag string, l_extendedprice double,"
+            " l_orderkey long, l_linenumber int",
+        ).write.mode("overwrite").parquet(f"{root}/lineitem.parquet")
+
+        truth = {}
+        for flag in {f for f, _ in rows}:
+            prices = sorted(round(p * 100) for f, p in rows if f == flag)
+            n = len(prices)
+            lo = n // 10
+            kept = prices[lo : n - lo]
+            truth[flag] = (
+                n,
+                lo,
+                len(kept),
+                sum(kept),
+                sum(kept) / len(kept),
+            )
+
+        got = {
+            r.l_returnflag: (
+                r.n_total,
+                r.n_trimmed_each_side,
+                r.n_kept,
+                r.sum_kept_cents,
+                r.trimmed_mean_cents,
+            )
+            for r in a24_trimmed_mean(spark, root).collect()
+        }
+        assert got == truth
