@@ -991,3 +991,80 @@ class TestTrimmedMeanProperty:
             for r in a24_trimmed_mean(spark, root).collect()
         }
         assert got == truth
+
+
+class TestIntervalConcurrencyProperty:
+    """w9's one-scan sweep-line vs a direct Python replay of its
+    declared semantics: every event opens [ts, ts+30m); intervals are
+    clipped at midnight (a crossing session closes at day end and
+    re-opens at 00:00 next day — an end EXACTLY at midnight re-opens
+    and closes at the same instant, net zero); boundaries order by
+    (ts, delta) so a close at t never overlaps an open at t; the
+    running count uses RANGE-frame peer groups (all equal (ts, delta)
+    rows share one cumulative). Timestamps are drawn on a 10-minute
+    grid across two days, dense around midnight, so exact 30-minute
+    adjacency ties, same-instant opens, and midnight crossers all
+    occur."""
+
+    @PROP
+    @given(
+        mins=st.lists(
+            st.one_of(
+                st.integers(min_value=0, max_value=288).map(lambda k: k * 10),
+                # dense band around the first midnight (1440)
+                st.integers(min_value=138, max_value=150).map(
+                    lambda k: k * 10
+                ),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_matches_python_sweep_line(self, spark, mins):
+        import tempfile
+        from collections import defaultdict
+
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            w9_interval_concurrency,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        stamps = [base + dt.timedelta(minutes=m) for m in mins]
+        root = tempfile.mkdtemp(prefix="w9_prop_")
+        spark.createDataFrame(
+            [(i, ts) for i, ts in enumerate(stamps)],
+            "event_id long, ts timestamp",
+        ).write.mode("overwrite").parquet(f"{root}/events.parquet")
+
+        # replay the four boundary branches exactly
+        bounds = defaultdict(list)  # day -> [(bts, delta, is_start)]
+        for ts in stamps:
+            end = ts + dt.timedelta(minutes=30)
+            d1 = ts.date()
+            day_end = dt.datetime.combine(
+                d1 + dt.timedelta(days=1), dt.time()
+            )
+            bounds[d1].append((ts, 1, 1))
+            bounds[d1].append((min(end, day_end), -1, 0))
+            if end.date() > d1:
+                reopen = dt.datetime.combine(end.date(), dt.time())
+                bounds[end.date()].append((reopen, 1, 0))
+                bounds[end.date()].append((end, -1, 0))
+        truth = {}
+        for day, rows in bounds.items():
+            # RANGE-frame peer groups: cumulative through each whole
+            # (bts, delta) group; -1 sorts before +1 at equal bts
+            groups = defaultdict(int)
+            for bts, delta, _ in rows:
+                groups[(bts, delta)] += delta
+            cum, peak = 0, None
+            for key in sorted(groups):
+                cum += groups[key]
+                peak = cum if peak is None else max(peak, cum)
+            truth[day] = (peak, sum(s for _, _, s in rows))
+
+        got = {
+            r.day: (r.max_concurrent, r.n_starts)
+            for r in w9_interval_concurrency(spark, root).collect()
+        }
+        assert got == truth
