@@ -854,91 +854,88 @@ register(
 register("sql9_dpp_audit", au.sql9_dpp_audit, au.SQL9_ORACLE)
 
 
-# --- r13 head-window rotation ------------------------------------------
+# --- r14 head-window rotation ------------------------------------------
 # The rotation rule (adopted r4) as an EXPLICIT list: external
 # harnesses certify the FIRST ~50 entries in dict order, so the head
 # holds (a) every entry that has NEVER had a driver certification,
 # (b) every entry whose implementation changed this round, (c) one rep
 # of every family the head would otherwise miss (family guard in
 # tests/test_catalog.py), picking the stalest member, (d) remaining
-# slots = stalest-certification backfill (VERDICT-r12 item 2: the 11
-# r6-band entries first, then the r7 band in its CORRECTNESS_r07
+# slots = stalest-certification backfill (VERDICT-r13 item 1: the 7
+# r7-band entries first, then the r8 band in its CORRECTNESS_r08
 # ledger order, as many as fit). Everything not listed keeps
 # registration order after the head.
 _HEAD = [
-    # (a) new in r13: none — breadth frozen at 268 (VERDICT-r12
-    # item 7). (b) impl-changed in r13: none so far (this round's
+    # (a) new in r14: none — breadth frozen at 268 (VERDICT-r13
+    # item 7). (b) impl-changed in r14: none so far (this round's
     # code changes are scripts/tests/bench accounting only).
-    # (d-first, per VERDICT-r12 item 2: the full 11-entry r6-stale
-    # band, in its ledger order)
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q22_idle_rich_customers",
-    "f5_date_range_explode",
-    "w1_rolling_7day_revenue",
-    "w2_topk_per_group",
-    "a1_watermark",
-    "a4_union_distinct_days",
-    "st_sliding_window_agg",
-    "st_session_window_agg",
-    "sql1_nation_year_revenue",
-    # (c) family reps for families the r6+r7 backfill leaves
-    # uncovered, stalest certified member of each: c (r12, sole
-    # member), emb (r8), mm (r8), corpus (r8), sketch (r9), m (r9),
-    # layout (r10), src (r8), s (r10), udtf (r11)
+    # (d-first, per VERDICT-r13 item 1: the full 7-entry r7-stale
+    # band, in its CORRECTNESS_r07 ledger order)
+    "text_bigram_logprob",
+    "ann_pq_persisted_probe",
+    "ann_pq_external_topk",
+    "q9_product_profit",
+    "f3_timestamp_coerce",
+    "j2_range_overlap_join",
+    "j3_duplicate_day_conflicts",
+    # (c) family reps for families the r7+r8 backfill leaves
+    # uncovered, stalest certified member of each: c (r13, sole
+    # member), emb (r9), mm (r9), corpus (r9), sketch (r10), m (r10),
+    # layout (r11), src (r10), s (r11), udtf (r12)
     "c3_schema_align",
-    "emb_covariance",
-    "mm_audio_energy",
-    "corpus_shuffle_deterministic",
-    "sketch_kmv_distinct",
-    "m1_scd2_merge",
-    "layout_zorder_audit",
-    "src_format_roundtrip_audit",
-    "s8_schema_evolution_audit",
-    "udtf_ngram_grid",
-    # (d) ... then the r7 band in its CORRECTNESS_r07 ledger order,
-    # as many as fit (29/36). The 7 skipped, chosen from the band's
-    # tail so every skipped entry's family stays covered by an
-    # earlier member (j3, j2, f3, q9, ann_pq_external_topk,
-    # ann_pq_persisted_probe, text_bigram_logprob), are the r14
-    # backfill; dedup_semantic / p2 / dq1 are sole family reps in the
-    # band and therefore kept over tail order.
-    "a20_exact_mode",
-    "f13_bitwise_function_sweep",
-    "j17_spo2_id_day",
-    "text_phrase_topk",
-    "f14_lambda_function_sweep",
-    "ann_filtered_topk",
-    "j18_universe_sample_join",
-    "f15_url_parse_sweep",
-    "j19_asof_forward_tolerance",
-    "j20_detailed_sleep",
-    "ann_range_search",
-    "ts6_moving_median",
-    "w9_interval_concurrency",
-    "a21_event_transitions",
-    "ts7_cusum_changepoint",
-    "ts8_ohlc_bars",
-    "j21_nullsafe_join",
-    "graph_sssp_weighted",
-    "a22_weighted_median",
-    "f17_map_function_sweep",
-    "st_scd2_restart_idempotent",
-    "sql2_correlated_subqueries",
-    "f19_error_safe_arithmetic",
-    "graph_label_propagation",
-    "a24_trimmed_mean",
-    "a25_rollup_count_distinct",
-    "dedup_semantic",
-    "p2_halfopen_range",
-    "dq1_expectations_report",
+    "emb_int8_quantize",
+    "mm_decode_features",
+    "corpus_perplexity_filter",
+    "sketch_sample_quantiles",
+    "m3_scd2_delete_merge",
+    "layout_compact_audit",
+    "src_datasource_write_audit",
+    "s7_dynamic_overwrite_audit",
+    "udtf_token_runs",
+    # (d) ... then the r8 band in its CORRECTNESS_r08 ledger order,
+    # as many as fit (33/37). The 4 skipped are the band's tail
+    # (j5_views_before_purchase, a5_rollup, a6_cube,
+    # a7_grouping_sets) — every skipped entry's family (j, a) stays
+    # covered by earlier members; they are the r15 backfill.
+    "j22_detailed_sleep_time",
+    "j23_detailed_vo2max",
+    "j24_detailed_session",
+    "j25_detailed_rest_mode",
+    "j26_detailed_enhanced_tag",
+    "text_hashing_tf",
+    "graph_kcore",
+    "ts9_autocorr",
+    "dq7_benford_deviation",
+    "f20_string_function_sweep",
+    "ann_recall_report",
+    "a26_histogram_fixed_bins",
+    "sql3_recursive_cte",
+    "sql4_pivot_wide",
+    "f21_unpivot_melt",
+    "w11_streaks",
+    "ts10_time_weighted_avg",
+    "j27_global_range_join",
+    "ts11_calendar_rollup",
+    "a27_chisq_independence",
+    "a28_welch_ttest",
+    "a29_ols_slope",
+    "ts12_linear_interpolate",
+    "j29_first_touch_attribution",
+    "f22_variant_shred",
+    "text_lm_dirichlet_topk",
+    "dq8_observe_metrics",
+    "f23_from_csv_parse",
+    "q10_returned_items",
+    "p1_required_filter",
+    "st_dedup_events",
+    "dedup_exact_groups",
+    "f4_array_to_json",
 ]
-# r14 head plan (rotate at round-14 start): (a) any entry new in r14;
-# (b) impl-changed in r14; (c) family reps; (d) backfill = the 7
-# r7-band entries that did not fit r13 (j3_duplicate_day_conflicts,
-# j2_range_overlap_join, f3_timestamp_coerce, q9_product_profit,
-# ann_pq_external_topk, ann_pq_persisted_probe, text_bigram_logprob),
-# then the r8 band stalest-first.
+# r15 head plan (rotate at round-15 start): (a) any entry new in r15;
+# (b) impl-changed in r15; (c) family reps; (d) backfill = the 4
+# r8-band entries that did not fit r14 (j5_views_before_purchase,
+# a5_rollup, a6_cube, a7_grouping_sets), then the r9 band
+# stalest-first.
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50
