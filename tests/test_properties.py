@@ -362,16 +362,21 @@ class TestRankStatsProperties:
                 for i, v in enumerate(a)]
         rows += [(1000 + i, dt.datetime(2024, 1, 1), 0, "view", v / 100.0,
                   "{}") for i, v in enumerate(b)]
+        import shutil
+
         root = tempfile.mkdtemp(prefix="mwu_prop_")
-        spark.createDataFrame(
-            rows,
-            "event_id long, ts timestamp, user_id long, event_type string,"
-            " value double, props string",
-        ).write.mode("overwrite").parquet(f"{root}/events.parquet")
-        [r] = [
-            r for r in a31_mannwhitney_u(spark, root).collect()
-            if r.cohort == 0
-        ]
+        try:
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            ).write.mode("overwrite").parquet(f"{root}/events.parquet")
+            [r] = [
+                r for r in a31_mannwhitney_u(spark, root).collect()
+                if r.cohort == 0
+            ]
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
         # pure-Python midrank U, doubled
         pooled = sorted(a + b)
         def rank2(v):  # 2 * average rank of value v in the pooled sample
@@ -400,16 +405,21 @@ class TestRankStatsProperties:
                 for i, v in enumerate(a)]
         rows += [(1000 + i, dt.datetime(2024, 1, 1), 0, "view", v / 100.0,
                   "{}") for i, v in enumerate(b)]
+        import shutil
+
         root = tempfile.mkdtemp(prefix="ks_prop_")
-        spark.createDataFrame(
-            rows,
-            "event_id long, ts timestamp, user_id long, event_type string,"
-            " value double, props string",
-        ).write.mode("overwrite").parquet(f"{root}/events.parquet")
-        [r] = [
-            r for r in a30_ks_statistic(spark, root).collect()
-            if r.cohort == 0
-        ]
+        try:
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            ).write.mode("overwrite").parquet(f"{root}/events.parquet")
+            [r] = [
+                r for r in a30_ks_statistic(spark, root).collect()
+                if r.cohort == 0
+            ]
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
         na, nb = len(a), len(b)
         want = max(
             abs(sum(1 for x in a if x <= v) * nb
@@ -897,32 +907,37 @@ class TestWeightedMedianProperty:
             a22_weighted_median,
         )
 
+        import shutil
+
         root = tempfile.mkdtemp(prefix="wmed_prop_")
-        spark.createDataFrame(
-            rows, "l_returnflag string, l_extendedprice double,"
-            " l_quantity double",
-        ).write.mode("overwrite").parquet(f"{root}/lineitem.parquet")
+        try:
+            spark.createDataFrame(
+                rows, "l_returnflag string, l_extendedprice double,"
+                " l_quantity double",
+            ).write.mode("overwrite").parquet(f"{root}/lineitem.parquet")
 
-        truth = {}
-        flags = {f for f, _, _ in rows}
-        for flag in flags:
-            grp = [
-                (round(p * 100), int(round(q)))
-                for f, p, q in rows
-                if f == flag
-            ]
-            tot = sum(w for _, w in grp)
-            for price in sorted({p for p, _ in grp}):
-                cum = sum(w for p, w in grp if p <= price)
-                if 2 * cum >= tot:
-                    truth[flag] = (price, tot)
-                    break
+            truth = {}
+            flags = {f for f, _, _ in rows}
+            for flag in flags:
+                grp = [
+                    (round(p * 100), int(round(q)))
+                    for f, p, q in rows
+                    if f == flag
+                ]
+                tot = sum(w for _, w in grp)
+                for price in sorted({p for p, _ in grp}):
+                    cum = sum(w for p, w in grp if p <= price)
+                    if 2 * cum >= tot:
+                        truth[flag] = (price, tot)
+                        break
 
-        got = {
-            r.l_returnflag: (r.wmedian_cents, r.total_weight)
-            for r in a22_weighted_median(spark, root).collect()
-        }
-        assert got == truth
+            got = {
+                r.l_returnflag: (r.wmedian_cents, r.total_weight)
+                for r in a22_weighted_median(spark, root).collect()
+            }
+            assert got == truth
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 class TestTrimmedMeanProperty:
@@ -956,41 +971,48 @@ class TestTrimmedMeanProperty:
             a24_trimmed_mean,
         )
 
+        import shutil
+
         root = tempfile.mkdtemp(prefix="trim_prop_")
-        spark.createDataFrame(
-            [
-                (flag, float(price), i + 1, 1)
-                for i, (flag, price) in enumerate(rows)
-            ],
-            "l_returnflag string, l_extendedprice double,"
-            " l_orderkey long, l_linenumber int",
-        ).write.mode("overwrite").parquet(f"{root}/lineitem.parquet")
+        try:
+            spark.createDataFrame(
+                [
+                    (flag, float(price), i + 1, 1)
+                    for i, (flag, price) in enumerate(rows)
+                ],
+                "l_returnflag string, l_extendedprice double,"
+                " l_orderkey long, l_linenumber int",
+            ).write.mode("overwrite").parquet(f"{root}/lineitem.parquet")
 
-        truth = {}
-        for flag in {f for f, _ in rows}:
-            prices = sorted(round(p * 100) for f, p in rows if f == flag)
-            n = len(prices)
-            lo = n // 10
-            kept = prices[lo : n - lo]
-            truth[flag] = (
-                n,
-                lo,
-                len(kept),
-                sum(kept),
-                sum(kept) / len(kept),
-            )
+            truth = {}
+            for flag in {f for f, _ in rows}:
+                prices = sorted(
+                    round(p * 100) for f, p in rows if f == flag
+                )
+                n = len(prices)
+                lo = n // 10
+                kept = prices[lo : n - lo]
+                truth[flag] = (
+                    n,
+                    lo,
+                    len(kept),
+                    sum(kept),
+                    sum(kept) / len(kept),
+                )
 
-        got = {
-            r.l_returnflag: (
-                r.n_total,
-                r.n_trimmed_each_side,
-                r.n_kept,
-                r.sum_kept_cents,
-                r.trimmed_mean_cents,
-            )
-            for r in a24_trimmed_mean(spark, root).collect()
-        }
-        assert got == truth
+            got = {
+                r.l_returnflag: (
+                    r.n_total,
+                    r.n_trimmed_each_side,
+                    r.n_kept,
+                    r.sum_kept_cents,
+                    r.trimmed_mean_cents,
+                )
+                for r in a24_trimmed_mean(spark, root).collect()
+            }
+            assert got == truth
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 class TestIntervalConcurrencyProperty:
@@ -1030,7 +1052,22 @@ class TestIntervalConcurrencyProperty:
 
         base = dt.datetime(2024, 1, 1)
         stamps = [base + dt.timedelta(minutes=m) for m in mins]
+        import shutil
+
         root = tempfile.mkdtemp(prefix="w9_prop_")
+        try:
+            self._check(spark, root, stamps)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    @staticmethod
+    def _check(spark, root, stamps):
+        from collections import defaultdict
+
+        from personal_health_etl_pipeline_spark.plans.analytics_surface import (
+            w9_interval_concurrency,
+        )
+
         spark.createDataFrame(
             [(i, ts) for i, ts in enumerate(stamps)],
             "event_id long, ts timestamp",
@@ -1068,3 +1105,159 @@ class TestIntervalConcurrencyProperty:
             for r in w9_interval_concurrency(spark, root).collect()
         }
         assert got == truth
+
+
+class TestDecileBucketsProperty:
+    """a14's sample-cut bucketization vs a direct Python replay of its
+    declared recipe (VERDICT-r13 item 6): take the BUCKET_SAMPLE
+    hash-smallest rows, rank them by (value, hash), pick the fixed
+    rank positions ``(d*(m-1))//10 + 1`` as cuts, and assign every row
+    bucket = #cuts <= value + 1. BUCKET_SAMPLE is shrunk to 16 for the
+    property so corpora of <= 40 rows exercise BOTH regimes the sf
+    fixtures cannot hit together: n > m (the hash-sample truncation
+    actually drops rows) and n < max(rank) (some rank positions match
+    nothing and the cut list is short). Values come from a coarse tied
+    grid so duplicate cuts and boundary ties occur; integer-dollar
+    values keep the cents sums exact doubles."""
+
+    @PROP
+    @given(
+        vals=st.lists(
+            st.integers(min_value=0, max_value=12).map(lambda k: k * 997.0),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_matches_python_sample_cuts(self, spark, vals):
+        import hashlib
+        import shutil
+        import tempfile
+
+        from personal_health_etl_pipeline_spark.plans import (
+            analytics_surface as AS,
+        )
+
+        def h(key: int) -> int:
+            return int(
+                hashlib.md5(str(key).encode()).hexdigest()[:15], 16
+            )
+
+        root = tempfile.mkdtemp(prefix="decile_prop_")
+        old_m = AS.BUCKET_SAMPLE
+        AS.BUCKET_SAMPLE = 16
+        try:
+            rows = [(i + 1, float(v)) for i, v in enumerate(vals)]
+            spark.createDataFrame(
+                rows, "o_orderkey long, o_totalprice double"
+            ).write.mode("overwrite").parquet(f"{root}/orders.parquet")
+
+            m = 16
+            hashed = [(v, h(k)) for k, v in rows]
+            assert len({hh for _, hh in hashed}) == len(hashed)
+            sample = sorted(hashed, key=lambda t: t[1])[:m]
+            ranked = sorted(sample)  # (value, h) total order
+            ranks = {(d * (m - 1)) // AS.BUCKET_N + 1 for d in range(1, AS.BUCKET_N)}
+            cuts = sorted(
+                v for rn, (v, _) in enumerate(ranked, start=1) if rn in ranks
+            )
+            truth = {}
+            for _, v in rows:
+                b = sum(1 for c in cuts if c <= v) + 1
+                n, s, lo, hi = truth.get(b, (0, 0, None, None))
+                truth[b] = (
+                    n + 1,
+                    s + round(v * 100),
+                    v if lo is None else min(lo, v),
+                    v if hi is None else max(hi, v),
+                )
+            truth = {
+                b: (n, round(s / 100, 2), lo, hi)
+                for b, (n, s, lo, hi) in truth.items()
+            }
+
+            got = {
+                r.bucket: (
+                    r.n_orders,
+                    float(r.sum_price),
+                    r.min_price,
+                    r.max_price,
+                )
+                for r in AS.a14_decile_buckets(spark, root).collect()
+            }
+            assert got == truth
+        finally:
+            AS.BUCKET_SAMPLE = old_m
+            shutil.rmtree(root, ignore_errors=True)
+
+
+class TestMovingMedianProperty:
+    """ts6's sorted-frame trailing median vs the direct definition
+    (VERDICT-r13 item 6): per user, order by (ts, event_id), take the
+    last <= 9 values, sort them, and return the middle element (odd
+    count) or the exact midpoint of the two middle elements (even
+    count). Timestamps come from a tiny grid so equal-ts rows force
+    the event_id tiebreak; values are exact quarter-dollars so cents
+    and midpoints are exact. Group sizes straddle the window length 9
+    (shorter, equal, and longer-than-frame histories all occur)."""
+
+    @PROP
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1),  # user_id
+                st.integers(min_value=0, max_value=3),  # ts grid (ties!)
+                st.integers(min_value=0, max_value=8).map(
+                    lambda k: k * 0.25
+                ),  # value
+            ),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def test_matches_python_trailing_median(self, spark, rows):
+        import shutil
+        import tempfile
+
+        from personal_health_etl_pipeline_spark.plans.temporal_surface import (
+            MOVMED_WINDOW,
+            ts6_moving_median,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        recs = [
+            (i, u, base + dt.timedelta(hours=t), float(v))
+            for i, (u, t, v) in enumerate(rows)
+        ]
+        root = tempfile.mkdtemp(prefix="movmed_prop_")
+        try:
+            spark.createDataFrame(
+                recs, "event_id long, user_id long, ts timestamp,"
+                " value double",
+            ).write.mode("overwrite").parquet(f"{root}/events.parquet")
+
+            truth = {}
+            for uid in {u for _, u, _, _ in recs}:
+                hist = sorted(
+                    (ts, eid, round(v * 100))
+                    for eid, u, ts, v in recs
+                    if u == uid
+                )
+                for i, (_, eid, _) in enumerate(hist):
+                    frame = sorted(
+                        c
+                        for _, _, c in hist[max(0, i - MOVMED_WINDOW + 1) : i + 1]
+                    )
+                    n = len(frame)
+                    if n % 2 == 1:
+                        med = float(frame[n // 2])
+                    else:
+                        med = (frame[n // 2 - 1] + frame[n // 2]) / 2.0
+                    truth[eid] = (uid, med)
+
+            got = {
+                r.event_id: (r.user_id, r.med_cents)
+                for r in ts6_moving_median(spark, root).collect()
+            }
+            assert got == truth
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
