@@ -23,6 +23,18 @@ There is NO k-means/training iteration anywhere in these builds (the
 codebook is hash-sampled), so the null hypothesis is pure linearity in
 rows with fixed overheads amortizing — this probe either confirms that
 with per-stage ratios or finds the superlinear stage.
+
+DELIBERATE DEVIATION from the real build (ADVICE-r13): this mirror
+eagerly checkpoints ``cb_arr`` inside the ``index.codebook_sample``
+stage, whereas the real ``_pq_index_root`` leaves it lazy until the
+final memo checkpoint — in the real build the sample's compute lands
+inside the codes/codebook-write jobs. The eager cut is intentional
+stage ISOLATION: without it every downstream stage re-times the
+sample and the per-stage attribution is meaningless. Consequence:
+``codebook_sample``'s own ratio (x7.37 in r13) and the write stages'
+"flat" reads are shifted relative to the real build's job boundaries;
+only the TOTAL and the identity of the dominant linear stage
+(``encode_checkpoint`` / ``adc_scan``) transfer to the real build.
 """
 
 from __future__ import annotations

@@ -279,7 +279,13 @@ NOTES = {
         "linear in rows at fixed query count) over a FLAT bounded "
         "query-side encode (x1.22); overall 4.28x is the same "
         "amortized-linear shape. Verified causes, not guesses "
-        "(VERDICT-r12 item 4)."
+        "(VERDICT-r12 item 4). Caveat (ADVICE-r13): the stage mirror "
+        "deliberately EAGER-checkpoints the codebook sample for "
+        "stage isolation while the real build leaves it lazy until "
+        "the final memo checkpoint, so per-stage boundaries "
+        "(codebook_sample's x7.37, the writes' flatness) are shifted "
+        "vs the real build's jobs; the total and the dominant linear "
+        "stage identity are what transfer."
     ),
     "f25_linear_envelope": (
         "f25_scalar_udf_modes' 10.64x at 10x rows IS the linear "
