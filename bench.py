@@ -140,11 +140,18 @@ HEADLINE = (
 # which made the ratio incomparable round-over-round: the ORACLE moves
 # across driver machine windows, so borderline ~1 s entries flapped in
 # and out (14 members in r11, 12 in r12 — the 0.172 -> 0.22 "drift"
-# was membership change, not code). The membership is therefore PINNED
-# to the union of the r11 and r12 live-rule members; the live rule's
-# current members are still emitted (heavy_subset.rule_members_now in
-# BENCH_LAST.json) so drift stays visible. Revisit the pin only if the
-# live rule diverges by more than ~2 entries for consecutive rounds.
+# was membership change, not code; the "12 in r12" figure is the
+# PRE-refresh driver run — the post-refresh r12/r13 local twins read
+# 16 live members on their machine windows, ADVICE-r13). The
+# membership is therefore PINNED to the union of the r11 and r12
+# live-rule members; the live rule's current members are still
+# emitted (heavy_subset.rule_members_now in BENCH_LAST.json) so drift
+# stays visible. Revisit the pin only if the live rule diverges by
+# more than ~2 entries for consecutive rounds. Adjudicated r14
+# (VERDICT-r13 item 3): divergence read 2 in r13
+# (ann_pq_persisted_probe, dedup_substring_spans) but reverted to 1
+# in r14 (dedup_substring_spans only) — oracle-window flap on the
+# borderline ~1 s entries, not a regime change; the pin stands.
 HEAVY_PINNED = (
     "ann_lsh_topk",
     "ann_recall_report",
