@@ -171,6 +171,26 @@ HEAVY_PINNED = (
 assert set(HEAVY_PINNED) <= set(HEADLINE)
 
 
+CALIB_EXPR = "sum(pmod(xxhash64(id), 1000003))"
+CALIB_JOBS = {"cpu32": (32, 2_000_000_000), "cpu1": (1, 60_000_000)}
+
+
+def _machine_calib(spark, trials: int = 5) -> dict[str, float]:
+    """Median seconds for the fixed calibration jobs (fresh lineage
+    per trial — see the call-site comment on shuffle-stage reuse)."""
+    out = {}
+    for key, (parts, rows) in CALIB_JOBS.items():
+        spark.range(0, rows, 1, parts).selectExpr(CALIB_EXPR).collect()
+        ts = []
+        for _ in range(trials):
+            q = spark.range(0, rows, 1, parts).selectExpr(CALIB_EXPR)
+            t0 = time.perf_counter()
+            q.collect()
+            ts.append(time.perf_counter() - t0)
+        out[key] = round(sorted(ts)[len(ts) // 2], 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -188,6 +208,18 @@ def main() -> None:
     spark.range(64).mapInPandas(
         lambda it: it, "id long"
     ).selectExpr("sum(id)").collect()
+
+    # Machine-window calibration (r14): two fixed, deterministic,
+    # CPU-bound JVM jobs timed at session start, so round-over-round
+    # comparisons can separate "the box is slower" from "the code is
+    # slower" WITHOUT a DuckDB dependency (the oracle total is the
+    # other tell, but it shares the box too). cpu32 exercises all
+    # executor threads (2e9-row range -> xxhash64 -> sum), cpu1 one
+    # thread (60M rows, single partition). A FRESH plan is built per
+    # trial: re-collecting one DataFrame lets Spark skip the partial-
+    # aggregate map stage via shuffle-output reuse and times ~0.05 s
+    # of scheduling instead of the work (measured while building this).
+    machine_calib = _machine_calib(spark)
 
     # Session-memoized corpus artifacts (graph edge lists, minhash band
     # index, near-dup groups, TF/NB/BPE/bigram models, centroids, the
@@ -311,6 +343,9 @@ def main() -> None:
         "artifacts_total": artifacts_total,
         "queries": medians,
         "median_total": median_total,
+        # fixed CPU-bound jobs timed at session start: the cross-round
+        # machine-window tell that needs no oracle (see _machine_calib)
+        "machine_calib": machine_calib,
         "oracle_median_total": oracle_median_total or None,
         "bench_vs_baseline": round(median_total / oracle_median_total, 3)
         if oracle_median_total
@@ -349,6 +384,7 @@ def main() -> None:
         "n_queries": len(medians),
         "artifacts_total": artifacts_total,
         "median_total": summary["median_total"],
+        "machine_calib": machine_calib,
         "oracle_median_total": summary["oracle_median_total"],
         "bench_vs_baseline": summary["bench_vs_baseline"],
         "heavy_subset": {

@@ -58,7 +58,19 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
     force_all(spark, sf_dir)
 
-    out = {"sf_dir": sf_dir, "trials": TRIALS, "queries": {}}
+    # the same fixed machine-window calibration the bench records, so
+    # a quiet reading is directly comparable to any twin's window
+    import bench
+
+    machine_calib = bench._machine_calib(spark)
+    print(f"machine_calib: {machine_calib}", flush=True)
+
+    out = {
+        "sf_dir": sf_dir,
+        "trials": TRIALS,
+        "machine_calib": machine_calib,
+        "queries": {},
+    }
     for name in names:
         fn = CATALOG[name][0]
         fn(spark, sf_dir).collect()  # warm pass, untimed
