@@ -1261,3 +1261,88 @@ class TestMovingMedianProperty:
             assert got == truth
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+class TestSsspBoundedProperty:
+    """sssp_bounded vs the direct Python hop-bounded Bellman-Ford DP:
+    after R synchronous rounds the table must hold, for every reachable
+    node, EXACTLY the minimum total weight over paths of at most R
+    edges from the seed set (seeds at 0, unreachable nodes absent).
+    The catalog differential pins graph_sssp_weighted on the fixed
+    corpus; this drives the space — parallel edges with different
+    weights, self-loops, seeds with no out-edges, distances that
+    improve in a late round — where the relax-then-fold loop could in
+    principle drop a node or fold against the wrong round's table."""
+
+    @PROP
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10),
+                st.integers(min_value=0, max_value=10),
+                st.integers(min_value=1, max_value=5),
+            ),
+            min_size=1,
+            max_size=24,
+        ),
+        seeds=st.sets(st.integers(0, 10), min_size=1, max_size=3),
+    )
+    def test_matches_python_bellman_ford(self, spark, edges, seeds):
+        from personal_health_etl_pipeline_spark.operators.graph import (
+            sssp_bounded,
+        )
+
+        max_rounds = 3
+        want = {s: 0 for s in seeds}
+        for _ in range(max_rounds):
+            prev = dict(want)
+            for s, d, w in edges:
+                if s in prev and prev[s] + w < want.get(d, float("inf")):
+                    want[d] = prev[s] + w
+
+        e = spark.createDataFrame(edges, "src long, dst long, w long")
+        sd = spark.createDataFrame([(s,) for s in seeds], "node long")
+        got = {
+            r.node: r.dist
+            for r in sssp_bounded(e, sd, max_rounds=max_rounds).collect()
+        }
+        assert got == want
+
+
+class TestTriangleCountsProperty:
+    """triangle_counts vs brute-force triangle enumeration: for every
+    node in >= 1 triangle of the canonicalized undirected graph, the
+    per-node participation count must match exactly (and no other node
+    may appear). The degree-ordered orientation is the part under
+    test: ties on (degree, id), duplicate and reversed input edges,
+    and self-loops are exactly where a wrong orientation double-counts
+    a wedge or loses a closing edge."""
+
+    @PROP
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_matches_bruteforce_enumeration(self, spark, edges):
+        from itertools import combinations
+
+        from personal_health_etl_pipeline_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        nodes = sorted({n for e in und for n in e})
+        want: dict[int, int] = {}
+        for x, y, z in combinations(nodes, 3):
+            if {(x, y), (x, z), (y, z)} <= und:
+                for n in (x, y, z):
+                    want[n] = want.get(n, 0) + 1
+
+        frame = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.node: r.n_triangles for r in triangle_counts(frame).collect()
+        }
+        assert got == want
