@@ -1346,3 +1346,106 @@ class TestTriangleCountsProperty:
             r.node: r.n_triangles for r in triangle_counts(frame).collect()
         }
         assert got == want
+
+
+class TestHllRegisterInvariance:
+    """The two algebraic guarantees the HLL design rests on, over
+    arbitrary inputs: (1) the register table is invariant under row
+    duplication (max absorbs repeats — the reason the estimate is a
+    DISTINCT count at all), and (2) registers built from any 2-way
+    split of the input and merged by per-(group, idx) max equal the
+    registers built from the whole — the mergeable-state contract the
+    streaming sink (`streaming/hll_sink.py`) persists per micro-batch
+    and the 1000-executor partial-build story both depend on. The
+    catalog differential pins the estimate on the fixed corpus; these
+    pin the ALGEBRA."""
+
+    @PROP
+    @given(
+        rows=st.lists(
+            st.tuples(st.sampled_from("ab"), st.integers(0, 60)),
+            min_size=1,
+            max_size=40,
+        ),
+        dups=st.lists(st.integers(1, 3), min_size=40, max_size=40),
+        cut=st.integers(0, 39),
+    )
+    def test_duplication_and_split_merge(self, spark, rows, dups, cut):
+        from personal_health_etl_pipeline_spark.plans.sketches import (
+            hll_registers,
+        )
+
+        schema = "event_type string, user_id long"
+
+        def regs(data):
+            df = spark.createDataFrame(data, schema)
+            return {
+                (r.event_type, r.idx): r.r for r in hll_registers(df).collect()
+            }
+
+        want = regs(rows)
+
+        duplicated = [row for row, k in zip(rows, dups) for _ in range(k)]
+        assert regs(duplicated) == want
+
+        i = cut % len(rows)
+        m1, m2 = regs(rows[:i] or []), regs(rows[i:] or [])
+        merged = {
+            key: max(m1.get(key, 0), m2.get(key, 0)) for key in m1.keys() | m2.keys()
+        }
+        assert merged == want
+
+
+class TestKmvSetOpsExactRegime:
+    """sketch_kmv_set_ops' declared exact regime, over arbitrary
+    corpora: whenever a pair's true union fits inside the k=64 sketch,
+    the union AND intersection estimates must equal the exact counts
+    (the `full` branch returns the sketch contents themselves), and the
+    exact columns must equal a direct Python set computation for every
+    type pair. Corpora are capped at 60 events so every union fits —
+    the guarantee is deterministic, no stochastic error bound to
+    flake on."""
+
+    @PROP
+    @given(
+        rows=st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 200)),
+            min_size=2,
+            max_size=60,
+        )
+    )
+    def test_small_unions_are_exact(self, spark, rows):
+        import shutil
+        import tempfile
+        from itertools import combinations
+
+        from personal_health_etl_pipeline_spark.plans.sketches import (
+            sketch_kmv_set_ops,
+        )
+
+        data = [
+            (i, dt.datetime(2024, 1, 1), u, t, 0.0, "{}")
+            for i, (t, u) in enumerate(rows)
+        ]
+        root = tempfile.mkdtemp(prefix="kmv_prop_")
+        try:
+            spark.createDataFrame(
+                data,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            ).write.mode("overwrite").parquet(f"{root}/events.parquet")
+            out = sketch_kmv_set_ops(spark, root).collect()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+        users: dict[str, set[int]] = {}
+        for t, u in rows:
+            users.setdefault(t, set()).add(u)
+        want_pairs = list(combinations(sorted(users), 2))
+        assert [(r.ta, r.tb) for r in out] == want_pairs
+        for r in out:
+            ua, ub = users[r.ta], users[r.tb]
+            assert r.exact_union == len(ua | ub)
+            assert r.exact_inter == len(ua & ub)
+            assert r.est_union == r.exact_union  # union fits the sketch
+            assert r.est_inter == r.exact_inter
