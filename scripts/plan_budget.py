@@ -101,6 +101,45 @@ def _formatted(df) -> str:
     return df._jdf.queryExecution().explainString(mode.fromString("formatted"))
 
 
+def compare(
+    current: dict[str, dict[str, int]],
+    pinned: dict[str, dict[str, int]],
+    subset: bool = False,
+) -> tuple[list[str], list[str]]:
+    """Pure comparison of a walked budget against the pinned ledger:
+    (failures, notes). Failures = scale-hostile growth vs the pin or a
+    BatchEvalPython node anywhere; notes = neutral drift, hostile
+    improvements, and membership changes (which, with ``subset=False``,
+    mean the ledger needs a deliberate re-pin)."""
+    failures: list[str] = []
+    notes: list[str] = []
+    for name, cur in current.items():
+        if cur.get("row_udf", 0):
+            failures.append(f"{name}: BatchEvalPython in plan (row-UDF ban)")
+        pin = pinned.get(name)
+        if pin is None:
+            notes.append(f"{name}: not in ledger (new entry) — re-pin")
+            continue
+        for kind in _HOSTILE:
+            if cur[kind] > pin[kind]:
+                failures.append(
+                    f"{name}: {kind} {pin[kind]} -> {cur[kind]} (budget exceeded)"
+                )
+        drift = {
+            k: (pin[k], cur[k])
+            for k in cur
+            if cur[k] != pin.get(k) and k not in _HOSTILE
+        }
+        improved = {k: (pin[k], cur[k]) for k in _HOSTILE if cur[k] < pin[k]}
+        if drift or improved:
+            notes.append(f"{name}: drift {drift or ''} improved {improved or ''}")
+    if not subset:
+        for name in pinned:
+            if name not in current:
+                notes.append(f"{name}: in ledger but not in catalog — re-pin")
+    return failures, notes
+
+
 def main() -> None:
     write = "--write" in sys.argv
     only = None
@@ -148,34 +187,8 @@ def main() -> None:
     with open(LEDGER) as f:
         pinned = json.load(f)["entries"]
 
-    failures: list[str] = list(errors)
-    notes: list[str] = []
-    for name, cur in current.items():
-        if cur.get("row_udf", 0):
-            failures.append(f"{name}: BatchEvalPython in plan (row-UDF ban)")
-        pin = pinned.get(name)
-        if pin is None:
-            notes.append(f"{name}: not in ledger (new entry) — re-pin")
-            continue
-        for kind in _HOSTILE:
-            if cur[kind] > pin[kind]:
-                failures.append(
-                    f"{name}: {kind} {pin[kind]} -> {cur[kind]} (budget exceeded)"
-                )
-        drift = {
-            k: (pin[k], cur[k])
-            for k in cur
-            if cur[k] != pin.get(k) and k not in _HOSTILE
-        }
-        improved = {
-            k: (pin[k], cur[k]) for k in _HOSTILE if cur[k] < pin[k]
-        }
-        if drift or improved:
-            notes.append(f"{name}: drift {drift or ''} improved {improved or ''}")
-    for name in pinned:
-        if only is None and name not in current:
-            notes.append(f"{name}: in ledger but not in catalog — re-pin")
-
+    cmp_failures, notes = compare(current, pinned, subset=only is not None)
+    failures = errors + cmp_failures
     checked = {k for k in current if k in pinned}
     print(f"plan budget: {len(checked)}/{len(names)} entries checked vs pin")
     for n in notes:

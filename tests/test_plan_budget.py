@@ -96,3 +96,67 @@ def test_ledger_is_valid_and_complete():
         assert counts["cartesian"] == 0, f"{name}: pinned cartesian product"
         for kind in _HOSTILE:
             assert counts[kind] >= 0, name
+
+
+def _counts(**over):
+    base = {
+        "shuffles": 1, "broadcasts": 1, "sorts": 1, "scans": 2,
+        "python": 0, "row_udf": 0, "cartesian": 0, "bnlj": 0, "nodes": 9,
+    }
+    base.update(over)
+    return base
+
+
+class TestCompare:
+    """The compare mode's verdict logic on synthetic ledgers: hostile
+    growth fails, neutral drift and hostile improvement only note,
+    membership changes note (full walk) or stay silent (subset), and a
+    row-UDF node fails regardless of the pin."""
+
+    def test_clean_match_passes(self):
+        from scripts.plan_budget import compare
+
+        cur = {"q": _counts()}
+        failures, notes = compare(cur, {"q": _counts()})
+        assert failures == [] and notes == []
+
+    def test_hostile_growth_fails_and_improvement_notes(self):
+        from scripts.plan_budget import compare
+
+        failures, notes = compare(
+            {"grew": _counts(shuffles=3), "shrank": _counts(python=0)},
+            {"grew": _counts(shuffles=1), "shrank": _counts(python=2)},
+        )
+        assert any("grew: shuffles 1 -> 3" in f for f in failures)
+        assert not any("shrank" in f for f in failures)
+        assert any("shrank" in n and "improved" in n for n in notes)
+
+    def test_neutral_drift_notes_not_fails(self):
+        from scripts.plan_budget import compare
+
+        failures, notes = compare(
+            {"q": _counts(sorts=5, broadcasts=0)}, {"q": _counts()}
+        )
+        assert failures == []
+        assert len(notes) == 1 and "drift" in notes[0]
+
+    def test_row_udf_fails_even_if_pinned(self):
+        from scripts.plan_budget import compare
+
+        # a pin that (wrongly) contains a row UDF must not license one
+        failures, _ = compare(
+            {"q": _counts(row_udf=1, python=1)},
+            {"q": _counts(row_udf=1, python=1)},
+        )
+        assert any("row-UDF ban" in f for f in failures)
+
+    def test_membership_changes_note_full_walk_only(self):
+        from scripts.plan_budget import compare
+
+        cur, pin = {"new": _counts()}, {"old": _counts()}
+        _, notes_full = compare(cur, pin, subset=False)
+        assert any("new entry" in n for n in notes_full)
+        assert any("not in catalog" in n for n in notes_full)
+        _, notes_sub = compare(cur, pin, subset=True)
+        assert any("new entry" in n for n in notes_sub)
+        assert not any("not in catalog" in n for n in notes_sub)
