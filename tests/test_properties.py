@@ -1449,3 +1449,52 @@ class TestKmvSetOpsExactRegime:
             assert r.exact_inter == len(ua & ub)
             assert r.est_union == r.exact_union  # union fits the sketch
             assert r.est_inter == r.exact_inter
+
+
+class TestLabelPropagationProperty:
+    """label_propagation_sync vs a direct Python replay of its declared
+    semantics: every node starts as its own label; each round every
+    node simultaneously adopts the most frequent label among its
+    neighbor MULTISET (duplicate input edges count twice, a self-loop
+    contributes the node's own label twice — the adjacency is built
+    without distinct), ties to the smallest label. The synchronous
+    variant is a pure function of the graph, so exact (node, label)
+    map equality must hold after any fixed round count — duplicate and
+    reversed edges, self-loops, and count-vs-label tie collisions are
+    exactly where the struct-argmax could diverge from the spec."""
+
+    @PROP
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def test_matches_python_replay(self, spark, edges):
+        from collections import Counter
+
+        from personal_health_etl_pipeline_spark.operators.graph import (
+            label_propagation_sync,
+        )
+
+        n_rounds = 3
+        adj: dict[int, list[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        labels = {n: n for n in adj}
+        for _ in range(n_rounds):
+            labels = {
+                n: min((-c, lab) for lab, c in Counter(
+                    labels[m] for m in nbrs
+                ).items())[1]
+                for n, nbrs in adj.items()
+            }
+
+        frame = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.label
+            for r in label_propagation_sync(frame, n_rounds=n_rounds).collect()
+        }
+        assert got == labels
