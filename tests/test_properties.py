@@ -1498,3 +1498,55 @@ class TestLabelPropagationProperty:
             for r in label_propagation_sync(frame, n_rounds=n_rounds).collect()
         }
         assert got == labels
+
+
+class TestPagerankIntegerProperty:
+    """pagerank's integer micro-unit recipe vs a direct Python replay:
+    the determinism contract says integer addition makes Spark's
+    unordered partial aggregation bit-identical to a serial replay, so
+    EXACT (node, rank_micro) map equality must hold after 3 iterations
+    over arbitrary digraphs — duplicate edges (deduped by contract),
+    self-loops (a node feeding itself), dangling nodes donating
+    ``dang div N`` to every node's inflow, and the truncating ``div``
+    at each of the three places it appears (contribution, pool,
+    damping) are each a spot a float mental model would get wrong."""
+
+    @PROP
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def test_matches_python_replay(self, spark, edges):
+        from personal_health_etl_pipeline_spark.operators.pagerank import (
+            PAGERANK_MICRO,
+            pagerank,
+        )
+
+        n_iters = 3
+        e = sorted({(s, d) for s, d in edges})  # dedup_edges contract
+        nodes = sorted({n for t in e for n in t})
+        outdeg: dict[int, int] = {}
+        for s, _ in e:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        n = len(nodes)
+        ranks = {v: PAGERANK_MICRO for v in nodes}
+        for _ in range(n_iters):
+            inflow = {v: 0 for v in nodes}
+            for s, d in e:
+                inflow[d] += ranks[s] // outdeg[s]
+            dang = sum(ranks[v] for v in nodes if v not in outdeg)
+            pool = dang // n
+            ranks = {
+                v: (15 * PAGERANK_MICRO + 85 * (inflow[v] + pool)) // 100
+                for v in nodes
+            }
+
+        frame = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.rank_micro
+            for r in pagerank(frame, n_iters=n_iters).collect()
+        }
+        assert got == ranks
