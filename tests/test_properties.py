@@ -1550,3 +1550,54 @@ class TestPagerankIntegerProperty:
             for r in pagerank(frame, n_iters=n_iters).collect()
         }
         assert got == ranks
+
+
+class TestCountMinOneSidedProperty:
+    """sketch_countmin_heavy's Cormode-Muthukrishnan guarantee, which
+    holds for ANY hash function and so tests the sketch STRUCTURE
+    itself (the depth-row explode, the (row, bucket) groupBy, the
+    min-over-rows probe): every probe's estimate must be >= its true
+    count, the true counts must equal a Python whitespace-tokenization
+    replay, and the probed rows must be exactly the top-20 terms by
+    (count desc, term). Corpora are tiny words from a 3-letter
+    alphabet, so bucket collisions (the over-estimate case) actually
+    occur alongside the clean case."""
+
+    @PROP
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab x", min_size=0, max_size=24),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_estimate_dominates_true_count(self, spark, texts):
+        import re
+        import shutil
+        import tempfile
+        from collections import Counter
+
+        from personal_health_etl_pipeline_spark.plans.sketches import (
+            CM_PROBES,
+            sketch_countmin_heavy,
+        )
+
+        true = Counter(
+            t for s in texts for t in re.split(r"\s+", s) if t != ""
+        )
+        root = tempfile.mkdtemp(prefix="cm_prop_")
+        try:
+            spark.createDataFrame(
+                [(i, s, "en", "prop", len(s)) for i, s in enumerate(texts)],
+                "doc_id long, text string, lang string,"
+                " source string, n_chars long",
+            ).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+            out = sketch_countmin_heavy(spark, root).collect()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+        want_probes = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))
+        want_probes = want_probes[:CM_PROBES]
+        assert [(r.term, r.true_count) for r in out] == want_probes
+        for r in out:
+            assert r.est_count >= r.true_count, r
