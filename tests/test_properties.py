@@ -1601,3 +1601,95 @@ class TestCountMinOneSidedProperty:
         assert [(r.term, r.true_count) for r in out] == want_probes
         for r in out:
             assert r.est_count >= r.true_count, r
+
+
+class TestBpeTrainMergesProperty:
+    """bpe_train_merges vs a direct Python replay of its declared
+    protocol, over arbitrary tiny-alphabet word tables and both
+    batch_k regimes: per round, rank pair counts by (sum(wc) desc, a,
+    b) over adjacent symbol pairs with a != b (EOW sentinel included),
+    take the top 4*want rows only (the over-fetch LIMIT is part of the
+    contract — an all-skipped window accepts fewer, never refetches),
+    greedily accept up to `want` symbol-disjoint pairs, apply each
+    accepted merge SEQUENTIALLY as the simultaneous positional
+    transform (x + next when (x, next) = (a, b); drop x when
+    (prev, x) = (a, b); evaluated against the pre-merge array), over
+    exactly ceil(n_merges / batch_k) fixed rounds with an
+    empty-ranking early break. Exact (merge list, round count)
+    equality — order included, which is what the segmenter consumes."""
+
+    @staticmethod
+    def _replay(word_rows, n_merges, batch_k):
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import EOW
+
+        def apply_merge(seq, a, b):
+            n = len(seq)
+            out = []
+            for i, x in enumerate(seq):
+                nxt = seq[i + 1] if i + 1 < n else None
+                prv = seq[i - 1] if i >= 1 else None
+                if x == a and nxt == b:
+                    out.append(x + nxt)
+                elif prv == a and x == b:
+                    out.append(None)
+                else:
+                    out.append(x)
+            return [x for x in out if x is not None]
+
+        tbl = {w: (list(w) + [EOW], wc) for w, wc in word_rows}
+        merges = []
+        rounds = 0
+        n_rounds = -(-n_merges // batch_k)
+        for r_i in range(n_rounds):
+            want = min(batch_k, n_merges - r_i * batch_k)
+            cnt: dict[tuple[str, str], int] = {}
+            for seq, wc in tbl.values():
+                for a, b in zip(seq, seq[1:]):
+                    if a != b:
+                        cnt[(a, b)] = cnt.get((a, b), 0) + wc
+            ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            top = [p for p, _ in ranked[: want * 4]]
+            rounds += 1
+            if not top:
+                break
+            used: set[str] = set()
+            chosen = []
+            for a, b in top:
+                if len(chosen) == want:
+                    break
+                if a in used or b in used:
+                    continue
+                chosen.append((a, b))
+                used.update((a, b))
+            for a, b in chosen:
+                tbl = {
+                    w: (apply_merge(seq, a, b), wc)
+                    for w, (seq, wc) in tbl.items()
+                }
+            merges.extend(chosen)
+        return merges, rounds
+
+    @PROP
+    @given(
+        words=st.dictionaries(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(1, 5),
+            min_size=1,
+            max_size=10,
+        ),
+        batch_k=st.sampled_from([1, 3]),
+    )
+    def test_matches_python_replay(self, spark, words, batch_k):
+        from personal_health_etl_pipeline_spark.plans.llm_surface3 import (
+            bpe_train_merges,
+        )
+
+        n_merges = 6
+        rows = sorted(words.items())
+        frame = spark.createDataFrame(rows, "word string, wc long")
+        got_merges, got_rounds = bpe_train_merges(
+            frame, n_merges=n_merges, batch_k=batch_k
+        )
+        want_merges, want_rounds = self._replay(rows, n_merges, batch_k)
+        assert got_merges == want_merges
+        assert got_rounds == want_rounds
