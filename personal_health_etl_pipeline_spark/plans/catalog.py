@@ -866,76 +866,76 @@ register("sql9_dpp_audit", au.sql9_dpp_audit, au.SQL9_ORACLE)
 # ledger order, as many as fit). Everything not listed keeps
 # registration order after the head.
 _HEAD = [
-    # (a) new in r14: none — breadth frozen at 268 (VERDICT-r13
-    # item 7). (b) impl-changed in r14: none so far (this round's
+    # (a) new in r15: none — breadth frozen at 268 (VERDICT-r14
+    # item 8). (b) impl-changed in r15: none so far (this round's
     # code changes are scripts/tests/bench accounting only).
-    # (d-first, per VERDICT-r13 item 1: the full 7-entry r7-stale
-    # band, in its CORRECTNESS_r07 ledger order)
-    "text_bigram_logprob",
-    "ann_pq_persisted_probe",
-    "ann_pq_external_topk",
-    "q9_product_profit",
-    "f3_timestamp_coerce",
-    "j2_range_overlap_join",
-    "j3_duplicate_day_conflicts",
-    # (c) family reps for families the r7+r8 backfill leaves
-    # uncovered, stalest certified member of each: c (r13, sole
-    # member), emb (r9), mm (r9), corpus (r9), sketch (r10), m (r10),
-    # layout (r11), src (r10), s (r11), udtf (r12)
+    # (d-first, per VERDICT-r14 item 1: the 4 r8-band tail entries
+    # that did not fit the r14 head, in CORRECTNESS_r08 ledger order)
+    "j5_views_before_purchase",
+    "a5_rollup",
+    "a6_cube",
+    "a7_grouping_sets",
+    # (d) ... then the ENTIRE 34-entry r9-stale band, in its
+    # CORRECTNESS_r09 ledger order — with the r8 tail above this
+    # drains everything staler than r10 in one rotation.
+    "a30_ks_statistic",
+    "a31_mannwhitney_u",
+    "a32_cohort_retention",
+    "w12_funnel_steps",
+    "j31_cogroup_pandas_asof",
+    "f24_xml_parse",
+    "f25_scalar_udf_modes",
+    "sql5_session_variables",
+    "w13_sessionized_funnel",
+    "sql6_lateral_topk",
+    "f26_map_in_arrow",
+    "text_bpe_train_batched",
+    "graph_bfs_hops",
+    "ts5_ewma_halflife",
+    "p3_prefix_columns",
+    "st_tumbling_window_agg",
+    "ann_lsh_topk",
+    "dq2_column_profile",
+    "a8_exact_percentiles",
+    "a10_corr_stats",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q14_conditional_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_suppliers",
+    "q21_blocking_suppliers",
+    "j1_multiway_outer_combine",
+    "so1_set_ops",
+    "a3_count_probes",
+    "w3_sessionize",
+    "text_bpe_token_count",
+    # (c) family reps for families the r8+r9 backfill leaves
+    # uncovered, stalest certified member of each: c (r14, but the
+    # family's sole head-eligible classic; all c-entries are r14),
+    # corpus (r10), dedup (r10), emb (r10), layout (r12), m (r11),
+    # mm (r10), s (r12), sketch (r11), src (r11), udtf (r13)
     "c3_schema_align",
-    "emb_int8_quantize",
-    "mm_decode_features",
-    "corpus_perplexity_filter",
-    "sketch_sample_quantiles",
-    "m3_scd2_delete_merge",
-    "layout_compact_audit",
-    "src_datasource_write_audit",
-    "s7_dynamic_overwrite_audit",
-    "udtf_token_runs",
-    # (d) ... then the r8 band in its CORRECTNESS_r08 ledger order,
-    # as many as fit (33/37). The 4 skipped are the band's tail
-    # (j5_views_before_purchase, a5_rollup, a6_cube,
-    # a7_grouping_sets) — every skipped entry's family (j, a) stays
-    # covered by earlier members; they are the r15 backfill.
-    "j22_detailed_sleep_time",
-    "j23_detailed_vo2max",
-    "j24_detailed_session",
-    "j25_detailed_rest_mode",
-    "j26_detailed_enhanced_tag",
-    "text_hashing_tf",
-    "graph_kcore",
-    "ts9_autocorr",
-    "dq7_benford_deviation",
-    "f20_string_function_sweep",
-    "ann_recall_report",
-    "a26_histogram_fixed_bins",
-    "sql3_recursive_cte",
-    "sql4_pivot_wide",
-    "f21_unpivot_melt",
-    "w11_streaks",
-    "ts10_time_weighted_avg",
-    "j27_global_range_join",
-    "ts11_calendar_rollup",
-    "a27_chisq_independence",
-    "a28_welch_ttest",
-    "a29_ols_slope",
-    "ts12_linear_interpolate",
-    "j29_first_touch_attribution",
-    "f22_variant_shred",
-    "text_lm_dirichlet_topk",
-    "dq8_observe_metrics",
-    "f23_from_csv_parse",
-    "q10_returned_items",
-    "p1_required_filter",
-    "st_dedup_events",
-    "dedup_exact_groups",
-    "f4_array_to_json",
+    "corpus_mix_temperature",
+    "dedup_containment",
+    "emb_centroids",
+    "layout_vacuum_audit",
+    "m2_snapshot_diff",
+    "mm_frame_sample",
+    "s6_raw_zone_pruned_scan",
+    "sketch_hll_distinct",
+    "src_datasource_scan",
+    "udtf_ngram_grid",
+    # (d-last) one remaining slot = stalest r10-band entry not
+    # already present, in CORRECTNESS_r10 ledger order.
+    "w8_windowed_distinct",
 ]
-# r15 head plan (rotate at round-15 start): (a) any entry new in r15;
-# (b) impl-changed in r15; (c) family reps; (d) backfill = the 4
-# r8-band entries that did not fit r14 (j5_views_before_purchase,
-# a5_rollup, a6_cube, a7_grouping_sets), then the r9 band
-# stalest-first.
+# r16 head plan (rotate at round-16 start): (a) any entry new in r16;
+# (b) impl-changed in r16; (c) family reps; (d) backfill = the
+# remaining r10-stale band (37 entries after w8_windowed_distinct
+# rotates here) in CORRECTNESS_r10 ledger order, as many as fit.
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50
