@@ -87,7 +87,11 @@ def count_nodes(formatted_plan: str) -> dict[str, int]:
         "shuffles": kinds.get("Exchange", 0),
         "broadcasts": kinds.get("BroadcastExchange", 0),
         "sorts": kinds.get("Sort", 0),
-        "scans": sum(n for k, n in kinds.items() if k.startswith("Scan ")),
+        # 'Scan' alone covers non-format scans (Scan ExistingRDD /
+        # OneRowRelation capture as bare 'Scan' under _NODE_RE)
+        "scans": sum(
+            n for k, n in kinds.items() if k == "Scan" or k.startswith("Scan ")
+        ),
         "python": sum(kinds.get(k, 0) for k in _PYTHON_NODES),
         "row_udf": kinds.get("BatchEvalPython", 0),
         "cartesian": kinds.get("CartesianProduct", 0),
@@ -146,6 +150,13 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = a.split("=", 1)[1].split(",")
+    if write and only:
+        # --only is compare-only: a subset --write would overwrite the
+        # full ledger with just the subset, silently vacating the gate
+        raise SystemExit(
+            "--write with --only would replace the full ledger with a "
+            "subset — run --write over the whole catalog"
+        )
 
     from personal_health_etl_pipeline_spark import get_spark
     from personal_health_etl_pipeline_spark.plans.artifacts import force_all

@@ -341,6 +341,15 @@ def _touch_artifacts(spark, sf_dir: str) -> None:
 
 def main() -> None:
     rnd = os.environ.get("ROUND", "09")
+    out = os.path.join(ROOT, f"BENCH_SF1_r{rnd}.json")
+    if os.path.exists(out) and "--force" not in sys.argv:
+        # $ROUND defaults to an OLD round: without this guard a bare run
+        # silently overwrites a committed artifact. Fail before the
+        # drill, not after 20 minutes of sf1 trials.
+        raise SystemExit(
+            f"{out} already exists — set ROUND=<this round> or pass "
+            "--force to overwrite a committed artifact"
+        )
     spark = get_spark(app_name="scale-drill-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()

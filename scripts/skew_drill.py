@@ -89,6 +89,15 @@ def bench_at(spark, sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     rnd = os.environ.get("ROUND", "11")
+    out = os.path.join(ROOT, f"BENCH_SKEW_r{rnd}.json")
+    if os.path.exists(out) and "--force" not in sys.argv:
+        # $ROUND defaults to an OLD round: without this guard a bare run
+        # silently overwrites a committed artifact (nearly lost
+        # BENCH_SKEW_r11.json in r14). Fail before the drill, not after.
+        raise SystemExit(
+            f"{out} already exists — set ROUND=<this round> or pass "
+            "--force to overwrite a committed artifact"
+        )
     spark = get_spark(app_name="skew-drill")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
