@@ -548,3 +548,54 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy(F.col("n_triangles").desc(), "node")
     )
+
+
+def kcore_bounded(
+    pairs: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node: str = "node",
+) -> DataFrame:
+    """Bounded k-core peel over an undirected edge list: after
+    ``rounds`` synchronous peel rounds (drop every node whose degree
+    within the current survivor set is < ``k``), return ``(node, deg)``
+    with each survivor's within-core degree. Parallel/duplicate input
+    edges each count toward degree (the caller deduplicates if set
+    semantics are wanted — the catalog's co-occurrence artifact is
+    already canonical); self-loops contribute via both symmetrized
+    directions, matching the SQL replay.
+
+    Factored out of :func:`plans.graph_surface.graph_kcore` (r15) so
+    the peel is property-testable against a direct Python replay on
+    hypothesis graphs; the surface entry is now a thin wrapper and the
+    plan is byte-identical to the inline original. Per round: two
+    equi-joins of the (fixed) symmetrized edge frame against the
+    shrinking survivor set + one map-side-combinable count — no node
+    ever sees more than its neighborhood. Rounds 2/4/... checkpoint
+    (the BFS cadence lesson: every-round eager checkpoints are
+    scheduling floor, fully-lazy plans double the join depth).
+    """
+    e = pairs.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    und = e.select(
+        F.col("_a").alias("n"), F.col("_b").alias("m")
+    ).unionByName(e.select(F.col("_b").alias("n"), F.col("_a").alias("m")))
+    surv = und.select(F.col("n").alias("node")).distinct()
+    for i in range(rounds):
+        deg = (
+            und.join(surv.withColumnRenamed("node", "n"), "n")
+            .join(surv.withColumnRenamed("node", "m"), "m")
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        surv = deg.where(F.col("deg") >= k).select(F.col("n").alias("node"))
+        if i % 2 == 1:
+            surv = surv.localCheckpoint(eager=True)
+    final_deg = (
+        und.join(surv.withColumnRenamed("node", "n"), "n")
+        .join(surv.withColumnRenamed("node", "m"), "m")
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return final_deg.select(F.col("n").alias(node), "deg")

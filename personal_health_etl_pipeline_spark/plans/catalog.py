@@ -867,8 +867,11 @@ register("sql9_dpp_audit", au.sql9_dpp_audit, au.SQL9_ORACLE)
 # registration order after the head.
 _HEAD = [
     # (a) new in r15: none — breadth frozen at 268 (VERDICT-r14
-    # item 8). (b) impl-changed in r15: none so far (this round's
-    # code changes are scripts/tests/bench accounting only).
+    # item 8). (b) impl-changed in r15: graph_kcore (peel factored
+    # into operators/graph.kcore_bounded for the hypothesis property,
+    # VERDICT-r14 item 7; plan unchanged) — rotates in per the
+    # impl-changed rule, displacing the one stalest-fill slot.
+    "graph_kcore",
     # (d-first, per VERDICT-r14 item 1: the 4 r8-band tail entries
     # that did not fit the r14 head, in CORRECTNESS_r08 ledger order)
     "j5_views_before_purchase",
@@ -928,14 +931,12 @@ _HEAD = [
     "sketch_hll_distinct",
     "src_datasource_scan",
     "udtf_ngram_grid",
-    # (d-last) one remaining slot = stalest r10-band entry not
-    # already present, in CORRECTNESS_r10 ledger order.
-    "w8_windowed_distinct",
 ]
 # r16 head plan (rotate at round-16 start): (a) any entry new in r16;
-# (b) impl-changed in r16; (c) family reps; (d) backfill = the
-# remaining r10-stale band (37 entries after w8_windowed_distinct
-# rotates here) in CORRECTNESS_r10 ledger order, as many as fit.
+# (b) impl-changed in r16; (c) family reps; (d) backfill = the full
+# 38-entry r10-stale band (w8_windowed_distinct first — it held the
+# r15 fill slot until graph_kcore's impl change displaced it) in
+# CORRECTNESS_r10 ledger order, as many as fit.
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50

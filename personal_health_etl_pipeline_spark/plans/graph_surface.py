@@ -619,38 +619,20 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     bimodal bipartite transaction graph, where no k separates the two
     modes' degree ranges.
 
-    Scale shape per round: two equi-joins of the edge artifact against
-    the shrinking survivor set + one map-side-combinable degree count
-    — no node ever sees more than its neighborhood, and the edge list
-    is the session-memoized structure artifact (:func:`_cooc_edges`).
-    Rounds 2/4 checkpoint (the BFS cadence lesson: every-round eager
-    checkpoints are scheduling floor, fully-lazy 4-round plans double
-    the join depth)."""
-    e = _cooc_edges(spark, sf_dir)
-    und = e.select(
-        F.col("id_a").alias("n"), F.col("id_b").alias("m")
-    ).unionByName(e.select(F.col("id_b").alias("n"), F.col("id_a").alias("m")))
-    surv = und.select(F.col("n").alias("node")).distinct()
-    for i in range(KCORE_ROUNDS):
-        deg = (
-            und.join(surv.withColumnRenamed("node", "n"), "n")
-            .join(surv.withColumnRenamed("node", "m"), "m")
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        surv = deg.where(F.col("deg") >= KCORE_K).select(
-            F.col("n").alias("node")
-        )
-        if i % 2 == 1:
-            surv = surv.localCheckpoint(eager=True)
-    final_deg = (
-        und.join(surv.withColumnRenamed("node", "n"), "n")
-        .join(surv.withColumnRenamed("node", "m"), "m")
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    The peel itself lives in :func:`operators.graph.kcore_bounded`
+    (factored out in r15 so hypothesis properties drive the engine
+    code, not a test-local replica; plan unchanged — see its docstring
+    for the per-round scale shape). The edge list is the
+    session-memoized structure artifact (:func:`_cooc_edges`)."""
+    from personal_health_etl_pipeline_spark.operators.graph import (
+        kcore_bounded,
     )
-    return final_deg.select(
-        F.col("n").alias("part_id"), "deg"
+
+    return kcore_bounded(
+        _cooc_edges(spark, sf_dir),
+        k=KCORE_K,
+        rounds=KCORE_ROUNDS,
+        node="part_id",
     ).orderBy("part_id")
 
 

@@ -1693,3 +1693,74 @@ class TestBpeTrainMergesProperty:
         want_merges, want_rounds = self._replay(rows, n_merges, batch_k)
         assert got_merges == want_merges
         assert got_rounds == want_rounds
+
+
+class TestKcoreBoundedProperty:
+    """kcore_bounded vs the direct Python synchronous peel: after R
+    rounds of dropping every node whose degree within the survivor set
+    is < k, the table must hold EXACTLY the surviving nodes with their
+    within-core degrees. This was the last hand-rolled iterative
+    algorithm without a property (VERDICT-r14 item 7); the peel now
+    lives in operators/graph.kcore_bounded so the property drives the
+    engine code. The drive targets cascade behavior — removing a node
+    lowers neighbors below k in LATER rounds — plus parallel edges
+    (each counts toward degree), self-loops (count twice via the
+    symmetrized directions), and graphs that empty out entirely."""
+
+    @staticmethod
+    def _python_peel(edges, k, rounds):
+        und = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        surv = {n for e in und for n in e}
+
+        def degrees(s):
+            d = {}
+            for n, m in und:
+                if n in s and m in s:
+                    d[n] = d.get(n, 0) + 1
+            return d
+
+        for _ in range(rounds):
+            surv = {n for n, d in degrees(surv).items() if d >= k}
+        return degrees(surv)
+
+    @PROP
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=25,
+        ),
+        k=st.integers(min_value=1, max_value=4),
+    )
+    def test_matches_python_peel(self, spark, edges, k):
+        from personal_health_etl_pipeline_spark.operators.graph import (
+            kcore_bounded,
+        )
+
+        rounds = 3
+        want = self._python_peel(edges, k, rounds)
+        frame = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.node: r.deg
+            for r in kcore_bounded(frame, k=k, rounds=rounds).collect()
+        }
+        assert got == want
+
+    def test_cascade_needs_every_round(self, spark):
+        # a triangle {5,6,7} with a tail 0-1-2-3-4-5 at k=2: exactly
+        # one tail node drops per round (only the current endpoint has
+        # degree < 2), so each round count yields a distinct non-empty
+        # survivor set — distinguishes a true R-round peel from a
+        # single-pass degree filter
+        from personal_health_etl_pipeline_spark.operators.graph import (
+            kcore_bounded,
+        )
+
+        edges = [(i, i + 1) for i in range(5)] + [(5, 6), (6, 7), (5, 7)]
+        frame = spark.createDataFrame(edges, "id_a long, id_b long")
+        after1 = {r.node for r in kcore_bounded(frame, 2, 1).collect()}
+        after2 = {r.node for r in kcore_bounded(frame, 2, 2).collect()}
+        after3 = {r.node for r in kcore_bounded(frame, 2, 3).collect()}
+        assert after1 == {1, 2, 3, 4, 5, 6, 7}
+        assert after2 == {2, 3, 4, 5, 6, 7}
+        assert after3 == {3, 4, 5, 6, 7}
