@@ -869,10 +869,20 @@ def setsim_prefix_pairs(
     an equi-join on prefix tokens for candidates, and an
     ``array_intersect`` verify against the carried sets — never an
     all-pairs product. Verification volume = candidate pairs, which
-    prefix filtering bounds by actual similarity structure.
+    prefix filtering bounds by actual similarity structure; the
+    LENGTH filter (AllPairs, Bayardo 2007 §3) prunes it further at
+    the join: J(a,b) <= min(n_a,n_b)/max(n_a,n_b), so any pair with
+    ``den*min < num*max`` can never verify — integer-exact and
+    lossless, it drops ~2/3 of candidates on this corpus before the
+    distinct and the array_intersect ever see them (r15).
     """
     base = spread(
-        docs.select(F.col(id_col).alias("_id"), F.col(text_col))
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        # shingle+hash per input byte is sketch-class compute — fan
+        # out from the small floor like the minhash/simhash/ngram
+        # paths (r15: the default floor left the whole shingle +
+        # checkpoint pass on ONE task at bench scale)
+        min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
     ).select("_id", distinct_shingles(F.col(text_col), shingle_n).alias("s"))
     sets = (
         base.where(F.size("s") > 0)
@@ -896,14 +906,21 @@ def setsim_prefix_pairs(
             )
             + 1
         )
-        .select("_id", "tok")
+        .select("_id", "n", "tok")
     )
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a._id") < F.col("b._id")),
+            & (F.col("a._id") < F.col("b._id"))
+            # length filter: J <= min(n)/max(n), so den*min >= num*max
+            # is necessary for J >= num/den — prunes before distinct
+            # + verify, never changes the surviving pair set
+            & (
+                F.lit(threshold_den) * F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(threshold_num) * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
         )
         .select(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
