@@ -2271,16 +2271,29 @@ def f24_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs is deterministic: one element per non-null field, row tag
     from the option).
 
-    Scale shape: pure narrow projection, no shuffle, no UDF — but XML
-    encode/decode is the EXPENSIVE codec (StAX parse per value,
-    ~140 µs/row measured, ~100x JSON/CSV), so the certificate runs on
-    a 1-in-7 slice (the pushed filter bounds the scan): the API is
-    certified on ~14k rows; burning 14 s on 100k identical code paths
-    proves nothing more. The cost note itself is the scale guidance —
-    parse XML ONCE at ingest, never per query.
+    Scale shape: narrow projection, no UDF — but XML encode/decode is
+    the EXPENSIVE codec (StAX parse per value, ~140 µs/row measured,
+    ~100x JSON/CSV), so the certificate runs on a 1-in-7 slice (the
+    pushed filter bounds the scan): the API is certified on ~14k rows;
+    burning 14 s on 100k identical code paths proves nothing more. The
+    cost note itself is the scale guidance — parse XML ONCE at ingest,
+    never per query.
+
+    r15: the codec projection sits ABOVE the sort, not below it. With
+    the projection under ``orderBy``, the range partitioner's sample
+    stage re-evaluates the whole codec subtree (StAX parse included)
+    just to draw sort keys, then the sort pays it again — two full
+    codec passes per run, measured 2.06 s -> 1.28 s median when the
+    sort runs on the three narrow source columns and the codec is
+    evaluated once, post-sort (a per-row projection above Sort
+    preserves the range-partitioned order; rows are bit-identical).
+    At scale the saving is a full pass over the dataset.
     """
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_id") % 7 == 0
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 7 == 0)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
     )
     cents = F.expr("CAST(round(value * 100, 0) AS BIGINT)")
     doc = F.to_xml(
@@ -2307,7 +2320,7 @@ def f24_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["cents"].alias("cents_rt"),
         parsed["missing"].alias("missing_rt"),
         F.xpath_long(nested, F.lit("sum(/r/a/b)")).alias("xpath_sum"),
-    ).orderBy("event_id")
+    )
 
 
 F24_ORACLE = """

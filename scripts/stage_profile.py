@@ -59,8 +59,11 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.3)
         spark.sparkContext.setJobDescription(f"{name} trial {i}")
-        df = fn(spark, sf_dir)
+        # time fn() too: several entries do eager work (checkpoints,
+        # gated-broadcast counts) at plan-build time, exactly as the
+        # bench's fn(...).collect() charges them
         t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
         if use_collect:
             df.collect()
         else:
