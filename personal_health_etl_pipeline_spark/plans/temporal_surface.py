@@ -1345,8 +1345,14 @@ ORDER BY a.event_id
 J31_BUCKETS = 64  # cogroup key granularity: tasks, not entities
 
 
-def j31_cogroup_pandas_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user as-of merge through ``groupBy().cogroup().
+def j31_merged_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-sort cogroup+``merge_asof`` frame of
+    :func:`j31_cogroup_pandas_asof` — exposed so plan tests can assert
+    the cogroup shape (FlatMapCoGroupsInPandas fed by one
+    co-partitioned exchange pair) that the public entry's checkpoint
+    hides behind a ``Scan ExistingRDD``.
+
+    Per-user as-of merge through ``groupBy().cogroup().
     applyInPandas`` — the LAST Arrow-UDF shape the §2.9 surface had
     not certified (mapInPandas = per batch, applyInPandas = per group,
     UDTF = per row; cogroup = per ALIGNED group PAIR, the API for
@@ -1434,7 +1440,25 @@ def j31_cogroup_pandas_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id long, user_id long, click_event_id long, gap_us long",
         )
     )
-    return out.orderBy("event_id")
+    return out
+
+
+def j31_cogroup_pandas_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`j31_merged_frame` with the display sort — see that
+    docstring for the full semantics and scale notes.
+
+    r15: the lineage is cut before the global sort. ``orderBy``'s
+    range partitioner SAMPLES its input to draw split points, and
+    sampling a cogroup+pandas subtree re-executes the entire Python
+    pass — the whole shuffle + ``merge_asof`` ran twice per query
+    (measured 2.01 s -> 1.33 s median at sf0.1, rows bit-identical).
+    The checkpoint materializes the merged rows once; both the
+    sampler and the sort then read the stored blocks. At scale this
+    halves the Python-boundary work; see pagerank.py's note for the
+    localCheckpoint-vs-reliable-checkpoint trade-off on clusters.
+    """
+    out = j31_merged_frame(spark, sf_dir)
+    return out.localCheckpoint(eager=False).orderBy("event_id")
 
 
 J31_ORACLE = """

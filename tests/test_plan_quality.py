@@ -1239,21 +1239,36 @@ class TestRound8EntryPlanShapes:
     def test_cogroup_asof_is_one_copartitioned_shuffle_pair(
         self, spark, sf_dir
     ):
-        """j31: the plan is FlatMapCoGroupsInPandas fed by exactly one
-        hash exchange per side (user_id), no joins, no extra aggs —
-        the same shuffle count as the window-based as-of."""
+        """j31: the merged frame is FlatMapCoGroupsInPandas fed by
+        exactly one hash exchange per side (bucket), no joins, no
+        extra aggs — the same shuffle count as the window-based
+        as-of. The public entry checkpoints that frame before the
+        display sort (r15: orderBy's range-partitioner sampling
+        re-executed the whole Python pass), so its own executed plan
+        must show the checkpoint scan and NO Python re-evaluation."""
         from personal_health_etl_pipeline_spark.plans.temporal_surface import (
             j31_cogroup_pandas_asof,
+            j31_merged_frame,
         )
 
-        df = j31_cogroup_pandas_asof(spark, sf_dir)
-        df.collect()
-        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        inner = j31_merged_frame(spark, sf_dir)
+        inner.write.format("noop").mode("overwrite").save()
+        ex = _executed_plan(inner).split("== Initial Plan ==")[0]
         assert "FlatMapCoGroupsInPandas" in ex, ex
         assert ex.count("Exchange hashpartitioning") == 2, ex
         for join in ("SortMergeJoin", "BroadcastHashJoin",
                      "ShuffledHashJoin", "CartesianProduct"):
             assert join not in ex, ex
+
+        df = j31_cogroup_pandas_asof(spark, sf_dir)
+        df.collect()
+        ex = _executed_plan(df).split("== Initial Plan ==")[0]
+        # the sort runs over the checkpointed rows: one RDD scan, one
+        # range exchange, and crucially zero Python nodes — the
+        # sampler must not re-run the cogroup pass
+        assert "Scan ExistingRDD" in ex, ex
+        assert "FlatMapCoGroupsInPandas" not in ex, ex
+        assert ex.count("Exchange") == 1, ex
 
     def test_perplexity_filter_rides_the_model_artifact(self, spark, sf_dir):
         """corpus_perplexity_filter: the LM model join must come from
