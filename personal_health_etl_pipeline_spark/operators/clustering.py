@@ -49,8 +49,8 @@ from personal_health_etl_pipeline_spark.operators.dedup import (
     LSH_BUCKET_CAP,
     pair_gen_sql,
 )
-from personal_health_etl_pipeline_spark.operators.partitioning import spread
 from personal_health_etl_pipeline_spark.operators.similarity import (
+    _spread_vec,
     cosine_pre,
     norm2_int,
     quantize,
@@ -117,7 +117,7 @@ def _quantized_base(
     embeddings: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     return (
-        spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+        _spread_vec(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
         .select("_id", quantize(F.col(vec_col)).alias("_q"))
         .withColumn("_n2", norm2_int(F.col("_q")))
     )

@@ -26,12 +26,29 @@ from personal_health_etl_pipeline_spark.operators.dedup import (
     LSH_BUCKET_CAP,
     pair_gen_sql,
 )
-from personal_health_etl_pipeline_spark.operators.partitioning import spread
+from personal_health_etl_pipeline_spark.operators.partitioning import (
+    SKETCH_MIN_BYTES_PER_PARTITION,
+    spread,
+)
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 QUANT_SCALE = 1_000_000
+
+
+def _spread_vec(df: DataFrame) -> DataFrame:
+    """Fan out a projected vector frame at the sketch-class floor.
+
+    Per-row cost here is integer vector arithmetic over interpreted
+    higher-order-function lambdas (~microseconds per 64-dim pair —
+    thousands of times the scan cost of the bytes), the same
+    compute-per-byte class as the shingle+multi-hash operators; the
+    default 256 KB floor left the scoring stages of the whole ANN
+    family on 2 tasks at bench scale (r15 stage profile: the
+    BroadcastNestedLoopJoin + cosine + partial-top-k stage of
+    ann_brute_force_topk ran 2 x 0.5 s with 30 cores idle)."""
+    return spread(df, min_bytes=SKETCH_MIN_BYTES_PER_PARTITION)
 
 
 def quantize(col: Column) -> Column:
@@ -105,7 +122,7 @@ def brute_force_topk(
 
     def _prep(df: DataFrame) -> DataFrame:
         return (
-            spread(df.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+            _spread_vec(df.select(F.col(id_col).alias("_id"), F.col(vec_col)))
             .select("_id", quantize(F.col(vec_col)).alias("_q"))
             .withColumn("_n2", norm2_int(F.col("_q")))
         )
@@ -207,7 +224,7 @@ def lsh_topk(
     and reach for the cap when the corpus can be degenerate.
     """
     base = (
-        spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+        _spread_vec(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
         .select("_id", quantize(F.col(vec_col)).alias("_q"))
         .withColumn("_n2", norm2_int(F.col("_q")))
         .withColumn(
@@ -334,7 +351,7 @@ def embedding_near_dup_pairs(
     free first-matching-table rule).
     """
     base = (
-        spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+        _spread_vec(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
         .select("_id", quantize(F.col(vec_col)).alias("_q"))
         .withColumn("_n2", norm2_int(F.col("_q")))
         .withColumn(
@@ -470,6 +487,11 @@ def ivf_topk(
     """
     if centroids is None:
         base = (
+            # default floor, not the vector-class one: this branch also
+            # feeds the (cid, dim) centroid aggregation, whose two-stage
+            # shuffle pays per-task scheduling on every extra partition —
+            # interleaved A/B (r15, 9 trials) read 1.25 s at the default
+            # vs 1.49 s at the 16 KB floor for ann_ivf_topk
             spread(
                 embeddings.select(
                     F.col(id_col).alias("_id"), F.col(label_col), F.col(vec_col)
@@ -481,7 +503,7 @@ def ivf_topk(
         cents = quantized_centroids(base, label_col)
     else:
         base = (
-            spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+            _spread_vec(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
             .select("_id", quantize(F.col(vec_col)).alias("_q"))
             .withColumn("_n2", norm2_int(F.col("_q")))
         )
@@ -648,7 +670,7 @@ def pq_topk(
     shortlist; ties rank by neighbor id.
     """
     m_sub = 64 // subdim
-    raw = spread(
+    raw = _spread_vec(
         embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col))
     ).select("_id", quantize(F.col(vec_col)).alias("_q"))
     base = (
@@ -685,7 +707,7 @@ def pq_topk(
         # bounded external query table: normalize on the same integer
         # grid and rank against the SAME corpus-sampled codebook
         q_src = (
-            spread(
+            _spread_vec(
                 queries.select(F.col(id_col).alias("_id"), F.col(vec_col))
             )
             .select("_id", quantize(F.col(vec_col)).alias("_q"))
@@ -791,7 +813,7 @@ def ivfpq_topk(
     from personal_health_etl_pipeline_spark.functions.hashing import md5_long
 
     m_sub = 64 // subdim
-    base = spread(
+    base = _spread_vec(
         embeddings.select(
             F.col(id_col).alias("_id"), F.col(label_col), F.col(vec_col)
         )
@@ -842,7 +864,7 @@ def ivfpq_topk(
         # bounded external queries ranked against the SAME coarse
         # centroids (no label needed — lists come from the centroids)
         ranked_q = (
-            spread(queries.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+            _spread_vec(queries.select(F.col(id_col).alias("_id"), F.col(vec_col)))
             .select("_id", quantize(F.col(vec_col)).alias("_q"))
             .withColumn("_n2", norm2_int(F.col("_q")))
             .crossJoin(F.broadcast(cent_arr))
@@ -930,7 +952,7 @@ def range_search(
     (query_id, neighbor_id, sim) ordered by (query_id, sim desc,
     neighbor_id)."""
     base = (
-        spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+        _spread_vec(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
         .select("_id", quantize(F.col(vec_col)).alias("_q"))
         .withColumn("_n2", norm2_int(F.col("_q")))
     )

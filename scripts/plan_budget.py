@@ -150,13 +150,12 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = a.split("=", 1)[1].split(",")
-    if write and only:
-        # --only is compare-only: a subset --write would overwrite the
-        # full ledger with just the subset, silently vacating the gate
-        raise SystemExit(
-            "--write with --only would replace the full ledger with a "
-            "subset — run --write over the whole catalog"
-        )
+    # --write with --only MERGES the subset into the existing ledger
+    # (r15): the full-ledger pin survives, only the named entries are
+    # re-pinned. (The r14 behavior — rejecting the combination outright
+    # — protected against the subset silently REPLACING the ledger;
+    # merging keeps that protection while making deliberate per-entry
+    # re-pins after a reviewed optimization cheap.)
 
     from personal_health_etl_pipeline_spark import get_spark
     from personal_health_etl_pipeline_spark.plans.artifacts import force_all
@@ -178,14 +177,20 @@ def main() -> None:
             errors.append(f"{name}: {type(ex).__name__}: {ex}")
 
     if write:
+        entries = current
+        if only:
+            with open(LEDGER) as f:
+                entries = json.load(f)["entries"]
+            entries.update(current)
+            print(f"merging {len(current)} re-pinned entries into ledger")
         with open(LEDGER, "w") as f:
             json.dump(
-                {"sf_dir": sf_dir, "n_entries": len(current), "entries": current},
+                {"sf_dir": sf_dir, "n_entries": len(entries), "entries": entries},
                 f,
                 indent=1,
                 sort_keys=True,
             )
-        print(f"pinned {len(current)} entries -> {LEDGER}")
+        print(f"pinned {len(entries)} entries -> {LEDGER}")
         totals = Counter()
         for c in current.values():
             totals.update(c)
