@@ -70,16 +70,24 @@ def prepare_graph(
     src: str = "src",
     dst: str = "dst",
     dedup_edges: bool = True,
+    checkpoint_edges: bool = True,
 ) -> PreparedGraph:
     """Materialize the static graph structure with local checkpoints
     (session-lifetime artifact; for reliable-checkpoint deployments
     keep using :func:`pagerank`'s ``checkpoint_dir`` path, which
-    builds and cleans its own structure)."""
+    builds and cleans its own structure).
+
+    ``checkpoint_edges=False`` skips the edge-frame checkpoint for
+    callers whose ``edges`` IS already a materialized artifact (e.g. a
+    session-memoized checkpointed edge list): re-checkpointing one
+    would run a full copy job just to duplicate the stored blocks."""
     _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
-    return _prepare(edges, src, dst, dedup_edges, _ckpt)
+    return _prepare(
+        edges, src, dst, dedup_edges, _ckpt, ckpt_edges=checkpoint_edges
+    )
 
 
-def _prepare(edges, src, dst, dedup_edges, _ckpt) -> PreparedGraph:
+def _prepare(edges, src, dst, dedup_edges, _ckpt, ckpt_edges=True) -> PreparedGraph:
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if dedup_edges:
         # a repeated edge would double-count its contribution; callers
@@ -87,7 +95,8 @@ def _prepare(edges, src, dst, dedup_edges, _ckpt) -> PreparedGraph:
         # disjoint projections of a deduped pair table) pass False and
         # save this full-width shuffle
         e = e.distinct()
-    e = _ckpt(e)
+    if ckpt_edges:
+        e = _ckpt(e)
     outdeg = _ckpt(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     nodes = _ckpt(
         e.select(F.col("src").alias("node"))

@@ -74,23 +74,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the integer grid — see ``operators/pagerank.py`` for why
     integer micro-units make distributed PageRank oracle-certifiable
     at all."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2 + 1).alias("c_node"),
-            (F.col("l_suppkey") * 2).alias("s_node"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
-    )
-    # edges are distinct by construction: `pairs` is deduped and the two
-    # directions live in disjoint (odd->even / even->odd) key spaces.
+    # the SAME bipartite edge list as every other transaction-graph
+    # entry — take the session-memoized checkpointed artifact instead
+    # of re-deriving the lineitem-orders join + distinct (r15: the
+    # duplicate build cost ~2.5 s of the pagerank-structure artifact;
+    # edges are distinct by construction — `pairs` is deduped and the
+    # two directions live in disjoint odd->even / even->odd key spaces)
+    edges = _txn_edges(spark, sf_dir)
     # The graph STRUCTURE (edges/degrees/nodes/dangling) is the static
     # per-corpus artifact — memoized per session; iterations (the
     # actual computation) run per call against it.
@@ -101,7 +91,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     g = _PR_GRAPH_MEMO.get(key)
     if g is None:
-        g = prepare_graph(edges, dedup_edges=False)
+        # checkpoint_edges=False: the artifact frame IS a checkpoint
+        g = prepare_graph(edges, dedup_edges=False, checkpoint_edges=False)
         _PR_GRAPH_MEMO[key] = g
     ranked = pagerank(edges, n_iters=PR_ITERS, dedup_edges=False, prepared=g)
     return ranked.select(
