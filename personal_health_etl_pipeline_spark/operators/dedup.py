@@ -93,9 +93,22 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: md5_long(s))
 
 
-def minhash_signature_sql(hashes_sql: str, n_hashes: int) -> str:
+def mod_p_sql(hashes_sql: str) -> str:
+    """The 60-bit hash array reduced mod P once, as one expression.
+
+    Every signature slot computes ``(h % P * a + b) % P``; hoisting the
+    ``h % P`` into ONE materialized pass saves ``n_hashes - 1`` mods per
+    shingle (a quarter of the interpreted remix work at 32 slots) while
+    producing bit-identical slot values — callers materialize this as
+    its own projection column and feed it to
+    :func:`minhash_signature_sql`."""
+    return f"transform({hashes_sql}, h -> h % {MINHASH_P})"
+
+
+def minhash_signature_sql(hashes_mod_sql: str, n_hashes: int) -> str:
     """MinHash signature as ONE SQL array expression: per-slot minimum
-    of the re-mixed hash array.
+    of the re-mixed hash array. ``hashes_mod_sql`` must already be
+    reduced mod P (see :func:`mod_p_sql`).
 
     A single ``F.expr`` string instead of ``n_hashes`` composed Column
     objects — the py4j round trips of building 32 lambda expressions
@@ -103,8 +116,8 @@ def minhash_signature_sql(hashes_sql: str, n_hashes: int) -> str:
     ``similarity.lsh_bucket_sql`` for the measurement).
     """
     slots = ",".join(
-        f"array_min(transform({hashes_sql},"
-        f" h -> (h % {MINHASH_P} * {a}L + {b}L) % {MINHASH_P}))"
+        f"array_min(transform({hashes_mod_sql},"
+        f" h -> (h * {a}L + {b}L) % {MINHASH_P}))"
         for a, b in minhash_coeffs(n_hashes)
     )
     return f"array({slots})"
@@ -225,9 +238,11 @@ def minhash_lsh_pairs(
         "_id",
         distinct_shingles(text_col, shingle_n).alias("_sh"),
     ).where(F.size("_sh") > 0)
-    hashed = base.withColumn("_hs", shingle_hashes(F.col("_sh")))
+    hashed = base.withColumn("_hs", shingle_hashes(F.col("_sh"))).withColumn(
+        "_hm", F.expr(mod_p_sql("_hs"))
+    )
     sigs = hashed.select(
-        "_id", F.expr(minhash_signature_sql("_hs", n_hashes)).alias("_sig")
+        "_id", F.expr(minhash_signature_sql("_hm", n_hashes)).alias("_sig")
     ).select("_id", F.expr(band_hashes_sql("_sig", n_hashes, bands)).alias("_bands"))
     # lean banding: only (id, band-hash list) enters the shuffle — the
     # sketch pipeline runs ONCE (a self-join would evaluate it per
@@ -244,17 +259,20 @@ def minhash_lsh_pairs(
     # sequence generator leaves _bands as a plain attribute.
     banded = sigs.select(
         "_id", "_bands", F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band_id")
-    ).select(
-        "band_id",
-        F.expr("_bands[band_id]").alias("band_hash"),
-        F.struct("_id", F.col("_bands").alias("bands")).alias("m"),
-    )
-    buckets = (
-        banded.groupBy("band_id", "band_hash")
-        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
-        .where(F.size("ms") > 1)
     )
     if bucket_cap is None:
+        # first-matching-band dedup needs every member's full band list
+        # in the bucket, so the struct carries it
+        buckets = (
+            banded.select(
+                "band_id",
+                F.expr("_bands[band_id]").alias("band_hash"),
+                F.struct("_id", F.col("_bands").alias("bands")).alias("m"),
+            )
+            .groupBy("band_id", "band_hash")
+            .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+            .where(F.size("ms") > 1)
+        )
         candidates = buckets.select(
             "band_id",
             F.explode(
@@ -271,13 +289,23 @@ def minhash_lsh_pairs(
             )
         ).select(F.col("p.a._id").alias("id_a"), F.col("p.b._id").alias("id_b"))
     else:
+        # capped path dedups pairs with an explicit dropDuplicates, so
+        # the band lists are DEAD WEIGHT in the bucket shuffle — band
+        # members are bare ids (r15, guide §2.3 "project before the
+        # exchange": 10.2 MB -> ~1.5 MB of bucket shuffle at sf0.1)
+        buckets = (
+            banded.select(
+                "band_id", F.expr("_bands[band_id]").alias("band_hash"), "_id"
+            )
+            .groupBy("band_id", "band_hash")
+            .agg(F.sort_array(F.collect_list("_id")).alias("ms"))
+            .where(F.size("ms") > 1)
+        )
         candidates = (
             buckets.select(
                 F.explode(F.expr(pair_gen_sql("ms", bucket_cap))).alias("p")
             )
-            .select(
-                F.col("p.a._id").alias("id_a"), F.col("p.b._id").alias("id_b")
-            )
+            .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
             .dropDuplicates()
         )
     # verification joins fetch shingle sets only for surviving pairs;
@@ -504,6 +532,21 @@ def ngram_jaccard_pairs(
         "_id",
         distinct_shingles(text_col, shingle_n).alias("_sh"),
     ).where(F.size("_sh") > 0)
+    if max_df is not None:
+        # shingle ONCE: the capped path's plan references the shingled
+        # corpus from six branches (hot, both shared_rare sides, the
+        # per-doc counts, and the two verify sides), and without a
+        # materialization each branch re-ran the tokenizer + shingle
+        # projection over the whole corpus — the r15 stage profile
+        # showed ~6 sequential re-shingle stages dominating the entry.
+        # One eager checkpoint (the setsim_prefix_pairs recipe) makes
+        # every branch a reader of the stored (id, shingles) blocks;
+        # interleaved A/B at sf0.1: 3.51 -> 2.86 s median, results
+        # bit-identical. (The r13 A/B that REJECTED eager checkpoints
+        # here materialized the hot/counts aggregates — frames whose
+        # recompute is cheap; the shingle projection is the expensive
+        # subtree, which is exactly what a checkpoint should hold.)
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("tok"))
     if max_df is not None:
@@ -588,34 +631,20 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b")
         )
         # exact verification over FULL shingle sets: broadcast gated on
-        # the measured survivor count (VERDICT-r10 item 3). Join the
-        # RAW doc frame and shingle AFTER the join (the minhash verify
-        # pattern): the shingle projection runs only on the
-        # ~|survivors| rows, not over the whole corpus a 3rd/4th time.
+        # the measured survivor count (VERDICT-r10 item 3). Both sides
+        # read the CHECKPOINTED shingle frame — the arrays are already
+        # materialized, so the verify joins fetch stored blocks instead
+        # of re-shingling the raw corpus.
         cand, hint = _gated_candidates(survivors, max_broadcast_rows)
-        with_a = raw.join(
-            hint(cand), raw["_id"] == F.col("id_a")
-        ).select(
-            "id_a",
-            "id_b",
-            distinct_shingles(text_col, shingle_n).alias("sh_a"),
+        with_a = sh.join(hint(cand), sh["_id"] == F.col("id_a")).select(
+            "id_a", "id_b", F.col("_sh").alias("sh_a")
         )
         return (
-            raw.join(hint(with_a), raw["_id"] == F.col("id_b"))
-            # sh_b projected separately: jaccard references each side
-            # twice and an inlined shingle expression re-evaluates per
-            # reference (CollapseProject keeps a multiply-referenced
-            # alias as its own projection)
+            sh.join(hint(with_a), sh["_id"] == F.col("id_b"))
             .select(
                 "id_a",
                 "id_b",
-                "sh_a",
-                distinct_shingles(text_col, shingle_n).alias("sh_b"),
-            )
-            .select(
-                "id_a",
-                "id_b",
-                jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+                jaccard(F.col("sh_a"), F.col("_sh")).alias("jaccard_sim"),
             )
             .where(F.col("jaccard_sim") >= threshold)
         )
@@ -668,7 +697,8 @@ def minhash_index(
     ).where(F.size("_sh") > 0)
     sigs = (
         base.withColumn("_hs", shingle_hashes(F.col("_sh")))
-        .select("_id", F.expr(minhash_signature_sql("_hs", n_hashes)).alias("_sig"))
+        .withColumn("_hm", F.expr(mod_p_sql("_hs")))
+        .select("_id", F.expr(minhash_signature_sql("_hm", n_hashes)).alias("_sig"))
         .select("_id", F.expr(band_hashes_sql("_sig", n_hashes, bands)).alias("_bands"))
     )
     return sigs.select(

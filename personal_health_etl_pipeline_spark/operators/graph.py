@@ -154,6 +154,18 @@ def _components_loop(
         live_label_dirs = _checkpoint_rdd_dirs(spark) - seen_dirs
         seen_dirs |= live_label_dirs
 
+    # Convergence is detected by the label-sum invariant, not a join:
+    # labels are per-node MONOTONICALLY NON-INCREASING (propagate takes
+    # least(own, nbr_min); the pointer jump reads label(label) <= label
+    # because every label is <= its own node id), so ANY change strictly
+    # decreases the exact sum of labels. One map-side aggregate over the
+    # just-materialized checkpoint replaces the old per-round
+    # jumped-vs-labels join (two shuffles of the full label table per
+    # round at scale; one extra job at bench scale). decimal(38,0) keeps
+    # the sum exact for any bigint ids at any node count.
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     for _ in range(max_rounds):
         # propagate: min label over the closed neighborhood
         nbr_min = (
@@ -179,13 +191,11 @@ def _components_loop(
             .select("node", F.col("p_label").alias("label"))
         )
         jumped = _ckpt(jumped)
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = jumped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        changed = 0 if new_sum == prev_sum else 1
+        prev_sum = new_sum
         labels = jumped
         if track_files:
             # the previous round's label checkpoint is superseded the

@@ -620,10 +620,16 @@ def _pq_data_dists(vec: str, subdim: int) -> str:
 
 
 def _pq_data_codes_expr(vec: str, m_sub: int, subdim: int) -> str:
+    # evaluate the per-subspace distance array ONCE and argmin over the
+    # bound row: the one-level form inlined the whole distance
+    # computation twice (array_position(d, array_min(d)) re-evaluates
+    # d per reference — interpreted HOF lambdas have no subexpression
+    # elimination). r15 A/B: PQ index build 5.30 -> 4.87 s, codes
+    # identical.
     d = _pq_data_dists(vec, subdim)
     return (
-        f"transform(sequence(0, {m_sub - 1}), m -> "
-        f"array_position({d}, array_min({d})) - 1)"
+        f"transform(transform(sequence(0, {m_sub - 1}), m -> {d}), "
+        f"row -> array_position(row, array_min(row)) - 1)"
     )
 
 

@@ -541,10 +541,19 @@ def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
-        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    # two plain aggregations instead of the double countDistinct: the
+    # multi-distinct form planned an Expand that tripled every lineitem
+    # row through the shuffle; pre-aggregating to one row per
+    # (order, supplier) computes the same three statistics from plain
+    # count/max with map-side partial aggregation on both levels
+    # (r15 interleaved A/B: 1.10 -> 0.87 s median, rows identical)
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late_any")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("late_any"), F.lit(1))).alias("n_late"),
+        F.max(F.when(F.col("late_any"), F.col("l_suppkey"))).alias("late_supp"),
     )
     blocking = per_order.where(
         (F.col("n_supp") > 1) & (F.col("n_late") == 1)
