@@ -587,10 +587,22 @@ PQ_SUBDIM = 4    # dims per subspace: 64 dims -> 16 subspaces x 4 bits
 PQ_SHORTLIST = 150  # ADC survivors re-ranked exactly, per query
 
 
-_PQ_ADC_EXPR = (
-    "aggregate(zip_with(codes, dtab, (c, row) ->"
-    " element_at(row, cast(c as int) + 1)), 0L, (a, x) -> a + x)"
-)
+def _pq_adc_expr(m_sub: int) -> str:
+    """ADC distance: sum over subspaces of ``dtab[m][codes[m]]``.
+
+    Unrolled into ``m_sub`` plain nested ``element_at`` terms instead
+    of ``aggregate(zip_with(...))``: the fold form allocates an
+    intermediate array and pays 2 lambda invocations per subspace for
+    every (code row x query) pair — the dominant linear stage of a PQ
+    search at scale. Left-associative bigint addition either way, so
+    the distances are bit-identical (r15 A/B: neutral at sf0.1 where
+    the broadcast-join overhead dominates the 128k-pair scan; strictly
+    fewer interpreted ops per pair is the term that grows N x Q)."""
+    return " + ".join(
+        f"element_at(element_at(dtab, {m}),"
+        f" cast(element_at(codes, {m}) as int) + 1)"
+        for m in range(1, m_sub + 1)
+    )
 
 
 def unit_quantize(q: Column, n2: Column) -> Column:
@@ -608,33 +620,66 @@ def unit_quantize(q: Column, n2: Column) -> Column:
     )
 
 
-def _pq_data_dists(vec: str, subdim: int) -> str:
-    """Distances from subvector ``m`` of ``vec`` to every sampled
-    codebook row (``cbs`` column: array of full normalized vectors)."""
+def attach_cbs_sub(cb_arr: DataFrame, m_sub: int, subdim: int) -> DataFrame:
+    """Pre-split the (one-row, broadcast) codebook per subspace:
+    ``cbs_sub[m]`` = the ``PQ_K`` length-``subdim`` subvectors of
+    subspace ``m``. Evaluated once per codebook row, so the per-DATA-row
+    encode/dtab expressions stop re-slicing every codebook vector per
+    (subspace x centroid) reference — the old inline form paid
+    ``m_sub x PQ_K`` codebook slices plus as many data-vector slices
+    per encoded row (r15 A/B: encode stage 0.260 -> 0.113 s at sf0.1,
+    codes bit-identical)."""
+    return cb_arr.withColumn(
+        "cbs_sub",
+        F.expr(
+            f"transform(sequence(0, {m_sub - 1}),"
+            f" m -> transform(cbs, cbj -> slice(cbj, m * {subdim} + 1, {subdim})))"
+        ),
+    )
+
+
+def _pq_split_vec(vec: str, m_sub: int, subdim: int) -> str:
+    """Split ``vec`` into its ``m_sub`` subvectors — once per row."""
     return (
-        f"transform(cbs, cbj -> aggregate(zip_with("
-        f"slice({vec}, m * {subdim} + 1, {subdim}),"
-        f" slice(cbj, m * {subdim} + 1, {subdim}),"
-        f" (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x))"
+        f"transform(sequence(0, {m_sub - 1}),"
+        f" m -> slice({vec}, m * {subdim} + 1, {subdim}))"
+    )
+
+
+def _pq_sqdist(subdim: int) -> str:
+    """Squared L2 between bound subvectors ``sv``/``sc``, unrolled to
+    plain arithmetic: no inner ``zip_with``/``aggregate`` lambda
+    invocations or intermediate arrays per (row x centroid) pair.
+    Left-associative bigint sum — identical to the fold it replaces."""
+    return " + ".join(
+        f"(element_at(sv, {i}) - element_at(sc, {i}))"
+        f" * (element_at(sv, {i}) - element_at(sc, {i}))"
+        for i in range(1, subdim + 1)
+    )
+
+
+def _pq_data_dists(m_sub: int, subdim: int, vec: str) -> str:
+    """Per-subspace distance arrays from ``vec`` to the pre-split
+    codebook (requires the ``cbs_sub`` column — :func:`attach_cbs_sub`)."""
+    return (
+        f"zip_with({_pq_split_vec(vec, m_sub, subdim)}, cbs_sub,"
+        f" (sv, cbm) -> transform(cbm, sc -> {_pq_sqdist(subdim)}))"
     )
 
 
 def _pq_data_codes_expr(vec: str, m_sub: int, subdim: int) -> str:
-    # evaluate the per-subspace distance array ONCE and argmin over the
-    # bound row: the one-level form inlined the whole distance
-    # computation twice (array_position(d, array_min(d)) re-evaluates
-    # d per reference — interpreted HOF lambdas have no subexpression
-    # elimination). r15 A/B: PQ index build 5.30 -> 4.87 s, codes
-    # identical.
-    d = _pq_data_dists(vec, subdim)
+    # argmin over the bound per-subspace distance row: the outer
+    # transform binds each row once (interpreted HOF lambdas have no
+    # subexpression elimination, so array_position(d, array_min(d))
+    # over an unbound d would re-evaluate the distances per reference)
     return (
-        f"transform(transform(sequence(0, {m_sub - 1}), m -> {d}), "
+        f"transform({_pq_data_dists(m_sub, subdim, vec)}, "
         f"row -> array_position(row, array_min(row)) - 1)"
     )
 
 
 def _pq_data_dtab_expr(vec: str, m_sub: int, subdim: int) -> str:
-    return f"transform(sequence(0, {m_sub - 1}), m -> {_pq_data_dists(vec, subdim)})"
+    return _pq_data_dists(m_sub, subdim, vec)
 
 
 def pq_topk(
@@ -694,11 +739,15 @@ def pq_topk(
         .orderBy("_h", "_id")
         .limit(PQ_K)
     )
-    cb_arr = sel.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(_h, _id, _qn))),"
-            " s -> s._qn)"
-        ).alias("cbs")
+    cb_arr = attach_cbs_sub(
+        sel.agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_h, _id, _qn))),"
+                " s -> s._qn)"
+            ).alias("cbs")
+        ),
+        m_sub,
+        subdim,
     )
     with_cb = base.crossJoin(F.broadcast(cb_arr))
     codes = with_cb.select(
@@ -757,7 +806,7 @@ def pq_topk(
         .select(
             "query_id",
             F.col("_id").alias("neighbor_id"),
-            F.expr(_PQ_ADC_EXPR).alias("adist"),
+            F.expr(_pq_adc_expr(m_sub)).alias("adist"),
         )
     )
     shortlisted_n = (
@@ -853,11 +902,15 @@ def ivfpq_topk(
         .orderBy("_h", "_id")
         .limit(PQ_K)
     )
-    rcb_arr = sel.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(_h, _id, _r))),"
-            " s -> s._r)"
-        ).alias("cbs")
+    rcb_arr = attach_cbs_sub(
+        sel.agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_h, _id, _r))),"
+                " s -> s._r)"
+            ).alias("cbs")
+        ),
+        m_sub,
+        subdim,
     )
     assigned = res.crossJoin(F.broadcast(rcb_arr)).select(
         "_id", "_q", "_n2", "list_id",
@@ -921,7 +974,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             F.col("_id").alias("neighbor_id"),
-            F.expr(_PQ_ADC_EXPR).alias("adist"),
+            F.expr(_pq_adc_expr(m_sub)).alias("adist"),
             "_q",
             "_n2",
             "_qq",

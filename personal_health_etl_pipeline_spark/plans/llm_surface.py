@@ -1323,8 +1323,14 @@ def _pq_index_root(
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     m_sub = 64 // S.PQ_SUBDIM
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = emb.select(
-        F.col("vec_id").alias("_id"), S.quantize(F.col("embedding")).alias("_q")
+    # fan the encode input out at the sketch floor like every other
+    # vector path (the per-row cost is m_sub x PQ_K interpreted
+    # distance evals): unspread, the encode checkpoint ran as ONE task
+    # (r15 stage probe: 1.9 s of the 3.9 s build with 31 cores idle)
+    raw = S._spread_vec(
+        emb.select(F.col("vec_id").alias("_id"), "embedding")
+    ).select(
+        "_id", S.quantize(F.col("embedding")).alias("_q")
     )
     base = (
         raw.withColumn("_n2", S.norm2_int(F.col("_q")))
@@ -1338,12 +1344,20 @@ def _pq_index_root(
         .orderBy("_h", "_id")
         .limit(S.PQ_K)
     )
-    cb_arr = sel.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(_h, _id, _qn))),"
-            " s -> s._qn)"
-        ).alias("cbs")
-    )
+    # ONE eager checkpoint, reused by the codes broadcast, the
+    # codebook parquet write AND the returned memo: left lazy, the
+    # full-scan sample subtree re-ran in each of the three (r15 stage
+    # probe: write_codebook 0.65 s + memo_ckpt 0.58 s of re-sampling)
+    cb_arr = S.attach_cbs_sub(
+        sel.agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_h, _id, _qn))),"
+                " s -> s._qn)"
+            ).alias("cbs")
+        ),
+        m_sub,
+        S.PQ_SUBDIM,
+    ).localCheckpoint(eager=True)
     codes = (
         base.crossJoin(F.broadcast(cb_arr))
         .select(
@@ -1370,8 +1384,12 @@ def _pq_index_root(
         .partitionBy("bucket")
         .parquet(os.path.join(root, "vectors"))
     )
-    cb_arr.write.mode("overwrite").parquet(os.path.join(root, "codebook"))
-    memo = (root, cb_arr.localCheckpoint(eager=True))
+    # durable artifact keeps the original one-column schema; the
+    # derived cbs_sub split is a session-side acceleration only
+    cb_arr.select("cbs").write.mode("overwrite").parquet(
+        os.path.join(root, "codebook")
+    )
+    memo = (root, cb_arr)
     _PQ_INDEX_MEMO[key] = memo
     return memo
 
@@ -1443,7 +1461,7 @@ def _pq_probe_artifact(
     ).select(
         "query_id",
         F.col("_id").alias("neighbor_id"),
-        F.expr(S._PQ_ADC_EXPR).alias("adist"),
+        F.expr(S._pq_adc_expr(m_sub)).alias("adist"),
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id")

@@ -72,8 +72,10 @@ def _stages(spark, sf_dir: str) -> dict[str, float]:
     root = tempfile.mkdtemp(prefix="pq_stage_probe_")
     try:
         emb = load_table(spark, sf_dir, "embeddings")
-        raw = emb.select(
-            F.col("vec_id").alias("_id"),
+        raw = S._spread_vec(
+            emb.select(F.col("vec_id").alias("_id"), "embedding")
+        ).select(
+            "_id",
             S.quantize(F.col("embedding")).alias("_q"),
         )
         base = (
@@ -91,11 +93,15 @@ def _stages(spark, sf_dir: str) -> dict[str, float]:
             .orderBy("_h", "_id")
             .limit(S.PQ_K)
         )
-        cb_arr = sel.agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(_h, _id, _qn))),"
-                " s -> s._qn)"
-            ).alias("cbs")
+        cb_arr = S.attach_cbs_sub(
+            sel.agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(_h, _id, _qn))),"
+                    " s -> s._qn)"
+                ).alias("cbs")
+            ),
+            m_sub,
+            S.PQ_SUBDIM,
         ).localCheckpoint(eager=True)
         out["index.codebook_sample"] = time.perf_counter() - t0
 
@@ -133,7 +139,9 @@ def _stages(spark, sf_dir: str) -> dict[str, float]:
         out["index.write_vectors"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        cb_arr.write.mode("overwrite").parquet(os.path.join(root, "codebook"))
+        cb_arr.select("cbs").write.mode("overwrite").parquet(
+            os.path.join(root, "codebook")
+        )
         out["index.write_codebook"] = time.perf_counter() - t0
 
         # --- probe-batch stages (persisted-probe batch shape) --------
@@ -181,7 +189,7 @@ def _stages(spark, sf_dir: str) -> dict[str, float]:
         ).select(
             "query_id",
             F.col("_id").alias("neighbor_id"),
-            F.expr(S._PQ_ADC_EXPR).alias("adist"),
+            F.expr(S._pq_adc_expr(m_sub)).alias("adist"),
         )
         ws = Window.partitionBy("query_id").orderBy(
             F.col("adist").asc(), F.col("neighbor_id")
