@@ -71,6 +71,7 @@ def prepare_graph(
     dst: str = "dst",
     dedup_edges: bool = True,
     checkpoint_edges: bool = True,
+    symmetric: bool = False,
 ) -> PreparedGraph:
     """Materialize the static graph structure with local checkpoints
     (session-lifetime artifact; for reliable-checkpoint deployments
@@ -80,14 +81,26 @@ def prepare_graph(
     ``checkpoint_edges=False`` skips the edge-frame checkpoint for
     callers whose ``edges`` IS already a materialized artifact (e.g. a
     session-memoized checkpointed edge list): re-checkpointing one
-    would run a full copy job just to duplicate the stored blocks."""
+    would run a full copy job just to duplicate the stored blocks.
+
+    ``symmetric=True`` declares that every edge's reverse is also in
+    the list (an undirected graph stored as both directions). Then the
+    node set IS the distinct-src set — already computed by the
+    out-degree aggregate — and the dangling set is empty by
+    construction (every node has at least one out-edge), so the
+    union+distinct node shuffle, the dangling anti-join checkpoint and
+    its existence probe are all skipped. The caller asserts the
+    property; results are identical to the general path when it holds."""
     _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
     return _prepare(
-        edges, src, dst, dedup_edges, _ckpt, ckpt_edges=checkpoint_edges
+        edges, src, dst, dedup_edges, _ckpt, ckpt_edges=checkpoint_edges,
+        symmetric=symmetric,
     )
 
 
-def _prepare(edges, src, dst, dedup_edges, _ckpt, ckpt_edges=True) -> PreparedGraph:
+def _prepare(
+    edges, src, dst, dedup_edges, _ckpt, ckpt_edges=True, symmetric=False
+) -> PreparedGraph:
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if dedup_edges:
         # a repeated edge would double-count its contribution; callers
@@ -98,6 +111,15 @@ def _prepare(edges, src, dst, dedup_edges, _ckpt, ckpt_edges=True) -> PreparedGr
     if ckpt_edges:
         e = _ckpt(e)
     outdeg = _ckpt(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    if symmetric:
+        # both directions present => distinct(src) = distinct(src ∪ dst)
+        # and no node lacks an out-edge. nodes is a map-only projection
+        # over the outdeg checkpoint's stored blocks — no second
+        # aggregation, no checkpoint copy, no dangling structures.
+        nodes = outdeg.select(F.col("src").alias("node"))
+        n_nodes = nodes.count()
+        dangling = nodes.where(F.lit(False))
+        return PreparedGraph(e, outdeg, nodes, n_nodes, dangling, False)
     nodes = _ckpt(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

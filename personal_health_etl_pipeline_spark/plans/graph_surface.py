@@ -91,8 +91,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     g = _PR_GRAPH_MEMO.get(key)
     if g is None:
-        # checkpoint_edges=False: the artifact frame IS a checkpoint
-        g = prepare_graph(edges, dedup_edges=False, checkpoint_edges=False)
+        # checkpoint_edges=False: the artifact frame IS a checkpoint.
+        # symmetric=True: _txn_edges emits BOTH directions of every
+        # distinct trading pair, so the node set equals distinct(src)
+        # (already computed by the out-degree aggregate) and no node is
+        # dangling — prepare skips the union+distinct node shuffle, the
+        # dangling anti-join checkpoint and its probe count (r15: the
+        # three together were ~40% of the pagerank-structure build).
+        g = prepare_graph(
+            edges, dedup_edges=False, checkpoint_edges=False, symmetric=True
+        )
         _PR_GRAPH_MEMO[key] = g
     ranked = pagerank(edges, n_iters=PR_ITERS, dedup_edges=False, prepared=g)
     return ranked.select(

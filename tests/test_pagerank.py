@@ -63,6 +63,40 @@ class TestPagerankSemantics:
         vals = {r.rank_micro for r in pagerank(e, n_iters=3).collect()}
         assert vals == {PAGERANK_MICRO}
 
+    def test_symmetric_prepare_matches_general_path(self, spark):
+        """``prepare_graph(symmetric=True)`` on a both-directions edge
+        list must yield ranks bit-identical to the general path: the
+        node set collapses to distinct(src) and the dangling structures
+        are skipped, never computed — pure shuffle removal."""
+        from personal_health_etl_pipeline_spark.operators.pagerank import (
+            prepare_graph,
+        )
+
+        pairs = [(1, 2), (2, 3), (3, 4), (1, 4), (5, 2)]
+        both = pairs + [(b, a) for a, b in pairs]
+        e = _edges(spark, both)
+        general = prepare_graph(e, dedup_edges=False)
+        sym = prepare_graph(e, dedup_edges=False, symmetric=True)
+        assert sym.n_nodes == general.n_nodes
+        assert not sym.has_dangling and not general.has_dangling
+        assert sym.dangling.count() == 0
+        assert {r.node for r in sym.nodes.collect()} == {
+            r.node for r in general.nodes.collect()
+        }
+        r_gen = {
+            r.node: r.rank_micro
+            for r in pagerank(
+                e, n_iters=3, dedup_edges=False, prepared=general
+            ).collect()
+        }
+        r_sym = {
+            r.node: r.rank_micro
+            for r in pagerank(
+                e, n_iters=3, dedup_edges=False, prepared=sym
+            ).collect()
+        }
+        assert r_sym == r_gen
+
     def test_no_cartesian_in_plan(self, spark, sf_dir):
         from personal_health_etl_pipeline_spark.plans.graph_surface import (
             graph_pagerank,
