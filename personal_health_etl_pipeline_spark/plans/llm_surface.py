@@ -1276,6 +1276,10 @@ ANN_PQ_EXTERNAL_ORACLE = _pq_oracle(external=True)
 PQ_PERS_QUERIES = 64
 PQ_PERS_SEED = 13  # distinct from the codebook sample and PQ_EXT/IVF_EXT
 PQ_PERS_BUCKETS = 16
+# output sizing for the persisted code table: ~32 B/row conservative
+# (8 B id + 16 x 1 B codes + parquet framing) -> one file per ~128 MB
+PQ_CODE_ROW_BYTES = 32
+PQ_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 _PQ_INDEX_MEMO: dict[tuple[str, str], tuple[str, list[list[int]]]] = {}
 
@@ -1372,14 +1376,28 @@ def _pq_index_root(
         # code assignment once
         .localCheckpoint(eager=True)
     )
-    codes.select("_id", "codes").write.mode("overwrite").parquet(
-        os.path.join(root, "codes")
-    )
+    # Output file sizing (guide §6): left alone, both writes inherit the
+    # encode checkpoint's spread width (32 tasks at bench scale), so the
+    # codes table lands as 32 shard files and the bucket-partitioned
+    # vectors write fans out to (tasks x buckets) near-empty files plus
+    # their commit round-trips — the dominant stage of the whole index
+    # build (r15 stage probe: write_vectors 3.6-5.4 s of the ~6-10 s
+    # build). Size the codes table at one file per ~128 MB of payload
+    # (count over the checkpoint's stored blocks is a no-scan job), and
+    # cluster the vectors write BY BUCKET so each bucket is one file —
+    # the write.distribution-mode=hash recipe; the clustering shuffle
+    # moves only what the write was already serializing.
+    n_rows = codes.count()
+    n_files = max(1, (n_rows * PQ_CODE_ROW_BYTES) // PQ_TARGET_FILE_BYTES)
+    codes.select("_id", "codes").coalesce(n_files).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "codes"))
     (
         codes.select(
             "_id", "_qn", "_n2n",
             (F.col("_id") % PQ_PERS_BUCKETS).alias("bucket"),
         )
+        .repartition(PQ_PERS_BUCKETS, F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(root, "vectors"))
@@ -1454,7 +1472,23 @@ def _pq_probe_artifact(
         )
         .localCheckpoint(eager=True)  # bounded: n_queries rows
     )
-    codes = spark.read.parquet(os.path.join(root, "codes"))
+    # the ADC scan's parallelism must not depend on the code table's
+    # file layout (it used to ride the 32 incidental shard files): the
+    # per-row work is n_queries x m_sub table lookups — the sketch-class
+    # byte floor scaled DOWN by the query fan-out, so the spread width
+    # tracks compute, not scan bytes. At real scale the scan already has
+    # >= cores splits and this is a no-op.
+    from personal_health_etl_pipeline_spark.operators.partitioning import (
+        SKETCH_MIN_BYTES_PER_PARTITION,
+        spread,
+    )
+
+    codes = spread(
+        spark.read.parquet(os.path.join(root, "codes")),
+        min_bytes=max(
+            1024, SKETCH_MIN_BYTES_PER_PARTITION // max(1, n_queries)
+        ),
+    )
     adc = codes.join(
         F.broadcast(query_side.select("query_id", "dtab")),
         F.col("_id") != F.col("query_id"),
