@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class ConvergenceError(RuntimeError):
@@ -75,6 +76,7 @@ def connected_components(
     dst: str = "id_b",
     max_rounds: int = 25,
     checkpoint_dir: str | None = None,
+    driver_cap: int = 65_536,
 ) -> DataFrame:
     """Resolve the undirected pair graph into components.
 
@@ -85,6 +87,20 @@ def connected_components(
     ``max_rounds`` bounds the loop; with pointer jumping the round
     count is O(log n) in the largest component diameter, so 25 covers
     components of ~2^25 nodes even in the worst (path-graph) shape.
+
+    ``driver_cap``: when the MEASURED distinct-edge count is at most
+    this (and ids are integral), the components are resolved with a
+    driver-side min-root union-find over the collected edge list
+    instead of the iterative join loop — the same measured-size gate
+    the dedup exact-verify uses for its broadcast. A verified near-dup
+    pair set is tiny relative to its corpus (255 pairs at bench scale),
+    and the loop's per-round join+jump+checkpoint+sum cadence is pure
+    scheduling floor on it; at the default cap the collect is bounded
+    at ~2 MB. Larger graphs (and non-integral ids, whose Python vs SQL
+    ordering could diverge) take the distributed loop unchanged; pass
+    ``0`` to force it. Both paths produce the identical
+    (node, min-id component) labeling — equality is pinned by a test
+    and the family's hypothesis property.
 
     ``checkpoint_dir``: when set, per-round state is truncated with
     RELIABLE checkpoints written under this path (HDFS/object storage
@@ -114,13 +130,55 @@ def connected_components(
         _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
     try:
         return _components_loop(spark, pairs, src, dst, max_rounds, _ckpt,
-                                track_files=checkpoint_dir is not None)
+                                track_files=checkpoint_dir is not None,
+                                driver_cap=driver_cap)
     finally:
         if checkpoint_dir is not None:
             # restore the exact prior location (possibly unset). A plain
             # setCheckpointDir(prior) would nest a fresh UUID dir under
             # it, so write the field back through the scala var setter.
             getattr(sc._jsc.sc(), "checkpointDir_$eq")(prior)
+
+
+def _driver_union_find(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Min-root union-find with path compression over a collected
+    (bounded, gate-checked) edge list — bit-identical to the loop's
+    min-label fixpoint: ``component`` = min node id reachable from
+    ``node``, for every node appearing in any edge."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # min-root union => root IS the min id
+    out = sorted((n, find(n)) for n in parent)
+    id_type = edges.schema[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", id_type, False),
+            T.StructField("component", id_type, False),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def _components_loop(
@@ -131,6 +189,7 @@ def _components_loop(
     max_rounds: int,
     _ckpt,
     track_files: bool = False,
+    driver_cap: int = 0,
 ) -> DataFrame:
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -142,6 +201,14 @@ def _components_loop(
     # the checkpoint each round would recompute that lineage.
     seen_dirs = _checkpoint_rdd_dirs(spark) if track_files else set()
     edges = _ckpt(edges)
+    if (
+        driver_cap > 0
+        and isinstance(edges.schema["a"].dataType, _INTEGRAL_TYPES)
+        and isinstance(edges.schema["b"].dataType, _INTEGRAL_TYPES)
+        # count over the just-checkpointed blocks: a no-scan gate job
+        and edges.count() <= 2 * driver_cap  # both directions stored
+    ):
+        return _driver_union_find(spark, edges)
     # initial label = own id, for every node that appears in any pair
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")

@@ -38,7 +38,7 @@ class TestConnectedComponents:
         # pointer jumping ~log2(512) + slack must suffice
         n = 512
         chain = _pairs(spark, [(i, i + 1) for i in range(n - 1)])
-        comp = connected_components(chain, max_rounds=14).collect()
+        comp = connected_components(chain, max_rounds=14, driver_cap=0).collect()
         assert len(comp) == n
         assert {r.component for r in comp} == {0}
 
@@ -64,7 +64,7 @@ class TestConnectedComponents:
     def test_round_budget_raises(self, spark):
         chain = _pairs(spark, [(i, i + 1) for i in range(63)])
         with pytest.raises(ConvergenceError):
-            connected_components(chain, max_rounds=1)
+            connected_components(chain, max_rounds=1, driver_cap=0)
 
     def test_empty_pairs(self, spark):
         assert connected_components(_pairs(spark, [])).collect() == []
@@ -80,6 +80,7 @@ class TestConnectedComponents:
             for r in connected_components(
                 _pairs(spark, [(1, 2), (2, 3), (10, 11)]),
                 checkpoint_dir=ckpt,
+                driver_cap=0,
             ).collect()
         }
         assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
@@ -104,6 +105,7 @@ class TestConnectedComponents:
         comp = connected_components(
             _pairs(spark, [(i, i + 1) for i in range(63)]),
             checkpoint_dir=ckpt,
+            driver_cap=0,
         )
         after = sc._jsc.sc().getCheckpointDir()
         assert after.isDefined() == prior.isDefined()
@@ -114,6 +116,26 @@ class TestConnectedComponents:
         assert len(rdd_dirs) == 2, rdd_dirs
         # ...and the returned frame still materializes from them
         assert {r.component for r in comp.collect()} == {0}
+
+    def test_driver_gate_matches_distributed_loop(self, spark):
+        """The measured-size-gated driver union-find must label exactly
+        like the iterative loop: same (node, min-id component) rows on a
+        graph with chains, a cycle, self-loops, duplicate and reversed
+        edges, and multiple components."""
+        edges = (
+            [(i, i + 1) for i in range(40)]          # chain
+            + [(100, 101), (101, 102), (102, 100)]   # cycle
+            + [(200, 200), (300, 301), (301, 300)]   # self-loop, reversed
+            + [(7, 3), (3, 7), (500, 400)]           # dup directions
+        )
+        frame = _pairs(spark, edges)
+        gated = sorted(
+            map(tuple, connected_components(frame).collect())
+        )
+        loop = sorted(
+            map(tuple, connected_components(frame, driver_cap=0).collect())
+        )
+        assert gated == loop
 
     def test_direction_and_order_invariance(self, spark):
         a = connected_components(_pairs(spark, [(5, 9), (2, 9), (7, 2)]))

@@ -864,9 +864,13 @@ class TestConnectedComponentsProperty:
         }
 
         frame = spark.createDataFrame(edges, "id_a long, id_b long")
+        # driver_cap=0 keeps this property on the DISTRIBUTED loop (the
+        # gated driver path IS a union-find — testing it against one
+        # would be circular; its equality to the loop is pinned in
+        # tests/test_graph.py)
         got = {
             r.node: r.component
-            for r in connected_components(frame).collect()
+            for r in connected_components(frame, driver_cap=0).collect()
         }
         assert got == truth
 
