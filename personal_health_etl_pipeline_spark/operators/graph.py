@@ -191,9 +191,20 @@ def _components_loop(
     track_files: bool = False,
     driver_cap: int = 0,
 ) -> DataFrame:
+    # both directions via ONE explode, not a union of two projections:
+    # plans are trees, so the union form evaluated the pairs lineage —
+    # possibly a full LSH pipeline — once PER DIRECTION inside the edge
+    # checkpoint job. Same row multiset into the distinct either way.
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
     )
     # materialize once: the pair graph may hang off an expensive lineage

@@ -152,13 +152,27 @@ def _txn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # both directions via ONE explode above the distinct, not a union of
+    # two projections: Spark plans are trees, so the union form re-ran
+    # the whole lineitem⋈orders join + distinct exchange once PER SIDE
+    # (r15: 2 scans + 2 joins + 2 exchanges in the checkpoint job).
+    # Same edge set, one pass; the fan-out sits above the shuffle.
     edges = (
-        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("s_node").alias("src"), F.col("c_node").alias("dst")
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("c_node").alias("src"),
+                        F.col("s_node").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("s_node").alias("src"),
+                        F.col("c_node").alias("dst"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .localCheckpoint(eager=True)
     )
     _TXN_EDGES_MEMO[key] = edges
@@ -457,13 +471,27 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.lit(1), F.lit(4) - F.col("n_orders")).alias("w"),
         )
     )
+    # one explode, not a union of two projections — the union form ran
+    # the join + countDistinct aggregation once per direction (same
+    # duplicated-subtree fix as _txn_edges)
     edges = (
-        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w")
-        .unionByName(
-            pairs.select(
-                F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w"
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("c_node").alias("src"),
+                        F.col("s_node").alias("dst"),
+                        F.col("w"),
+                    ),
+                    F.struct(
+                        F.col("s_node").alias("src"),
+                        F.col("c_node").alias("dst"),
+                        F.col("w"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst", "e.w")
         .localCheckpoint(eager=True)
     )
     _WEIGHTED_EDGES_MEMO[key] = edges
