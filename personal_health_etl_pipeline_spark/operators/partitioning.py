@@ -31,6 +31,13 @@ MIN_BYTES_PER_PARTITION = 256 * 1024
 # shingle — orders of magnitude more compute per input byte — so those
 # call sites fan out from a much smaller input
 SKETCH_MIN_BYTES_PER_PARTITION = 16 * 1024
+# plain tokenize+explode (+ one cheap expr per token) sits between the
+# two: ~1.5 us/byte measured at bench scale — a compressed single-file
+# corpus under the 256 KB floor serialized the whole stage on one task
+# (r15: text_hashing_tf's tokenize stage, 0.6 s with 31 cores idle).
+# Interleaved floor sweep on that stage: 256K 1.128 s / 64K 0.864 s /
+# 16K 0.988 s median — 64K wins, 16K over-splits.
+TOKENIZE_MIN_BYTES_PER_PARTITION = 64 * 1024
 
 
 def spread(

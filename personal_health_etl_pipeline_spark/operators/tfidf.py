@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from personal_health_etl_pipeline_spark.functions.text import tokens
-from personal_health_etl_pipeline_spark.operators.partitioning import spread
+from personal_health_etl_pipeline_spark.operators.partitioning import (
+    TOKENIZE_MIN_BYTES_PER_PARTITION,
+    spread,
+)
 
 
 def tfidf_top_terms(
@@ -35,7 +38,10 @@ def tfidf_top_terms(
     dropped before ranking (they carry no signal and concentrate join
     skew). Returns (doc_id, rank, term, tf, df, score_micro).
     """
-    toks = spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+    toks = spread(
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        min_bytes=TOKENIZE_MIN_BYTES_PER_PARTITION,
+    ).select(
         "_id", F.explode(tokens(text_col)).alias("term")
     )
     # materialize tf ONCE (non-eager checkpoint, the capped-ngram

@@ -29,7 +29,10 @@ from personal_health_etl_pipeline_spark.functions.hashing import (
     duckdb_md5_long,
     md5_long,
 )
-from personal_health_etl_pipeline_spark.operators.partitioning import spread
+from personal_health_etl_pipeline_spark.operators.partitioning import (
+    TOKENIZE_MIN_BYTES_PER_PARTITION,
+    spread,
+)
 from personal_health_etl_pipeline_spark.sources.tables import load_table
 
 # shared oracle CTE: whitespace tokenization (same as llm_surface)
@@ -139,9 +142,21 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed(docs.where(F.col("doc_id") % _EVAL_MOD == 0)).select("h").distinct()
     )
     # the corpus side is compute-bound (shingle + hash per token) — make
-    # sure a single-file scan doesn't serialize it on one task
+    # sure a single-file scan doesn't serialize it on one task. Project
+    # to the two consumed columns BEFORE the spread shuffle (guide:
+    # project before the exchange — the unprojected form shuffled the
+    # full 5-column rows), and fan out at the tokenize floor (the
+    # all-column size estimate used to hit the 256 KB default's
+    # one-partition regime).
     return (
-        hashed(spread(docs.where(F.col("doc_id") % _EVAL_MOD != 0)))
+        hashed(
+            spread(
+                docs.where(F.col("doc_id") % _EVAL_MOD != 0).select(
+                    "doc_id", "text"
+                ),
+                min_bytes=TOKENIZE_MIN_BYTES_PER_PARTITION,
+            )
+        )
         .join(F.broadcast(eval_h), "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
@@ -291,7 +306,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bigram_stream(docs: DataFrame) -> DataFrame:
     """``(doc_id, a, ab)`` adjacent-token-pair stream of a corpus."""
     return (
-        spread(docs.select("doc_id", "text"))
+        spread(
+            docs.select("doc_id", "text"),
+            min_bytes=TOKENIZE_MIN_BYTES_PER_PARTITION,
+        )
         .select("doc_id", T.tokens("text").alias("t"))
         .where(F.size("t") >= 2)
         .select(
@@ -405,7 +423,20 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     final groupBy, so the join is co-partitioned (no extra exchange).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", T.tokens("text").alias("t")).where(F.size("t") > 0)
+    # spread at the tokenize floor (this path had NO spread: both
+    # branches tokenized the single-file corpus on one task each), and
+    # checkpoint the token arrays once — the word and bigram branches
+    # are separate plan subtrees, so the lazy form re-ran the tokenizer
+    # per branch.
+    toks = (
+        spread(
+            docs.select("doc_id", "text"),
+            min_bytes=TOKENIZE_MIN_BYTES_PER_PARTITION,
+        )
+        .select("doc_id", T.tokens("text").alias("t"))
+        .where(F.size("t") > 0)
+        .localCheckpoint(eager=False)
+    )
 
     words = toks.select("doc_id", F.explode("t").alias("w"))
     word_stats = (
@@ -760,7 +791,10 @@ def chunk_documents(docs: DataFrame) -> DataFrame:
         f"/ cast({CHUNK_STRIDE} as double)) as bigint))"
     )
     return (
-        spread(docs.select("doc_id", "text"))
+        spread(
+            docs.select("doc_id", "text"),
+            min_bytes=TOKENIZE_MIN_BYTES_PER_PARTITION,
+        )
         .select("doc_id", T.tokens("text").alias("t"))
         .where(F.size("t") > 0)
         .select(
@@ -831,7 +865,10 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     flat = (
-        spread(docs.select("lang", "doc_id", "text"))
+        spread(
+            docs.select("lang", "doc_id", "text"),
+            min_bytes=TOKENIZE_MIN_BYTES_PER_PARTITION,
+        )
         .select("lang", T.tokens("text").alias("t"))
         .where(F.size("t") > 0)
         .select("lang", F.explode("t").alias("term"))
@@ -984,7 +1021,10 @@ def text_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-descending limit with a total (pmi, a, b) tie-break."""
     docs = load_table(spark, sf_dir, "documents")
     bg = (
-        spread(docs.select("doc_id", "text"))
+        spread(
+            docs.select("doc_id", "text"),
+            min_bytes=TOKENIZE_MIN_BYTES_PER_PARTITION,
+        )
         .select(T.tokens("text").alias("t"))
         .where(F.size("t") >= 2)
         .select(
@@ -1081,7 +1121,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final window runs on R rows — driver-independent but tiny."""
     docs = load_table(spark, sf_dir, "documents")
     freq = (
-        spread(docs.select("text"))
+        spread(
+            docs.select("text"),
+            min_bytes=TOKENIZE_MIN_BYTES_PER_PARTITION,
+        )
         .select(F.explode(T.tokens("text")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))

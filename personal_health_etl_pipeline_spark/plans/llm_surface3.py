@@ -19,7 +19,10 @@ from personal_health_etl_pipeline_spark.functions.hashing import (
     duckdb_md5_long,
     md5_long,
 )
-from personal_health_etl_pipeline_spark.operators.partitioning import spread
+from personal_health_etl_pipeline_spark.operators.partitioning import (
+    TOKENIZE_MIN_BYTES_PER_PARTITION,
+    spread,
+)
 from personal_health_etl_pipeline_spark.operators.substring import (
     SUBSTRING_MIN_DOCS,
     SUBSTRING_WINDOW,
@@ -194,7 +197,10 @@ DSIR_TARGET_LANG = "en"
 
 def _doc_tokens(docs: DataFrame) -> DataFrame:
     return (
-        spread(docs.select("doc_id", "lang", "text"))
+        spread(
+            docs.select("doc_id", "lang", "text"),
+            min_bytes=TOKENIZE_MIN_BYTES_PER_PARTITION,
+        )
         .select("doc_id", "lang", F.explode(T.tokens("text")).alias("term"))
     )
 
