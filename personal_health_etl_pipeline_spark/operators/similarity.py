@@ -106,6 +106,7 @@ def brute_force_topk(
     k: int = 10,
     query_mod: int = 50,
     candidates: DataFrame | None = None,
+    prepped: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the query subset
     (id % query_mod == 0) against the full table.
@@ -118,7 +119,14 @@ def brute_force_topk(
     k results if k matches exist, unlike post-filtering a plain top-k).
     Queries still come from the full table. The filter lands on the
     streaming side BEFORE any distance arithmetic, so at scale it
-    prunes the scan, not the scoring."""
+    prunes the scan, not the scoring.
+
+    ``prepped``: optional pre-quantized ``(_id, _q, _n2)`` frame (the
+    exact columns this operator derives itself — same ``quantize`` /
+    ``norm2_int`` recipe). Callers composing several vector operators
+    over one corpus (e.g. the recall report) pass a shared checkpointed
+    base so the corpus is scanned + quantized ONCE per job instead of
+    once per leg; values are identical by construction."""
 
     def _prep(df: DataFrame) -> DataFrame:
         return (
@@ -127,7 +135,7 @@ def brute_force_topk(
             .withColumn("_n2", norm2_int(F.col("_q")))
         )
 
-    base = _prep(embeddings)
+    base = prepped.select("_id", "_q", "_n2") if prepped is not None else _prep(embeddings)
     cands = base if candidates is None else _prep(candidates)
     queries = base.where(F.col("_id") % query_mod == 0).select(
         F.col("_id").alias("query_id"),
@@ -469,8 +477,15 @@ def ivf_topk(
     query_mod: int = 50,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
+    prepped: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: the scale path for ANN.
+
+    ``prepped``: optional pre-quantized base frame carrying exactly
+    what this operator derives itself — ``(_id, <label_col>, _q, _n2)``
+    for the default per-label quantizer, ``(_id, _q, _n2)`` with
+    ``centroids`` — so composite jobs (the recall report) quantize the
+    corpus once across legs. Values identical by construction.
 
     Build: vectors are assigned to their nearest coarse centroid (one
     small broadcast join — the inverted file). Search: each query scores
@@ -486,27 +501,34 @@ def ivf_topk(
     labels don't exist at 100 TB, k-means lists do).
     """
     if centroids is None:
-        base = (
-            # default floor, not the vector-class one: this branch also
-            # feeds the (cid, dim) centroid aggregation, whose two-stage
-            # shuffle pays per-task scheduling on every extra partition —
-            # interleaved A/B (r15, 9 trials) read 1.25 s at the default
-            # vs 1.49 s at the 16 KB floor for ann_ivf_topk
-            spread(
-                embeddings.select(
-                    F.col(id_col).alias("_id"), F.col(label_col), F.col(vec_col)
+        if prepped is not None:
+            base = prepped.select("_id", F.col(label_col), "_q", "_n2")
+        else:
+            base = (
+                # default floor, not the vector-class one: this branch
+                # also feeds the (cid, dim) centroid aggregation, whose
+                # two-stage shuffle pays per-task scheduling on every
+                # extra partition — interleaved A/B (r15, 9 trials) read
+                # 1.25 s at the default vs 1.49 s at the 16 KB floor for
+                # ann_ivf_topk
+                spread(
+                    embeddings.select(
+                        F.col(id_col).alias("_id"), F.col(label_col), F.col(vec_col)
+                    )
                 )
+                .select("_id", F.col(label_col), quantize(F.col(vec_col)).alias("_q"))
+                .withColumn("_n2", norm2_int(F.col("_q")))
             )
-            .select("_id", F.col(label_col), quantize(F.col(vec_col)).alias("_q"))
-            .withColumn("_n2", norm2_int(F.col("_q")))
-        )
         cents = quantized_centroids(base, label_col)
     else:
-        base = (
-            _spread_vec(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
-            .select("_id", quantize(F.col(vec_col)).alias("_q"))
-            .withColumn("_n2", norm2_int(F.col("_q")))
-        )
+        if prepped is not None:
+            base = prepped.select("_id", "_q", "_n2")
+        else:
+            base = (
+                _spread_vec(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+                .select("_id", quantize(F.col(vec_col)).alias("_q"))
+                .withColumn("_n2", norm2_int(F.col("_q")))
+            )
         cents = centroids
 
     # The coarse quantizer is tiny (one centroid per list) — broadcast

@@ -2081,10 +2081,23 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     library operators with the SAME parameters as their certified
     standalone entries, so the oracle is their SQL composed."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ivf = S.ivf_topk(emb, k=10, query_mod=50, nprobe=IVF_NPROBE).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    # quantize the corpus ONCE for both legs (r15): composed as black
+    # boxes, each leg spread + quantized + normed the full table itself
+    # — one eager checkpoint of the shared (_id, label, _q, _n2) base
+    # halves the corpus scans of the report job; both operators accept
+    # it via `prepped` and derive byte-identical values from it.
+    base = (
+        S._spread_vec(
+            emb.select(F.col("vec_id").alias("_id"), "label", "embedding")
+        )
+        .select("_id", "label", S.quantize(F.col("embedding")).alias("_q"))
+        .withColumn("_n2", S.norm2_int(F.col("_q")))
+        .localCheckpoint(eager=True)
     )
-    brute = S.brute_force_topk(emb, k=10, query_mod=50).select(
+    ivf = S.ivf_topk(
+        emb, k=10, query_mod=50, nprobe=IVF_NPROBE, prepped=base
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    brute = S.brute_force_topk(emb, k=10, query_mod=50, prepped=base).select(
         "query_id", "neighbor_id"
     )
     per_q = (
