@@ -121,6 +121,43 @@ def test_lsh_topk_recall_floor(spark, emb):
     assert hit / total >= 0.2, f"LSH recall too low: {hit}/{total}"
 
 
+def test_prepped_base_matches_self_derived(spark, emb):
+    """`prepped=` (the shared quantized base the recall report builds
+    once for both legs) must yield rows identical to each operator
+    deriving the base itself — same quantize/norm recipe, so only the
+    scan count changes, never a value."""
+    from pyspark.sql import functions as F
+
+    from personal_health_etl_pipeline_spark.operators.similarity import (
+        _spread_vec,
+        ivf_topk,
+        norm2_int,
+        quantize,
+    )
+
+    base = (
+        _spread_vec(emb.select(F.col("vec_id").alias("_id"), "label", "embedding"))
+        .select("_id", "label", quantize(F.col("embedding")).alias("_q"))
+        .withColumn("_n2", norm2_int(F.col("_q")))
+        .localCheckpoint(eager=True)
+    )
+    bf_self = sorted(map(tuple, brute_force_topk(emb, k=5, query_mod=50).collect()))
+    bf_prep = sorted(
+        map(
+            tuple,
+            brute_force_topk(
+                emb, k=5, query_mod=50, prepped=base.select("_id", "_q", "_n2")
+            ).collect(),
+        )
+    )
+    assert bf_prep == bf_self and bf_self
+    ivf_self = sorted(map(tuple, ivf_topk(emb, k=5, query_mod=50).collect()))
+    ivf_prep = sorted(
+        map(tuple, ivf_topk(emb, k=5, query_mod=50, prepped=base).collect())
+    )
+    assert ivf_prep == ivf_self and ivf_self
+
+
 def test_brute_force_topk_shape(spark, emb):
     out = brute_force_topk(emb, k=5, query_mod=100).collect()
     by_query = {}
