@@ -112,13 +112,24 @@ class TestKMeans:
         """The persist=True paths must not leak executor storage: the
         cache lives only across the training collects and is released
         before the result frame is returned (its execution recomputes
-        from source — it never pins the cache)."""
+        from source — it never pins the cache).
+
+        Asserted as a set-difference of persisted RDD ids (only ids
+        CREATED by the calls under test may not survive them) — a plain
+        before/after size equality flakes when the ContextCleaner
+        releases an unrelated RDD persisted by an earlier test on the
+        shared session mid-assertion."""
         jsc = spark.sparkContext._jsc
-        before = jsc.getPersistentRDDs().size()
+
+        def persisted_ids():
+            return {k for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+        before = persisted_ids()
         kmeans_assign(emb, k=4, persist=True).collect()
         kmeans_centroids(emb, k=4, n_updates=1, persist=True).collect()
         semantic_near_dup_pairs(emb, k=4, persist=True).collect()
-        assert jsc.getPersistentRDDs().size() == before
+        leaked = persisted_ids() - before
+        assert not leaked, f"persist paths leaked cached RDD ids: {sorted(leaked)}"
 
 
 class TestKMeansIVF:
