@@ -144,6 +144,32 @@ def compare(
     return failures, notes
 
 
+def write_ledger(
+    path: str,
+    current: dict[str, dict[str, int]],
+    only: bool,
+    sf_dir: str,
+) -> dict[str, dict[str, int]]:
+    """(Re)pin the ledger. A full walk REPLACES it; a subset walk
+    (``--only``) MERGES into the existing file so the other entries'
+    pins survive — the subset must never silently truncate the
+    268-entry ledger (VERDICT-r15 item 9)."""
+    entries = current
+    if only:
+        with open(path) as f:
+            entries = json.load(f)["entries"]
+        entries.update(current)
+        print(f"merging {len(current)} re-pinned entries into ledger")
+    with open(path, "w") as f:
+        json.dump(
+            {"sf_dir": sf_dir, "n_entries": len(entries), "entries": entries},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    return entries
+
+
 def main() -> None:
     write = "--write" in sys.argv
     only = None
@@ -177,19 +203,7 @@ def main() -> None:
             errors.append(f"{name}: {type(ex).__name__}: {ex}")
 
     if write:
-        entries = current
-        if only:
-            with open(LEDGER) as f:
-                entries = json.load(f)["entries"]
-            entries.update(current)
-            print(f"merging {len(current)} re-pinned entries into ledger")
-        with open(LEDGER, "w") as f:
-            json.dump(
-                {"sf_dir": sf_dir, "n_entries": len(entries), "entries": entries},
-                f,
-                indent=1,
-                sort_keys=True,
-            )
+        entries = write_ledger(LEDGER, current, only is not None, sf_dir)
         print(f"pinned {len(entries)} entries -> {LEDGER}")
         totals = Counter()
         for c in current.values():

@@ -160,3 +160,34 @@ class TestCompare:
         _, notes_sub = compare(cur, pin, subset=True)
         assert any("new entry" in n for n in notes_sub)
         assert not any("not in catalog" in n for n in notes_sub)
+
+
+class TestWriteLedger:
+    """``--write --only`` must MERGE the subset into the existing
+    ledger, never replace it (a subset write that truncated the
+    268-entry pin would silently disable the budget for every other
+    entry); a full-walk ``--write`` replaces."""
+
+    def test_subset_write_merges_not_truncates(self, tmp_path):
+        from scripts.plan_budget import write_ledger
+
+        path = str(tmp_path / "ledger.json")
+        full = {"a": _counts(), "b": _counts(), "c": _counts()}
+        write_ledger(path, full, only=False, sf_dir="sf")
+        out = write_ledger(
+            path, {"b": _counts(shuffles=9)}, only=True, sf_dir="sf"
+        )
+        assert set(out) == {"a", "b", "c"}
+        assert out["b"]["shuffles"] == 9 and out["a"] == _counts()
+        with open(path) as f:
+            on_disk = json.load(f)
+        assert on_disk["n_entries"] == 3
+        assert set(on_disk["entries"]) == {"a", "b", "c"}
+
+    def test_full_write_replaces(self, tmp_path):
+        from scripts.plan_budget import write_ledger
+
+        path = str(tmp_path / "ledger.json")
+        write_ledger(path, {"a": _counts(), "b": _counts()}, False, "sf")
+        out = write_ledger(path, {"a": _counts()}, only=False, sf_dir="sf")
+        assert set(out) == {"a"}
