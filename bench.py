@@ -410,12 +410,25 @@ def main() -> None:
             "always parse it; move detail to BENCH_LAST.json"
         )
     print(final_json)
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_LAST.json"),
-        "w",
-    ) as fh:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
         fh.write(payload + "\n")
+    # Append-only per-run archive (VERDICT-r15 item 2): BENCH_LAST.json
+    # is overwritten by every run, so when the driver benches twice
+    # (32-core then 8-core) the second run clobbers the first run's
+    # per-query payload and round-over-round per-query comparison
+    # becomes impossible. Each run therefore ALSO appends its full
+    # payload to BENCH_RUNS.jsonl, keyed by cpu count + machine calib +
+    # wall time. Additions only: stdout contract (<1 KB final line) and
+    # BENCH_LAST.json are unchanged.
+    run_record = {
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "sf_dir": sf_dir,
+        "wall_unix": round(time.time(), 1),
+        **json.loads(payload),
+    }
+    with open(os.path.join(here, "BENCH_RUNS.jsonl"), "a") as fh:
+        fh.write(json.dumps(run_record) + "\n")
     spark.stop()
 
 
