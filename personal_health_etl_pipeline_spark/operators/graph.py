@@ -96,11 +96,16 @@ def connected_components(
     pair set is tiny relative to its corpus (255 pairs at bench scale),
     and the loop's per-round join+jump+checkpoint+sum cadence is pure
     scheduling floor on it; at the default cap the collect is bounded
-    at ~2 MB. Larger graphs (and non-integral ids, whose Python vs SQL
-    ordering could diverge) take the distributed loop unchanged; pass
-    ``0`` to force it. Both paths produce the identical
-    (node, min-id component) labeling — equality is pinned by a test
-    and the family's hypothesis property.
+    at ~2 MB. Larger graphs, non-integral ids (whose Python vs SQL
+    ordering could diverge) and edge lists with NULL endpoints take
+    the distributed loop unchanged; pass ``0`` to force it. Both paths
+    produce the identical (node, min-id component) labeling — equality
+    is pinned by a test and the family's hypothesis property. NOTE:
+    the driver path resolves exactly, so ``max_rounds`` does not apply
+    to it — ``ConvergenceError`` can only fire on the loop path (gated
+    graphs at the default cap are far too small to exhaust 25 rounds
+    anyway); tests that exercise the round budget must pass
+    ``driver_cap=0``.
 
     ``checkpoint_dir``: when set, per-round state is truncated with
     RELIABLE checkpoints written under this path (HDFS/object storage
@@ -216,10 +221,21 @@ def _components_loop(
         driver_cap > 0
         and isinstance(edges.schema["a"].dataType, _INTEGRAL_TYPES)
         and isinstance(edges.schema["b"].dataType, _INTEGRAL_TYPES)
-        # count over the just-checkpointed blocks: a no-scan gate job
-        and edges.count() <= 2 * driver_cap  # both directions stored
     ):
-        return _driver_union_find(spark, edges)
+        # one aggregate over the just-checkpointed blocks (a no-scan
+        # gate job, same cost as the previous bare count): the size gate
+        # plus a null-endpoint probe — parquet-sourced id columns are
+        # nullable in schema even when clean, and a data null would
+        # TypeError inside the driver union-find's Python comparisons,
+        # so dirty edges take the distributed loop, which degrades
+        # gracefully on them (ADVICE-r15).
+        st = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("a").alias("na"),
+            F.count("b").alias("nb"),
+        ).collect()[0]
+        if st["n"] <= 2 * driver_cap and st["na"] == st["n"] == st["nb"]:
+            return _driver_union_find(spark, edges)
     # initial label = own id, for every node that appears in any pair
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")

@@ -142,6 +142,21 @@ class TestConnectedComponents:
         b = connected_components(_pairs(spark, [(9, 5), (7, 2), (9, 2)]))
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
+    def test_null_endpoints_take_the_loop_not_a_driver_crash(self, spark):
+        """Parquet-sourced id columns are nullable even when clean; a
+        DATA null must not TypeError inside the driver union-find's
+        Python comparisons — the gate routes dirty edge lists to the
+        distributed loop, which degrades gracefully (ADVICE-r15)."""
+        frame = spark.createDataFrame(
+            [(1, 2), (2, 3), (None, 5), (6, None)],
+            "id_a long, id_b long",
+        )
+        gated = connected_components(frame)  # default cap: gate eligible
+        loop = connected_components(frame, driver_cap=0)
+        assert sorted(map(tuple, gated.collect())) == sorted(
+            map(tuple, loop.collect())
+        )
+
 
 class TestDedupGroups:
     def test_keeper_and_sizes(self, spark):
