@@ -89,8 +89,14 @@ def prepare_graph(
     out-degree aggregate — and the dangling set is empty by
     construction (every node has at least one out-edge), so the
     union+distinct node shuffle, the dangling anti-join checkpoint and
-    its existence probe are all skipped. The caller asserts the
-    property; results are identical to the general path when it holds."""
+    its existence probe are all skipped. WARNING: the property is
+    purely caller-asserted and nothing here measures it — a wrong
+    assertion (dst-only nodes, dangling nodes) yields SILENTLY WRONG
+    ranks: dst-only nodes get no rank row at all and dangling mass is
+    never redistributed. Only pass True for graphs symmetric BY
+    CONSTRUCTION (e.g. an edge artifact that emits both directions of
+    every pair); results are identical to the general path when it
+    holds, and the general path measures everything when in doubt."""
     _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
     return _prepare(
         edges, src, dst, dedup_edges, _ckpt, ckpt_edges=checkpoint_edges,
