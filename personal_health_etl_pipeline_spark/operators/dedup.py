@@ -884,6 +884,7 @@ def setsim_prefix_pairs(
     shingle_n: int = 3,
     threshold_num: int = 4,
     threshold_den: int = 5,
+    positional_filter: bool = True,
 ) -> DataFrame:
     """Exact Jaccard >= ``threshold_num/threshold_den`` pairs over
     distinct word-shingle sets: ``(id_a, id_b, jaccard_sim)``,
@@ -904,7 +905,10 @@ def setsim_prefix_pairs(
     the join: J(a,b) <= min(n_a,n_b)/max(n_a,n_b), so any pair with
     ``den*min < num*max`` can never verify — integer-exact and
     lossless, it drops ~2/3 of candidates on this corpus before the
-    distinct and the array_intersect ever see them (r15).
+    distinct and the array_intersect ever see them (r15). The
+    POSITIONAL filter (PPJoin, Xiao et al. 2008) prunes again on the
+    match positions — see the inline proof sketch at the join
+    condition (r16).
     """
     base = spread(
         docs.select(F.col(id_col).alias("_id"), F.col(text_col)),
@@ -936,22 +940,49 @@ def setsim_prefix_pairs(
             )
             + 1
         )
-        .select("_id", "n", "tok")
+        # rk rides along for the positional filter below (one int per
+        # prefix row — the candidate cut it buys dwarfs the width)
+        .select("_id", "n", "tok", "rk")
     )
+    join_cond = (
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a._id") < F.col("b._id"))
+        # length filter: J <= min(n)/max(n), so den*min >= num*max
+        # is necessary for J >= num/den — prunes before distinct
+        # + verify, never changes the surviving pair set
+        & (
+            F.lit(threshold_den) * F.least(F.col("a.n"), F.col("b.n"))
+            >= F.lit(threshold_num) * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+    )
+    if positional_filter:
+        # positional filter (PPJoin, Xiao et al. 2008 §3.2): for a
+        # match at global-order positions (rk_a, rk_b), the overlap of
+        # any pair whose FIRST shared token this is can be at most
+        # 1 + min(n_a - rk_a, n_b - rk_b) (the shared token itself
+        # plus shared tokens after it on both sides), while
+        # J >= num/den needs overlap >= num*(n_a+n_b)/(num+den).
+        # Lossless for the PAIR set: a qualifying pair's first shared
+        # token lies inside both prefixes (the prefix-filter theorem)
+        # and has zero shared tokens before it, so THAT occurrence
+        # always survives — other occurrences of the same pair may be
+        # pruned, which only helps the distinct. Integer-exact:
+        # ubound >= ceil(x/y) <=> y*ubound >= x. The kwarg exists so
+        # tests can pin filtered-vs-unfiltered equality.
+        join_cond = join_cond & (
+            F.lit(threshold_num + threshold_den)
+            * (
+                F.lit(1)
+                + F.least(
+                    F.col("a.n") - F.col("a.rk"),
+                    F.col("b.n") - F.col("b.rk"),
+                )
+            )
+            >= F.lit(threshold_num) * (F.col("a.n") + F.col("b.n"))
+        )
     cand = (
         prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a._id") < F.col("b._id"))
-            # length filter: J <= min(n)/max(n), so den*min >= num*max
-            # is necessary for J >= num/den — prunes before distinct
-            # + verify, never changes the surviving pair set
-            & (
-                F.lit(threshold_den) * F.least(F.col("a.n"), F.col("b.n"))
-                >= F.lit(threshold_num) * F.greatest(F.col("a.n"), F.col("b.n"))
-            ),
-        )
+        .join(prefix.alias("b"), join_cond)
         .select(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for catalog entries to plans/r15/ files.
+"""Dump .explain("formatted") for catalog entries to plans/r16/ files.
 
 Usage: python scripts/dump_plan.py <suffix> <entry> [<entry> ...]
-Writes plans/r15/<entry>_<suffix>.txt for each entry.
+Writes plans/r16/<entry>_<suffix>.txt for each entry.
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r15",
+        "plans", "r16",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="dump-plan")

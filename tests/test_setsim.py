@@ -93,6 +93,35 @@ def test_threshold_is_integer_exact_at_boundary(spark):
     assert got == {(1, 2): 0.8}
 
 
+def test_positional_filter_is_lossless(spark):
+    """The PPJoin positional filter only cuts CANDIDATES — the verified
+    pair set must be byte-identical with it on and off (and both equal
+    brute force). The neardup corpus exercises misaligned prefix
+    positions, which is exactly what the filter prunes on."""
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(10):
+        words = [rng.choice(vocab) for _ in range(25)]
+        rows.append((d, " ".join(words)))
+        # two mutated copies per base doc at varying edit distance
+        for j in range(2):
+            m = list(words)
+            for _ in range(j + d % 3):
+                m[rng.randrange(len(m))] = rng.choice(vocab)
+            rows.append((100 + 10 * d + j, " ".join(m)))
+    frame = _docs(spark, rows)
+    on = sorted(
+        map(tuple, setsim_prefix_pairs(frame, positional_filter=True).collect())
+    )
+    off = sorted(
+        map(tuple, setsim_prefix_pairs(frame, positional_filter=False).collect())
+    )
+    assert on == off
+    assert {(a, b): s for a, b, s in on} == _brute_pairs(rows)
+    assert on  # the planted dups must actually produce pairs
+
+
 def test_plan_has_no_cartesian(spark, sf_dir):
     from personal_health_etl_pipeline_spark.sources.tables import load_table
 
