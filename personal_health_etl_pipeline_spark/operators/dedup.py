@@ -33,7 +33,10 @@ from personal_health_etl_pipeline_spark.operators.partitioning import (
     SKETCH_MIN_BYTES_PER_PARTITION,
     spread,
 )
-from personal_health_etl_pipeline_spark.functions.text import distinct_shingles
+from personal_health_etl_pipeline_spark.functions.text import (
+    distinct_shingles,
+    has_min_tokens,
+)
 
 
 # --- exact dedup -------------------------------------------------------
@@ -234,10 +237,14 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("_id"), F.col(text_col)),
         min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
     )
-    base = docs.select(
+    # empty-shingle docs are dropped with the tokenizer-only predicate
+    # BELOW the shingle projection — a size filter on the derived
+    # column would re-evaluate the whole shingle expression per row
+    # (see functions.text.has_min_tokens, r16: ~6.5x on this stage)
+    base = docs.where(has_min_tokens(text_col, shingle_n)).select(
         "_id",
         distinct_shingles(text_col, shingle_n).alias("_sh"),
-    ).where(F.size("_sh") > 0)
+    )
     hashed = base.withColumn("_hs", shingle_hashes(F.col("_sh"))).withColumn(
         "_hm", F.expr(mod_p_sql("_hs"))
     )
@@ -414,14 +421,16 @@ def simhash_pairs(
     equi-join-able and shuffle-partitionable at scale.
     """
     # docs with no shingles (< n tokens) carry no signal and would all
-    # collide on the zero sketch — exclude them, like minhash does
+    # collide on the zero sketch — exclude them, like minhash does,
+    # with the cheap tokenizer-only predicate BELOW the projection
+    # (see functions.text.has_min_tokens)
     base = (
         spread(
         df.select(F.col(id_col).alias("_id"), F.col(text_col)),
         min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
     )
+        .where(has_min_tokens(text_col, shingle_n))
         .select("_id", distinct_shingles(text_col, shingle_n).alias("_sh"))
-        .where(F.size("_sh") > 0)
         .withColumn("_hs", shingle_hashes(F.col("_sh")))
         .select("_id", simhash(F.col("_hs"), bits).alias("sketch"))
     )
@@ -528,10 +537,10 @@ def ngram_jaccard_pairs(
         df.select(F.col(id_col).alias("_id"), F.col(text_col)),
         min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
     )
-    sh = raw.select(
+    sh = raw.where(has_min_tokens(text_col, shingle_n)).select(
         "_id",
         distinct_shingles(text_col, shingle_n).alias("_sh"),
-    ).where(F.size("_sh") > 0)
+    )
     if max_df is not None:
         # shingle ONCE: the capped path's plan references the shingled
         # corpus from six branches (hot, both shared_rare sides, the
@@ -692,9 +701,9 @@ def minhash_index(
     base = spread(
         df.select(F.col(id_col).alias("_id"), F.col(text_col)),
         min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
-    ).select(
+    ).where(has_min_tokens(text_col, shingle_n)).select(
         "_id", distinct_shingles(text_col, shingle_n).alias("_sh")
-    ).where(F.size("_sh") > 0)
+    )
     sigs = (
         base.withColumn("_hs", shingle_hashes(F.col("_sh")))
         .withColumn("_hm", F.expr(mod_p_sql("_hs")))
@@ -818,10 +827,16 @@ def ngram_containment_pairs(
     sh = spread(
         df.select(F.col(id_col).alias("_id"), F.col(text_col)),
         min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
-    ).select(
+    ).where(has_min_tokens(text_col, shingle_n)).select(
         "_id",
         distinct_shingles(text_col, shingle_n).alias("_sh"),
-    ).where(F.size("_sh") > 0)
+    # FOUR plan branches consume this frame (both inv join sides and
+    # both size lookups) — shingle once, not once per branch, the
+    # setsim/ngram checkpoint recipe. Wall-clock is join-dominated at
+    # scale (the exact shared-token count IS the algorithm; r16 sf1:
+    # ~35 -> ~32 s), so this is a total-work cut (4 shingle passes ->
+    # 1), not a latency one.
+    ).localCheckpoint(eager=True)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("tok"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -917,10 +932,11 @@ def setsim_prefix_pairs(
         # paths (r15: the default floor left the whole shingle +
         # checkpoint pass on ONE task at bench scale)
         min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
-    ).select("_id", distinct_shingles(F.col(text_col), shingle_n).alias("s"))
+    ).where(has_min_tokens(F.col(text_col), shingle_n)).select(
+        "_id", distinct_shingles(F.col(text_col), shingle_n).alias("s")
+    )
     sets = (
-        base.where(F.size("s") > 0)
-        .select("_id", "s", F.size("s").alias("n"))
+        base.select("_id", "s", F.size("s").alias("n"))
         # four plan branches scan this frame (inv -> df + rank, and the
         # two verify sides) — shingle once, not once per branch
         .localCheckpoint(eager=True)

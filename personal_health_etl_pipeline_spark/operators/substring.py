@@ -63,16 +63,23 @@ def token_windows(
     the tokenizer runs a constant ``window`` times per document, not
     once per emitted window).
     """
+    # short docs are dropped with the tokenizer-only predicate BELOW the
+    # token projection (a size filter on the alias pushes down with the
+    # tokenizer substituted — 2x tokenize), and the generate is the
+    # OUTER form so InferFiltersFromGenerate does not re-create that
+    # filter from the derived window expression (r16, see
+    # functions.text.has_min_tokens). Every surviving doc has >= window
+    # tokens, so posexplode_outer emits exactly posexplode's rows.
     return (
         spread(
             docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
             min_bytes=SKETCH_MIN_BYTES_PER_PARTITION,
         )
+        .where(T.has_min_tokens(text_col, window))
         .select("doc_id", T.tokens(text_col).alias("t"))
-        .where(F.size("t") >= window)
         .select(
             "doc_id",
-            F.posexplode(
+            F.posexplode_outer(
                 T._once(F.col("t"), lambda t: T.word_shingles(t, window))
             ).alias("pos", "sh"),
         )

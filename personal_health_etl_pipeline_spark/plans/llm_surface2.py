@@ -131,12 +131,21 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         # split into eval/corpus BEFORE shingling so each doc is
         # shingled+hashed exactly once (a shared subtree would be
         # recomputed per consumer — Spark plans are trees, not DAGs)
-        shingled = side.select(
+        # empty docs are dropped by the tokenizer-only predicate BELOW
+        # the projection, and the explode is the OUTER form: a size
+        # filter on the derived column (explicit, or inferred by
+        # InferFiltersFromGenerate for a non-outer explode) is pushed
+        # below the projection with the alias substituted, so the
+        # predicate re-evaluates the whole shingle expression per row
+        # (functions.text.has_min_tokens; r16 sf1 A/B on this entry:
+        # 3.90 -> 1.34 s). With every array non-empty by the predicate,
+        # explode_outer emits exactly explode's rows.
+        shingled = side.where(T.has_min_tokens("text", _SHINGLE_N)).select(
             "doc_id", T.distinct_shingles("text", _SHINGLE_N).alias("_sh")
-        ).where(F.size("_sh") > 0)
-        return shingled.select("doc_id", F.explode("_sh").alias("s")).select(
-            "doc_id", md5_long("s").alias("h")
         )
+        return shingled.select(
+            "doc_id", F.explode_outer("_sh").alias("s")
+        ).select("doc_id", md5_long("s").alias("h"))
 
     eval_h = (
         hashed(docs.where(F.col("doc_id") % _EVAL_MOD == 0)).select("h").distinct()
@@ -205,12 +214,21 @@ def corpus_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     def hashed(side) -> DataFrame:
-        shingled = side.select(
+        # empty docs are dropped by the tokenizer-only predicate BELOW
+        # the projection, and the explode is the OUTER form: a size
+        # filter on the derived column (explicit, or inferred by
+        # InferFiltersFromGenerate for a non-outer explode) is pushed
+        # below the projection with the alias substituted, so the
+        # predicate re-evaluates the whole shingle expression per row
+        # (functions.text.has_min_tokens; r16 sf1 A/B on this entry:
+        # 3.90 -> 1.34 s). With every array non-empty by the predicate,
+        # explode_outer emits exactly explode's rows.
+        shingled = side.where(T.has_min_tokens("text", _SHINGLE_N)).select(
             "doc_id", T.distinct_shingles("text", _SHINGLE_N).alias("_sh")
-        ).where(F.size("_sh") > 0)
-        return shingled.select("doc_id", F.explode("_sh").alias("s")).select(
-            "doc_id", md5_long("s").alias("h")
         )
+        return shingled.select(
+            "doc_id", F.explode_outer("_sh").alias("s")
+        ).select("doc_id", md5_long("s").alias("h"))
 
     eval_sh = hashed(docs.where(F.col("doc_id") % _EVAL_MOD == 0))
     train_h = hashed(docs.where(F.col("doc_id") % _EVAL_MOD != 0)).select("h")
