@@ -866,77 +866,78 @@ register("sql9_dpp_audit", au.sql9_dpp_audit, au.SQL9_ORACLE)
 # ledger order, as many as fit). Everything not listed keeps
 # registration order after the head.
 _HEAD = [
-    # (a) new in r15: none — breadth frozen at 268 (VERDICT-r14
-    # item 8). (b) impl-changed in r15: graph_kcore (peel factored
-    # into operators/graph.kcore_bounded for the hypothesis property,
-    # VERDICT-r14 item 7; plan unchanged) — rotates in per the
-    # impl-changed rule, displacing the one stalest-fill slot.
-    "graph_kcore",
-    # (d-first, per VERDICT-r14 item 1: the 4 r8-band tail entries
-    # that did not fit the r14 head, in CORRECTNESS_r08 ledger order)
-    "j5_views_before_purchase",
-    "a5_rollup",
-    "a6_cube",
-    "a7_grouping_sets",
-    # (d) ... then the ENTIRE 34-entry r9-stale band, in its
-    # CORRECTNESS_r09 ledger order — with the r8 tail above this
-    # drains everything staler than r10 in one rotation.
-    "a30_ks_statistic",
-    "a31_mannwhitney_u",
-    "a32_cohort_retention",
-    "w12_funnel_steps",
-    "j31_cogroup_pandas_asof",
-    "f24_xml_parse",
-    "f25_scalar_udf_modes",
-    "sql5_session_variables",
-    "w13_sessionized_funnel",
-    "sql6_lateral_topk",
-    "f26_map_in_arrow",
-    "text_bpe_train_batched",
-    "graph_bfs_hops",
-    "ts5_ewma_halflife",
-    "p3_prefix_columns",
-    "st_tumbling_window_agg",
-    "ann_lsh_topk",
-    "dq2_column_profile",
-    "a8_exact_percentiles",
-    "a10_corr_stats",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q14_conditional_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_distribution",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_heavy_suppliers",
-    "q21_blocking_suppliers",
-    "j1_multiway_outer_combine",
-    "so1_set_ops",
-    "a3_count_probes",
-    "w3_sessionize",
-    "text_bpe_token_count",
-    # (c) family reps for families the r8+r9 backfill leaves
-    # uncovered, stalest certified member of each: c (r14, but the
-    # family's sole head-eligible classic; all c-entries are r14),
-    # corpus (r10), dedup (r10), emb (r10), layout (r12), m (r11),
-    # mm (r10), s (r12), sketch (r11), src (r11), udtf (r13)
-    "c3_schema_align",
-    "corpus_mix_temperature",
+    # (a) new in r16: none — breadth frozen at 268 (VERDICT-r14
+    # item 8). (b) impl-changed in r16: the sketch-filter family fix
+    # (has_min_tokens below the shingle projection + outer explodes +
+    # containment checkpoint), the PPJoin positional filter, the
+    # shared recall base floor, the PQ index write sizing, and the
+    # connected-components null gate (dedup_connected_groups /
+    # corpus_split_groupsafe consume it).
+    "dedup_setsim_prefix",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_incremental_lookup",
     "dedup_containment",
-    "emb_centroids",
-    "layout_vacuum_audit",
-    "m2_snapshot_diff",
-    "mm_frame_sample",
-    "s6_raw_zone_pruned_scan",
-    "sketch_hll_distinct",
-    "src_datasource_scan",
-    "udtf_ngram_grid",
+    "decontaminate_ngram",
+    "corpus_eval_overlap",
+    "dedup_substring_spans",
+    "dedup_substring_cut",
+    "ann_recall_report",
+    "ann_pq_persisted_probe",
+    "ann_pq_external_topk",
+    "dedup_connected_groups",
+    "corpus_split_groupsafe",
+    # (d) the r10-stale band in CORRECTNESS_r10 ledger order
+    # (w8_windowed_distinct first, per the r15 plan), as many as fit
+    # after (b) and (c): 24 of its 31 non-(b) members; the 7-entry
+    # tail spills to the r17 head (text_zipf_slope,
+    # j11_pit_feature_join, a14_decile_buckets, j12_fuzzy_blocked_match,
+    # f1_flatten_struct, corpus_sample_weighted, ann_pq_topk).
+    "w8_windowed_distinct",
+    "a33_approx_percentile_window",
+    "st_datasource_stream_write_audit",
+    "w10_ranking_function_sweep",
+    "p6_new_dates_antijoin",
+    "dq3_key_skew_report",
+    "graph_pagerank",
+    "ann_brute_force_topk",
+    "text_repetition_stats",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "pii_scrub_emails",
+    "a9_price_histogram",
+    "j4_asof_last_click",
+    "st_interval_join",
+    "st_interval_join_outer",
+    "st_enrich_static",
+    "w4_rank_lag_lead",
+    "f2_date_coerce",
+    "corpus_sample_stratified",
+    "corpus_shard_plan",
+    "q12_late_shipment_priority",
+    "q1_pricing_summary",
+    "j9_oura_end_to_end",
+    # (c) family reps for families (b)+(d) leave uncovered, stalest
+    # certified member of each: c (r15, the family's sole head-eligible
+    # classic), emb (r11), mm (r11), sketch (r11), m (r12), ts (r11),
+    # layout (r13), src (r12), sql (r11), s (r13), udtf (r14)
+    "c3_schema_align",
+    "emb_kmeans_assign",
+    "mm_byte_stats",
+    "sketch_kmv_set_ops",
+    "m4_incremental_agg_merge",
+    "ts1_gap_fill_ffill",
+    "layout_zorder_audit",
+    "src_jsonl_quarantine_audit",
+    "sql7_cbo_broadcast_audit",
+    "s8_schema_evolution_audit",
+    "udtf_token_runs",
 ]
-# r16 head plan (rotate at round-16 start): (a) any entry new in r16;
-# (b) impl-changed in r16; (c) family reps; (d) backfill = the full
-# 38-entry r10-stale band (w8_windowed_distinct first — it held the
-# r15 fill slot until graph_kcore's impl change displaced it) in
-# CORRECTNESS_r10 ledger order, as many as fit.
+# r17 head plan (rotate at round-17 start): (a) any entry new in r17;
+# (b) impl-changed in r17; (c) family reps; (d) backfill = the 7-entry
+# r10-band spill named above in CORRECTNESS_r10 ledger order, then the
+# r11-stale band in CORRECTNESS_r11 ledger order, as many as fit.
 
 assert set(_HEAD) <= set(CATALOG), sorted(set(_HEAD) - set(CATALOG))
 assert len(_HEAD) == len(set(_HEAD)) == 50
