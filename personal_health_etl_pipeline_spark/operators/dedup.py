@@ -557,7 +557,12 @@ def ngram_jaccard_pairs(
         # subtree, which is exactly what a checkpoint should hold.)
         sh = sh.localCheckpoint(eager=True)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
-    inv = sh.select("_id", F.explode("_sh").alias("tok"))
+    # OUTER explode: every row has >= 1 shingle (has_min_tokens above),
+    # so the rows are identical — but on the uncapped path sh is a
+    # DERIVED column and a plain explode makes InferFiltersFromGenerate
+    # re-create the pushed-down size filter that re-evaluates the whole
+    # shingle expression per row (functions.text.has_min_tokens, r16)
+    inv = sh.select("_id", F.explode_outer("_sh").alias("tok"))
     if max_df is not None:
         # hot shingles are few by construction (each must appear in
         # > max_df docs), so the drop-list broadcasts. A NON-EAGER
@@ -838,7 +843,9 @@ def ngram_containment_pairs(
     # 1), not a latency one.
     ).localCheckpoint(eager=True)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
-    inv = sh.select("_id", F.explode("_sh").alias("tok"))
+    # outer explode for the same InferFiltersFromGenerate reason as
+    # ngram_jaccard_pairs (rows identical: has_min_tokens above)
+    inv = sh.select("_id", F.explode_outer("_sh").alias("tok"))
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(
